@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship ODM→commands pipeline on sf0.001;
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 with its DuckDB twin for the driver's hash-compare.
 """
 
 from __future__ import annotations
@@ -13,26 +11,39 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from lens_sds_batch_spark import oracle
+from lens_sds_batch_spark.plans.commands import generate_commands
+from lens_sds_batch_spark.plans.odm import BATCH_CMD_ID, SUB, derive_odm_from_tpch
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _odm_commands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    odm = derive_odm_from_tpch(spark, sf_dir)
+    return generate_commands(odm, BATCH_CMD_ID, SUB)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derived ODM tree → tx resolution → deterministic-id
+    command set (reference A9/A10/A15/A17/A18/A19 in one pipeline)."""
+    return _odm_commands(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "odm_commands": _odm_commands,
+    }
+    from lens_sds_batch_spark.operators import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q.update(registry.spark_queries())
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {
+        "odm_commands": oracle.odm_commands_sql(),
+    }
+    from lens_sds_batch_spark.operators import registry
+
+    o.update(registry.oracle_queries())
+    return o

@@ -1,0 +1,78 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized through the `noop` sink (forces every
+column/row to be computed without count()-style pruning shortcuts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from lens_sds_batch_spark.session import get_spark
+
+
+HEADLINE = (
+    "odm_commands",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "window_topk_per_group",
+    "agg_rollup",
+    "events_tumbling",
+    "sessionize",
+    "asof_join",
+    "merge_lww",
+    "correlate_first_event",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_pairs",
+    "knn_bruteforce",
+    "knn_lsh_bucketed",
+    "text_quality",
+    "token_counts",
+    "multimodal_meta",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("lens-sds-batch-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from __spark_entry__ import queries
+
+    qs = queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        builder = qs[name]
+        df = builder(spark, sf_dir)
+        # warm the plan (analysis/optimization) but time execution
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""Deterministic surrogate-key generation (reference: A17/A18).
+
+The reference derives every entity/command id as a *path-dependent
+UUIDv5* so that re-imports are idempotent and ids are computable without
+lookups (reference ``src/lens/util.clj:32-43`` for the name-byte
+encoding, ``src/lens/import_clinical_data.clj:288-289`` for command-id
+hashing; derivation table in SURVEY.md §1.1).
+
+Two flavors, both pure Catalyst column expressions (JVM-side,
+whole-stage-codegen friendly — NO Python UDF in the hot path):
+
+- :func:`uuid5_col` — RFC-4122 UUIDv5 (SHA-1 over ``ns_bytes ||
+  name_bytes``).  Byte-exact with the reference's clj-uuid output: our
+  pytest golden pin reproduces the reference's pinned value
+  ``75e752d9-c2bf-53dc-82dd-97f4c05363ec``
+  (``test/lens/import_clinical_data_test.clj:261-267``), including the
+  quirk that the reference's namespace literal has a 13-hex-digit final
+  group which Java's lenient ``UUID.fromString`` folds into the low 64
+  bits.
+- :func:`uuid3_str_col` — an md5 flavor over a canonical *string*
+  payload (``hex(ns) || name-string``), used by every oracle-checked
+  query because the DuckDB in this environment (v1.0.0) has ``md5`` but
+  no ``sha1`` and its ``md5`` only accepts VARCHAR.  Same layout
+  (version nibble ``3``, RFC variant), same determinism contract.
+  :func:`duck_uuid3_sql` emits the equivalent DuckDB SQL snippet so the
+  oracle computes the *identical* string.
+
+Name-byte encoding (mirrors clj-uuid + the reference's extension):
+keywords encode as their ``str`` form *including the leading colon*;
+sequences concatenate element encodings; strings are UTF-8 bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import uuid
+from collections.abc import Iterable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NIL_UUID = "00000000-0000-0000-0000-000000000000"
+
+# hex-digit -> (digit & 0x3) | 0x8, i.e. the RFC-4122 variant nibble
+_HEX = "0123456789abcdef"
+_VARIANT_MAP = "89ab89ab89ab89ab"
+
+
+# ---------------------------------------------------------------------------
+# Python-side (drivers for tests / fixture generation / golden pins)
+# ---------------------------------------------------------------------------
+
+def java_uuid_from_string(s: str) -> str:
+    """Parse a UUID string the way ``java.util.UUID.fromString`` does.
+
+    Java parses each dash-group as a long, so over-long groups (like the
+    reference test's 13-digit ``db7831d81e69d``) still parse, folding
+    into the 64-bit halves.  Needed to reproduce the reference's golden
+    namespace ``2a302e1b-3cb4-425e-bca9-db7831d81e69d`` ->
+    ``...-bcad-b7831d81e69d``.
+    """
+    p = s.split("-")
+    if len(p) != 5:
+        raise ValueError(f"not a uuid: {s!r}")
+    msb = (int(p[0], 16) << 32) | ((int(p[1], 16) & 0xFFFF) << 16) | (int(p[2], 16) & 0xFFFF)
+    lsb = ((int(p[3], 16) & 0xFFFF) << 48) | int(p[4], 16)
+    msb &= (1 << 64) - 1
+    lsb &= (1 << 64) - 1
+    return str(uuid.UUID(int=(msb << 64) | lsb))
+
+
+def _encode_part_py(part) -> bytes:
+    if isinstance(part, Kw):
+        return (":" + part.name).encode("utf-8")
+    if isinstance(part, UuidBytes):
+        return uuid.UUID(part.value).bytes
+    if isinstance(part, bytes):
+        return part
+    return str(part).encode("utf-8")
+
+
+def uuid5_py(ns: str, parts: Iterable) -> str:
+    """RFC-4122 UUIDv5 over the clj-uuid-style encoded ``parts`` seq."""
+    payload = uuid.UUID(ns).bytes + b"".join(_encode_part_py(p) for p in parts)
+    h = bytearray(hashlib.sha1(payload).digest()[:16])
+    h[6] = (h[6] & 0x0F) | 0x50
+    h[8] = (h[8] & 0x3F) | 0x80
+    return str(uuid.UUID(bytes=bytes(h)))
+
+
+def uuid3_str_py(ns: str, parts: Iterable[str]) -> str:
+    """md5 string-payload flavor — must match :func:`uuid3_str_col` and
+    :func:`duck_uuid3_sql` exactly."""
+    payload = uuid.UUID(ns).hex + "".join(str(p) for p in parts)
+    h = hashlib.md5(payload.encode("utf-8")).hexdigest()
+    variant = _VARIANT_MAP[int(h[16], 16)]
+    return f"{h[0:8]}-{h[8:12]}-3{h[13:16]}-{variant}{h[17:20]}-{h[20:32]}"
+
+
+class Kw:
+    """A Clojure-keyword-encoded name part (leading colon)."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+
+class UuidBytes:
+    """A name part that is a UUID encoded as its 16 raw bytes
+    (clj-uuid encodes UUID params this way, not as strings)."""
+
+    def __init__(self, value: str):
+        self.value = value
+
+
+# ---------------------------------------------------------------------------
+# Column expressions (the engine hot path)
+# ---------------------------------------------------------------------------
+
+def _fmt_uuid(h: Column, version: str) -> Column:
+    """32-hex-char digest -> RFC-4122 formatted uuid string with the
+    given version nibble and a forced RFC variant nibble."""
+    variant = F.translate(F.substring(h, 17, 1), _HEX, _VARIANT_MAP)
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit(version), F.substring(h, 14, 3)),
+        F.concat(variant, F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
+
+
+def _to_bytes(part) -> Column:
+    """Encode one name part to a binary Column (clj-uuid semantics)."""
+    if isinstance(part, Kw):
+        return F.lit((":" + part.name).encode("utf-8"))
+    if isinstance(part, UuidBytes):
+        return F.unhex(F.regexp_replace(F.lit(part.value), "-", ""))
+    if isinstance(part, Column):
+        return part.cast("binary")
+    if isinstance(part, bytes):
+        return F.lit(part)
+    return F.lit(str(part).encode("utf-8"))
+
+
+def uuid5_col(ns: Column | str, parts: list) -> Column:
+    """UUIDv5 (sha1, byte-exact with the reference) as a column expr.
+
+    ``ns`` is a uuid-string column/literal; ``parts`` a list of Columns /
+    strings / Kw / UuidBytes, concatenated clj-uuid-style.
+    """
+    ns_col = F.lit(ns) if isinstance(ns, str) else ns
+    ns_bytes = F.unhex(F.regexp_replace(ns_col, "-", ""))
+    payload = F.concat(ns_bytes, *[_to_bytes(p) for p in parts])
+    return _fmt_uuid(F.sha1(payload), "5")
+
+
+def _to_str(part) -> Column:
+    if isinstance(part, Column):
+        return part.cast("string")
+    return F.lit(str(part))
+
+
+def uuid3_str_col(ns: Column | str, parts: list) -> Column:
+    """md5 string-payload deterministic uuid (oracle-checkable flavor)."""
+    ns_col = F.lit(ns) if isinstance(ns, str) else ns
+    ns_hex = F.lower(F.regexp_replace(ns_col, "-", ""))
+    payload = F.concat(ns_hex, *[_to_str(p) for p in parts])
+    return _fmt_uuid(F.md5(payload.cast("binary")), "3")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL emitters (oracle parity)
+# ---------------------------------------------------------------------------
+
+def duck_uuid3_sql(ns_sql: str, part_sqls: list[str]) -> str:
+    """DuckDB SQL expression computing the same string as
+    :func:`uuid3_str_col`. ``ns_sql``/``part_sqls`` are SQL fragments."""
+    payload = " || ".join(
+        [f"lower(replace(({ns_sql}), '-', ''))"] + [f"CAST(({p}) AS VARCHAR)" for p in part_sqls]
+    )
+    h = f"md5({payload})"
+    return (
+        f"(substr({h},1,8) || '-' || substr({h},9,4) || '-3' || substr({h},14,3)"
+        f" || '-' || translate(substr({h},17,1), '{_HEX}', '{_VARIANT_MAP}')"
+        f" || substr({h},18,3) || '-' || substr({h},21,12))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Command-id hashing (A18): id = hash(batch_cmd_id, name ++ flatten(sorted params))
+# ---------------------------------------------------------------------------
+
+def cmd_id_col(batch_cmd_id: Column | str, name: str, params: dict) -> Column:
+    """Deterministic command id, oracle flavor (uuid3_str).
+
+    ``name`` is the keyword-style command name (e.g.
+    ``odm-import/insert-subject``); ``params`` maps param name ->
+    Column/str.  Params are flattened in sorted-key order with the name
+    prepended — exactly the reference's ``gen-cmd-id``
+    (``import_clinical_data.clj:288-289``).
+    """
+    parts: list = [":" + name]
+    for k in sorted(params):
+        parts.append(":" + k)
+        parts.append(params[k])
+    return uuid3_str_col(batch_cmd_id, parts)
+
+
+def duck_cmd_id_sql(batch_cmd_id_sql: str, name: str, params: dict[str, str]) -> str:
+    """DuckDB twin of :func:`cmd_id_col` (param values are SQL frags)."""
+    parts = [f"':{name}'"]
+    for k in sorted(params):
+        parts.append(f"':{k}'")
+        parts.append(params[k])
+    return duck_uuid3_sql(batch_cmd_id_sql, parts)

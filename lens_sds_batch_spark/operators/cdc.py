@@ -1,0 +1,208 @@
+"""Oracle-checked queries exercising the CDC-shaped plans:
+LWW merge application (plans/merge.py), command↔event correlation +
+first-event-wins (plans/correlate.py), success-gated cascade semi-join
+(reference A11), and the dead-letter split (A22).
+
+Inputs are derived deterministically from the testdata tables so every
+query has an exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.keys import NIL_UUID, uuid3_str_col
+from ..oracle import duck_fmt, ns_hex
+from ..plans.correlate import correlate, first_event_per_cid
+from ..plans.merge import apply_lww
+from ..sources.parquet import load_events, load_table
+
+NIL_HEX = "0" * 32
+
+
+def merge_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a CDC stream keyed by user_id: last write wins,
+    event_type='error' acts as the tombstone (A13/A14 application)."""
+    ev = load_events(spark, sf_dir)
+    merged = apply_lww(
+        ev,
+        keys=["user_id"],
+        order_cols=[F.col("ts_ns"), F.col("event_id")],
+        is_delete=F.col("event_type") == "error",
+    )
+    return merged.select(
+        "user_id", "event_id", F.expr("ts_ns div 1000000000").alias("ts_epoch"), "event_type", "value"
+    ).orderBy("user_id")
+
+
+MERGE_LWW_SQL = """
+SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_epoch, event_type, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rk
+  FROM events
+)
+WHERE rk = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+def _orders_commands(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        uuid3_str_col(NIL_UUID, [F.lit("CMD"), F.col("o_orderkey")]).alias("cmd_id"),
+        "o_orderkey",
+    )
+
+
+def _lineitem_events(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    name = (
+        F.when((F.col("l_orderkey") + F.col("l_linenumber") + F.col("l_partkey")) % 7 < 3, "created")
+        .when((F.col("l_orderkey") + F.col("l_linenumber") + F.col("l_partkey")) % 7 < 6, "updated")
+        .otherwise("error")
+    )
+    return li.select(
+        uuid3_str_col(NIL_UUID, [F.lit("CMD"), F.col("l_orderkey")]).alias("cid"),
+        F.col("l_linenumber").alias("t"),
+        name.alias("name"),
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+    )
+
+
+def correlate_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 end-to-end: command per order, events per lineitem (cid =
+    derived command id), first event by (t, tiebreaks) wins; orders
+    with no lineitems -> 'timeout'."""
+    cmds = _orders_commands(spark, sf_dir)
+    evs = _lineitem_events(spark, sf_dir)
+    first = first_event_per_cid(
+        evs, [F.col("t"), F.col("l_partkey"), F.col("l_suppkey"), F.col("l_extendedprice")]
+    )
+    return (
+        correlate(cmds, first)
+        .select("cmd_id", "o_orderkey", "status")
+        .orderBy("o_orderkey")
+    )
+
+
+def _duck_cmd_uuid(part_sql: str) -> str:
+    payload = f"'{NIL_HEX}' || CAST('CMD' AS VARCHAR) || CAST({part_sql} AS VARCHAR)"
+    return f"(SELECT {duck_fmt('h')} FROM (SELECT md5({payload}) AS h))"
+
+
+CORRELATE_SQL = f"""
+WITH cmds AS (
+  SELECT {duck_fmt('__h')} AS cmd_id, o_orderkey
+  FROM (SELECT md5('{NIL_HEX}' || 'CMD' || CAST(o_orderkey AS VARCHAR)) AS __h, o_orderkey FROM orders)
+),
+evs AS (
+  SELECT {duck_fmt('__h')} AS cid, l_linenumber AS t,
+         CASE WHEN (l_orderkey + l_linenumber + l_partkey) % 7 < 3 THEN 'created'
+              WHEN (l_orderkey + l_linenumber + l_partkey) % 7 < 6 THEN 'updated'
+              ELSE 'error' END AS name,
+         l_partkey, l_suppkey, l_extendedprice
+  FROM (SELECT md5('{NIL_HEX}' || 'CMD' || CAST(l_orderkey AS VARCHAR)) AS __h, * FROM lineitem)
+),
+first_ev AS (
+  SELECT cid, name FROM (
+    SELECT cid, name,
+           row_number() OVER (PARTITION BY cid ORDER BY t, l_partkey, l_suppkey, l_extendedprice) AS rk
+    FROM evs
+  ) WHERE rk = 1
+)
+SELECT cmd_id, o_orderkey, coalesce(name, 'timeout') AS status
+FROM cmds LEFT JOIN first_ev ON cmd_id = cid
+ORDER BY o_orderkey
+"""
+
+
+def gated_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11's success-gated cascade as a semi-join: lineitem 'children'
+    proceed only when their parent order's first event is a success
+    (created/updated) — the batch form of 'await success, then
+    recurse'."""
+    cmds = _orders_commands(spark, sf_dir)
+    evs = _lineitem_events(spark, sf_dir)
+    first = first_event_per_cid(
+        evs, [F.col("t"), F.col("l_partkey"), F.col("l_suppkey"), F.col("l_extendedprice")]
+    )
+    ok = (
+        correlate(cmds, first)
+        .where(F.col("status").isin("created", "updated"))
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    gated = li.join(ok, li.l_orderkey == ok.o_orderkey, "left_semi")
+    return (
+        gated.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_children"))
+        .orderBy("l_orderkey")
+    )
+
+
+GATED_CASCADE_SQL = f"""
+WITH cmds AS (
+  SELECT {duck_fmt('__h')} AS cmd_id, o_orderkey
+  FROM (SELECT md5('{NIL_HEX}' || 'CMD' || CAST(o_orderkey AS VARCHAR)) AS __h, o_orderkey FROM orders)
+),
+evs AS (
+  SELECT {duck_fmt('__h')} AS cid, l_linenumber AS t,
+         CASE WHEN (l_orderkey + l_linenumber + l_partkey) % 7 < 3 THEN 'created'
+              WHEN (l_orderkey + l_linenumber + l_partkey) % 7 < 6 THEN 'updated'
+              ELSE 'error' END AS name,
+         l_partkey, l_suppkey, l_extendedprice
+  FROM (SELECT md5('{NIL_HEX}' || 'CMD' || CAST(l_orderkey AS VARCHAR)) AS __h, * FROM lineitem)
+),
+first_ev AS (
+  SELECT cid, name FROM (
+    SELECT cid, name,
+           row_number() OVER (PARTITION BY cid ORDER BY t, l_partkey, l_suppkey, l_extendedprice) AS rk
+    FROM evs
+  ) WHERE rk = 1
+),
+ok AS (
+  SELECT o_orderkey FROM cmds JOIN first_ev ON cmd_id = cid
+  WHERE name IN ('created', 'updated')
+)
+SELECT l_orderkey, count(*) AS n_children
+FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM ok)
+GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
+def dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22's 3-way validation split over the events.props JSON payload:
+    parse → schema check (k in [0,50] = valid) → routed counts."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    routed = ev.select(
+        "event_type",
+        F.when(k.isNull(), "undecodable").when((k >= 0) & (k <= 50), "valid").otherwise("dead_letter").alias("route"),
+    )
+    return (
+        routed.groupBy("event_type", "route")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "route")
+    )
+
+
+DEAD_LETTER_SQL = """
+SELECT event_type,
+       CASE WHEN json_extract(props, '$.k') IS NULL THEN 'undecodable'
+            WHEN CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 50 THEN 'valid'
+            ELSE 'dead_letter' END AS route,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2 ORDER BY event_type, route
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "merge_lww": (merge_lww, MERGE_LWW_SQL),
+    "correlate_first_event": (correlate_first_event, CORRELATE_SQL),
+    "gated_cascade": (gated_cascade, GATED_CASCADE_SQL),
+    "dead_letter_split": (dead_letter_split, DEAD_LETTER_SQL),
+}

@@ -1,0 +1,247 @@
+"""Deduplication operators over the ``documents`` table (north-star B11).
+
+Four tiers, all designed for 100 TB corpora:
+
+- exact         — hash-groupBy on raw text (one shuffle on the hash)
+- fingerprint   — normalize → md5; catches whitespace/punct variants
+- n-gram jaccard — blocked candidate pairs + exact set jaccard
+- MinHash-LSH   — shingle → K minhashes → banded bucket join; the
+                  scale path (candidate generation is linear + a
+                  self-join *within* buckets only, with a hot-bucket
+                  cap for skew)
+
+Everything is Catalyst built-ins (split / transform / aggregate /
+array_distinct / md5) — no Python UDFs — so the DuckDB oracles can
+replicate each step exactly.  The distinct-set sizes use the
+``|A∩B| = |A|+|B|-|A∪B|`` identity so both engines count identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+
+# MinHash parameters: K hashes in B bands of R rows (K = B*R).
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MINHASH_R = 4
+HOT_BUCKET_CAP = 50  # LSH skew guard: drop buckets larger than this
+JACCARD_THRESHOLD = 0.7
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keeper = min doc_id per identical text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keeper_id", "n_copies")
+        .orderBy("keeper_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY text ORDER BY keeper_id
+"""
+
+
+def _normalize(col):
+    return F.regexp_replace(F.regexp_replace(F.lower(col), "[^a-z0-9 ]", ""), " +", " ")
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup: md5 over normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(_normalize(F.col("text")).cast("binary")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keeper_id")
+    )
+
+
+DEDUP_FINGERPRINT_SQL = """
+SELECT fingerprint, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM (
+  SELECT doc_id,
+         md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+GROUP BY fingerprint ORDER BY keeper_id
+"""
+
+
+def _words(col):
+    return F.split(col, " ")
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact jaccard over distinct word sets.
+
+    Blocking key = (lang, n_chars//100): at scale this bounds the pair
+    space to within-block quadratics instead of corpus-wide O(n²)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
+        F.array_distinct(_words(F.col("text"))).alias("wset"),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    na = F.size("a.wset")
+    nb = F.size("b.wset")
+    nu = F.size(F.array_distinct(F.concat("a.wset", "b.wset")))
+    jac = (na + nb - nu).cast("double") / nu.cast("double")
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+         list_distinct(string_split(text, ' ')) AS wset
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(a.wset) + len(b.wset) - len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE) AS jaccard
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE CAST(len(a.wset) + len(b.wset) - len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → K minhash values (lexicographic min of salted md5 over
+    the distinct word set — min over a uniform pseudorandom order is a
+    valid minhash permutation)."""
+    exploded = docs.select(
+        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w")
+    )
+    aggs = [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{k}:"), F.col("w")).cast("binary")), 1, 8)).alias(f"mh{k}")
+        for k in range(MINHASH_K)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, jaccard-verified.
+
+    Scale path: signatures are a linear pass; candidate generation is a
+    self-join on (band_id, band_key) *within* buckets; buckets larger
+    than HOT_BUCKET_CAP are dropped (documented skew guard, both
+    engines); only candidates get the exact jaccard verification."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cols = [f"mh{b * MINHASH_R + r}" for r in range(MINHASH_R)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.concat_ws("|", *cols).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for d in bands[1:]:
+        banded = banded.unionByName(d)
+    bucket_sizes = banded.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("bn"))
+    banded = banded.join(
+        bucket_sizes.where(F.col("bn") <= HOT_BUCKET_CAP), ["band_id", "band_key"]
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    wsets = docs.select("doc_id", F.array_distinct(_words(F.col("text"))).alias("wset"))
+    cand = (
+        cand.join(wsets.select(F.col("doc_id").alias("doc_a"), F.col("wset").alias("wa")), "doc_a")
+        .join(wsets.select(F.col("doc_id").alias("doc_b"), F.col("wset").alias("wb")), "doc_b")
+    )
+    na, nb = F.size("wa"), F.size("wb")
+    nu = F.size(F.array_distinct(F.concat("wa", "wb")))
+    jac = (na + nb - nu).cast("double") / nu.cast("double")
+    return (
+        cand.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _duck_minhash_sql() -> str:
+    mh_cols = ", ".join(
+        f"min(substr(md5('{k}:' || w), 1, 8)) AS mh{k}" for k in range(MINHASH_K)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * MINHASH_R + r}" for r in range(MINHASH_R)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT doc_id, {mh_cols}
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)
+  GROUP BY doc_id
+),
+banded_all AS ({band_selects}),
+sized AS (
+  SELECT band_id, band_key FROM banded_all
+  GROUP BY band_id, band_key HAVING count(*) <= {HOT_BUCKET_CAP}
+),
+banded AS (
+  SELECT b.* FROM banded_all b JOIN sized s USING (band_id, band_key)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+wsets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM documents)
+SELECT doc_a, doc_b,
+       CAST(len(wa.wset) + len(wb.wset) - len(list_distinct(list_concat(wa.wset, wb.wset))) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(wa.wset, wb.wset))) AS DOUBLE) AS jaccard
+FROM cand
+JOIN wsets wa ON wa.doc_id = doc_a
+JOIN wsets wb ON wb.doc_id = doc_b
+WHERE CAST(len(wa.wset) + len(wb.wset) - len(list_distinct(list_concat(wa.wset, wb.wset))) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(wa.wset, wb.wset))) AS DOUBLE) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_fingerprint": (dedup_fingerprint, DEDUP_FINGERPRINT_SQL),
+    "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+    "dedup_minhash_pairs": (dedup_minhash_pairs, _duck_minhash_sql()),
+}

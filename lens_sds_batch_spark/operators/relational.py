@@ -1,0 +1,585 @@
+"""The relational operator inventory (SURVEY.md §2 Table B).
+
+The reference implements no relational algebra (B1-B8 are marked absent
+in the survey) — this module provides the full surface our engine must
+have anyway, each operator as one named, DuckDB-oracle-checked query
+over the driver testdata.
+
+Cross-engine determinism rules used throughout (the driver hash-compares
+Spark vs DuckDB output):
+
+- Money/measure aggregation happens in DECIMAL (exact), and only the
+  final value is cast to DOUBLE — bit-identical results in both engines
+  regardless of summation order.  (Summing doubles directly would be
+  order-dependent and non-reproducible at any scale.)
+- Timestamps are output as epoch-second BIGINTs (Spark session TZ is
+  pinned to UTC; DuckDB is UTC-naive).
+- Every ORDER BY used under a LIMIT or window rank carries a unique
+  tiebreak column.
+
+Scale notes are inline per operator: each one is written the way it
+should run on 100 TB (broadcast the dimension sides, aggregate before
+joining where possible, no driver-side collects).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_events, load_table
+
+
+def _dec(c, scale: int = 2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# B4: filter + multi-aggregate (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-heavy agg: predicate + column pruning reach the parquet scan;
+    partial aggregation map-side; 2-col group key — no skew risk."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-01")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double").alias("sum_disc_price"),
+            F.sum(
+                _dec("l_extendedprice") * (one - _dec("l_discount")) * (one + _dec("l_tax"))
+            ).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# B3+B4+B6: join + agg + top-k (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem with selective filters; customer is
+    the small side (broadcast); top-10 via exact decimal revenue."""
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1996-01-01")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+       o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# B3: 5-way dimensional join + agg (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region→nation→customer are tiny dims: broadcast all three; the
+    only shuffle left is the orders⋈lineitem equi-join + final 1-col agg."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    dims = F.broadcast(
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey).join(
+            region, nation.n_regionkey == region.r_regionkey
+        ).select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# B3: semi / anti / outer joins
+# ---------------------------------------------------------------------------
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers with ≥1 open order.  Semi-join avoids
+    materializing the many-side — at scale the build side is the
+    deduplicated key set, not the orders table."""
+    cust = load_table(spark, sf_dir, "customer")
+    open_orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+ORDER BY c_custkey
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders at all (the reference's
+    remove-pruning shape, A14)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def join_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer + agg: order count per customer including zeros.
+    Aggregate-then-join: orders are pre-aggregated to one row per
+    custkey before joining, so the join input is minimal at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select("c_custkey", F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_OUTER_SQL = """
+SELECT c_custkey, coalesce(cnt, 0) AS n_orders
+FROM customer
+LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) o
+  ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# B5: window functions
+# ---------------------------------------------------------------------------
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by value — the canonical rank-filter.
+    One shuffle on the partition key; no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend (exact decimal accumulation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# B4: rollup / distinct aggregates
+# ---------------------------------------------------------------------------
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation dimension chain."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"))
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT r_name, n_name, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_DISTINCT_SQL = """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# B7: set operations
+# ---------------------------------------------------------------------------
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with both open AND finished orders (INTERSECT dedups)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b).orderBy("o_custkey")
+
+
+SET_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.subtract(b).orderBy("o_custkey")
+
+
+SET_EXCEPT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# B6: global top-k + B8: scalar functions
+# ---------------------------------------------------------------------------
+
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT — Spark runs this as TakeOrderedAndProject
+    (per-partition top-k then merge), never a full global sort."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.orderBy(F.desc("p_retailprice"), "p_partkey")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .limit(5)
+    )
+
+
+TOPK_GLOBAL_SQL = """
+SELECT p_partkey, p_name, p_retailprice FROM part
+ORDER BY p_retailprice DESC, p_partkey LIMIT 5
+"""
+
+
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        (F.col("p_size") * 2 + 1).alias("size2"),
+        F.concat_ws("-", "p_brand", F.col("p_size").cast("string")).alias("brand_size"),
+    ).orderBy("p_partkey")
+
+
+SCALAR_FUNCS_SQL = """
+SELECT p_partkey, upper(p_brand) AS brand_u, length(p_name) AS name_len,
+       substr(p_type, 1, 5) AS type5, p_size * 2 + 1 AS size2,
+       p_brand || '-' || CAST(p_size AS VARCHAR) AS brand_size
+FROM part ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# time windows / sessionization / as-of join over `events`
+# ---------------------------------------------------------------------------
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows per event_type (batch form of the streaming
+    windowed agg, B9).  Window keys are exact int64 nano arithmetic —
+    identical in both engines (see sources.parquet.load_events)."""
+    ev = load_events(spark, sf_dir)
+    hour_ns = 3600 * 1_000_000_000
+    return (
+        ev.groupBy(
+            (F.expr(f"ts_ns div {hour_ns}") * 3600).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization, 30-minute inactivity gap
+    (exact nano integer gaps)."""
+    ev = load_events(spark, sf_dir)
+    gap_ns = 1800 * 1_000_000_000
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_ns").over(w).isNull()
+            | ((F.col("ts_ns") - F.lag("ts_ns").over(w)) > gap_ns),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+               OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest event at-or-before each order's date for the
+    order's (synthetic) user.  Expressed as inequality-join + max —
+    at scale: bucketize the time axis and equi-join on (uid, bucket)
+    or applyInPandas merge_asof per key (see SURVEY B3)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 15).alias("uid"),
+        (F.unix_timestamp("o_orderdate") * F.lit(1_000_000_000)).alias("odate_ns"),
+    )
+    ev = load_events(spark, sf_dir).select("user_id", "ts_ns")
+    joined = orders.join(
+        F.broadcast(ev), (orders.uid == ev.user_id) & (ev.ts_ns <= orders.odate_ns), "left"
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(F.max(F.expr("ts_ns div 1000000000")).alias("last_event_epoch"))
+        .orderBy("o_orderkey")
+    )
+
+
+ASOF_JOIN_SQL = """
+SELECT o_orderkey, max(epoch_ns(ts) // 1000000000) AS last_event_epoch
+FROM (SELECT o_orderkey, o_custkey % 15 AS uid,
+             CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 AS odate_ns
+      FROM orders) o
+LEFT JOIN events e ON o.uid = e.user_id AND epoch_ns(e.ts) <= o.odate_ns
+GROUP BY o_orderkey ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# B2/B7: pivot / unpivot
+# ---------------------------------------------------------------------------
+
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [
+        F.sum(F.when(F.col("o_orderpriority") == p, 1).otherwise(0)).alias(a)
+        for p, a in [
+            ("1-URGENT", "urgent"),
+            ("2-HIGH", "high"),
+            ("3-MEDIUM", "medium"),
+            ("4-NOT SPECIFIED", "not_specified"),
+            ("5-LOW", "low"),
+        ]
+    ]
+    return orders.groupBy("o_orderstatus").agg(*aggs).orderBy("o_orderstatus")
+
+
+PIVOT_SQL = """
+SELECT o_orderstatus,
+  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
+  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
+  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
+  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS not_specified,
+  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack() — the same EAV-ification the ODM item
+    derivation uses (reference data model §1.1)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.expr(
+                "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) AS (attr, val)"
+            ),
+        )
+        .orderBy("p_partkey", "attr")
+    )
+
+
+UNPIVOT_SQL = """
+SELECT p_partkey, attr, val FROM (
+  SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
+) ORDER BY p_partkey, attr
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
+    "join_semi": (join_semi, JOIN_SEMI_SQL),
+    "join_anti": (join_anti, JOIN_ANTI_SQL),
+    "join_outer_counts": (join_outer_counts, JOIN_OUTER_SQL),
+    "window_topk_per_group": (window_topk_per_group, WINDOW_TOPK_SQL),
+    "window_running_sum": (window_running_sum, WINDOW_RUNNING_SQL),
+    "agg_rollup": (agg_rollup, AGG_ROLLUP_SQL),
+    "agg_distinct": (agg_distinct, AGG_DISTINCT_SQL),
+    "set_intersect": (set_intersect, SET_INTERSECT_SQL),
+    "set_except": (set_except, SET_EXCEPT_SQL),
+    "topk_global": (topk_global, TOPK_GLOBAL_SQL),
+    "scalar_funcs": (scalar_funcs, SCALAR_FUNCS_SQL),
+    "events_tumbling": (events_tumbling, EVENTS_TUMBLING_SQL),
+    "sessionize": (sessionize, SESSIONIZE_SQL),
+    "asof_join": (asof_join, ASOF_JOIN_SQL),
+    "pivot_status_priority": (pivot_status_priority, PIVOT_SQL),
+    "unpivot_part": (unpivot_part, UNPIVOT_SQL),
+}

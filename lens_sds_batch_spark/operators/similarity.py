@@ -1,0 +1,144 @@
+"""Similarity search over the ``embeddings`` table (north-star B11).
+
+- brute-force cosine top-k: the exactness baseline.  All arithmetic is
+  forced to DOUBLE *before* any multiply and accumulated in array order
+  so Spark and DuckDB produce bit-identical cosines; norms are computed
+  once per vector (not per pair).
+- LSH-bucketed top-k: the scale path — sign-quantization over the first
+  SIGN_BITS dimensions buckets the corpus; queries probe only their own
+  bucket.  At 100 TB the bucket column is a partition key: candidate
+  generation is an equi-join, never a cross join.
+
+Dot products use built-in higher-order array functions
+(``zip_with`` + ``aggregate``) — JVM-side, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+
+TOP_K = 10
+SIGN_BITS = 8
+QUERY_STRIDE = 100  # vec_id % STRIDE == 0 -> a query vector
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _vecs(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return df.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+
+def _topk(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("qid", "vec_id", "cos", "rk")
+        .orderBy("qid", "rk")
+    )
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: every STRIDE-th vector queries the corpus."""
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    pairs = vecs.crossJoin(F.broadcast(queries)).where(F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))).alias("cos"),
+    )
+    return _topk(scored)
+
+
+_DUCK_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+_DUCK_V = (
+    "SELECT vec_id, embedding AS emb, "
+    f"sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS norm FROM embeddings"
+)
+
+
+KNN_BRUTEFORCE_SQL = f"""
+WITH v AS ({_DUCK_V}),
+q AS (SELECT vec_id AS qid, emb AS qv, norm AS qnorm FROM v WHERE vec_id % {QUERY_STRIDE} = 0),
+scored AS (
+  SELECT qid, vec_id, ({_DUCK_DOT.format(a='qv', b='emb')}) / (qnorm * norm) AS cos
+  FROM v CROSS JOIN q WHERE vec_id <> qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, cos, rk FROM ranked WHERE rk <= {TOP_K} ORDER BY qid, rk
+"""
+
+
+def _bucket(vcol):
+    bits = [F.when(vcol.getItem(i) >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(SIGN_BITS)]
+    return F.concat(*bits)
+
+
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: probe only the query's sign-quantization
+    bucket (axis-aligned hyperplane LSH)."""
+    vecs = _vecs(spark, sf_dir).withColumn("bucket", _bucket(F.col("v")))
+    queries = vecs.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    pairs = vecs.join(
+        F.broadcast(queries), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid"))
+    )
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))).alias("cos"),
+    )
+    return _topk(scored)
+
+
+def _duck_bucket(col: str) -> str:
+    bits = " || ".join(
+        f"CASE WHEN {col}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(SIGN_BITS)
+    )
+    return f"({bits})"
+
+
+KNN_LSH_SQL = f"""
+WITH v AS (SELECT *, {_duck_bucket('emb')} AS bucket FROM ({_DUCK_V})),
+q AS (SELECT vec_id AS qid, emb AS qv, norm AS qnorm, bucket AS qbucket FROM v
+      WHERE vec_id % {QUERY_STRIDE} = 0),
+scored AS (
+  SELECT qid, vec_id, ({_DUCK_DOT.format(a='qv', b='emb')}) / (qnorm * norm) AS cos
+  FROM v JOIN q ON v.bucket = q.qbucket AND v.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, cos, rk FROM ranked WHERE rk <= {TOP_K} ORDER BY qid, rk
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
+    "knn_lsh_bucketed": (knn_lsh_bucketed, KNN_LSH_SQL),
+}

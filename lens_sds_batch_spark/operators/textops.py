@@ -1,0 +1,171 @@
+"""Text-analysis operators over ``documents`` (north-star B11).
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting — all
+JVM-side built-ins (split / filter / regexp), no Python in the hot
+path; each has an exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "les", "et"),
+}
+
+BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _tokens(col):
+    return F.split(col, " ")
+
+
+def _hits(toks, words: tuple[str, ...]):
+    """Count of tokens in ``words`` (duplicates counted).  NB: the
+    filter lambda must be single-arg — a second (defaulted) parameter
+    would be bound to the element *index* by F.filter."""
+    arr = F.array([F.lit(w) for w in words])
+
+    def pred(t):
+        return F.array_contains(arr, t)
+
+    return F.size(F.filter(toks, pred))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality metrics: token counts, type-token ratio,
+    stopword ratio, mean token length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = _hits(toks, LANG_STOPWORDS["en"])
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        (n_distinct.cast("double") / n_tok.cast("double")).alias("ttr"),
+        (n_stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
+        ((F.length("text") - (n_tok - 1)).cast("double") / n_tok.cast("double")).alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+_SW_EN = "', '".join(LANG_STOPWORDS["en"])
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       length(text) AS len_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+       CAST(len(list_filter(string_split(text, ' '), t -> t IN ('{_SW_EN}'))) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with deterministic argmax (priority
+    order en > es > de > fr on ties)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    scores = {lang: _hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
+    df = docs.select("doc_id", F.col("lang").alias("labeled_lang"), *[scores[lg].alias(f"s_{lg}") for lg in LANG_STOPWORDS])
+    s = {lg: F.col(f"s_{lg}") for lg in LANG_STOPWORDS}
+    pred = (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    return df.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("predicted_lang"),
+        F.when(pred == F.col("labeled_lang"), 1).otherwise(0).alias("label_match"),
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = "', '".join(LANG_STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ('{words}')))"
+
+
+LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('es')} AS s_es,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('fr')} AS s_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS predicted_lang,
+       CASE WHEN (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                       WHEN s_de >= s_fr THEN 'de'
+                       ELSE 'fr' END) = labeled_lang THEN 1 ELSE 0 END AS label_match
+FROM scored ORDER BY doc_id
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens vs a BPE-ish regex token estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH)).alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_ISH}')) AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: full md5 + a 64-bit prefix ("rolling-hash"
+    style short fingerprint) of the normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " ")
+    h = F.md5(norm.cast("binary"))
+    return docs.select(
+        "doc_id",
+        h.alias("md5_full"),
+        F.substring(h, 1, 16).alias("fp64"),
+    ).orderBy("doc_id")
+
+
+DOC_FINGERPRINTS_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS md5_full,
+       substr(md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 16) AS fp64
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "lang_id": (lang_id, LANG_ID_SQL),
+    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
+}

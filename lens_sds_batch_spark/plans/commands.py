@@ -1,0 +1,249 @@
+"""tx-type resolution + command generation (reference A10-A15, A17-A19).
+
+The reference walks the tree node-at-a-time, dispatching each node on
+``coalesce(node.tx_type, parent_tx, 'insert')``
+(``import_clinical_data.clj:92-100``) and emitting one command per node
+(constructors at ``:24-69``).  Here each hierarchy *level* is one
+DataFrame pass:
+
+- tx resolution   = a parent-child equi-join on the OID path + coalesce
+- remove pruning  = filter ``parent_rtx != 'remove'`` (remove does NOT
+                    cascade — proven by reference test ``:208-220``)
+- command rows    = per-verb projections unioned by name
+- identity        = deterministic uuid chain (A17) + command-id hashing
+                    over ``{name} ++ sorted(params ∪ {file-oid})`` (A18;
+                    file-oid is hashed too because ``assoc-file-oid``
+                    wraps send-command *before* ``command`` builds the id,
+                    ``import_clinical_data.clj:271-273,291-297``).
+
+Upsert exists at every level here (strict superset of the reference,
+which only has it for subject/study-event — quirk Q2 in SURVEY.md §7.4).
+
+Output is one flat commands DataFrame (columns below) — flat rather than
+a params struct so the DuckDB oracle can hash-compare it directly.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.keys import NIL_UUID, uuid3_str_col
+from .odm import OdmTables
+
+COMMAND_COLUMNS = (
+    "cmd_id",
+    "name",
+    "sub",
+    "file_oid",
+    "study_oid",
+    "subject_key",
+    "study_event_oid",
+    "form_oid",
+    "item_group_oid",
+    "item_oid",
+    "data_type",
+    "value_canon",
+    "parent_id",
+    "item_id",
+)
+
+_PATH = {
+    "subjects": ["file_oid", "study_oid", "subject_key"],
+    "study_events": ["file_oid", "study_oid", "subject_key", "study_event_oid"],
+    "forms": ["file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid"],
+    "item_groups": [
+        "file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid", "item_group_oid",
+    ],
+}
+
+
+def resolve_tx(odm: OdmTables) -> OdmTables:
+    """Add ``rtx`` (resolved tx-type) per level; prune descendants of
+    removed/ nodes (they are never visited — A14)."""
+    subjects = odm.subjects.withColumn("rtx", F.coalesce(F.col("tx_type"), F.lit("insert")))
+
+    def child_resolve(child: DataFrame, parent: DataFrame, keys: list[str]) -> DataFrame:
+        p = parent.where(F.col("rtx") != "remove").select(*keys, F.col("rtx").alias("parent_rtx"))
+        return (
+            child.join(p, keys, "inner")
+            .withColumn("rtx", F.coalesce(F.col("tx_type"), F.col("parent_rtx")))
+            .drop("parent_rtx")
+        )
+
+    study_events = child_resolve(odm.study_events, subjects, _PATH["subjects"])
+    forms = child_resolve(odm.forms, study_events, _PATH["study_events"])
+    item_groups = child_resolve(odm.item_groups, forms, _PATH["forms"])
+    items = child_resolve(odm.items, item_groups, _PATH["item_groups"])
+    return OdmTables(odm.files, subjects, study_events, forms, item_groups, items)
+
+
+def with_entity_ids(df: DataFrame, upto: str) -> DataFrame:
+    """Chain of deterministic ids down the OID path (SURVEY.md §1.1).
+
+    Built stepwise with withColumn so Catalyst keeps one hash per level
+    (CollapseProject won't inline non-cheap exprs referenced 6x)."""
+    df = df.withColumn("study_id", uuid3_str_col(NIL_UUID, [F.col("study_oid")]))
+    levels = [
+        ("subject_id", "study_id", "subject_key"),
+        ("study_event_id", "subject_id", "study_event_oid"),
+        ("form_id", "study_event_id", "form_oid"),
+        ("item_group_id", "form_id", "item_group_oid"),
+        ("item_id", "item_group_id", "item_oid"),
+    ]
+    stop = {
+        "subjects": "subject_id",
+        "study_events": "study_event_id",
+        "forms": "form_id",
+        "item_groups": "item_group_id",
+        "items": "item_id",
+    }[upto]
+    for out, ns, part in levels:
+        df = df.withColumn(out, uuid3_str_col(F.col(ns), [F.col(part)]))
+        if out == stop:
+            break
+    return df
+
+
+def _null(name):
+    return F.lit(None).cast("string").alias(name)
+
+
+def _payload(name_col, params: dict):
+    """The cmd-id hash payload: ':name' ++ sorted ':key' value pairs
+    (A18).  ``name_col`` is a Column so one projection covers every
+    verb of a level."""
+    parts = [F.concat(F.lit(":"), name_col)]
+    for k in sorted(params):
+        parts.append(F.lit(":" + k))
+        parts.append(params[k].cast("string"))
+    return F.concat(*parts)
+
+
+def _level_commands(df, batch_cmd_id, sub, entity, params, out, item_level=False):
+    """ONE projection per hierarchy level: the verb is resolved per-row
+    (CASE on rtx) instead of fanning out per-verb branches — a single
+    scan of the level instead of three, which is what survives a 100x
+    scale-up."""
+    name = F.concat(F.lit("odm-import/"), F.col("rtx"), F.lit(f"-{entity}"))
+    hp = dict(params)
+    hp["file-oid"] = F.col("file_oid")
+    if not item_level:
+        df = df.where(F.col("rtx") != "update")  # interior update: cascade only
+        payload = _payload(name, hp)
+    else:
+        # items: insert/upsert carry {item-group-id,item-oid,data-type,value};
+        # update targets {item-id,data-type,value}; remove drops the value
+        ins = _payload(name, hp)
+        upd = _payload(
+            name,
+            {
+                "data-type": F.col("data_type"),
+                "file-oid": F.col("file_oid"),
+                "item-id": F.col("item_id"),
+                "value": F.col("value_canon"),
+            },
+        )
+        rem = _payload(
+            name,
+            {
+                "file-oid": F.col("file_oid"),
+                "item-group-id": F.col("item_group_id"),
+                "item-oid": F.col("item_oid"),
+            },
+        )
+        payload = (
+            F.when(F.col("rtx") == "update", upd)
+            .when(F.col("rtx") == "remove", rem)
+            .otherwise(ins)
+        )
+    cols = [
+        uuid3_str_col(F.lit(batch_cmd_id), [payload]).alias("cmd_id"),
+        name.alias("name"),
+        F.lit(sub).alias("sub"),
+    ]
+    for c in COMMAND_COLUMNS[3:]:
+        if c not in out:
+            cols.append(_null(c))
+        elif item_level and c == "item_id":
+            cols.append(F.when(F.col("rtx") == "update", F.col("item_id")).alias(c))
+        elif item_level and c in ("data_type", "value_canon"):
+            cols.append(F.when(F.col("rtx") != "remove", F.col(out[c])).alias(c))
+        else:
+            cols.append(F.col(out[c]).alias(c))
+    return df.select(*cols)
+
+
+def generate_commands(
+    odm: OdmTables, batch_cmd_id: str, sub: str, persist: bool = True
+) -> DataFrame:
+    """The full per-level command set as one flat DataFrame.
+
+    ``persist`` caches each resolved level before fan-out — the level
+    frontier is consumed by both its own command projection and the
+    child level's tx-resolution join (at cluster scale this would be a
+    checkpoint/exchange reuse)."""
+    r = resolve_tx(odm)
+
+    subj = with_entity_ids(r.subjects, "subjects")
+    se = with_entity_ids(r.study_events, "study_events")
+    form = with_entity_ids(r.forms, "forms")
+    ig = with_entity_ids(r.item_groups, "item_groups")
+    item = with_entity_ids(r.items, "items")
+    if persist:
+        for df in (subj, se, form, ig):
+            df.persist()
+
+    out = [
+        _level_commands(
+            subj, batch_cmd_id, sub, "subject",
+            {"study-id": F.col("study_id"), "subject-key": F.col("subject_key")},
+            {"file_oid": "file_oid", "study_oid": "study_oid", "subject_key": "subject_key", "parent_id": "study_id"},
+        ),
+        _level_commands(
+            se, batch_cmd_id, sub, "study-event",
+            {"subject-id": F.col("subject_id"), "study-event-oid": F.col("study_event_oid")},
+            {
+                "file_oid": "file_oid", "study_oid": "study_oid", "subject_key": "subject_key",
+                "study_event_oid": "study_event_oid", "parent_id": "subject_id",
+            },
+        ),
+        _level_commands(
+            form, batch_cmd_id, sub, "form",
+            {"study-event-id": F.col("study_event_id"), "form-oid": F.col("form_oid")},
+            {
+                "file_oid": "file_oid", "study_oid": "study_oid", "subject_key": "subject_key",
+                "study_event_oid": "study_event_oid", "form_oid": "form_oid",
+                "parent_id": "study_event_id",
+            },
+        ),
+        _level_commands(
+            ig, batch_cmd_id, sub, "item-group",
+            {"form-id": F.col("form_id"), "item-group-oid": F.col("item_group_oid")},
+            {
+                "file_oid": "file_oid", "study_oid": "study_oid", "subject_key": "subject_key",
+                "study_event_oid": "study_event_oid", "form_oid": "form_oid",
+                "item_group_oid": "item_group_oid", "parent_id": "form_id",
+            },
+        ),
+        _level_commands(
+            item, batch_cmd_id, sub, "item",
+            {
+                "data-type": F.col("data_type"),
+                "item-group-id": F.col("item_group_id"),
+                "item-oid": F.col("item_oid"),
+                "value": F.col("value_canon"),
+            },
+            {
+                "file_oid": "file_oid", "study_oid": "study_oid", "subject_key": "subject_key",
+                "study_event_oid": "study_event_oid", "form_oid": "form_oid",
+                "item_group_oid": "item_group_oid", "item_oid": "item_oid",
+                "data_type": "data_type", "value_canon": "value_canon",
+                "parent_id": "item_group_id", "item_id": "item_id",
+            },
+            item_level=True,
+        ),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), out)

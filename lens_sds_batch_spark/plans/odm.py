@@ -1,0 +1,284 @@
+"""The ODM clinical-data tree as DataFrames (reference §1.1 data model).
+
+The reference consumes one nested ODM map per file (Study → Subject →
+StudyEvent → Form → ItemGroup → Item, reference
+``src/lens/import_clinical_data.clj:265-286``).  Our primary
+representation is the *normalized long form*: one DataFrame per
+hierarchy level carrying the full OID path (FK chain) plus a nullable
+``tx_type``.  A nested single-row-per-file representation
+(array-of-struct columns) and the explode path between the two
+(reference A9, ``pipeline-async`` fan-out at
+``import_clinical_data.clj:85-90``) live in :func:`nest` /
+:func:`normalize`.
+
+Because the driver's oracle only registers the ten TPC-H-ish testdata
+tables, :func:`derive_odm_from_tpch` derives a deterministic ODM tree
+*from* them (customer→subject, order→study-event, lineitem→form,
+column-unpivot→EAV items) so the flagship pipeline is end-to-end
+DuckDB-checkable.  The same derivation is mirrored in
+``lens_sds_batch_spark/oracle.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.keys import NIL_UUID, uuid3_str_py
+from ..sources.parquet import load_table
+
+# Fixed identifiers of the single derived "ODM file".
+FILE_OID = "F-0001"
+SUB = "importer-1"
+# batch command id: itself derived deterministically (stable literal both sides)
+BATCH_CMD_ID = uuid3_str_py(NIL_UUID, ["batch-cmd", FILE_OID])
+
+# EAV unpivot of lineitem value columns -> items (item_oid, data_type, source col)
+ITEM_ATTRS = (
+    ("QTY", "float", "l_quantity"),
+    ("EPRICE", "float", "l_extendedprice"),
+    ("RFLAG", "string", "l_returnflag"),
+    ("SHIP", "date-time", "l_shipdate"),
+    ("PARTK", "integer", "l_partkey"),
+)
+
+
+@dataclass
+class OdmTables:
+    """The six normalized levels (SURVEY.md §1.3)."""
+
+    files: DataFrame
+    subjects: DataFrame
+    study_events: DataFrame
+    forms: DataFrame
+    item_groups: DataFrame
+    items: DataFrame
+
+
+def _subject_tx(custkey):
+    m = custkey % 10
+    return (
+        F.when(m <= 3, F.lit(None).cast("string"))
+        .when(m <= 5, F.lit("insert"))
+        .when(m == 6, F.lit("update"))
+        .when(m == 7, F.lit("upsert"))
+        .when(m == 8, F.lit("remove"))
+        .otherwise(F.lit("insert"))
+    )
+
+
+def derive_odm_from_tpch(spark: SparkSession, sf_dir: str) -> OdmTables:
+    """Deterministic ODM tree derived from customer/orders/lineitem.
+
+    tx_type mixes all four verbs plus NULL (inheritance), exercising the
+    reference's dispatch matrix (``import_clinical_data.clj:92-100``).
+    Mirrored line-for-line by ``oracle.ODM_CTES`` — keep in sync.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    files = spark.createDataFrame(
+        [(FILE_OID, "transactional", BATCH_CMD_ID, SUB)],
+        "file_oid string, file_type string, batch_cmd_id string, sub string",
+    )
+
+    subjects = customer.select(
+        F.lit(FILE_OID).alias("file_oid"),
+        F.concat(F.lit("ST"), (F.col("c_custkey") % 3).cast("string")).alias("study_oid"),
+        F.concat(F.lit("SK"), F.col("c_custkey").cast("string")).alias("subject_key"),
+        _subject_tx(F.col("c_custkey")).alias("tx_type"),
+    )
+
+    se_m = F.col("o_orderkey") % 7
+    study_events = orders.select(
+        F.lit(FILE_OID).alias("file_oid"),
+        F.concat(F.lit("ST"), (F.col("o_custkey") % 3).cast("string")).alias("study_oid"),
+        F.concat(F.lit("SK"), F.col("o_custkey").cast("string")).alias("subject_key"),
+        F.concat(F.lit("SE"), F.col("o_orderkey").cast("string")).alias("study_event_oid"),
+        F.when(se_m == 0, "update")
+        .when(se_m == 1, "remove")
+        .when(se_m == 2, "upsert")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tx_type"),
+    )
+
+    # forms need the customer key -> join lineitem to orders (broadcast-able
+    # only at tiny SF; at scale this is a co-partitioned equi-join on the
+    # orderkey, the natural TPC-H distribution key).  (l_orderkey,
+    # l_linenumber) is NOT unique in this synthetic data, but an ODM tree
+    # is map-keyed (unique child OIDs per parent) — so the form sequence
+    # is a deterministic per-order row_number over a total column order.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    )
+    li = (
+        lineitem.join(orders.select("o_orderkey", "o_custkey"), lineitem.l_orderkey == orders.o_orderkey)
+        .withColumn("form_seq", F.row_number().over(w))
+    )
+    fm_m = (F.col("l_orderkey") + F.col("l_linenumber")) % 5
+    form_cols = [
+        F.lit(FILE_OID).alias("file_oid"),
+        F.concat(F.lit("ST"), (F.col("o_custkey") % 3).cast("string")).alias("study_oid"),
+        F.concat(F.lit("SK"), F.col("o_custkey").cast("string")).alias("subject_key"),
+        F.concat(F.lit("SE"), F.col("l_orderkey").cast("string")).alias("study_event_oid"),
+        F.concat(F.lit("FM"), F.col("form_seq").cast("string")).alias("form_oid"),
+    ]
+    forms = li.select(
+        *form_cols,
+        F.when(fm_m == 0, "update").when(fm_m == 1, "remove").otherwise(F.lit(None).cast("string")).alias("tx_type"),
+    )
+
+    item_groups = li.select(
+        *form_cols,
+        F.lit("IG1").alias("item_group_oid"),
+        F.lit(None).cast("string").alias("tx_type"),
+    )
+
+    # EAV items: unpivot the lineitem measure columns. Canonical value
+    # string (value_canon) is the cross-engine hashing form: floats as
+    # DECIMAL(18,2) strings, timestamps as epoch seconds, ints verbatim.
+    item_dfs = []
+    for oid, dtype, src in ITEM_ATTRS:
+        if dtype == "float":
+            canon = F.col(src).cast("decimal(18,2)").cast("string")
+        elif dtype == "date-time":
+            canon = F.unix_timestamp(F.col(src)).cast("string")
+        else:
+            canon = F.col(src).cast("string")
+        item_dfs.append(
+            li.select(
+                *form_cols,
+                F.lit("IG1").alias("item_group_oid"),
+                F.lit(oid).alias("item_oid"),
+                F.lit(None).cast("string").alias("tx_type"),
+                F.lit(dtype).alias("data_type"),
+                canon.alias("value_canon"),
+            )
+        )
+    items = item_dfs[0]
+    for d in item_dfs[1:]:
+        items = items.unionByName(d)
+
+    return OdmTables(files, subjects, study_events, forms, item_groups, items)
+
+
+# ---------------------------------------------------------------------------
+# Nested representation + explode path (reference A9)
+# ---------------------------------------------------------------------------
+
+def nest(odm: OdmTables) -> DataFrame:
+    """Collapse the normalized levels into one nested row per file
+    (array-of-struct columns) — the shape an ODM XML file parses into."""
+    items_n = odm.items.groupBy(
+        "file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid", "item_group_oid"
+    ).agg(
+        F.collect_list(F.struct("item_oid", "tx_type", "data_type", "value_canon")).alias("items")
+    )
+    igs_n = (
+        odm.item_groups.join(
+            items_n,
+            ["file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid", "item_group_oid"],
+            "left",
+        )
+        .groupBy("file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid")
+        .agg(F.collect_list(F.struct("item_group_oid", "tx_type", "items")).alias("item_groups"))
+    )
+    forms_n = (
+        odm.forms.join(
+            igs_n, ["file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid"], "left"
+        )
+        .groupBy("file_oid", "study_oid", "subject_key", "study_event_oid")
+        .agg(F.collect_list(F.struct("form_oid", "tx_type", "item_groups")).alias("forms"))
+    )
+    ses_n = (
+        odm.study_events.join(forms_n, ["file_oid", "study_oid", "subject_key", "study_event_oid"], "left")
+        .groupBy("file_oid", "study_oid", "subject_key")
+        .agg(F.collect_list(F.struct("study_event_oid", "tx_type", "forms")).alias("study_events"))
+    )
+    subs_n = (
+        odm.subjects.join(ses_n, ["file_oid", "study_oid", "subject_key"], "left")
+        .groupBy("file_oid", "study_oid")
+        .agg(F.collect_list(F.struct("subject_key", "tx_type", "study_events")).alias("subjects"))
+    )
+    studies_n = subs_n.groupBy("file_oid").agg(
+        F.collect_list(F.struct("study_oid", "subjects")).alias("clinical_data")
+    )
+    return odm.files.join(studies_n, "file_oid", "left")
+
+
+def normalize(nested: DataFrame) -> OdmTables:
+    """Explode a nested ODM file DataFrame back into the six levels —
+    the Spark form of the reference's 5-deep async fan-out (A9)."""
+    files = nested.select("file_oid", "file_type", "batch_cmd_id", "sub")
+    studies = nested.select(
+        "file_oid", F.explode("clinical_data").alias("study")
+    ).select("file_oid", F.col("study.study_oid").alias("study_oid"), F.col("study.subjects").alias("subjects"))
+    subjects_x = studies.select(
+        "file_oid", "study_oid", F.explode("subjects").alias("s")
+    ).select(
+        "file_oid",
+        "study_oid",
+        F.col("s.subject_key").alias("subject_key"),
+        F.col("s.tx_type").alias("tx_type"),
+        F.col("s.study_events").alias("study_events"),
+    )
+    subjects = subjects_x.drop("study_events")
+    ses_x = subjects_x.select(
+        "file_oid", "study_oid", "subject_key", F.explode_outer("study_events").alias("se")
+    ).select(
+        "file_oid",
+        "study_oid",
+        "subject_key",
+        F.col("se.study_event_oid").alias("study_event_oid"),
+        F.col("se.tx_type").alias("tx_type"),
+        F.col("se.forms").alias("forms"),
+    ).where(F.col("study_event_oid").isNotNull())
+    study_events = ses_x.drop("forms")
+    forms_x = ses_x.select(
+        "file_oid", "study_oid", "subject_key", "study_event_oid", F.explode_outer("forms").alias("f")
+    ).select(
+        "file_oid",
+        "study_oid",
+        "subject_key",
+        "study_event_oid",
+        F.col("f.form_oid").alias("form_oid"),
+        F.col("f.tx_type").alias("tx_type"),
+        F.col("f.item_groups").alias("item_groups"),
+    ).where(F.col("form_oid").isNotNull())
+    forms = forms_x.drop("item_groups")
+    igs_x = forms_x.select(
+        "file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid",
+        F.explode_outer("item_groups").alias("g"),
+    ).select(
+        "file_oid",
+        "study_oid",
+        "subject_key",
+        "study_event_oid",
+        "form_oid",
+        F.col("g.item_group_oid").alias("item_group_oid"),
+        F.col("g.tx_type").alias("tx_type"),
+        F.col("g.items").alias("items"),
+    ).where(F.col("item_group_oid").isNotNull())
+    item_groups = igs_x.drop("items")
+    items = igs_x.select(
+        "file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid", "item_group_oid",
+        F.explode_outer("items").alias("i"),
+    ).select(
+        "file_oid",
+        "study_oid",
+        "subject_key",
+        "study_event_oid",
+        "form_oid",
+        "item_group_oid",
+        F.col("i.item_oid").alias("item_oid"),
+        F.col("i.tx_type").alias("tx_type"),
+        F.col("i.data_type").alias("data_type"),
+        F.col("i.value_canon").alias("value_canon"),
+    ).where(F.col("item_oid").isNotNull())
+    return OdmTables(files, subjects, study_events, forms, item_groups, items)

@@ -1,0 +1,41 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` but every setting is chosen to also be
+sane on a 1000-executor cluster reading ~100 TB:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting)
+  so a plan written at sf0.01 survives a 100x scale-up without re-tuning.
+- ``spark.sql.session.timeZone=UTC`` — parquet timestamps must mean the
+  same instant here and in the DuckDB oracle (naive-UTC).
+- Arrow enabled for the few pandas-UDF paths (multimodal decode stubs).
+- shuffle partitions default to the local core count; on a real cluster
+  AQE coalesces from a deliberately high initial number instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "lens-sds-batch-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark rejects;
+        # read as int64 nanos and do event-time math in exact BIGINT
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

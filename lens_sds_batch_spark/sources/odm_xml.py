@@ -1,0 +1,130 @@
+"""ODM XML ingestion (reference A2/A3).
+
+The reference pulls one ODM XML blob from Redis and lazily parses it
+(``file_storage.clj:12-17``, ``import_clinical_data.clj:303-310`` via
+the external lens-odm-parser).  Our engine reads *many* ODM files as a
+distributed binaryFile scan and parses each executor-side with stdlib
+``xml.etree`` inside ``mapInPandas`` (no spark-xml package in this
+environment; the interface is identical if it's swapped in).
+
+Output is the normalized long `items`-level table (one row per
+ItemData with the full OID path + per-level tx_types), from which
+``plans.odm.OdmTables`` levels are cheap distinct projections.
+
+Parse/validation errors don't fail the job: they surface as rows in an
+error side-output (reference A22/A23 dead-letter semantics) — split on
+the ``error`` column.
+
+CDISC ODM element nesting (public spec):
+ClinicalData / SubjectData / StudyEventData / FormData / ItemGroupData
+/ ItemData, with OID attributes and a TransactionType attribute per
+level.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PARSED_SCHEMA = (
+    "file_path string, file_oid string, study_oid string, subject_key string, "
+    "study_event_oid string, form_oid string, item_group_oid string, item_oid string, "
+    "subject_tx string, study_event_tx string, form_tx string, item_group_tx string, "
+    "item_tx string, data_type string, value_canon string, error string"
+)
+
+_TX = "TransactionType"
+_VALID_TX = {"Insert", "Update", "Upsert", "Remove", None}
+
+
+def _strip(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _tx(el) -> str | None:
+    t = el.get(_TX)
+    if t not in _VALID_TX:
+        raise ValueError(f"invalid TransactionType {t!r} on <{_strip(el.tag)}>")
+    return t.lower() if t else None
+
+
+def parse_odm_bytes(path: str, blob: bytes) -> list[dict]:
+    """One ODM file -> normalized item-level rows (or one error row)."""
+    base = dict.fromkeys(
+        (
+            "file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid",
+            "item_group_oid", "item_oid", "subject_tx", "study_event_tx", "form_tx",
+            "item_group_tx", "item_tx", "data_type", "value_canon",
+        )
+    )
+    try:
+        root = ET.fromstring(blob)
+        rows: list[dict] = []
+        file_oid = root.get("FileOID")
+        if not file_oid:
+            raise ValueError("missing FileOID")
+        for cd in root:
+            if _strip(cd.tag) != "ClinicalData":
+                continue
+            study_oid = cd.get("StudyOID")
+            for subj in cd:
+                s = dict(base, file_path=path, file_oid=file_oid, study_oid=study_oid,
+                         subject_key=subj.get("SubjectKey"), subject_tx=_tx(subj), error=None)
+                for se in subj:
+                    e = dict(s, study_event_oid=se.get("StudyEventOID"), study_event_tx=_tx(se))
+                    for form in se:
+                        f = dict(e, form_oid=form.get("FormOID"), form_tx=_tx(form))
+                        for ig in form:
+                            g = dict(f, item_group_oid=ig.get("ItemGroupOID"), item_group_tx=_tx(ig))
+                            for item in ig:
+                                tag = _strip(item.tag)
+                                # ItemDataString / ItemDataInteger / ...
+                                dtype = {
+                                    "ItemDataString": "string",
+                                    "ItemDataInteger": "integer",
+                                    "ItemDataFloat": "float",
+                                    "ItemDataDatetime": "date-time",
+                                }.get(tag)
+                                if dtype is None:
+                                    raise ValueError(f"unknown item element <{tag}>")
+                                rows.append(
+                                    dict(
+                                        g,
+                                        item_oid=item.get("ItemOID"),
+                                        item_tx=_tx(item),
+                                        data_type=dtype,
+                                        value_canon=(item.text or "").strip() or None,
+                                    )
+                                )
+        return rows
+    except (ET.ParseError, ValueError) as exc:
+        return [dict(base, file_path=path, error=f"{type(exc).__name__}: {exc}")]
+
+
+def read_odm_xml(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed scan+parse: binaryFile source → mapInPandas parse.
+    Each file parses independently on an executor; at 100 TB the unit
+    of parallelism is the file, matching the reference's
+    one-file-per-batch-command model but N-wide."""
+    blobs = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split(" ")[0] for f in PARSED_SCHEMA.split(", ")]
+        for pdf in batches:
+            out: list[dict] = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                out.extend(parse_odm_bytes(path, bytes(blob)))
+            yield pd.DataFrame(out, columns=cols)
+
+    return blobs.mapInPandas(parse, PARSED_SCHEMA)
+
+
+def split_errors(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid_rows, dead_letter_rows) — reference A22's 3-way split
+    collapsed to 2 (undecodable and invalid both dead-letter here)."""
+    from pyspark.sql import functions as F
+
+    return parsed.where(F.col("error").isNull()), parsed.where(F.col("error").isNotNull())

@@ -1,0 +1,77 @@
+"""Structured Streaming flavor of the engine (reference B9 semantics).
+
+The reference's delivery contract is at-least-once (AMQP ack/reject +
+requeue, ``broker.clj:87-95``) made *effectively exactly-once* by
+deterministic command ids — re-delivery regenerates identical ids and
+downstream dedupes.  The Structured Streaming restatement:
+
+    readStream → withWatermark → dropDuplicates([id]) → windowed aggs
+    → foreachBatch LWW-merge sink
+
+- ``dropDuplicates`` on the deterministic id + watermark = the idempotent
+  replay contract (bounded state).
+- tumbling/sliding window aggs land late data correctly up to the
+  watermark horizon.
+- ``foreachBatch`` applies the LWW merge (plans/merge.py) transactionally
+  per micro-batch.
+
+Tests drive these with a file source + memory sink (synchronous
+``processAllAvailable``), the standard local-smoke harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+
+def read_event_stream(spark, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based streaming source (stands in for Kafka/AMQP transport;
+    maxFilesPerTrigger is the prefetch-analog backpressure knob, A25)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def dedupe_stream(events: DataFrame, id_col: str = "event_id", watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-effect: drop replayed ids within the watermark
+    horizon (state is bounded by the watermark — B9)."""
+    return events.withWatermark("ts", watermark).dropDuplicates([id_col])
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window aggregation.
+
+    Pass ``watermark=None`` when the input stream already carries one
+    (e.g. after dedupe_stream) — redefining is disallowed."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(win, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming DataFrame to completion against the in-memory
+    sink (local smoke harness); returns the query handle."""
+    q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    return q

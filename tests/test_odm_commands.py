@@ -1,0 +1,60 @@
+"""End-to-end flagship pipeline: derived ODM tree → tx resolution →
+command generation, checked against the independently-written DuckDB
+oracle (the same check the driver performs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lens_sds_batch_spark.oracle import odm_commands_sql
+from lens_sds_batch_spark.plans.commands import generate_commands, resolve_tx
+from lens_sds_batch_spark.plans.odm import BATCH_CMD_ID, SUB, derive_odm_from_tpch, nest, normalize
+
+from .conftest import SF_SMOKE
+from .oracle_utils import assert_match
+
+
+@pytest.fixture(scope="module")
+def odm(spark):
+    return derive_odm_from_tpch(spark, SF_SMOKE)
+
+
+def test_tx_resolution_semantics(spark, odm):
+    r = resolve_tx(odm)
+    # children of removed subjects are pruned (remove does not cascade)
+    removed = r.subjects.where(F.col("rtx") == "remove").select("subject_key")
+    leaked = r.study_events.join(removed, "subject_key", "inner")
+    assert leaked.count() == 0
+    # null tx_type inherits; top default is insert
+    assert r.subjects.where(F.col("rtx").isNull()).count() == 0
+    inherited = r.study_events.where(F.col("tx_type").isNull() & (F.col("rtx") != "insert"))
+    # inherited non-insert rtx must come from an upsert/update parent
+    parents = r.subjects.where(F.col("rtx").isin("upsert", "update")).select("subject_key")
+    assert inherited.join(parents, "subject_key", "left_anti").count() == 0
+
+
+def test_commands_match_duckdb_oracle(spark, odm):
+    cmds = generate_commands(odm, BATCH_CMD_ID, SUB)
+    assert_match(cmds, odm_commands_sql(), SF_SMOKE)
+
+
+def test_nest_normalize_roundtrip(spark, odm):
+    """A9: nested array-of-struct form explodes back to identical levels."""
+    back = normalize(nest(odm))
+    for name in ("subjects", "study_events", "forms", "item_groups", "items"):
+        a, b = getattr(odm, name), getattr(back, name)
+        assert a.count() == b.count(), name
+        assert a.exceptAll(b).count() == 0, name
+        assert b.exceptAll(a).count() == 0, name
+
+
+def test_command_generation_idempotent(spark, odm):
+    """Deterministic ids ⇒ re-running the pipeline yields the same set
+    (the reference's idempotent-replay contract, SURVEY.md §4)."""
+    a = generate_commands(odm, BATCH_CMD_ID, SUB).select("cmd_id")
+    b = generate_commands(odm, BATCH_CMD_ID, SUB).select("cmd_id")
+    assert a.exceptAll(b).count() == 0
+    # and ids are unique across the whole command set
+    total = a.count()
+    assert a.distinct().count() == total

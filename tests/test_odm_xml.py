@@ -1,0 +1,63 @@
+"""ODM XML source tests (A2/A3 + dead-letter split A22/A23)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lens_sds_batch_spark.sources.odm_xml import read_odm_xml, split_errors
+
+GOOD = """<ODM FileOID="F-X1">
+  <ClinicalData StudyOID="S1">
+    <SubjectData SubjectKey="SK01" TransactionType="Insert">
+      <StudyEventData StudyEventOID="SE1">
+        <FormData FormOID="FM1" TransactionType="Update">
+          <ItemGroupData ItemGroupOID="IG1">
+            <ItemDataString ItemOID="I1">hello</ItemDataString>
+            <ItemDataInteger ItemOID="I2">42</ItemDataInteger>
+            <ItemDataFloat ItemOID="I3">1.5</ItemDataFloat>
+          </ItemGroupData>
+        </FormData>
+      </StudyEventData>
+    </SubjectData>
+    <SubjectData SubjectKey="SK02" TransactionType="Remove"/>
+  </ClinicalData>
+</ODM>
+"""
+
+BAD_XML = "<ODM FileOID='F-X2'><ClinicalData"  # truncated -> parse error
+BAD_TX = """<ODM FileOID="F-X3">
+  <ClinicalData StudyOID="S1">
+    <SubjectData SubjectKey="SK01" TransactionType="Context"/>
+  </ClinicalData>
+</ODM>
+"""
+
+
+@pytest.fixture()
+def xml_dir(tmp_path):
+    (tmp_path / "good.xml").write_text(GOOD)
+    (tmp_path / "bad1.xml").write_text(BAD_XML)
+    (tmp_path / "bad2.xml").write_text(BAD_TX)
+    return str(tmp_path)
+
+
+def test_parse_and_split(spark, xml_dir):
+    parsed = read_odm_xml(spark, xml_dir)
+    valid, dead = split_errors(parsed)
+    rows = {(r["item_oid"], r["data_type"], r["value_canon"]) for r in valid.collect() if r["item_oid"]}
+    assert ("I1", "string", "hello") in rows
+    assert ("I2", "integer", "42") in rows
+    assert ("I3", "float", "1.5") in rows
+    # tx inheritance inputs preserved per level
+    f = valid.where(F.col("item_oid") == "I1").collect()[0]
+    assert f["subject_tx"] == "insert"
+    assert f["form_tx"] == "update"
+    assert f["study_event_tx"] is None
+    # the Remove subject with no children still yields... no item rows;
+    # (level projections recover it from subject_tx rows upstream)
+    errs = dead.collect()
+    assert len(errs) == 2
+    assert all(e["error"] for e in errs)
+    kinds = {e["error"].split(":")[0] for e in errs}
+    assert kinds == {"ParseError", "ValueError"}
