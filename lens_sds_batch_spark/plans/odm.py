@@ -117,9 +117,12 @@ def derive_odm_from_tpch(spark: SparkSession, sf_dir: str) -> OdmTables:
         "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
         "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
     )
+    # li feeds three levels (forms, item_groups, items) — persist the
+    # windowed join once instead of recomputing it per branch.
     li = (
         lineitem.join(orders.select("o_orderkey", "o_custkey"), lineitem.l_orderkey == orders.o_orderkey)
         .withColumn("form_seq", F.row_number().over(w))
+        .persist()
     )
     fm_m = (F.col("l_orderkey") + F.col("l_linenumber")) % 5
     form_cols = [
@@ -140,10 +143,12 @@ def derive_odm_from_tpch(spark: SparkSession, sf_dir: str) -> OdmTables:
         F.lit(None).cast("string").alias("tx_type"),
     )
 
-    # EAV items: unpivot the lineitem measure columns. Canonical value
-    # string (value_canon) is the cross-engine hashing form: floats as
-    # DECIMAL(18,2) strings, timestamps as epoch seconds, ints verbatim.
-    item_dfs = []
+    # EAV items: unpivot the lineitem measure columns in ONE pass via
+    # inline(array(struct...)) — a generator expression, not a 5-way
+    # re-scan union.  Canonical value string (value_canon) is the
+    # cross-engine hashing form: floats as DECIMAL(18,2) strings,
+    # timestamps as epoch seconds, ints verbatim.
+    attr_structs = []
     for oid, dtype, src in ITEM_ATTRS:
         if dtype == "float":
             canon = F.col(src).cast("decimal(18,2)").cast("string")
@@ -151,19 +156,22 @@ def derive_odm_from_tpch(spark: SparkSession, sf_dir: str) -> OdmTables:
             canon = F.unix_timestamp(F.col(src)).cast("string")
         else:
             canon = F.col(src).cast("string")
-        item_dfs.append(
-            li.select(
-                *form_cols,
-                F.lit("IG1").alias("item_group_oid"),
+        attr_structs.append(
+            F.struct(
                 F.lit(oid).alias("item_oid"),
-                F.lit(None).cast("string").alias("tx_type"),
                 F.lit(dtype).alias("data_type"),
                 canon.alias("value_canon"),
             )
         )
-    items = item_dfs[0]
-    for d in item_dfs[1:]:
-        items = items.unionByName(d)
+    items = li.select(
+        *form_cols,
+        F.lit("IG1").alias("item_group_oid"),
+        F.lit(None).cast("string").alias("tx_type"),
+        F.inline(F.array(*attr_structs)),
+    ).select(
+        "file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid",
+        "item_group_oid", "item_oid", "tx_type", "data_type", "value_canon",
+    )
 
     return OdmTables(files, subjects, study_events, forms, item_groups, items)
 
