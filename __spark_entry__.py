@@ -23,6 +23,14 @@ def _odm_commands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return generate_commands(odm, BATCH_CMD_ID, SUB)
 
 
+def _odm_commands_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True RFC-4122 UUIDv5 id flavor (reference byte-parity algebra).
+    Rows-only check: this DuckDB has no sha1; correctness of the id
+    algebra is golden-pinned in tests/test_keys.py instead."""
+    odm = derive_odm_from_tpch(spark, sf_dir)
+    return generate_commands(odm, BATCH_CMD_ID, SUB, flavor="sha1")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: derived ODM tree → tx resolution → deterministic-id
     command set (reference A9/A10/A15/A17/A18/A19 in one pipeline)."""
@@ -32,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "odm_commands": _odm_commands,
+        "odm_commands_uuid5": _odm_commands_uuid5,
     }
     from lens_sds_batch_spark.operators import registry
 

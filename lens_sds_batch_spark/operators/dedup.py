@@ -245,3 +245,103 @@ QUERIES: dict[str, tuple] = {
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, _duck_minhash_sql()),
 }
+
+
+# ---------------------------------------------------------------------------
+# SimHash (bit-majority fingerprint) + hamming near-dup pairs
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+HAMMING_MAX = 3
+
+
+def _simhash_bit_exprs():
+    """Per-bit contribution: md5(bit#word) first hex char in [0-7] -> +1
+    else -1 (an unbiased pseudorandom bit, identical in both engines)."""
+    return [
+        F.sum(
+            F.when(
+                F.substring(F.md5(F.concat(F.lit(f"{b}#"), F.col("w")).cast("binary")), 1, 1)
+                .isin(*"01234567"),
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> 16-bit simhash over the distinct word set."""
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select("doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w"))
+    sums = exploded.groupBy("doc_id").agg(*_simhash_bit_exprs())
+    bits = [F.when(F.col(f"s{b}") >= 0, F.lit("1")).otherwise(F.lit("0")) for b in range(SIMHASH_BITS)]
+    return sums.select("doc_id", F.concat(*bits).alias("simhash")).orderBy("doc_id")
+
+
+def _duck_simhash_cte() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN substr(md5('{b}#' || w), 1, 1) IN "
+        "('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS s" + str(b)
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " || ".join(f"CASE WHEN s{b} >= 0 THEN '1' ELSE '0' END" for b in range(SIMHASH_BITS))
+    return f"""
+sums AS (
+  SELECT doc_id, {sums}
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)
+  GROUP BY doc_id
+),
+fps AS (SELECT doc_id, ({bits}) AS simhash FROM sums)
+"""
+
+
+SIMHASH_SQL = "WITH " + _duck_simhash_cte() + "SELECT doc_id, simhash FROM fps ORDER BY doc_id"
+
+
+def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance <= HAMMING_MAX,
+    candidate-blocked on the first 8 bits (at scale: block key is a
+    partition key; flipping blocks probes adjacent buckets)."""
+    fps = simhash_fingerprints(spark, sf_dir)
+    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    cand = a.join(
+        b,
+        (F.substring("ha", 1, 8) == F.substring("hb", 1, 8)) & (F.col("doc_a") < F.col("doc_b")),
+    )
+    hamming = sum(
+        F.when(F.substring("ha", i + 1, 1) != F.substring("hb", i + 1, 1), 1).otherwise(0)
+        for i in range(SIMHASH_BITS)
+    )
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _duck_simhash_pairs_sql() -> str:
+    hamming = " + ".join(
+        f"CASE WHEN substr(a.simhash, {i + 1}, 1) <> substr(b.simhash, {i + 1}, 1) THEN 1 ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    return (
+        "WITH "
+        + _duck_simhash_cte()
+        + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ({hamming}) AS hamming
+FROM fps a JOIN fps b
+  ON substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8) AND a.doc_id < b.doc_id
+WHERE ({hamming}) <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+    )
+
+
+QUERIES.update(
+    {
+        "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),
+        "simhash_dup_pairs": (simhash_dup_pairs, _duck_simhash_pairs_sql()),
+    }
+)

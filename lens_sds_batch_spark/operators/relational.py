@@ -583,3 +583,238 @@ QUERIES: dict[str, tuple] = {
     "pivot_status_priority": (pivot_status_priority, PIVOT_SQL),
     "unpivot_part": (unpivot_part, UNPIVOT_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Batch 2 — remaining Table B inventory
+# ---------------------------------------------------------------------------
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER: per-nation customer counts vs supplier counts (only
+    some nations have suppliers — nulls on both sides exercised)."""
+    cust = load_table(spark, sf_dir, "customer").groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+    supp = load_table(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_supp"))
+    j = cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full")
+    return j.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    ).orderBy("nationkey")
+
+
+JOIN_FULL_OUTER_SQL = """
+SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+  ON c_nationkey = s_nationkey
+ORDER BY nationkey
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join: region x order-status grid."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    status = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(status).orderBy("r_name", "o_orderstatus")
+
+
+JOIN_CROSS_SQL = """
+SELECT r_name, o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+ORDER BY r_name, o_orderstatus
+"""
+
+
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: same-user event pairs within 60 seconds.
+    At scale: pre-bucket by time-band and equi-join on (user, band) to
+    bound the pair space; here the inequality join states the
+    semantics."""
+    a = load_events(spark, sf_dir).select(F.col("user_id").alias("ua"), F.col("event_id").alias("ea"), F.col("ts_ns").alias("ta"))
+    b = load_events(spark, sf_dir).select(F.col("user_id").alias("ub"), F.col("event_id").alias("eb"), F.col("ts_ns").alias("tb"))
+    pairs = a.join(
+        b,
+        (F.col("ua") == F.col("ub"))
+        & (F.col("tb") > F.col("ta"))
+        & (F.col("tb") - F.col("ta") <= 60 * 1_000_000_000),
+    )
+    return pairs.groupBy(F.col("ua").alias("user_id")).agg(F.count(F.lit(1)).alias("n_pairs")).orderBy("user_id")
+
+
+RANGE_JOIN_SQL = """
+SELECT a.user_id AS user_id, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_ns(b.ts) > epoch_ns(a.ts)
+ AND epoch_ns(b.ts) - epoch_ns(a.ts) <= 60000000000
+GROUP BY a.user_id ORDER BY user_id
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (mktsegment, orderstatus)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        j.cube("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("c_mktsegment"), F.asc_nulls_first("o_orderstatus"))
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT c_mktsegment, o_orderstatus, count(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderstatus)
+ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+def window_funcs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / lag / lead / first_value over one window."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.first_value("o_orderkey").over(w).alias("top_key"),
+    ).orderBy("o_custkey", "rnk", "o_orderkey")
+
+
+WINDOW_FUNCS_SQL = """
+SELECT o_custkey, o_orderkey,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       lag(o_orderkey) OVER w AS prev_key,
+       lead(o_orderkey) OVER w AS next_key,
+       first_value(o_orderkey) OVER w AS top_key
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_custkey, rnk, o_orderkey
+"""
+
+
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar decomposition.  Day-of-week via integer epoch math so
+    both engines share one definition (0=Sunday; 1970-01-01=Thursday)."""
+    orders = load_table(spark, sf_dir, "orders")
+    epoch_day = F.expr("unix_timestamp(o_orderdate) div 86400")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        ((epoch_day + 4) % 7).alias("dow"),
+    ).orderBy("o_orderkey")
+
+
+DATE_PARTS_SQL = """
+SELECT o_orderkey,
+       year(o_orderdate) AS y, month(o_orderdate) AS m,
+       day(o_orderdate) AS d, quarter(o_orderdate) AS q,
+       ((CAST(epoch(o_orderdate) AS BIGINT) // 86400) + 4) % 7 AS dow
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per priority (rounded to absorb the
+    engines' interpolation-rounding freedom)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+PERCENTILE_SQL = """
+SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide) in batch form: each event
+    lands in 2 windows via an explicit window-index explode — exact
+    integer window keys, no timestamp semantics involved."""
+    ev = load_events(spark, sf_dir)
+    hour_ns = 3600 * 1_000_000_000
+    ev2 = ev.select(
+        "event_type",
+        F.expr(f"ts_ns div {hour_ns}").alias("hour_idx"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("k"),
+    )
+    return (
+        ev2.select(((F.col("hour_idx") - F.col("k")) * 3600).alias("window_start"), "event_type")
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_SLIDING_SQL = """
+SELECT ((epoch_ns(ts) // 3600000000000) - k) * 3600 AS window_start, event_type,
+       count(*) AS n
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", "^[0-9]+", 0).alias("prio_num"),
+        F.lpad("o_orderstatus", 3, "_").alias("status_pad"),
+        F.reverse("o_orderpriority").alias("prio_rev"),
+        F.translate("o_orderstatus", "OFP", "ofp").alias("status_lc"),
+    ).orderBy("o_orderkey")
+
+
+STRING_FUNCS2_SQL = """
+SELECT o_orderkey,
+       regexp_extract(o_orderpriority, '^[0-9]+', 0) AS prio_num,
+       lpad(o_orderstatus, 3, '_') AS status_pad,
+       reverse(o_orderpriority) AS prio_rev,
+       translate(o_orderstatus, 'OFP', 'ofp') AS status_lc
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct + approximate quantiles (rows-only: sketch
+    algorithms differ across engines by design; exactness is covered by
+    agg_distinct / percentile_exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES.update(
+    {
+        "join_full_outer": (join_full_outer, JOIN_FULL_OUTER_SQL),
+        "join_cross": (join_cross, JOIN_CROSS_SQL),
+        "range_join": (range_join, RANGE_JOIN_SQL),
+        "agg_cube": (agg_cube, AGG_CUBE_SQL),
+        "window_funcs_pack": (window_funcs_pack, WINDOW_FUNCS_SQL),
+        "date_parts": (date_parts, DATE_PARTS_SQL),
+        "percentile_exact": (percentile_exact, PERCENTILE_SQL),
+        "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
+        "string_funcs2": (string_funcs2, STRING_FUNCS2_SQL),
+        "approx_sketches": (approx_sketches, None),
+    }
+)

@@ -142,3 +142,34 @@ QUERIES: dict[str, tuple] = {
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "knn_lsh_bucketed": (knn_lsh_bucketed, KNN_LSH_SQL),
 }
+
+
+DUP_COS_THRESHOLD = 0.9
+
+
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucket-blocked (never a
+    corpus-wide cross join): pairs within the same sign bucket with
+    cosine >= threshold."""
+    vecs = _vecs(spark, sf_dir).withColumn("bucket", _bucket(F.col("v")))
+    a = vecs.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("norm").alias("na"), "bucket")
+    b = vecs.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("norm").alias("nb"), F.col("bucket").alias("bucket_b"))
+    pairs = a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("ia") < F.col("ib")))
+    scored = pairs.select(
+        F.col("ia").alias("vec_a"),
+        F.col("ib").alias("vec_b"),
+        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+    )
+    return scored.where(F.col("cos") >= DUP_COS_THRESHOLD).orderBy("vec_a", "vec_b")
+
+
+EMBEDDING_DUP_SQL = f"""
+WITH v AS (SELECT *, {_duck_bucket('emb')} AS bucket FROM ({_DUCK_V}))
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ({_DUCK_DOT.format(a='a.emb', b='b.emb')}) / (a.norm * b.norm) AS cos
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ({_DUCK_DOT.format(a='a.emb', b='b.emb')}) / (a.norm * b.norm) >= {DUP_COS_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+QUERIES.update({"embedding_dup_pairs": (embedding_dup_pairs, EMBEDDING_DUP_SQL)})

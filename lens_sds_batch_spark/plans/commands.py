@@ -30,7 +30,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.keys import NIL_UUID, uuid3_str_col
+from ..functions.keys import NIL_UUID, uuid3_str_col, uuid5_col
 from .odm import OdmTables
 
 COMMAND_COLUMNS = (
@@ -80,12 +80,19 @@ def resolve_tx(odm: OdmTables) -> OdmTables:
     return OdmTables(odm.files, subjects, study_events, forms, item_groups, items)
 
 
-def with_entity_ids(df: DataFrame, upto: str) -> DataFrame:
+def _keyfn(flavor: str):
+    """'md5' = oracle-checkable uuid3 string flavor; 'sha1' = RFC-4122
+    UUIDv5 with reference byte-parity (functions/keys.py)."""
+    return {"md5": uuid3_str_col, "sha1": uuid5_col}[flavor]
+
+
+def with_entity_ids(df: DataFrame, upto: str, flavor: str = "md5") -> DataFrame:
     """Chain of deterministic ids down the OID path (SURVEY.md §1.1).
 
     Built stepwise with withColumn so Catalyst keeps one hash per level
     (CollapseProject won't inline non-cheap exprs referenced 6x)."""
-    df = df.withColumn("study_id", uuid3_str_col(NIL_UUID, [F.col("study_oid")]))
+    key = _keyfn(flavor)
+    df = df.withColumn("study_id", key(NIL_UUID, [F.col("study_oid")]))
     levels = [
         ("subject_id", "study_id", "subject_key"),
         ("study_event_id", "subject_id", "study_event_oid"),
@@ -101,7 +108,7 @@ def with_entity_ids(df: DataFrame, upto: str) -> DataFrame:
         "items": "item_id",
     }[upto]
     for out, ns, part in levels:
-        df = df.withColumn(out, uuid3_str_col(F.col(ns), [F.col(part)]))
+        df = df.withColumn(out, key(F.col(ns), [F.col(part)]))
         if out == stop:
             break
     return df
@@ -122,7 +129,7 @@ def _payload(name_col, params: dict):
     return F.concat(*parts)
 
 
-def _level_commands(df, batch_cmd_id, sub, entity, params, out, item_level=False):
+def _level_commands(df, batch_cmd_id, sub, entity, params, out, item_level=False, flavor="md5"):
     """ONE projection per hierarchy level: the verb is resolved per-row
     (CASE on rtx) instead of fanning out per-verb branches — a single
     scan of the level instead of three, which is what survives a 100x
@@ -160,7 +167,7 @@ def _level_commands(df, batch_cmd_id, sub, entity, params, out, item_level=False
             .otherwise(ins)
         )
     cols = [
-        uuid3_str_col(F.lit(batch_cmd_id), [payload]).alias("cmd_id"),
+        _keyfn(flavor)(F.lit(batch_cmd_id), [payload]).alias("cmd_id"),
         name.alias("name"),
         F.lit(sub).alias("sub"),
     ]
@@ -177,21 +184,23 @@ def _level_commands(df, batch_cmd_id, sub, entity, params, out, item_level=False
 
 
 def generate_commands(
-    odm: OdmTables, batch_cmd_id: str, sub: str, persist: bool = True
+    odm: OdmTables, batch_cmd_id: str, sub: str, persist: bool = True, flavor: str = "md5"
 ) -> DataFrame:
     """The full per-level command set as one flat DataFrame.
 
     ``persist`` caches each resolved level before fan-out — the level
     frontier is consumed by both its own command projection and the
     child level's tx-resolution join (at cluster scale this would be a
-    checkpoint/exchange reuse)."""
+    checkpoint/exchange reuse).  ``flavor='sha1'`` switches every id to
+    true RFC-4122 UUIDv5 (reference byte-parity; not DuckDB-checkable
+    because this DuckDB lacks sha1)."""
     r = resolve_tx(odm)
 
-    subj = with_entity_ids(r.subjects, "subjects")
-    se = with_entity_ids(r.study_events, "study_events")
-    form = with_entity_ids(r.forms, "forms")
-    ig = with_entity_ids(r.item_groups, "item_groups")
-    item = with_entity_ids(r.items, "items")
+    subj = with_entity_ids(r.subjects, "subjects", flavor)
+    se = with_entity_ids(r.study_events, "study_events", flavor)
+    form = with_entity_ids(r.forms, "forms", flavor)
+    ig = with_entity_ids(r.item_groups, "item_groups", flavor)
+    item = with_entity_ids(r.items, "items", flavor)
     if persist:
         for df in (subj, se, form, ig):
             df.persist()
@@ -201,6 +210,7 @@ def generate_commands(
             subj, batch_cmd_id, sub, "subject",
             {"study-id": F.col("study_id"), "subject-key": F.col("subject_key")},
             {"file_oid": "file_oid", "study_oid": "study_oid", "subject_key": "subject_key", "parent_id": "study_id"},
+            flavor=flavor,
         ),
         _level_commands(
             se, batch_cmd_id, sub, "study-event",
@@ -209,6 +219,7 @@ def generate_commands(
                 "file_oid": "file_oid", "study_oid": "study_oid", "subject_key": "subject_key",
                 "study_event_oid": "study_event_oid", "parent_id": "subject_id",
             },
+            flavor=flavor,
         ),
         _level_commands(
             form, batch_cmd_id, sub, "form",
@@ -218,6 +229,7 @@ def generate_commands(
                 "study_event_oid": "study_event_oid", "form_oid": "form_oid",
                 "parent_id": "study_event_id",
             },
+            flavor=flavor,
         ),
         _level_commands(
             ig, batch_cmd_id, sub, "item-group",
@@ -227,6 +239,7 @@ def generate_commands(
                 "study_event_oid": "study_event_oid", "form_oid": "form_oid",
                 "item_group_oid": "item_group_oid", "parent_id": "form_id",
             },
+            flavor=flavor,
         ),
         _level_commands(
             item, batch_cmd_id, sub, "item",
@@ -244,6 +257,7 @@ def generate_commands(
                 "parent_id": "item_group_id", "item_id": "item_id",
             },
             item_level=True,
+            flavor=flavor,
         ),
     ]
     return reduce(lambda a, b: a.unionByName(b), out)

@@ -58,3 +58,24 @@ def test_command_generation_idempotent(spark, odm):
     # and ids are unique across the whole command set
     total = a.count()
     assert a.distinct().count() == total
+
+
+def test_uuid5_flavor_pins(spark, odm):
+    """sha1 flavor: entity-id chain equals the python uuid5 reference
+    implementation (golden-pinned against the reference algorithm)."""
+    from lens_sds_batch_spark.functions.keys import NIL_UUID, uuid5_py
+    from lens_sds_batch_spark.plans.commands import generate_commands as gc
+
+    cmds = gc(odm, BATCH_CMD_ID, SUB, persist=False, flavor="sha1")
+    row = (
+        cmds.where(F.col("name") == "odm-import/insert-subject")
+        .orderBy("subject_key")
+        .limit(1)
+        .collect()[0]
+    )
+    study_id = uuid5_py(NIL_UUID, [row["study_oid"]])
+    assert row["parent_id"] == study_id
+    import uuid as _u
+
+    u = _u.UUID(row["cmd_id"])
+    assert u.version == 5 and u.variant == _u.RFC_4122

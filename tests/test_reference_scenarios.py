@@ -1,0 +1,204 @@
+"""DataFrame ports of the reference's behavioral test suite
+(``test/lens/import_clinical_data_test.clj``, SURVEY.md §5):
+
+- insert emits the exact command payload and cascades into children
+- a FAILED insert skips the whole subtree (success gating, A11)
+- update emits NO command for interior nodes but cascades (A13)
+- remove emits its command and does NOT cascade (A14, test :208-220)
+- tx-type inheritance: child null -> parent tx, top default insert
+- upsert accepts created OR updated as success (A12)
+
+Fixtures are tiny hand-built OdmTables, asserted against exact command
+rows — same scenarios, same expectations, DataFrame form.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lens_sds_batch_spark.functions.keys import NIL_UUID, uuid3_str_py
+from lens_sds_batch_spark.plans.commands import generate_commands, resolve_tx
+from lens_sds_batch_spark.plans.correlate import correlate, first_event_per_cid, success_set
+from lens_sds_batch_spark.plans.odm import OdmTables
+
+FILE = "F-T1"
+BATCH = "00000000-0000-0000-0000-00000000abcd"
+SUB = "tester"
+
+S_COLS = "file_oid string, study_oid string, subject_key string, tx_type string"
+SE_COLS = "file_oid string, study_oid string, subject_key string, study_event_oid string, tx_type string"
+FM_COLS = (
+    "file_oid string, study_oid string, subject_key string, study_event_oid string, "
+    "form_oid string, tx_type string"
+)
+IG_COLS = (
+    "file_oid string, study_oid string, subject_key string, study_event_oid string, "
+    "form_oid string, item_group_oid string, tx_type string"
+)
+IT_COLS = (
+    "file_oid string, study_oid string, subject_key string, study_event_oid string, "
+    "form_oid string, item_group_oid string, item_oid string, tx_type string, "
+    "data_type string, value_canon string"
+)
+
+
+def build_odm(spark, subjects, ses=(), forms=(), igs=(), items=()):
+    files = spark.createDataFrame(
+        [(FILE, "transactional", BATCH, SUB)],
+        "file_oid string, file_type string, batch_cmd_id string, sub string",
+    )
+    return OdmTables(
+        files=files,
+        subjects=spark.createDataFrame(list(subjects), S_COLS),
+        study_events=spark.createDataFrame(list(ses) or [], SE_COLS),
+        forms=spark.createDataFrame(list(forms) or [], FM_COLS),
+        item_groups=spark.createDataFrame(list(igs) or [], IG_COLS),
+        items=spark.createDataFrame(list(items) or [], IT_COLS),
+    )
+
+
+def cmd_names(df):
+    return sorted(r["name"] for r in df.select("name").collect())
+
+
+def test_insert_subject_exact_payload(spark):
+    """Reference :18-38 — insert-subject command carries
+    {study-id, subject-key} with the derived study id."""
+    odm = build_odm(spark, [(FILE, "S1", "SK01", "insert")])
+    cmds = generate_commands(odm, BATCH, SUB, persist=False).collect()
+    assert len(cmds) == 1
+    c = cmds[0]
+    assert c["name"] == "odm-import/insert-subject"
+    assert c["subject_key"] == "SK01"
+    assert c["parent_id"] == uuid3_str_py(NIL_UUID, ["S1"])
+    assert c["sub"] == SUB
+    assert c["file_oid"] == FILE
+
+
+def test_insert_cascades_to_children(spark):
+    """Reference :24-38 — insert cascades; children inherit insert."""
+    odm = build_odm(
+        spark,
+        [(FILE, "S1", "SK01", "insert")],
+        ses=[(FILE, "S1", "SK01", "SE1", None)],
+        forms=[(FILE, "S1", "SK01", "SE1", "FM1", None)],
+        igs=[(FILE, "S1", "SK01", "SE1", "FM1", "IG1", None)],
+        items=[(FILE, "S1", "SK01", "SE1", "FM1", "IG1", "I1", None, "string", "hello")],
+    )
+    names = cmd_names(generate_commands(odm, BATCH, SUB, persist=False))
+    assert names == [
+        "odm-import/insert-form",
+        "odm-import/insert-item",
+        "odm-import/insert-item-group",
+        "odm-import/insert-study-event",
+        "odm-import/insert-subject",
+    ]
+
+
+def test_update_interior_no_command_but_cascades(spark):
+    """Reference :55-68,181-194 — update on interior nodes emits
+    nothing; the leaf item gets update-item with the item-id param."""
+    odm = build_odm(
+        spark,
+        [(FILE, "S1", "SK01", "update")],
+        ses=[(FILE, "S1", "SK01", "SE1", None)],
+        forms=[(FILE, "S1", "SK01", "SE1", "FM1", None)],
+        igs=[(FILE, "S1", "SK01", "SE1", "FM1", "IG1", None)],
+        items=[(FILE, "S1", "SK01", "SE1", "FM1", "IG1", "I1", None, "integer", "42")],
+    )
+    cmds = generate_commands(odm, BATCH, SUB, persist=False).collect()
+    assert [c["name"] for c in cmds] == ["odm-import/update-item"]
+    c = cmds[0]
+    study = uuid3_str_py(NIL_UUID, ["S1"])
+    subject = uuid3_str_py(study, ["SK01"])
+    se = uuid3_str_py(subject, ["SE1"])
+    form = uuid3_str_py(se, ["FM1"])
+    ig = uuid3_str_py(form, ["IG1"])
+    assert c["item_id"] == uuid3_str_py(ig, ["I1"])
+    assert c["value_canon"] == "42"
+
+
+def test_remove_does_not_cascade(spark):
+    """Reference :208-220 — remove emits its command; children rows are
+    ignored even when present."""
+    odm = build_odm(
+        spark,
+        [(FILE, "S1", "SK01", "remove")],
+        ses=[(FILE, "S1", "SK01", "SE1", None)],
+        forms=[(FILE, "S1", "SK01", "SE1", "FM1", None)],
+        igs=[(FILE, "S1", "SK01", "SE1", "FM1", "IG1", None)],
+        items=[(FILE, "S1", "SK01", "SE1", "FM1", "IG1", "I1", None, "string", "x")],
+    )
+    cmds = generate_commands(odm, BATCH, SUB, persist=False).collect()
+    assert [c["name"] for c in cmds] == ["odm-import/remove-subject"]
+
+
+def test_tx_inheritance_and_default(spark):
+    """Reference :92-100 — null tx inherits parent; top default insert."""
+    odm = build_odm(
+        spark,
+        [(FILE, "S1", "SK01", None), (FILE, "S1", "SK02", "upsert")],
+        ses=[(FILE, "S1", "SK01", "SE1", None), (FILE, "S1", "SK02", "SE2", None)],
+    )
+    r = resolve_tx(odm)
+    got = {r["subject_key"]: r["rtx"] for r in r.subjects.collect()}
+    assert got == {"SK01": "insert", "SK02": "upsert"}
+    se = {r["study_event_oid"]: r["rtx"] for r in r.study_events.collect()}
+    assert se == {"SE1": "insert", "SE2": "upsert"}
+
+
+def test_failed_insert_skips_children(spark):
+    """Reference :40-53 — when the parent's command fails (error event),
+    the child subtree is skipped.  Batch form: semi-join the child level
+    against the success set."""
+    odm = build_odm(
+        spark,
+        [(FILE, "S1", "SK01", "insert"), (FILE, "S1", "SK02", "insert")],
+        ses=[(FILE, "S1", "SK01", "SE1", None), (FILE, "S1", "SK02", "SE2", None)],
+    )
+    cmds = generate_commands(odm, BATCH, SUB, persist=False)
+    subj_cmds = cmds.where(F.col("name") == "odm-import/insert-subject")
+    # events: SK01 created; SK02 error
+    ok_id = subj_cmds.where(F.col("subject_key") == "SK01").collect()[0]["cmd_id"]
+    bad_id = subj_cmds.where(F.col("subject_key") == "SK02").collect()[0]["cmd_id"]
+    events = spark.createDataFrame(
+        [("e1", ok_id, "subject/created", 1), ("e2", bad_id, "error", 1)],
+        "id string, cid string, name string, t int",
+    )
+    first = first_event_per_cid(events, [F.col("t"), F.col("id")])
+    ok = success_set(
+        correlate(subj_cmds, first), ["subject/created", "subject/updated"]
+    )
+    ok_subjects = subj_cmds.join(ok, "cmd_id").select("subject_key")
+    gated_ses = odm.study_events.join(
+        ok_subjects.withColumnRenamed("subject_key", "sk"),
+        odm.study_events.subject_key == F.col("sk"),
+        "left_semi",
+    )
+    assert [r["study_event_oid"] for r in gated_ses.collect()] == ["SE1"]
+
+
+def test_upsert_accepts_created_or_updated(spark):
+    """Reference :240-252 — upsert succeeds on created OR updated."""
+    odm = build_odm(spark, [(FILE, "S1", "SK01", "upsert"), (FILE, "S1", "SK02", "upsert")])
+    cmds = generate_commands(odm, BATCH, SUB, persist=False)
+    ids = {r["subject_key"]: r["cmd_id"] for r in cmds.collect()}
+    events = spark.createDataFrame(
+        [("e1", ids["SK01"], "subject/created", 1), ("e2", ids["SK02"], "subject/updated", 1)],
+        "id string, cid string, name string, t int",
+    )
+    first = first_event_per_cid(events, [F.col("t"), F.col("id")])
+    ok = success_set(correlate(cmds, first), ["subject/created", "subject/updated"])
+    assert ok.count() == 2
+
+
+def test_first_event_wins(spark):
+    """Reference A20 — exactly the first event per cid is delivered."""
+    events = spark.createDataFrame(
+        [("e1", "c1", "subject/created", 2), ("e2", "c1", "error", 1), ("e3", "c2", "subject/created", 5)],
+        "id string, cid string, name string, t int",
+    )
+    first = first_event_per_cid(events, [F.col("t"), F.col("id")])
+    got = {r["cid"]: r["name"] for r in first.collect()}
+    assert got == {"c1": "error", "c2": "subject/created"}
