@@ -206,3 +206,79 @@ QUERIES: dict[str, tuple] = {
     "gated_cascade": (gated_cascade, GATED_CASCADE_SQL),
     "dead_letter_split": (dead_letter_split, DEAD_LETTER_SQL),
 }
+
+
+def entity_state_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7.3 milestone 4 end-to-end: apply the flagship command
+    stream to a pre-existing entity table (the state the reference
+    delegates to lens-sds-tx, materialized here as an LWW merge).
+
+    current state = even-custkey subjects (version v0);
+    incoming      = subject-level commands (insert/upsert -> v1 row,
+                    remove -> tombstone; update cascades only).
+    """
+    from ..plans.commands import generate_commands
+    from ..plans.odm import BATCH_CMD_ID, SUB as ODM_SUB, derive_odm_from_tpch
+
+    odm = derive_odm_from_tpch(spark, sf_dir)
+    cmds = generate_commands(odm, BATCH_CMD_ID, ODM_SUB, persist=False)
+    subj_cmds = cmds.where(
+        F.col("name").isin(
+            "odm-import/insert-subject", "odm-import/upsert-subject", "odm-import/remove-subject"
+        )
+    ).select(
+        "study_oid",
+        "subject_key",
+        F.lit(1).alias("priority"),
+        F.lit("v1").alias("version"),
+        (F.col("name") == "odm-import/remove-subject").alias("is_remove"),
+    )
+    current = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.concat(F.lit("ST"), (F.col("c_custkey") % 3).cast("string")).alias("study_oid"),
+            F.concat(F.lit("SK"), F.col("c_custkey").cast("string")).alias("subject_key"),
+            F.lit(0).alias("priority"),
+            F.lit("v0").alias("version"),
+            F.lit(False).alias("is_remove"),
+        )
+    )
+    merged = apply_lww(
+        current.unionByName(subj_cmds),
+        keys=["study_oid", "subject_key"],
+        order_cols=[F.col("priority")],
+        is_delete=F.col("is_remove"),
+    )
+    return merged.select("study_oid", "subject_key", "version").orderBy("study_oid", "subject_key")
+
+
+from ..oracle import SUBJECT_TX  # noqa: E402  (shared tx derivation text)
+
+ENTITY_STATE_SQL = f"""
+WITH subjects AS (
+  SELECT 'ST' || CAST(c_custkey % 3 AS VARCHAR) AS study_oid,
+         'SK' || CAST(c_custkey AS VARCHAR) AS subject_key,
+         coalesce({SUBJECT_TX}, 'insert') AS rtx
+  FROM customer
+),
+incoming AS (
+  SELECT study_oid, subject_key, 1 AS priority, 'v1' AS version,
+         (rtx = 'remove') AS is_remove
+  FROM subjects WHERE rtx IN ('insert', 'upsert', 'remove')
+),
+current_state AS (
+  SELECT 'ST' || CAST(c_custkey % 3 AS VARCHAR) AS study_oid,
+         'SK' || CAST(c_custkey AS VARCHAR) AS subject_key,
+         0 AS priority, 'v0' AS version, false AS is_remove
+  FROM customer WHERE c_custkey % 2 = 0
+),
+unioned AS (SELECT * FROM current_state UNION ALL SELECT * FROM incoming)
+SELECT study_oid, subject_key, version FROM (
+  SELECT *, row_number() OVER (PARTITION BY study_oid, subject_key ORDER BY priority DESC) AS rk
+  FROM unioned
+) WHERE rk = 1 AND NOT is_remove
+ORDER BY study_oid, subject_key
+"""
+
+QUERIES.update({"entity_state_subjects": (entity_state_subjects, ENTITY_STATE_SQL)})

@@ -818,3 +818,37 @@ QUERIES.update(
         "approx_sketches": (approx_sketches, None),
     }
 )
+
+
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew mitigation: two-stage salted aggregation over a 3-value hot
+    key (l_returnflag).  Stage 1 aggregates on (key, salt) — spreading
+    each hot key over 16 reducers — stage 2 merges the partials.
+    Result is identical to a direct groupBy (the oracle proves it);
+    only the shuffle distribution differs.  At 100 TB this is the
+    pattern for any low-cardinality/zipfian key; AQE skew-join handles
+    the join-side equivalent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", (F.col("l_orderkey") % 16))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum(_dec("l_quantity")).alias("p_qty"),
+        F.count(F.lit(1)).alias("p_n"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("p_qty").cast("double").alias("total_qty"),
+            F.sum("p_n").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SALTED_AGG_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+QUERIES.update({"salted_hot_key_agg": (salted_hot_key_agg, SALTED_AGG_SQL)})

@@ -75,3 +75,39 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     return q
+
+
+def stateful_user_counts(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a running
+    per-user event counter + last-seen timestamp (the streaming analog
+    of the reference's per-cid correlation state, A20/B9).
+
+    State is one (count, last_ts) pair per user — bounded by user
+    cardinality, the same state-size reasoning the reference applies to
+    its per-cid pub-sub registry."""
+    import pandas as pd  # noqa: F401
+
+    def update(key, pdfs, state):
+        n = 0
+        last = 0
+        if state.exists:
+            n, last = state.get
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                last = max(last, int(pdf["ts"].astype("int64").max()))
+        state.update((n, last))
+        import pandas as pd
+
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "last_ts_us": [last // 1000]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, last_ts_us bigint",
+            stateStructType="n bigint, last bigint",
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )

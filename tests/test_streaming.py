@@ -99,3 +99,29 @@ def test_foreach_batch_lww_merge(spark, stream_dir, tmp_path):
     users_src = {r[0] for r in spark.read.parquet(stream_dir).select("user_id").distinct().collect()}
     users_out = {r[0] for r in spark.read.parquet(out).select("user_id").distinct().collect()}
     assert users_src == users_out
+
+
+def test_stateful_user_counts(spark, stream_dir):
+    """applyInPandasWithState accumulates per-user counts across
+    micro-batches (update mode: last emitted row per user = total)."""
+    from lens_sds_batch_spark.streaming.pipeline import stateful_user_counts
+
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = run_to_memory(stateful_user_counts(stream), "ustate", output_mode="update")
+    try:
+        # last update per user must equal the raw (with-duplicates) count
+        final = spark.sql(
+            """SELECT user_id, max(n_events) AS n FROM ustate GROUP BY user_id"""
+        )
+        raw = (
+            spark.read.parquet(stream_dir)
+            .groupBy("user_id")
+            .count()
+            .withColumnRenamed("count", "expected")
+        )
+        joined = final.join(raw, "user_id")
+        bad = joined.where(F.col("n") != F.col("expected"))
+        assert bad.count() == 0
+        assert final.count() == raw.count()
+    finally:
+        q.stop()
