@@ -1,0 +1,138 @@
+"""Differential property test: the DataFrame command pipeline vs an
+independent node-at-a-time Python walker that directly transcribes the
+reference's dispatch semantics (``import_clinical_data.clj:92-263``).
+
+Hypothesis generates random tx-type assignments over a fixed small
+tree; both implementations must emit the same command multiset.  This
+is the system-level analog of the reference's test.check defspecs
+(SURVEY.md §5), and it exercises corner cases the fixed testdata never
+hits (e.g. upsert-over-remove nesting).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lens_sds_batch_spark.plans.commands import generate_commands
+from lens_sds_batch_spark.plans.odm import OdmTables
+
+FILE = "F-P1"
+BATCH = "00000000-0000-0000-0000-0000000000aa"
+SUB = "prop"
+
+TX = st.sampled_from([None, "insert", "update", "upsert", "remove"])
+
+# fixed tree shape: 2 subjects x 2 study-events x 1 form x 1 ig x 2 items
+SUBJECTS = ["SK1", "SK2"]
+SES = ["SE1", "SE2"]
+ITEMS = ["I1", "I2"]
+
+
+def walk_reference(tx: dict) -> set[tuple]:
+    """Node-at-a-time walk, transcribing the reference's multimethods:
+    resolved = node.tx or parent_tx (top default insert);
+    insert/upsert -> command + cascade; update -> cascade only (leaf
+    items DO emit update-item); remove -> command, NO cascade."""
+    out: set[tuple] = set()
+
+    def visit(level, path, node_tx, parent_tx):
+        rtx = node_tx or parent_tx
+        if rtx == "remove":
+            out.add((f"remove-{level}", path))
+            return False  # no cascade
+        if rtx in ("insert", "upsert"):
+            out.add((f"{rtx}-{level}", path))
+        elif rtx == "update" and level == "item":
+            out.add(("update-item", path))
+        return True  # cascade with rtx as parent tx
+
+    for sk in SUBJECTS:
+        if not visit("subject", (sk,), tx[(sk,)], "insert"):
+            continue
+        s_rtx = tx[(sk,)] or "insert"
+        for se in SES:
+            if not visit("study-event", (sk, se), tx[(sk, se)], s_rtx):
+                continue
+            se_rtx = tx[(sk, se)] or s_rtx
+            if not visit("form", (sk, se, "FM1"), tx[(sk, se, "FM1")], se_rtx):
+                continue
+            f_rtx = tx[(sk, se, "FM1")] or se_rtx
+            if not visit("item-group", (sk, se, "FM1", "IG1"), None, f_rtx):
+                continue
+            g_rtx = f_rtx
+            for it in ITEMS:
+                visit("item", (sk, se, "FM1", "IG1", it), tx[(sk, se, "FM1", "IG1", it)], g_rtx)
+    return out
+
+
+def build_tables(spark, tx: dict) -> OdmTables:
+    files = spark.createDataFrame(
+        [(FILE, "transactional", BATCH, SUB)],
+        "file_oid string, file_type string, batch_cmd_id string, sub string",
+    )
+    subs, ses, fms, igs, its = [], [], [], [], []
+    for sk in SUBJECTS:
+        subs.append((FILE, "S1", sk, tx[(sk,)]))
+        for se in SES:
+            ses.append((FILE, "S1", sk, se, tx[(sk, se)]))
+            fms.append((FILE, "S1", sk, se, "FM1", tx[(sk, se, "FM1")]))
+            igs.append((FILE, "S1", sk, se, "FM1", "IG1", None))
+            for it in ITEMS:
+                its.append(
+                    (FILE, "S1", sk, se, "FM1", "IG1", it, tx[(sk, se, "FM1", "IG1", it)], "string", "v")
+                )
+    return OdmTables(
+        files=files,
+        subjects=spark.createDataFrame(subs, "file_oid string, study_oid string, subject_key string, tx_type string"),
+        study_events=spark.createDataFrame(
+            ses, "file_oid string, study_oid string, subject_key string, study_event_oid string, tx_type string"
+        ),
+        forms=spark.createDataFrame(
+            fms,
+            "file_oid string, study_oid string, subject_key string, study_event_oid string, form_oid string, tx_type string",
+        ),
+        item_groups=spark.createDataFrame(
+            igs,
+            "file_oid string, study_oid string, subject_key string, study_event_oid string, form_oid string, item_group_oid string, tx_type string",
+        ),
+        items=spark.createDataFrame(
+            its,
+            "file_oid string, study_oid string, subject_key string, study_event_oid string, form_oid string, "
+            "item_group_oid string, item_oid string, tx_type string, data_type string, value_canon string",
+        ),
+    )
+
+
+def extract_spark(cmds) -> set[tuple]:
+    out = set()
+    for r in cmds.collect():
+        verb_entity = r["name"].removeprefix("odm-import/")
+        path = tuple(
+            p
+            for p in (
+                r["subject_key"], r["study_event_oid"], r["form_oid"],
+                r["item_group_oid"], r["item_oid"],
+            )
+            if p is not None
+        )
+        out.add((verb_entity, path))
+    return out
+
+
+TX_KEYS = (
+    [(sk,) for sk in SUBJECTS]
+    + [(sk, se) for sk in SUBJECTS for se in SES]
+    + [(sk, se, "FM1") for sk in SUBJECTS for se in SES]
+    + [(sk, se, "FM1", "IG1", it) for sk in SUBJECTS for se in SES for it in ITEMS]
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(TX, min_size=len(TX_KEYS), max_size=len(TX_KEYS)))
+def test_pipeline_matches_reference_walk(spark, txs):
+    tx = dict(zip(TX_KEYS, txs))
+    expected = walk_reference(tx)
+    got = extract_spark(generate_commands(build_tables(spark, tx), BATCH, SUB, persist=False))
+    assert got == expected
