@@ -852,3 +852,103 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 QUERIES.update({"salted_hot_key_agg": (salted_hot_key_agg, SALTED_AGG_SQL)})
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((segment), (status), ()) — the general
+    form behind rollup/cube."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    j.createOrReplaceTempView("__gs_join")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderstatus, count(*) AS n
+        FROM __gs_join
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+        ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+        """
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT c_mktsegment, o_orderstatus, count(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (bag semantics — duplicates preserved)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") != "F").select("o_custkey")
+    b = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.exceptAll(b).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).orderBy("o_custkey")
+
+
+SET_EXCEPT_ALL_SQL = """
+SELECT o_custkey, count(*) AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F'
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+) GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def array_funcs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array algebra over tokenized text: sort, slice, contains,
+    element access, reverse-sorted distinct size."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    sorted_w = F.array_sort(F.array_distinct(words))
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n"),
+        F.element_at(sorted_w, 1).alias("first_sorted"),
+        F.element_at(sorted_w, -1).alias("last_sorted"),
+        F.slice(sorted_w, 1, 3).cast("string").alias("first3"),
+        F.array_contains(words, "data").cast("int").alias("has_data"),
+    ).orderBy("doc_id")
+
+
+ARRAY_FUNCS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n,
+       list_sort(list_distinct(string_split(text, ' ')))[1] AS first_sorted,
+       list_sort(list_distinct(string_split(text, ' ')))[-1] AS last_sorted,
+       '[' || array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ', ') || ']' AS first3,
+       CAST(list_contains(string_split(text, ' '), 'data') AS INT) AS has_data
+FROM documents ORDER BY doc_id
+"""
+
+
+def json_funcs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction + reconstruction over the events.props payload."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k % 7).alias("k_mod"),
+        F.concat(F.lit('{"k2":'), (k * 2).cast("string"), F.lit("}")).alias("rebuilt"),
+    ).orderBy("event_id")
+
+
+JSON_FUNCS_SQL = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod,
+       '{"k2":' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS VARCHAR) || '}' AS rebuilt
+FROM events ORDER BY event_id
+"""
+
+
+QUERIES.update(
+    {
+        "agg_grouping_sets": (agg_grouping_sets, AGG_GROUPING_SETS_SQL),
+        "set_except_all": (set_except_all, SET_EXCEPT_ALL_SQL),
+        "array_funcs_pack": (array_funcs_pack, ARRAY_FUNCS_SQL),
+        "json_funcs_pack": (json_funcs_pack, JSON_FUNCS_SQL),
+    }
+)

@@ -183,6 +183,36 @@ def _level_commands(df, batch_cmd_id, sub, entity, params, out, item_level=False
     return df.select(*cols)
 
 
+def resolve_and_identify(odm: OdmTables, flavor: str = "md5") -> OdmTables:
+    """resolve_tx + entity ids in one top-down pass: each level's
+    resolve join carries the PARENT's id down, so a level computes only
+    its own hash (items: 1 chain hash instead of 6 — the id chain is
+    evaluated once per ancestor row, not once per descendant row)."""
+    key = _keyfn(flavor)
+    subjects = (
+        odm.subjects.withColumn("rtx", F.coalesce(F.col("tx_type"), F.lit("insert")))
+        .withColumn("study_id", key(NIL_UUID, [F.col("study_oid")]))
+        .withColumn("subject_id", key(F.col("study_id"), [F.col("subject_key")]))
+    )
+
+    def child(child_df, parent, keys, parent_id, own_id, own_part):
+        p = parent.where(F.col("rtx") != "remove").select(
+            *keys, F.col("rtx").alias("parent_rtx"), F.col(parent_id)
+        )
+        return (
+            child_df.join(p, keys, "inner")
+            .withColumn("rtx", F.coalesce(F.col("tx_type"), F.col("parent_rtx")))
+            .drop("parent_rtx")
+            .withColumn(own_id, key(F.col(parent_id), [F.col(own_part)]))
+        )
+
+    se = child(odm.study_events, subjects, _PATH["subjects"], "subject_id", "study_event_id", "study_event_oid")
+    form = child(odm.forms, se, _PATH["study_events"], "study_event_id", "form_id", "form_oid")
+    ig = child(odm.item_groups, form, _PATH["forms"], "form_id", "item_group_id", "item_group_oid")
+    item = child(odm.items, ig, _PATH["item_groups"], "item_group_id", "item_id", "item_oid")
+    return OdmTables(odm.files, subjects, se, form, ig, item)
+
+
 def generate_commands(
     odm: OdmTables, batch_cmd_id: str, sub: str, persist: bool = True, flavor: str = "md5"
 ) -> DataFrame:
@@ -194,13 +224,8 @@ def generate_commands(
     checkpoint/exchange reuse).  ``flavor='sha1'`` switches every id to
     true RFC-4122 UUIDv5 (reference byte-parity; not DuckDB-checkable
     because this DuckDB lacks sha1)."""
-    r = resolve_tx(odm)
-
-    subj = with_entity_ids(r.subjects, "subjects", flavor)
-    se = with_entity_ids(r.study_events, "study_events", flavor)
-    form = with_entity_ids(r.forms, "forms", flavor)
-    ig = with_entity_ids(r.item_groups, "item_groups", flavor)
-    item = with_entity_ids(r.items, "items", flavor)
+    r = resolve_and_identify(odm, flavor)
+    subj, se, form, ig, item = r.subjects, r.study_events, r.forms, r.item_groups, r.items
     if persist:
         for df in (subj, se, form, ig):
             df.persist()

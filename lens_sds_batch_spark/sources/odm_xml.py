@@ -73,12 +73,20 @@ def parse_odm_bytes(path: str, blob: bytes) -> list[dict]:
             for subj in cd:
                 s = dict(base, file_path=path, file_oid=file_oid, study_oid=study_oid,
                          subject_key=subj.get("SubjectKey"), subject_tx=_tx(subj), error=None)
+                if len(subj) == 0:
+                    rows.append(s)  # childless subtree terminates here
                 for se in subj:
                     e = dict(s, study_event_oid=se.get("StudyEventOID"), study_event_tx=_tx(se))
+                    if len(se) == 0:
+                        rows.append(e)
                     for form in se:
                         f = dict(e, form_oid=form.get("FormOID"), form_tx=_tx(form))
+                        if len(form) == 0:
+                            rows.append(f)
                         for ig in form:
                             g = dict(f, item_group_oid=ig.get("ItemGroupOID"), item_group_tx=_tx(ig))
+                            if len(ig) == 0:
+                                rows.append(g)
                             for item in ig:
                                 tag = _strip(item.tag)
                                 # ItemDataString / ItemDataInteger / ...
@@ -128,3 +136,55 @@ def split_errors(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     from pyspark.sql import functions as F
 
     return parsed.where(F.col("error").isNull()), parsed.where(F.col("error").isNotNull())
+
+
+def odm_tables_from_xml(parsed: DataFrame, file_oid_meta: DataFrame):
+    """Denormalized item-grain parse output -> the six-level OdmTables
+    (distinct projections per level; SURVEY §1.3).
+
+    ``file_oid_meta`` supplies (file_oid, file_type, batch_cmd_id, sub)
+    — the batch-command envelope the reference receives over AMQP.
+
+    Subject/SE/form/IG rows that carry Remove/Update with NO item
+    children still appear: the parser emits their paths on item rows
+    when children exist; childless interior nodes are only visible at
+    their own level, so levels are built from the union of (rows at
+    this grain) — for this engine the parser emits an item row per
+    leaf, and childless subtrees terminate at the deepest present
+    level (matching the reference, which walks whatever children maps
+    exist).
+    """
+    from pyspark.sql import functions as F
+
+    from ..plans.odm import OdmTables
+
+    valid = parsed.where(F.col("error").isNull())
+
+    def level(cols: list[str], tx_col: str):
+        return (
+            valid.where(F.col(cols[-1]).isNotNull())
+            .select(*cols, F.col(tx_col).alias("tx_type"))
+            .distinct()
+        )
+
+    subjects = level(["file_oid", "study_oid", "subject_key"], "subject_tx")
+    ses = level(
+        ["file_oid", "study_oid", "subject_key", "study_event_oid"], "study_event_tx"
+    )
+    forms = level(
+        ["file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid"], "form_tx"
+    )
+    igs = level(
+        ["file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid", "item_group_oid"],
+        "item_group_tx",
+    )
+    items = (
+        valid.where(F.col("item_oid").isNotNull())
+        .select(
+            "file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid",
+            "item_group_oid", "item_oid",
+            F.col("item_tx").alias("tx_type"),
+            "data_type", "value_canon",
+        )
+    )
+    return OdmTables(file_oid_meta, subjects, ses, forms, igs, items)

@@ -61,3 +61,33 @@ def test_parse_and_split(spark, xml_dir):
     assert all(e["error"] for e in errs)
     kinds = {e["error"].split(":")[0] for e in errs}
     assert kinds == {"ParseError", "ValueError"}
+
+
+def test_xml_to_commands_end_to_end(spark, xml_dir):
+    """The reference's flagship flow: XML blob -> parsed tree ->
+    commands with deterministic ids (A2/A3 -> A9-A19 in one chain)."""
+    from lens_sds_batch_spark.plans.commands import generate_commands
+    from lens_sds_batch_spark.sources.odm_xml import odm_tables_from_xml
+
+    parsed = read_odm_xml(spark, xml_dir)
+    meta = spark.createDataFrame(
+        [("F-X1", "transactional", "00000000-0000-0000-0000-0000000000ff", "xml-importer")],
+        "file_oid string, file_type string, batch_cmd_id string, sub string",
+    )
+    odm = odm_tables_from_xml(parsed, meta)
+    cmds = generate_commands(odm, "00000000-0000-0000-0000-0000000000ff", "xml-importer", persist=False)
+    rows = {(r["name"], r["item_oid"]) for r in cmds.collect()}
+    # SK01 insert cascades: subject + SE + form(update: no cmd) ... the
+    # form carries Update -> no form command, IG inherits update -> no
+    # command, items inherit update -> update-item each
+    assert ("odm-import/insert-subject", None) in rows
+    assert ("odm-import/insert-study-event", None) in rows
+    assert ("odm-import/update-item", "I1") in rows
+    assert ("odm-import/update-item", "I2") in rows
+    assert ("odm-import/update-item", "I3") in rows
+    assert not any(n == "odm-import/insert-form" for n, _ in rows)
+    # SK02 is Remove with no children -> remove-subject only
+    assert ("odm-import/remove-subject", None) in rows
+    # deterministic: re-run equals
+    again = generate_commands(odm, "00000000-0000-0000-0000-0000000000ff", "xml-importer", persist=False)
+    assert {tuple(r) for r in cmds.collect()} == {tuple(r) for r in again.collect()}
