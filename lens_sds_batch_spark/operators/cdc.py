@@ -282,3 +282,82 @@ ORDER BY study_oid, subject_key
 """
 
 QUERIES.update({"entity_state_subjects": (entity_state_subjects, ENTITY_STATE_SQL)})
+
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) history from the events
+    CDC stream: per user, each event opens a version; lead() closes the
+    previous one.  valid_to NULL = current row.  Built-ins only — the
+    no-Delta MERGE equivalent for history tables at scale."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts_ns",
+            F.expr("ts_ns div 1000000000").alias("valid_from"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .drop("ts_ns")
+        .orderBy("user_id", "valid_from", "event_id")
+    )
+
+
+SCD2_SQL = """
+SELECT user_id, event_id, event_type,
+       epoch_ns(ts) // 1000000000 AS valid_from,
+       lead(epoch_ns(ts) // 1000000000) OVER (
+         PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS valid_to
+FROM events
+ORDER BY user_id, valid_from, event_id
+"""
+
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window (30-min gap) in batch mode; the oracle
+    reproduces it with gaps-and-islands.  Micro-precision timestamps
+    keep both engines in exact integer agreement."""
+    ev = load_events(spark, sf_dir).withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+               OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+islands AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events
+FROM islands GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+QUERIES.update(
+    {
+        "scd2_history": (scd2_history, SCD2_SQL),
+        "session_window_agg": (session_window_agg, SESSION_WINDOW_SQL),
+    }
+)

@@ -173,3 +173,49 @@ ORDER BY vec_a, vec_b
 """
 
 QUERIES.update({"embedding_dup_pairs": (embedding_dup_pairs, EMBEDDING_DUP_SQL)})
+
+
+IVF_K = 16
+IVF_NPROBE = 2
+
+
+def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: seeded KMeans partitions the corpus
+    into IVF_K cells; each query probes its IVF_NPROBE nearest
+    centroids and ranks only those cells — the trained-index scale
+    path next to the hash-based LSH variant.  Rows-only check:
+    KMeans cell assignment isn't reproducible in the SQL oracle
+    (recall is checked in tests against knn_bruteforce instead)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = _vecs(spark, sf_dir)
+    ml = vecs.withColumn("features", array_to_vector("v"))
+    model = KMeans(k=IVF_K, seed=42, featuresCol="features", predictionCol="cell").fit(ml)
+    assigned = model.transform(ml).select("vec_id", "v", "norm", "cell")
+
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, cv array<double>",
+    )
+    queries = assigned.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    # nprobe nearest centroids per query (centroids are tiny: broadcast)
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        "qid", "qv", "qnorm", "cell", _dot(F.col("qv"), F.col("cv")).alias("cdot")
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("qid").orderBy(F.desc("cdot"), "cell")
+    probed = qc.withColumn("crk", F.row_number().over(wq)).where(F.col("crk") <= IVF_NPROBE)
+    cand = assigned.join(
+        probed.select("qid", "qv", "qnorm", "cell"), "cell"
+    ).where(F.col("vec_id") != F.col("qid"))
+    scored = cand.select(
+        "qid", "vec_id", (_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))).alias("cos")
+    )
+    return _topk(scored)
+
+
+QUERIES.update({"ivf_knn": (ivf_knn, None)})
