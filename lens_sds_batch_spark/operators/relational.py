@@ -190,21 +190,22 @@ ORDER BY c_custkey
 
 
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti: customers with no orders at all (the reference's
-    remove-pruning shape, A14)."""
-    cust = load_table(spark, sf_dir, "customer")
+    """Left-anti: orders with no lineitems (the reference's
+    remove-pruning shape, A14) — non-empty in this data, unlike
+    customers-without-orders."""
     orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
     )
 
 
 JOIN_ANTI_SQL = """
-SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-ORDER BY c_custkey
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+ORDER BY o_orderkey
 """
 
 
