@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.keys import NIL_UUID, uuid3_str_col
 from ..oracle import duck_fmt, ns_hex
-from ..plans.correlate import correlate, first_event_per_cid
+from ..plans.correlate import correlate, first_event_name_agg, first_event_per_cid
 from ..plans.merge import apply_lww
 from ..sources.parquet import load_events, load_table
 
@@ -78,9 +78,7 @@ def correlate_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no lineitems -> 'timeout'."""
     cmds = _orders_commands(spark, sf_dir)
     evs = _lineitem_events(spark, sf_dir)
-    first = first_event_per_cid(
-        evs, [F.col("t"), F.col("l_partkey"), F.col("l_suppkey"), F.col("l_extendedprice")]
-    )
+    first = first_event_name_agg(evs, ["t", "l_partkey", "l_suppkey", "l_extendedprice"])
     return (
         correlate(cmds, first)
         .select("cmd_id", "o_orderkey", "status")
@@ -126,9 +124,7 @@ def gated_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurse'."""
     cmds = _orders_commands(spark, sf_dir)
     evs = _lineitem_events(spark, sf_dir)
-    first = first_event_per_cid(
-        evs, [F.col("t"), F.col("l_partkey"), F.col("l_suppkey"), F.col("l_extendedprice")]
-    )
+    first = first_event_name_agg(evs, ["t", "l_partkey", "l_suppkey", "l_extendedprice"])
     ok = (
         correlate(cmds, first)
         .where(F.col("status").isin("created", "updated"))

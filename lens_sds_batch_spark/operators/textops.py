@@ -222,3 +222,81 @@ ORDER BY doc_id, rk
 """
 
 QUERIES.update({"tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL)})
+
+
+BIGRAM_TOP = 20
+
+
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 bigrams (n-gram analysis; explode + count + top-k
+    with lexical tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.size(_tokens(F.col("text"))) >= 2)
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat_ws(' ', element_at(split(text, ' '), i), element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(BIGRAM_TOP)
+    )
+
+
+BIGRAM_TOPK_SQL = f"""
+SELECT bigram, count(*) AS n
+FROM (
+  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+)
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT {BIGRAM_TOP}
+"""
+
+
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A realistic training-data quality gate: token-count band + TTR
+    floor + stopword-ratio ceiling, emitting kept docs with metrics —
+    the filter stage that precedes dedup in an LLM data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double")
+    sw_ratio = _hits(toks, LANG_STOPWORDS["en"]).cast("double") / n_tok.cast("double")
+    scored = docs.select("doc_id", n_tok.alias("n_tokens"), ttr.alias("ttr"), sw_ratio.alias("sw_ratio"))
+    return (
+        scored.where(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_tokens") <= 1000)
+            & (F.col("ttr") >= 0.3)
+            & (F.col("sw_ratio") <= 0.2)
+        )
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_FILTER_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('{_SW_EN}'))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sw_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens, ttr, sw_ratio FROM scored
+WHERE n_tokens BETWEEN 20 AND 1000 AND ttr >= 0.3 AND sw_ratio <= 0.2
+ORDER BY doc_id
+"""
+
+QUERIES.update(
+    {
+        "bigram_topk": (bigram_topk, BIGRAM_TOPK_SQL),
+        "corpus_filter": (corpus_filter, CORPUS_FILTER_SQL),
+    }
+)
