@@ -138,3 +138,54 @@ QUERIES: dict[str, tuple] = {
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "media_decode_stub": (media_decode_stub, None),
 }
+
+
+def media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking for blob processing: fixed CHUNK_BYTES windows with a
+    per-chunk md5 (content-addressable chunk store pattern — dedupe
+    and transfer at chunk granularity at 100 TB).  Chunk slicing is
+    done in hex space (2 hex chars per byte) so the DuckDB twin is
+    exact without BLOB substring support."""
+    media = media_table(spark, sf_dir)
+    hexed = media.select(
+        "doc_id", F.lower(F.hex(F.col("payload"))).alias("hx"), F.length("payload").alias("n_bytes")
+    )
+    hex_chunk = 2 * CHUNK_BYTES
+    chunks = hexed.select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, CAST(ceil(length(hx) / {hex_chunk}.0) AS INT)), "
+                f"i -> substring(hx, (i - 1) * {hex_chunk} + 1, {hex_chunk}))"
+            )
+        ).alias("chunk_idx", "chunk_hex"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        (F.length("chunk_hex") / 2).cast("bigint").alias("chunk_bytes"),
+        F.md5(F.col("chunk_hex").cast("binary")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+MEDIA_CHUNKS_SQL = f"""
+WITH hexed AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, CAST(ceil(length(hx) / {2 * CHUNK_BYTES}.0) AS INT) + 1),
+                i -> substr(hx, (i - 1) * {2 * CHUNK_BYTES} + 1, {2 * CHUNK_BYTES}))) AS chunk_hex,
+         generate_subscripts(list_transform(range(1, CAST(ceil(length(hx) / {2 * CHUNK_BYTES}.0) AS INT) + 1),
+                i -> i), 1) AS chunk_idx_1
+  FROM hexed
+)
+SELECT doc_id, chunk_idx_1 - 1 AS chunk_idx,
+       CAST(length(chunk_hex) / 2 AS BIGINT) AS chunk_bytes,
+       md5(chunk_hex) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+QUERIES.update({"media_chunks": (media_chunks, MEDIA_CHUNKS_SQL)})
