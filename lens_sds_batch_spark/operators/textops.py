@@ -300,3 +300,74 @@ QUERIES.update(
         "corpus_filter": (corpus_filter, CORPUS_FILTER_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Rolling (polynomial / Rabin-Karp family) hash + feature hashing
+# ---------------------------------------------------------------------------
+
+RH_BASE = 131
+RH_MOD = 2_147_483_647  # 2^31 - 1
+FH_BUCKETS = 8
+
+
+def rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-granular polynomial rolling hash:
+    h_i = (h_{i-1} * B + v_i) mod M with v = len(token)*31 + ascii(first
+    char).  Pure integer fold — order-sensitive (unlike md5-of-whole),
+    so shifted/reordered near-dups hash differently, and incremental
+    recompute over a sliding token window is O(1) at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = _tokens(F.col("text"))
+    v = lambda t: (F.length(t) * 31 + F.ascii(F.substring(t, 1, 1))) % RH_MOD  # noqa: E731
+    h = F.aggregate(
+        tokens,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * RH_BASE + v(t)) % RH_MOD,
+    )
+    return docs.select("doc_id", h.alias("rhash")).orderBy("doc_id")
+
+
+ROLLING_HASH_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+                          t -> CAST((length(t) * 31 + ascii(substr(t, 1, 1))) % {RH_MOD} AS BIGINT))),
+         (acc, v) -> (acc * {RH_BASE} + v) % {RH_MOD}) AS rhash
+FROM documents ORDER BY doc_id
+"""
+
+
+def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (hashing trick): token -> md5-derived bucket in
+    [0, FH_BUCKETS); per-doc bucket counts become a fixed-width dense
+    vector — the schema-free text→vector featurizer that needs no
+    vocabulary broadcast at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    bucket = F.ascii(F.substring(F.md5(F.col("t").cast("binary")), 1, 1)) % FH_BUCKETS
+    counts = exploded.select("doc_id", bucket.alias("b")).groupBy("doc_id").agg(
+        *[F.sum(F.when(F.col("b") == i, 1).otherwise(0)).alias(f"f{i}") for i in range(FH_BUCKETS)]
+    )
+    return counts.orderBy("doc_id")
+
+
+_FH_COLS = ", ".join(
+    f"sum(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS f{i}" for i in range(FH_BUCKETS)
+)
+FEATURE_HASH_SQL = f"""
+SELECT doc_id, {_FH_COLS}
+FROM (
+  SELECT doc_id, ascii(substr(md5(t), 1, 1)) % {FH_BUCKETS} AS b
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES.update(
+    {
+        "rolling_hash": (rolling_hash, ROLLING_HASH_SQL),
+        "feature_hash_vectors": (feature_hash_vectors, FEATURE_HASH_SQL),
+    }
+)
