@@ -1050,3 +1050,64 @@ QUERIES.update(
         "window_range_frame": (window_range_frame, WINDOW_RANGE_SQL),
     }
 )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the event stream: users grouped by
+    first-seen day, tracked across subsequent activity days.  Two aggs
+    + a self-join on the (small) per-user first-seen table — at scale
+    the cohort dimension broadcasts."""
+    ev = load_events(spark, sf_dir)
+    day_ns = 86400 * 1_000_000_000
+    days = ev.select("user_id", F.expr(f"ts_ns div {day_ns}").alias("day")).distinct()
+    first_seen = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(F.broadcast(first_seen), "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+COHORT_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+),
+first_seen AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT cohort_day, day - cohort_day AS day_offset, count(DISTINCT d.user_id) AS n_active
+FROM days d JOIN first_seen f ON d.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY cohort_day, day_offset
+"""
+
+
+def percentile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile (quartiles) per group."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+PERCENTILE_MULTI_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+QUERIES.update(
+    {
+        "cohort_retention": (cohort_retention, COHORT_SQL),
+        "percentile_multi": (percentile_multi, PERCENTILE_MULTI_SQL),
+    }
+)

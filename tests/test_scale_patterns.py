@@ -96,3 +96,29 @@ def test_streaming_checkpoint_restart(spark, tmp_path):
     n, d = got.count(), got.select("event_id").distinct().count()
     assert n == d == 300
     shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_partitioned_sink_and_pruning(spark, tmp_path):
+    """A7's topic-routed sink: write commands partitioned by name; a
+    filtered read must prune partitions (PartitionFilters in the scan,
+    only the matching directory touched)."""
+    from lens_sds_batch_spark.plans.commands import generate_commands
+    from lens_sds_batch_spark.plans.odm import BATCH_CMD_ID, SUB, derive_odm_from_tpch
+
+    out = str(tmp_path / "commands_by_topic")
+    odm = derive_odm_from_tpch(spark, SF_SMOKE)
+    cmds = generate_commands(odm, BATCH_CMD_ID, SUB, persist=False)
+    # routing key = the reference's namespace.name form (broker.clj:121-131)
+    cmds.withColumn(
+        "topic", F.regexp_replace(F.col("name"), "/", ".")
+    ).write.partitionBy("topic").mode("overwrite").parquet(out)
+
+    import os
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("topic="))
+    assert any("insert-item" in d for d in dirs)
+    one = spark.read.parquet(out).where(F.col("topic") == "odm-import.insert-subject")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(topic" in plan
+    got = one.select("name").distinct().collect()
+    assert [r["name"] for r in got] == ["odm-import/insert-subject"]
