@@ -117,6 +117,9 @@ def read_odm_xml(spark: SparkSession, path_glob: str) -> DataFrame:
     Each file parses independently on an executor; at 100 TB the unit
     of parallelism is the file, matching the reference's
     one-file-per-batch-command model but N-wide."""
+    from .parquet import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     blobs = spark.read.format("binaryFile").load(path_glob).select("path", "content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -25,7 +25,24 @@ TABLES = (
 )
 
 
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Make any externally-provided SparkSession safe for this engine
+    (the driver constructs its own session — these are runtime-settable
+    SQL confs, unlike master/memory):
+
+    - UTC session timezone: parquet timestamps must mean the same
+      instant as in the DuckDB oracle (naive-UTC), or every epoch
+      canonicalization skews by the local offset.
+    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which Spark
+      otherwise refuses to read at all (PARQUET_TYPE_ILLEGAL).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_engine_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -30,6 +30,9 @@ EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type strin
 def read_event_stream(spark, path: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-based streaming source (stands in for Kafka/AMQP transport;
     maxFilesPerTrigger is the prefetch-analog backpressure knob, A25)."""
+    from ..sources.parquet import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
