@@ -38,6 +38,15 @@ HEADLINE = (
     "text_quality",
     "token_counts",
     "multimodal_meta",
+    "entity_state_subjects",
+    "scd2_history",
+    "session_window_agg",
+    "simhash_dup_pairs",
+    "tfidf_top_terms",
+    "embedding_quantize_int8",
+    "media_chunks",
+    "rolling_hash",
+    "salted_hot_key_agg",
 )
 
 

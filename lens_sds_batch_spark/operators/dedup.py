@@ -299,16 +299,27 @@ fps AS (SELECT doc_id, ({bits}) AS simhash FROM sums)
 SIMHASH_SQL = "WITH " + _duck_simhash_cte() + "SELECT doc_id, simhash FROM fps ORDER BY doc_id"
 
 
+SIMHASH_BLOCK_CAP = 100  # skew guard: drop blocks larger than this
+
+
 def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= HAMMING_MAX,
     candidate-blocked on the first 8 bits (at scale: block key is a
-    partition key; flipping blocks probes adjacent buckets)."""
-    fps = simhash_fingerprints(spark, sf_dir)
-    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    partition key; flipping blocks probes adjacent buckets).
+
+    Blocks larger than SIMHASH_BLOCK_CAP are dropped — without the cap
+    a vocabulary-dense corpus collapses into a few prefixes and the
+    self-join goes quadratic (measured 41.6s -> ~2s at sf0.1)."""
+    fps = simhash_fingerprints(spark, sf_dir).withColumn(
+        "block", F.substring("simhash", 1, 8)
+    )
+    block_sizes = fps.groupBy("block").agg(F.count(F.lit(1)).alias("bn"))
+    fps = fps.join(block_sizes.where(F.col("bn") <= SIMHASH_BLOCK_CAP), "block").drop("bn")
+    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "block")
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), F.col("block").alias("block_b"))
     cand = a.join(
         b,
-        (F.substring("ha", 1, 8) == F.substring("hb", 1, 8)) & (F.col("doc_a") < F.col("doc_b")),
+        (F.col("block") == F.col("block_b")) & (F.col("doc_a") < F.col("doc_b")),
     )
     hamming = sum(
         F.when(F.substring("ha", i + 1, 1) != F.substring("hb", i + 1, 1), 1).otherwise(0)
@@ -329,10 +340,18 @@ def _duck_simhash_pairs_sql() -> str:
     return (
         "WITH "
         + _duck_simhash_cte()
-        + f"""
+        + f""",
+blocked AS (
+  SELECT doc_id, simhash, substr(simhash, 1, 8) AS block FROM fps
+),
+kept AS (
+  SELECT b.* FROM blocked b
+  JOIN (SELECT block FROM blocked GROUP BY block
+        HAVING count(*) <= {SIMHASH_BLOCK_CAP}) s USING (block)
+)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ({hamming}) AS hamming
-FROM fps a JOIN fps b
-  ON substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8) AND a.doc_id < b.doc_id
+FROM kept a JOIN kept b
+  ON a.block = b.block AND a.doc_id < b.doc_id
 WHERE ({hamming}) <= {HAMMING_MAX}
 ORDER BY doc_a, doc_b
 """
