@@ -78,17 +78,30 @@ def _words(col):
     return F.split(col, " ")
 
 
+JACCARD_BLOCK_CAP = 200  # skew guard: drop (lang, len_bucket) blocks larger than this
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact jaccard over distinct word sets.
 
-    Blocking key = (lang, n_chars//100): at scale this bounds the pair
-    space to within-block quadratics instead of corpus-wide O(n²)."""
+    Blocking key = (lang, n_chars//100) bounds the pair space to
+    within-block quadratics instead of corpus-wide O(n²) — and blocks
+    larger than JACCARD_BLOCK_CAP are dropped (the same skew guard as
+    minhash's HOT_BUCKET_CAP / simhash's SIMHASH_BLOCK_CAP, mirrored
+    in the oracle): at 100 TB an `en` length bucket holds millions of
+    docs and an uncapped within-block self-join is quadratic death.
+    Documents landing in oversized blocks are the minhash/simhash
+    paths' job — this operator is the exact-verification tier."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
         F.array_distinct(_words(F.col("text"))).alias("wset"),
     )
+    block_sizes = docs.groupBy("lang", "len_bucket").agg(F.count(F.lit(1)).alias("bn"))
+    docs = docs.join(
+        block_sizes.where(F.col("bn") <= JACCARD_BLOCK_CAP), ["lang", "len_bucket"]
+    ).drop("bn")
     a = docs.alias("a")
     b = docs.alias("b")
     pairs = a.join(
@@ -113,10 +126,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_JACCARD_SQL = f"""
-WITH d AS (
+WITH d_all AS (
   SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
          list_distinct(string_split(text, ' ')) AS wset
   FROM documents
+),
+kept_blocks AS (
+  SELECT lang, len_bucket FROM d_all
+  GROUP BY lang, len_bucket HAVING count(*) <= {JACCARD_BLOCK_CAP}
+),
+d AS (
+  SELECT d_all.* FROM d_all JOIN kept_blocks USING (lang, len_bucket)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(len(a.wset) + len(b.wset) - len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE)
@@ -358,9 +378,8 @@ ORDER BY doc_a, doc_b
     )
 
 
-QUERIES.update(
-    {
-        "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),
-        "simhash_dup_pairs": (simhash_dup_pairs, _duck_simhash_pairs_sql()),
-    }
-)
+# simhash_fingerprints is not registered standalone: simhash_dup_pairs
+# exercises the identical fingerprint derivation end-to-end (its oracle
+# embeds _duck_simhash_cte), and the registry must stay <= 50 entries
+# for full driver CORRECTNESS coverage.  SIMHASH_SQL remains for tests.
+QUERIES.update({"simhash_dup_pairs": (simhash_dup_pairs, _duck_simhash_pairs_sql())})

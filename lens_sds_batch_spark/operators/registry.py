@@ -13,10 +13,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+# The driver hash-checks only the FIRST 50 entries of queries() (2 of
+# which are the entry-point flagship queries) — so the LLM-pipeline
+# modules (dedup/similarity/textops/multimodal, the north-star mandate)
+# register first, and the total registry is kept <= MAX_CHECKED - 2 by
+# folding relational micro-queries into packs (see relational.py).
+MAX_CHECKED = 50
+ENTRY_QUERIES = 2  # odm_commands, odm_commands_uuid5 registered by __spark_entry__
+
+
 def _modules():
     from . import cdc, dedup, multimodal, relational, similarity, textops
 
-    return [relational, cdc, dedup, similarity, textops, multimodal]
+    return [dedup, similarity, textops, multimodal, cdc, relational]
 
 
 def all_queries() -> dict[str, tuple]:
@@ -26,6 +35,12 @@ def all_queries() -> dict[str, tuple]:
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")
             out[name] = pair
+    if len(out) > MAX_CHECKED - ENTRY_QUERIES:
+        raise ValueError(
+            f"registry has {len(out)} queries; only {MAX_CHECKED - ENTRY_QUERIES} "
+            "fit inside the driver's CORRECTNESS window — fold new queries "
+            "into a pack or merge redundant ones"
+        )
     return out
 
 

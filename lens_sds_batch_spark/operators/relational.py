@@ -465,7 +465,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SESSIONIZE_SQL = """
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM (
   SELECT user_id,
          CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
@@ -480,21 +480,47 @@ GROUP BY user_id ORDER BY user_id
 
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest event at-or-before each order's date for the
-    order's (synthetic) user.  Expressed as inequality-join + max —
-    at scale: bucketize the time axis and equi-join on (uid, bucket)
-    or applyInPandas merge_asof per key (see SURVEY B3)."""
+    order's (synthetic) user — the distributed merge-asof plan:
+
+    union(events, order-probes) → one shuffle on the key → running
+    ``max(event_ts)`` window → keep probe rows.  NO join at all: the
+    pair space never materializes (the round-1 inequality-join form
+    broadcast the unbounded events side and exploded per-user pairs —
+    both fatal at 100 TB).  Shuffle size = |events| + |orders|, exactly
+    once, on the natural key; skewed users cost a long sorted
+    partition, not a quadratic blowup.  Probes sort after events at
+    equal timestamps (is_probe tiebreak) so ts == odate counts, per
+    the at-or-before contract.  The oracle keeps the declarative
+    inequality form — same semantics, independent plan."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         (F.col("o_custkey") % 15).alias("uid"),
         (F.unix_timestamp("o_orderdate") * F.lit(1_000_000_000)).alias("odate_ns"),
     )
-    ev = load_events(spark, sf_dir).select("user_id", "ts_ns")
-    joined = orders.join(
-        F.broadcast(ev), (orders.uid == ev.user_id) & (ev.ts_ns <= orders.odate_ns), "left"
+    probes = orders.select(
+        "uid",
+        F.col("odate_ns").alias("t"),
+        F.lit(1).alias("is_probe"),
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("ev_ts"),
+    )
+    ev_rows = load_events(spark, sf_dir).select(
+        F.col("user_id").alias("uid"),
+        F.col("ts_ns").alias("t"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.col("ts_ns").alias("ev_ts"),
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        joined.groupBy("o_orderkey")
-        .agg(F.max(F.expr("ts_ns div 1000000000")).alias("last_event_epoch"))
+        ev_rows.unionByName(probes)
+        .withColumn("last_ev", F.max("ev_ts").over(w))
+        .where(F.col("is_probe") == 1)
+        .select("o_orderkey", F.expr("last_ev div 1000000000").alias("last_event_epoch"))
         .orderBy("o_orderkey")
     )
 
@@ -530,11 +556,11 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_SQL = """
 SELECT o_orderstatus,
-  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
-  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
-  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
-  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS not_specified,
-  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS not_specified,
+  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
@@ -561,29 +587,6 @@ SELECT p_partkey, attr, val FROM (
   SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
 ) ORDER BY p_partkey, attr
 """
-
-
-QUERIES: dict[str, tuple] = {
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
-    "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
-    "join_semi": (join_semi, JOIN_SEMI_SQL),
-    "join_anti": (join_anti, JOIN_ANTI_SQL),
-    "join_outer_counts": (join_outer_counts, JOIN_OUTER_SQL),
-    "window_topk_per_group": (window_topk_per_group, WINDOW_TOPK_SQL),
-    "window_running_sum": (window_running_sum, WINDOW_RUNNING_SQL),
-    "agg_rollup": (agg_rollup, AGG_ROLLUP_SQL),
-    "agg_distinct": (agg_distinct, AGG_DISTINCT_SQL),
-    "set_intersect": (set_intersect, SET_INTERSECT_SQL),
-    "set_except": (set_except, SET_EXCEPT_SQL),
-    "topk_global": (topk_global, TOPK_GLOBAL_SQL),
-    "scalar_funcs": (scalar_funcs, SCALAR_FUNCS_SQL),
-    "events_tumbling": (events_tumbling, EVENTS_TUMBLING_SQL),
-    "sessionize": (sessionize, SESSIONIZE_SQL),
-    "asof_join": (asof_join, ASOF_JOIN_SQL),
-    "pivot_status_priority": (pivot_status_priority, PIVOT_SQL),
-    "unpivot_part": (unpivot_part, UNPIVOT_SQL),
-}
 
 
 # ---------------------------------------------------------------------------
@@ -805,22 +808,6 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES.update(
-    {
-        "join_full_outer": (join_full_outer, JOIN_FULL_OUTER_SQL),
-        "join_cross": (join_cross, JOIN_CROSS_SQL),
-        "range_join": (range_join, RANGE_JOIN_SQL),
-        "agg_cube": (agg_cube, AGG_CUBE_SQL),
-        "window_funcs_pack": (window_funcs_pack, WINDOW_FUNCS_SQL),
-        "date_parts": (date_parts, DATE_PARTS_SQL),
-        "percentile_exact": (percentile_exact, PERCENTILE_SQL),
-        "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
-        "string_funcs2": (string_funcs2, STRING_FUNCS2_SQL),
-        "approx_sketches": (approx_sketches, None),
-    }
-)
-
-
 def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew mitigation: two-stage salted aggregation over a 3-value hot
     key (l_returnflag).  Stage 1 aggregates on (key, salt) — spreading
@@ -851,9 +838,6 @@ SELECT l_returnflag,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
-
-QUERIES.update({"salted_hot_key_agg": (salted_hot_key_agg, SALTED_AGG_SQL)})
-
 
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS ((segment), (status), ()) — the general
@@ -945,16 +929,6 @@ FROM events ORDER BY event_id
 """
 
 
-QUERIES.update(
-    {
-        "agg_grouping_sets": (agg_grouping_sets, AGG_GROUPING_SETS_SQL),
-        "set_except_all": (set_except_all, SET_EXCEPT_ALL_SQL),
-        "array_funcs_pack": (array_funcs_pack, ARRAY_FUNCS_SQL),
-        "json_funcs_pack": (json_funcs_pack, JSON_FUNCS_SQL),
-    }
-)
-
-
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS-semi-join + count by priority (orders
     having at least one lineitem shipped after the order date)."""
@@ -1043,15 +1017,6 @@ ORDER BY o_custkey, o_orderdate_epoch, o_orderkey
 """
 
 
-QUERIES.update(
-    {
-        "q4_order_priority": (q4_order_priority, Q4_SQL),
-        "q10_returned_items": (q10_returned_items, Q10_SQL),
-        "window_range_frame": (window_range_frame, WINDOW_RANGE_SQL),
-    }
-)
-
-
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention over the event stream: users grouped by
     first-seen day, tracked across subsequent activity days.  Two aggs
@@ -1105,9 +1070,474 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
-QUERIES.update(
-    {
-        "cohort_retention": (cohort_retention, COHORT_SQL),
-        "percentile_multi": (percentile_multi, PERCENTILE_MULTI_SQL),
-    }
+# ---------------------------------------------------------------------------
+# Packs — the driver hash-checks only the first 50 registry entries, so
+# the micro-query inventory above is folded into union-harmonized packs
+# (one CORRECTNESS row each) while every underlying operator keeps its
+# own function + pytest coverage.  Each arm is the unchanged original
+# computation, cast onto a shared (kind, keys..., values...) schema in
+# BOTH engines; the driver's column-sorted multiset hash is unaffected
+# by the union because values and types are preserved per arm.
+# ---------------------------------------------------------------------------
+
+
+def _nl(dtype: str, name: str):
+    return F.lit(None).cast(dtype).alias(name)
+
+
+def joins_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 inventory in one pack: semi / anti / left-outer / full-outer /
+    cross / range joins (each arm = the original operator above)."""
+    arms = [
+        join_semi(spark, sf_dir).select(
+            F.lit("semi").alias("kind"),
+            F.col("c_custkey").cast("bigint").alias("k1"),
+            F.col("c_name").alias("s1"),
+            _nl("bigint", "v1"),
+            _nl("bigint", "v2"),
+        ),
+        join_anti(spark, sf_dir).select(
+            F.lit("anti").alias("kind"),
+            F.col("o_orderkey").cast("bigint").alias("k1"),
+            F.col("o_orderstatus").alias("s1"),
+            _nl("bigint", "v1"),
+            _nl("bigint", "v2"),
+        ),
+        join_outer_counts(spark, sf_dir).select(
+            F.lit("outer").alias("kind"),
+            F.col("c_custkey").cast("bigint").alias("k1"),
+            _nl("string", "s1"),
+            F.col("n_orders").cast("bigint").alias("v1"),
+            _nl("bigint", "v2"),
+        ),
+        join_full_outer(spark, sf_dir).select(
+            F.lit("full").alias("kind"),
+            F.col("nationkey").cast("bigint").alias("k1"),
+            _nl("string", "s1"),
+            F.col("n_cust").cast("bigint").alias("v1"),
+            F.col("n_supp").cast("bigint").alias("v2"),
+        ),
+        join_cross(spark, sf_dir).select(
+            F.lit("cross").alias("kind"),
+            _nl("bigint", "k1"),
+            F.concat_ws("|", "r_name", "o_orderstatus").alias("s1"),
+            _nl("bigint", "v1"),
+            _nl("bigint", "v2"),
+        ),
+        range_join(spark, sf_dir).select(
+            F.lit("range").alias("kind"),
+            F.col("user_id").cast("bigint").alias("k1"),
+            _nl("string", "s1"),
+            F.col("n_pairs").cast("bigint").alias("v1"),
+            _nl("bigint", "v2"),
+        ),
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("kind", "k1", "s1")
+
+
+def _arm(kind: str, inner_sql: str, cols: str) -> str:
+    body = inner_sql.strip().rstrip(";")
+    return f"SELECT '{kind}' AS kind, {cols} FROM ({body})"
+
+
+JOINS_PACK_SQL = f"""
+{_arm('semi', JOIN_SEMI_SQL, "CAST(c_custkey AS BIGINT) AS k1, c_name AS s1, CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2")}
+UNION ALL
+{_arm('anti', JOIN_ANTI_SQL, "CAST(o_orderkey AS BIGINT) AS k1, o_orderstatus AS s1, CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2")}
+UNION ALL
+{_arm('outer', JOIN_OUTER_SQL, "CAST(c_custkey AS BIGINT) AS k1, CAST(NULL AS VARCHAR) AS s1, CAST(n_orders AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2")}
+UNION ALL
+{_arm('full', JOIN_FULL_OUTER_SQL, "CAST(nationkey AS BIGINT) AS k1, CAST(NULL AS VARCHAR) AS s1, CAST(n_cust AS BIGINT) AS v1, CAST(n_supp AS BIGINT) AS v2")}
+UNION ALL
+{_arm('cross', JOIN_CROSS_SQL, "CAST(NULL AS BIGINT) AS k1, r_name || '|' || o_orderstatus AS s1, CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2")}
+UNION ALL
+{_arm('range', RANGE_JOIN_SQL, "CAST(user_id AS BIGINT) AS k1, CAST(NULL AS VARCHAR) AS s1, CAST(n_pairs AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2")}
+ORDER BY kind, k1, s1
+"""
+
+
+def window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 inventory in one scan: running sum (rows frame), ranking
+    functions, lag/lead/first_value, and a RANGE frame — four windows
+    over one orders pass (window_running_sum + window_funcs_pack +
+    window_range_frame merged; one shuffle on o_custkey serves all
+    window specs that share the partition key)."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "od_epoch", F.unix_timestamp("o_orderdate")
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    w_range = Window.partitionBy("o_custkey").orderBy("od_epoch").rangeBetween(-30 * 86400, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("od_epoch").alias("o_orderdate_epoch"),
+        F.sum(_dec("o_totalprice")).over(w_run).cast("double").alias("running_spend"),
+        F.rank().over(w_rank).alias("rnk"),
+        F.dense_rank().over(w_rank).alias("drnk"),
+        F.lag("o_orderkey").over(w_rank).alias("prev_key"),
+        F.lead("o_orderkey").over(w_rank).alias("next_key"),
+        F.first_value("o_orderkey").over(w_rank).alias("top_key"),
+        F.sum(_dec("o_totalprice")).over(w_range).cast("double").alias("spend_30d"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+WINDOW_PACK_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_run AS DOUBLE) AS running_spend,
+       rank() OVER w_rank AS rnk,
+       dense_rank() OVER w_rank AS drnk,
+       lag(o_orderkey) OVER w_rank AS prev_key,
+       lead(o_orderkey) OVER w_rank AS next_key,
+       first_value(o_orderkey) OVER w_rank AS top_key,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_range AS DOUBLE) AS spend_30d
+FROM orders
+WINDOW w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w_rank AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+       w_range AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def agg_multi_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 grouping-variants pack: distinct aggregates, CUBE, and
+    explicit GROUPING SETS (agg_distinct + agg_cube + agg_grouping_sets
+    merged, arms unchanged)."""
+    arms = [
+        agg_distinct(spark, sf_dir).select(
+            F.lit("distinct").alias("kind"),
+            F.col("l_returnflag").alias("k1"),
+            _nl("string", "k2"),
+            F.col("n_supp").cast("bigint").alias("v1"),
+            F.col("n_part").cast("bigint").alias("v2"),
+            F.col("n_rows").cast("bigint").alias("v3"),
+        ),
+        agg_cube(spark, sf_dir).select(
+            F.lit("cube").alias("kind"),
+            F.col("c_mktsegment").alias("k1"),
+            F.col("o_orderstatus").alias("k2"),
+            F.col("n").cast("bigint").alias("v1"),
+            _nl("bigint", "v2"),
+            _nl("bigint", "v3"),
+        ),
+        agg_grouping_sets(spark, sf_dir).select(
+            F.lit("gsets").alias("kind"),
+            F.col("c_mktsegment").alias("k1"),
+            F.col("o_orderstatus").alias("k2"),
+            F.col("n").cast("bigint").alias("v1"),
+            _nl("bigint", "v2"),
+            _nl("bigint", "v3"),
+        ),
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("kind", "k1", "k2")
+
+
+AGG_MULTI_SQL = f"""
+{_arm('distinct', AGG_DISTINCT_SQL, "l_returnflag AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(n_supp AS BIGINT) AS v1, CAST(n_part AS BIGINT) AS v2, CAST(n_rows AS BIGINT) AS v3")}
+UNION ALL
+{_arm('cube', AGG_CUBE_SQL, "c_mktsegment AS k1, o_orderstatus AS k2, CAST(n AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3")}
+UNION ALL
+{_arm('gsets', AGG_GROUPING_SETS_SQL, "c_mktsegment AS k1, o_orderstatus AS k2, CAST(n AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3")}
+ORDER BY kind, k1, k2
+"""
+
+
+def set_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 pack: INTERSECT / EXCEPT / EXCEPT ALL (set_intersect +
+    set_except + set_except_all merged, arms unchanged)."""
+    arms = [
+        set_intersect(spark, sf_dir).select(
+            F.lit("intersect").alias("kind"),
+            F.col("o_custkey").cast("bigint").alias("k1"),
+            _nl("bigint", "v1"),
+        ),
+        set_except(spark, sf_dir).select(
+            F.lit("except").alias("kind"),
+            F.col("o_custkey").cast("bigint").alias("k1"),
+            _nl("bigint", "v1"),
+        ),
+        set_except_all(spark, sf_dir).select(
+            F.lit("except_all").alias("kind"),
+            F.col("o_custkey").cast("bigint").alias("k1"),
+            F.col("n").cast("bigint").alias("v1"),
+        ),
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("kind", "k1")
+
+
+SET_OPS_SQL = f"""
+{_arm('intersect', SET_INTERSECT_SQL, "CAST(o_custkey AS BIGINT) AS k1, CAST(NULL AS BIGINT) AS v1")}
+UNION ALL
+{_arm('except', SET_EXCEPT_SQL, "CAST(o_custkey AS BIGINT) AS k1, CAST(NULL AS BIGINT) AS v1")}
+UNION ALL
+{_arm('except_all', SET_EXCEPT_ALL_SQL, "CAST(o_custkey AS BIGINT) AS k1, CAST(n AS BIGINT) AS v1")}
+ORDER BY kind, k1
+"""
+
+
+def row_funcs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 per-row pack over one orders scan: regex/pad/reverse/translate
+    string functions + calendar decomposition (string_funcs2 +
+    date_parts merged — same grain, one scan instead of two)."""
+    orders = load_table(spark, sf_dir, "orders")
+    epoch_day = F.expr("unix_timestamp(o_orderdate) div 86400")
+    return orders.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", "^[0-9]+", 0).alias("prio_num"),
+        F.lpad("o_orderstatus", 3, "_").alias("status_pad"),
+        F.reverse("o_orderpriority").alias("prio_rev"),
+        F.translate("o_orderstatus", "OFP", "ofp").alias("status_lc"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        ((epoch_day + 4) % 7).alias("dow"),
+    ).orderBy("o_orderkey")
+
+
+ROW_FUNCS_SQL = """
+SELECT o_orderkey,
+       regexp_extract(o_orderpriority, '^[0-9]+', 0) AS prio_num,
+       lpad(o_orderstatus, 3, '_') AS status_pad,
+       reverse(o_orderpriority) AS prio_rev,
+       translate(o_orderstatus, 'OFP', 'ofp') AS status_lc,
+       year(o_orderdate) AS y, month(o_orderdate) AS m,
+       day(o_orderdate) AS d, quarter(o_orderdate) AS q,
+       ((CAST(epoch(o_orderdate) AS BIGINT) // 86400) + 4) % 7 AS dow
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 heterogeneous-scalar pack: string/math over part, array
+    algebra over documents, JSON extract/rebuild over events
+    (scalar_funcs + array_funcs_pack + json_funcs_pack merged)."""
+    arms = [
+        scalar_funcs(spark, sf_dir).select(
+            F.lit("part").alias("kind"),
+            F.col("p_partkey").cast("bigint").alias("id"),
+            F.col("brand_u").alias("s1"),
+            F.col("type5").alias("s2"),
+            F.col("brand_size").alias("s3"),
+            F.col("name_len").cast("bigint").alias("v1"),
+            F.col("size2").cast("bigint").alias("v2"),
+        ),
+        array_funcs_pack(spark, sf_dir).select(
+            F.lit("doc_array").alias("kind"),
+            F.col("doc_id").cast("bigint").alias("id"),
+            F.col("first_sorted").alias("s1"),
+            F.col("last_sorted").alias("s2"),
+            F.col("first3").alias("s3"),
+            F.col("n").cast("bigint").alias("v1"),
+            F.col("has_data").cast("bigint").alias("v2"),
+        ),
+        json_funcs_pack(spark, sf_dir).select(
+            F.lit("ev_json").alias("kind"),
+            F.col("event_id").cast("bigint").alias("id"),
+            F.col("rebuilt").alias("s1"),
+            _nl("string", "s2"),
+            _nl("string", "s3"),
+            F.col("k").cast("bigint").alias("v1"),
+            F.col("k_mod").cast("bigint").alias("v2"),
+        ),
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("kind", "id")
+
+
+SCALAR_PACK_SQL = f"""
+{_arm('part', SCALAR_FUNCS_SQL, "CAST(p_partkey AS BIGINT) AS id, brand_u AS s1, type5 AS s2, brand_size AS s3, CAST(name_len AS BIGINT) AS v1, CAST(size2 AS BIGINT) AS v2")}
+UNION ALL
+{_arm('doc_array', ARRAY_FUNCS_SQL, "CAST(doc_id AS BIGINT) AS id, first_sorted AS s1, last_sorted AS s2, first3 AS s3, CAST(n AS BIGINT) AS v1, CAST(has_data AS BIGINT) AS v2")}
+UNION ALL
+{_arm('ev_json', JSON_FUNCS_SQL, "CAST(event_id AS BIGINT) AS id, rebuilt AS s1, CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3, CAST(k AS BIGINT) AS v1, CAST(k_mod AS BIGINT) AS v2")}
+ORDER BY kind, id
+"""
+
+
+def percentile_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 exact-quantile pack: single median by priority + quartiles by
+    status (percentile_exact + percentile_multi merged)."""
+    arms = [
+        percentile_exact(spark, sf_dir).select(
+            F.lit("by_priority").alias("kind"),
+            F.col("o_orderpriority").alias("grp"),
+            _nl("double", "p25"),
+            F.col("median_price").cast("double").alias("p50"),
+            _nl("double", "p75"),
+        ),
+        percentile_multi(spark, sf_dir).select(
+            F.lit("by_status").alias("kind"),
+            F.col("o_orderstatus").alias("grp"),
+            F.col("p25").cast("double").alias("p25"),
+            F.col("p50").cast("double").alias("p50"),
+            F.col("p75").cast("double").alias("p75"),
+        ),
+    ]
+    return arms[0].unionByName(arms[1]).orderBy("kind", "grp")
+
+
+PERCENTILE_PACK_SQL = f"""
+{_arm('by_priority', PERCENTILE_SQL, "o_orderpriority AS grp, CAST(NULL AS DOUBLE) AS p25, CAST(median_price AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p75")}
+UNION ALL
+{_arm('by_status', PERCENTILE_MULTI_SQL, "o_orderstatus AS grp, CAST(p25 AS DOUBLE) AS p25, CAST(p50 AS DOUBLE) AS p50, CAST(p75 AS DOUBLE) AS p75")}
+ORDER BY kind, grp
+"""
+
+
+def reshape_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 reshape pack: the status×priority pivot (re-stacked to long
+    form for union) + the part unpivot (pivot_status_priority +
+    unpivot_part merged)."""
+    piv = pivot_status_priority(spark, sf_dir).select(
+        F.lit("pivot").alias("kind"),
+        F.col("o_orderstatus").alias("key"),
+        F.expr(
+            "stack(5, 'urgent', urgent, 'high', high, 'medium', medium, "
+            "'not_specified', not_specified, 'low', low) AS (attr, v_cnt)"
+        ),
+        _nl("double", "v_num"),
+    )
+    unp = unpivot_part(spark, sf_dir).select(
+        F.lit("unpivot").alias("kind"),
+        F.col("p_partkey").cast("string").alias("key"),
+        F.col("attr"),
+        _nl("bigint", "v_cnt"),
+        F.col("val").cast("double").alias("v_num"),
+    )
+    return piv.unionByName(unp).orderBy("kind", "key", "attr")
+
+
+RESHAPE_PACK_SQL = f"""
+SELECT 'pivot' AS kind, o_orderstatus AS key, attr, v_cnt, CAST(NULL AS DOUBLE) AS v_num
+FROM (
+  SELECT o_orderstatus, unnest(['urgent', 'high', 'medium', 'not_specified', 'low']) AS attr,
+         unnest([urgent, high, medium, not_specified, low]) AS v_cnt
+  FROM ({PIVOT_SQL.strip()})
 )
+UNION ALL
+{_arm('unpivot', UNPIVOT_SQL, "CAST(p_partkey AS VARCHAR) AS key, attr, CAST(NULL AS BIGINT) AS v_cnt, CAST(val AS DOUBLE) AS v_num")}
+ORDER BY kind, key, attr
+"""
+
+
+def tpch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H shapes pack: Q4 (EXISTS + count), Q10 (returned-item
+    revenue top-20), global top-k (q4_order_priority +
+    q10_returned_items + topk_global merged)."""
+    arms = [
+        q4_order_priority(spark, sf_dir).select(
+            F.lit("q4").alias("kind"),
+            F.col("o_orderpriority").alias("k1"),
+            _nl("string", "k2"),
+            F.col("order_count").cast("bigint").alias("v1"),
+            _nl("double", "v2"),
+        ),
+        q10_returned_items(spark, sf_dir).select(
+            F.lit("q10").alias("kind"),
+            F.col("c_custkey").cast("string").alias("k1"),
+            F.col("c_name").alias("k2"),
+            _nl("bigint", "v1"),
+            F.col("revenue").cast("double").alias("v2"),
+        ),
+        topk_global(spark, sf_dir).select(
+            F.lit("topk_part").alias("kind"),
+            F.col("p_partkey").cast("string").alias("k1"),
+            F.col("p_name").alias("k2"),
+            _nl("bigint", "v1"),
+            F.col("p_retailprice").cast("double").alias("v2"),
+        ),
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("kind", "k1")
+
+
+TPCH_PACK_SQL = f"""
+{_arm('q4', Q4_SQL, "o_orderpriority AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(order_count AS BIGINT) AS v1, CAST(NULL AS DOUBLE) AS v2")}
+UNION ALL
+{_arm('q10', Q10_SQL, "CAST(c_custkey AS VARCHAR) AS k1, c_name AS k2, CAST(NULL AS BIGINT) AS v1, CAST(revenue AS DOUBLE) AS v2")}
+UNION ALL
+{_arm('topk_part', TOPK_GLOBAL_SQL, "CAST(p_partkey AS VARCHAR) AS k1, p_name AS k2, CAST(NULL AS BIGINT) AS v1, CAST(p_retailprice AS DOUBLE) AS v2")}
+ORDER BY kind, k1
+"""
+
+
+def time_aggs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-dimension pack: sliding windows over events + cohort
+    retention (events_sliding + cohort_retention merged)."""
+    arms = [
+        events_sliding(spark, sf_dir).select(
+            F.lit("sliding").alias("kind"),
+            F.col("window_start").cast("bigint").alias("k1"),
+            F.col("event_type").alias("s1"),
+            _nl("bigint", "k2"),
+            F.col("n").cast("bigint").alias("v1"),
+        ),
+        cohort_retention(spark, sf_dir).select(
+            F.lit("cohort").alias("kind"),
+            F.col("cohort_day").cast("bigint").alias("k1"),
+            _nl("string", "s1"),
+            F.col("day_offset").cast("bigint").alias("k2"),
+            F.col("n_active").cast("bigint").alias("v1"),
+        ),
+    ]
+    return arms[0].unionByName(arms[1]).orderBy("kind", "k1", "s1", "k2")
+
+
+TIME_AGGS_SQL = f"""
+{_arm('sliding', EVENTS_SLIDING_SQL, "CAST(window_start AS BIGINT) AS k1, event_type AS s1, CAST(NULL AS BIGINT) AS k2, CAST(n AS BIGINT) AS v1")}
+UNION ALL
+{_arm('cohort', COHORT_SQL, "CAST(cohort_day AS BIGINT) AS k1, CAST(NULL AS VARCHAR) AS s1, CAST(day_offset AS BIGINT) AS k2, CAST(n_active AS BIGINT) AS v1")}
+ORDER BY kind, k1, s1, k2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry: the 9 bench-headline queries stand alone (bench.py compares
+# them per-round against BASELINE.md), the rest of Table B rides in the
+# 10 packs above, + 1 rows-only sketch op.  See COVERAGE.md for the
+# pack → operator map.
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
+    "window_topk_per_group": (window_topk_per_group, WINDOW_TOPK_SQL),
+    "agg_rollup": (agg_rollup, AGG_ROLLUP_SQL),
+    "events_tumbling": (events_tumbling, EVENTS_TUMBLING_SQL),
+    "sessionize": (sessionize, SESSIONIZE_SQL),
+    "asof_join": (asof_join, ASOF_JOIN_SQL),
+    "salted_hot_key_agg": (salted_hot_key_agg, SALTED_AGG_SQL),
+    "joins_pack": (joins_pack, JOINS_PACK_SQL),
+    "window_pack": (window_pack, WINDOW_PACK_SQL),
+    "agg_multi_pack": (agg_multi_pack, AGG_MULTI_SQL),
+    "set_ops_pack": (set_ops_pack, SET_OPS_SQL),
+    "row_funcs_pack": (row_funcs_pack, ROW_FUNCS_SQL),
+    "scalar_pack": (scalar_pack, SCALAR_PACK_SQL),
+    "percentile_pack": (percentile_pack, PERCENTILE_PACK_SQL),
+    "reshape_pack": (reshape_pack, RESHAPE_PACK_SQL),
+    "tpch_pack": (tpch_pack, TPCH_PACK_SQL),
+    "time_aggs_pack": (time_aggs_pack, TIME_AGGS_SQL),
+    "approx_sketches": (approx_sketches, None),
+}

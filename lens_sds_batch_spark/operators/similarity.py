@@ -266,7 +266,7 @@ quant AS (
 )
 SELECT vec_id,
        round(scale, 8) AS scale_r,
-       list_sum(q) AS qsum,
+       CAST(list_sum(q) AS BIGINT) AS qsum,
        q[1] AS q0,
        q[2] AS q1,
        round(list_reduce(list_transform(range(1, len(vd) + 1),

@@ -163,12 +163,6 @@ FROM documents ORDER BY doc_id
 """
 
 
-QUERIES: dict[str, tuple] = {
-    "text_quality": (text_quality, TEXT_QUALITY_SQL),
-    "lang_id": (lang_id, LANG_ID_SQL),
-    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
-    "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
-}
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +215,6 @@ SELECT doc_id, term, tfidf, rk FROM (
 ORDER BY doc_id, rk
 """
 
-QUERIES.update({"tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL)})
 
 
 BIGRAM_TOP = 20
@@ -294,12 +287,6 @@ WHERE n_tokens BETWEEN 20 AND 1000 AND ttr >= 0.3 AND sw_ratio <= 0.2
 ORDER BY doc_id
 """
 
-QUERIES.update(
-    {
-        "bigram_topk": (bigram_topk, BIGRAM_TOPK_SQL),
-        "corpus_filter": (corpus_filter, CORPUS_FILTER_SQL),
-    }
-)
 
 
 # ---------------------------------------------------------------------------
@@ -354,7 +341,8 @@ def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FH_COLS = ", ".join(
-    f"sum(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS f{i}" for i in range(FH_BUCKETS)
+    f"CAST(sum(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS BIGINT) AS f{i}"
+    for i in range(FH_BUCKETS)
 )
 FEATURE_HASH_SQL = f"""
 SELECT doc_id, {_FH_COLS}
@@ -365,9 +353,71 @@ FROM (
 GROUP BY doc_id ORDER BY doc_id
 """
 
-QUERIES.update(
-    {
-        "rolling_hash": (rolling_hash, ROLLING_HASH_SQL),
-        "feature_hash_vectors": (feature_hash_vectors, FEATURE_HASH_SQL),
-    }
-)
+def doc_features_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document feature pack in one result: language-ID
+    (stopword-hit argmax), content fingerprints (md5 + 64-bit prefix),
+    the corpus quality-gate verdict (as a ``kept`` flag so the pack
+    stays at doc grain), and the 8-bucket feature-hash vector
+    (lang_id + doc_fingerprints + corpus_filter + feature_hash_vectors
+    merged; each arm's computation unchanged).  One documents scan for
+    the per-row features + one token explode for the hash vector."""
+    base = (
+        lang_id(spark, sf_dir)
+        .join(doc_fingerprints(spark, sf_dir), "doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double")
+    sw_ratio = _hits(toks, LANG_STOPWORDS["en"]).cast("double") / n_tok.cast("double")
+    gate = docs.select(
+        "doc_id",
+        (
+            (n_tok >= 20) & (n_tok <= 1000) & (ttr >= 0.3) & (sw_ratio <= 0.2)
+        ).cast("int").alias("kept"),
+    )
+    return (
+        base.join(gate, "doc_id")
+        .join(feature_hash_vectors(spark, sf_dir), "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+DOC_FEATURES_SQL = f"""
+WITH lang AS ({LANG_ID_SQL.strip()}),
+fp AS ({DOC_FINGERPRINTS_SQL.strip()}),
+gate AS (
+  SELECT doc_id,
+         CAST((len(string_split(text, ' ')) BETWEEN 20 AND 1000)
+          AND (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.3)
+          AND (CAST(len(list_filter(string_split(text, ' '), t -> t IN ('{_SW_EN}'))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 0.2) AS INT) AS kept
+  FROM documents
+),
+fh AS ({FEATURE_HASH_SQL.strip()})
+SELECT lang.doc_id, labeled_lang, predicted_lang, label_match,
+       md5_full, fp64, kept,
+       f0, f1, f2, f3, f4, f5, f6, f7
+FROM lang
+JOIN fp ON lang.doc_id = fp.doc_id
+JOIN gate ON lang.doc_id = gate.doc_id
+JOIN fh ON lang.doc_id = fh.doc_id
+ORDER BY lang.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry: bench-headline queries stand alone; lang_id /
+# doc_fingerprints / corpus_filter / feature_hash_vectors ride in
+# doc_features_pack (see COVERAGE.md).
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
+    "bigram_topk": (bigram_topk, BIGRAM_TOPK_SQL),
+    "rolling_hash": (rolling_hash, ROLLING_HASH_SQL),
+    "doc_features_pack": (doc_features_pack, DOC_FEATURES_SQL),
+}
