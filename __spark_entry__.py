@@ -13,13 +13,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lens_sds_batch_spark import oracle
 from lens_sds_batch_spark.plans.commands import generate_commands
-from lens_sds_batch_spark.plans.odm import BATCH_CMD_ID, SUB, derive_odm_from_tpch
+from lens_sds_batch_spark.plans.odm import BATCH_CMD_ID, SUB, derive_odm_resolved
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def _odm_commands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    odm = derive_odm_from_tpch(spark, sf_dir)
+    """Fused flagship: join-free derivation (tx resolution + id chains
+    per-row, chain hashes at lineitem grain before the EAV explode);
+    row-identical to the generic normalized path — pinned by
+    tests/test_odm_commands.py::test_fused_equals_generic."""
+    odm = derive_odm_resolved(spark, sf_dir)
     return generate_commands(odm, BATCH_CMD_ID, SUB)
 
 
@@ -27,7 +31,7 @@ def _odm_commands_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True RFC-4122 UUIDv5 id flavor (reference byte-parity algebra).
     Rows-only check: this DuckDB has no sha1; correctness of the id
     algebra is golden-pinned in tests/test_keys.py instead."""
-    odm = derive_odm_from_tpch(spark, sf_dir)
+    odm = derive_odm_resolved(spark, sf_dir, flavor="sha1")
     return generate_commands(odm, BATCH_CMD_ID, SUB, flavor="sha1")
 
 

@@ -170,29 +170,45 @@ GROUP BY l_orderkey ORDER BY l_orderkey
 
 
 def dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A22's 3-way validation split over the events.props JSON payload:
-    parse → schema check (k in [0,50] = valid) → routed counts."""
+    """A22's validation split over the events.props JSON payload, with
+    the reference's retryable-vs-fatal distinction (``broker.clj:62-63``
+    returns ``{:error … :requeue bool}``; ``:87-95`` requeues retryable
+    failures and dead-letters the rest):
+
+    - valid       (k in [0,50])  — ack
+    - transient   (k in (50,75]) — resource-style failure, retryable:
+                                   the requeue path
+    - dead_letter (otherwise)    — validation failure, fatal
+    - undecodable (k null)       — decode failure, fatal
+    """
     ev = load_events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     routed = ev.select(
         "event_type",
-        F.when(k.isNull(), "undecodable").when((k >= 0) & (k <= 50), "valid").otherwise("dead_letter").alias("route"),
-    )
+        F.when(k.isNull(), "undecodable")
+        .when((k >= 0) & (k <= 50), "valid")
+        .when((k > 50) & (k <= 75), "transient")
+        .otherwise("dead_letter")
+        .alias("route"),
+    ).withColumn("retryable", F.col("route") == "transient")
     return (
-        routed.groupBy("event_type", "route")
+        routed.groupBy("event_type", "route", "retryable")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "route")
     )
 
 
 DEAD_LETTER_SQL = """
-SELECT event_type,
-       CASE WHEN json_extract(props, '$.k') IS NULL THEN 'undecodable'
-            WHEN CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 50 THEN 'valid'
-            ELSE 'dead_letter' END AS route,
-       count(*) AS n
-FROM events
-GROUP BY 1, 2 ORDER BY event_type, route
+SELECT event_type, route, route = 'transient' AS retryable, count(*) AS n
+FROM (
+  SELECT event_type,
+         CASE WHEN json_extract(props, '$.k') IS NULL THEN 'undecodable'
+              WHEN CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 50 THEN 'valid'
+              WHEN CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 51 AND 75 THEN 'transient'
+              ELSE 'dead_letter' END AS route
+  FROM events
+)
+GROUP BY 1, 2, 3 ORDER BY event_type, route
 """
 
 
@@ -212,22 +228,25 @@ def entity_state_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
     current state = even-custkey subjects (version v0);
     incoming      = subject-level commands (insert/upsert -> v1 row,
                     remove -> tombstone; update cascades only).
-    """
-    from ..plans.commands import generate_commands
-    from ..plans.odm import BATCH_CMD_ID, SUB as ODM_SUB, derive_odm_from_tpch
 
-    odm = derive_odm_from_tpch(spark, sf_dir)
-    cmds = generate_commands(odm, BATCH_CMD_ID, ODM_SUB, persist=False)
-    subj_cmds = cmds.where(
-        F.col("name").isin(
-            "odm-import/insert-subject", "odm-import/upsert-subject", "odm-import/remove-subject"
-        )
-    ).select(
+    Level pushdown: only subject-level commands feed this merge, and
+    subject commands are independent of descendant levels (cascade
+    gating flows parent→child, never back) — so the fused derivation
+    emits JUST the subjects level: a customer scan + per-row tx
+    resolution, no lineitem join, no command-id hashing (ids aren't
+    merge inputs).  The round-1 form regenerated the full 5-level
+    command stream and filtered it (29 shuffles for a 1-level answer).
+    The oracle has always taken this shape (SUBJECT_TX over customer).
+    """
+    from ..plans.odm import derive_odm_resolved
+
+    subj = derive_odm_resolved(spark, sf_dir).subjects
+    subj_cmds = subj.where(F.col("rtx").isin("insert", "upsert", "remove")).select(
         "study_oid",
         "subject_key",
         F.lit(1).alias("priority"),
         F.lit("v1").alias("version"),
-        (F.col("name") == "odm-import/remove-subject").alias("is_remove"),
+        (F.col("rtx") == "remove").alias("is_remove"),
     )
     current = (
         load_table(spark, sf_dir, "customer")

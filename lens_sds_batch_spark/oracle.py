@@ -218,7 +218,13 @@ def _cmd_select(src: str, rtx: str, verb_entity: str, params: dict[str, str], ou
     for k in sorted(hp):
         parts.append(f"':{k}'")
         parts.append(hp[k])
-    payload = " || ".join([ns_hex(f"'{BATCH_CMD_ID}'")] + [f"CAST({p} AS VARCHAR)" for p in parts])
+    # coalesce mirrors plans/commands._payload's NULL sentinel — a null
+    # param value (possible via the XML path) must hash deterministically
+    # and identically in both engines, not null the whole payload
+    payload = " || ".join(
+        [ns_hex(f"'{BATCH_CMD_ID}'")]
+        + [f"coalesce(CAST({p} AS VARCHAR), ':nil')" for p in parts]
+    )
     outs = ", ".join(
         (f"{out[c]} AS {c}" if c in out else f"CAST(NULL AS VARCHAR) AS {c}") for c in _OUT_COLS
     )

@@ -118,14 +118,46 @@ def _null(name):
     return F.lit(None).cast("string").alias(name)
 
 
-def _payload(name_col, params: dict):
+# params whose values are entity uuids — clj-uuid encodes these as their
+# 16 raw bytes in the v5 name payload (reference util.clj UUIDNameBytes)
+_UUID_PARAMS = frozenset(
+    {"study-id", "subject-id", "study-event-id", "form-id", "item-group-id", "item-id"}
+)
+_NIL_SENTINEL = ":nil"  # deterministic stand-in for a NULL param value
+
+
+def _payload(name_col, params: dict, flavor: str = "md5"):
     """The cmd-id hash payload: ':name' ++ sorted ':key' value pairs
-    (A18).  ``name_col`` is a Column so one projection covers every
-    verb of a level."""
-    parts = [F.concat(F.lit(":"), name_col)]
+    (A18, reference ``gen-cmd-id`` at ``import_clinical_data.clj:288-289``:
+    ``(conj (flatten (sort-by first params)) name)``).  ``name_col`` is a
+    Column so one projection covers every verb of a level.
+
+    NULL values (e.g. empty ItemData text from the XML path) coalesce to
+    a sentinel — ``F.concat`` would otherwise null the whole payload and
+    every null-valued command would collapse onto one degenerate id.
+    The DuckDB oracle (`oracle._cmd_select`) applies the same sentinel.
+
+    flavor='md5' hashes one canonical string.  flavor='sha1' hashes the
+    clj-uuid BYTE encoding: keywords as their ':kw' UTF-8 form, uuid
+    params as 16 raw bytes (UUIDNameBytes), strings as UTF-8.  Remaining
+    parity delta, by design: typed item values (integer/float/datetime)
+    are hashed via their canonical *string* form, where the reference
+    hands clj-uuid the typed object — see generate_commands docstring."""
+    if flavor == "md5":
+        parts = [F.concat(F.lit(":"), name_col)]
+        for k in sorted(params):
+            parts.append(F.lit(":" + k))
+            parts.append(F.coalesce(params[k].cast("string"), F.lit(_NIL_SENTINEL)))
+        return F.concat(*parts)
+    parts = [F.concat(F.lit(":"), name_col).cast("binary")]
     for k in sorted(params):
-        parts.append(F.lit(":" + k))
-        parts.append(params[k].cast("string"))
+        parts.append(F.lit(":" + k).cast("binary"))
+        if k in _UUID_PARAMS:
+            parts.append(F.unhex(F.regexp_replace(params[k], "-", "")))
+        else:
+            parts.append(
+                F.coalesce(params[k].cast("string"), F.lit(_NIL_SENTINEL)).cast("binary")
+            )
     return F.concat(*parts)
 
 
@@ -139,11 +171,11 @@ def _level_commands(df, batch_cmd_id, sub, entity, params, out, item_level=False
     hp["file-oid"] = F.col("file_oid")
     if not item_level:
         df = df.where(F.col("rtx") != "update")  # interior update: cascade only
-        payload = _payload(name, hp)
+        payload = _payload(name, hp, flavor)
     else:
         # items: insert/upsert carry {item-group-id,item-oid,data-type,value};
         # update targets {item-id,data-type,value}; remove drops the value
-        ins = _payload(name, hp)
+        ins = _payload(name, hp, flavor)
         upd = _payload(
             name,
             {
@@ -152,6 +184,7 @@ def _level_commands(df, batch_cmd_id, sub, entity, params, out, item_level=False
                 "item-id": F.col("item_id"),
                 "value": F.col("value_canon"),
             },
+            flavor,
         )
         rem = _payload(
             name,
@@ -160,6 +193,7 @@ def _level_commands(df, batch_cmd_id, sub, entity, params, out, item_level=False
                 "item-group-id": F.col("item_group_id"),
                 "item-oid": F.col("item_oid"),
             },
+            flavor,
         )
         payload = (
             F.when(F.col("rtx") == "update", upd)
@@ -223,9 +257,24 @@ def generate_commands(
     level's resolve join.  Measured cold-session at sf0.1: 12.7s with
     persist vs 18.9s without (warm-session A/Bs invert this — beware
     run-order bias when re-measuring).  ``flavor='sha1'`` switches
-    every id to true RFC-4122 UUIDv5 (reference byte-parity; not
-    DuckDB-checkable because this DuckDB lacks sha1)."""
-    r = resolve_and_identify(odm, flavor)
+    every id to true RFC-4122 UUIDv5 with the reference's clj-uuid name
+    encoding: entity-id chains are byte-exact (golden-pinned,
+    tests/test_keys.py), and cmd-id payloads encode uuid params as 16
+    raw bytes per UUIDNameBytes (reference util.clj:32-43).  One
+    documented delta remains: typed item VALUES are hashed via their
+    canonical string form, where the reference hands clj-uuid the typed
+    Long/Double/DateTime object — so real-world cmd ids for
+    integer/float/datetime item values may differ.  Not DuckDB-checkable
+    (this DuckDB lacks sha1); pinned in tests instead.
+
+    Pre-resolved input (levels already carrying ``rtx`` + entity ids,
+    e.g. from ``odm.derive_odm_resolved``'s join-free fused path) is
+    detected and used as-is — no resolve joins, no level persists."""
+    if "rtx" in odm.subjects.columns:
+        r = odm  # fused/denormalized path: already resolved + identified
+        persist = False
+    else:
+        r = resolve_and_identify(odm, flavor)
     subj, se, form, ig, item = r.subjects, r.study_events, r.forms, r.item_groups, r.items
     if persist:
         for df in (subj, se, form, ig):

@@ -69,6 +69,25 @@ def _subject_tx(custkey):
     )
 
 
+def _se_tx(orderkey):
+    m = orderkey % 7
+    return (
+        F.when(m == 0, "update")
+        .when(m == 1, "remove")
+        .when(m == 2, "upsert")
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def _form_tx(orderkey, linenumber):
+    m = (orderkey + linenumber) % 5
+    return (
+        F.when(m == 0, "update")
+        .when(m == 1, "remove")
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 def derive_odm_from_tpch(spark: SparkSession, sf_dir: str) -> OdmTables:
     """Deterministic ODM tree derived from customer/orders/lineitem.
 
@@ -92,17 +111,12 @@ def derive_odm_from_tpch(spark: SparkSession, sf_dir: str) -> OdmTables:
         _subject_tx(F.col("c_custkey")).alias("tx_type"),
     )
 
-    se_m = F.col("o_orderkey") % 7
     study_events = orders.select(
         F.lit(FILE_OID).alias("file_oid"),
         F.concat(F.lit("ST"), (F.col("o_custkey") % 3).cast("string")).alias("study_oid"),
         F.concat(F.lit("SK"), F.col("o_custkey").cast("string")).alias("subject_key"),
         F.concat(F.lit("SE"), F.col("o_orderkey").cast("string")).alias("study_event_oid"),
-        F.when(se_m == 0, "update")
-        .when(se_m == 1, "remove")
-        .when(se_m == 2, "upsert")
-        .otherwise(F.lit(None).cast("string"))
-        .alias("tx_type"),
+        _se_tx(F.col("o_orderkey")).alias("tx_type"),
     )
 
     # forms need the customer key -> join lineitem to orders (broadcast-able
@@ -124,7 +138,6 @@ def derive_odm_from_tpch(spark: SparkSession, sf_dir: str) -> OdmTables:
         .withColumn("form_seq", F.row_number().over(w))
         .persist()
     )
-    fm_m = (F.col("l_orderkey") + F.col("l_linenumber")) % 5
     form_cols = [
         F.lit(FILE_OID).alias("file_oid"),
         F.concat(F.lit("ST"), (F.col("o_custkey") % 3).cast("string")).alias("study_oid"),
@@ -134,7 +147,7 @@ def derive_odm_from_tpch(spark: SparkSession, sf_dir: str) -> OdmTables:
     ]
     forms = li.select(
         *form_cols,
-        F.when(fm_m == 0, "update").when(fm_m == 1, "remove").otherwise(F.lit(None).cast("string")).alias("tx_type"),
+        _form_tx(F.col("l_orderkey"), F.col("l_linenumber")).alias("tx_type"),
     )
 
     item_groups = li.select(
@@ -174,6 +187,193 @@ def derive_odm_from_tpch(spark: SparkSession, sf_dir: str) -> OdmTables:
     )
 
     return OdmTables(files, subjects, study_events, forms, item_groups, items)
+
+
+# ---------------------------------------------------------------------------
+# Fused derivation (denormalized fast path)
+# ---------------------------------------------------------------------------
+
+def derive_odm_resolved(
+    spark: SparkSession, sf_dir: str, flavor: str = "md5", persist: bool = True
+) -> OdmTables:
+    """``derive_odm_from_tpch`` + tx resolution + entity-id chains in
+    one pass per level, with ZERO parent-child resolve joins.
+
+    The generic pipeline (``commands.resolve_and_identify``) joins each
+    level to its parent to inherit tx-type and carry the parent's id
+    down — necessary when levels are independent normalized tables.
+    But a *denormalized* source (this column-derived tree, or an
+    exploded XML file where ancestors ride on the row) already has
+    every ancestor's tx-type computable per-row, so:
+
+    - tx inheritance  = a per-row coalesce chain (no join)
+    - remove-pruning  = a per-row filter on ancestor rtx (no join)
+    - id chains       = computed once at the COARSEST grain: the
+      study→…→item_group chain hashes happen on the ~N lineitem rows
+      *before* the 5-way EAV ``inline()`` explode, so items pay only
+      their own item_id + cmd_id hashes (the round-1 plan recomputed
+      nothing per level but paid a 6-string-key join at item grain).
+
+    At 100 TB: the only wide operations left are the natural-key
+    lineitem⋈orders equi-join and the form_seq window, both on
+    l_orderkey — everything else is a projection.  Output is
+    row-identical to the generic path (pinned by
+    tests/test_odm_commands.py::test_fused_equals_generic and the
+    unchanged driver oracle).
+    """
+    from ..functions.keys import uuid3_str_col, uuid5_col
+
+    key = {"md5": uuid3_str_col, "sha1": uuid5_col}[flavor]
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    files = spark.createDataFrame(
+        [(FILE_OID, "transactional", BATCH_CMD_ID, SUB)],
+        "file_oid string, file_type string, batch_cmd_id string, sub string",
+    )
+
+    def _study_oid(custkey):
+        return F.concat(F.lit("ST"), (custkey % 3).cast("string"))
+
+    def _subject_key(custkey):
+        return F.concat(F.lit("SK"), custkey.cast("string"))
+
+    def _subj_rtx(custkey):
+        return F.coalesce(_subject_tx(custkey), F.lit("insert"))
+
+    # --- subjects (customer grain): 2 chain hashes x |customer| ---
+    ck = F.col("c_custkey")
+    subjects = (
+        customer.select(
+            F.lit(FILE_OID).alias("file_oid"),
+            _study_oid(ck).alias("study_oid"),
+            _subject_key(ck).alias("subject_key"),
+            _subject_tx(ck).alias("tx_type"),
+            _subj_rtx(ck).alias("rtx"),
+        )
+        .withColumn("study_id", key(NIL_UUID, [F.col("study_oid")]))
+        .withColumn("subject_id", key(F.col("study_id"), [F.col("subject_key")]))
+    )
+
+    # --- study events (orders grain): subject rtx is a pure function of
+    # o_custkey, so inheritance + pruning are row-local ---
+    ok, customerk = F.col("o_orderkey"), F.col("o_custkey")
+    se = (
+        orders.select(
+            F.lit(FILE_OID).alias("file_oid"),
+            _study_oid(customerk).alias("study_oid"),
+            _subject_key(customerk).alias("subject_key"),
+            F.concat(F.lit("SE"), ok.cast("string")).alias("study_event_oid"),
+            _se_tx(ok).alias("tx_type"),
+            _subj_rtx(customerk).alias("subj_rtx"),
+        )
+        .where(F.col("subj_rtx") != "remove")
+        .withColumn("rtx", F.coalesce(F.col("tx_type"), F.col("subj_rtx")))
+        .drop("subj_rtx")
+        .withColumn("study_id", key(NIL_UUID, [F.col("study_oid")]))
+        .withColumn("subject_id", key(F.col("study_id"), [F.col("subject_key")]))
+        .withColumn("study_event_id", key(F.col("subject_id"), [F.col("study_event_oid")]))
+        .drop("study_id")
+    )
+
+    # --- lineitem base: the one equi-join (natural key) + form_seq
+    # window, then the full ancestor tx/rtx chain and the id chain down
+    # to item_group_id — all BEFORE the EAV explode ---
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    )
+    lk, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    li = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"), lineitem.l_orderkey == orders.o_orderkey
+        )
+        .withColumn("form_seq", F.row_number().over(w))
+        .withColumn("subj_rtx", _subj_rtx(F.col("o_custkey")))
+        .withColumn("se_rtx", F.coalesce(_se_tx(lk), F.col("subj_rtx")))
+        .withColumn("form_tx", _form_tx(lk, ln))
+        .withColumn("form_rtx", F.coalesce(F.col("form_tx"), F.col("se_rtx")))
+        .where((F.col("subj_rtx") != "remove") & (F.col("se_rtx") != "remove"))
+        .withColumn("file_oid", F.lit(FILE_OID))
+        .withColumn("study_oid", _study_oid(F.col("o_custkey")))
+        .withColumn("subject_key", _subject_key(F.col("o_custkey")))
+        .withColumn("study_event_oid", F.concat(F.lit("SE"), lk.cast("string")))
+        .withColumn("form_oid", F.concat(F.lit("FM"), F.col("form_seq").cast("string")))
+        .withColumn("study_id", key(NIL_UUID, [F.col("study_oid")]))
+        .withColumn("subject_id", key(F.col("study_id"), [F.col("subject_key")]))
+        .withColumn("study_event_id", key(F.col("subject_id"), [F.col("study_event_oid")]))
+        .withColumn("form_id", key(F.col("study_event_id"), [F.col("form_oid")]))
+    )
+    path_cols = ["file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid"]
+    # persist the NARROW frontier only: path + ids + tx state + the five
+    # EAV source columns — not the full lineitem row (halves the cached
+    # bytes; the cache feeds the forms/item_groups/items branches)
+    li = li.select(
+        *path_cols,
+        "form_tx",
+        "form_rtx",
+        "study_event_id",
+        "form_id",
+        *sorted({src for _, _, src in ITEM_ATTRS}),
+    )
+    if persist:
+        li = li.persist()
+
+    forms = li.select(
+        *path_cols,
+        F.col("form_tx").alias("tx_type"),
+        F.col("form_rtx").alias("rtx"),
+        "study_event_id",
+        "form_id",
+    )
+
+    # item_groups / items: parents with rtx='remove' are pruned (A14) —
+    # IG1 has no own tx, so ig rtx == form rtx and both levels share
+    # the same non-remove filter.
+    li_ig = li.where(F.col("form_rtx") != "remove").withColumn(
+        "item_group_id", key(F.col("form_id"), [F.lit("IG1")])
+    )
+
+    item_groups = li_ig.select(
+        *path_cols,
+        F.lit("IG1").alias("item_group_oid"),
+        F.lit(None).cast("string").alias("tx_type"),
+        F.col("form_rtx").alias("rtx"),
+        "form_id",
+        "item_group_id",
+    )
+
+    attr_structs = []
+    for oid, dtype, src in ITEM_ATTRS:
+        if dtype == "float":
+            canon = F.col(src).cast("decimal(18,2)").cast("string")
+        elif dtype == "date-time":
+            canon = F.unix_timestamp(F.col(src)).cast("string")
+        else:
+            canon = F.col(src).cast("string")
+        attr_structs.append(
+            F.struct(
+                F.lit(oid).alias("item_oid"),
+                F.lit(dtype).alias("data_type"),
+                canon.alias("value_canon"),
+            )
+        )
+    items = (
+        li_ig.select(
+            *path_cols,
+            F.lit("IG1").alias("item_group_oid"),
+            F.col("form_rtx").alias("rtx"),
+            "item_group_id",
+            F.inline(F.array(*attr_structs)),
+        )
+        .withColumn("tx_type", F.lit(None).cast("string"))
+        .withColumn("item_id", key(F.col("item_group_id"), [F.col("item_oid")]))
+    )
+
+    return OdmTables(files, subjects, se, forms, item_groups, items)
 
 
 # ---------------------------------------------------------------------------

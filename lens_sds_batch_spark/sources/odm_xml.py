@@ -33,7 +33,7 @@ PARSED_SCHEMA = (
     "file_path string, file_oid string, study_oid string, subject_key string, "
     "study_event_oid string, form_oid string, item_group_oid string, item_oid string, "
     "subject_tx string, study_event_tx string, form_tx string, item_group_tx string, "
-    "item_tx string, data_type string, value_canon string, error string"
+    "item_tx string, data_type string, value_canon string, error string, retryable boolean"
 )
 
 _TX = "TransactionType"
@@ -89,14 +89,30 @@ def parse_odm_bytes(path: str, blob: bytes) -> list[dict]:
                                 rows.append(g)
                             for item in ig:
                                 tag = _strip(item.tag)
-                                # ItemDataString / ItemDataInteger / ...
+                                # typed form: ItemDataString / ItemDataInteger / ...
                                 dtype = {
                                     "ItemDataString": "string",
                                     "ItemDataInteger": "integer",
                                     "ItemDataFloat": "float",
                                     "ItemDataDatetime": "date-time",
                                 }.get(tag)
-                                if dtype is None:
+                                if dtype is not None:
+                                    value = (item.text or "").strip() or None
+                                elif tag == "ItemData":
+                                    # generic CDISC form: <ItemData ItemOID=…
+                                    # Value=… [DataType=…]> — also valid ODM;
+                                    # the reference's lens-odm-parser consumes
+                                    # the same :data-type/:value pairs
+                                    # (import_clinical_data.clj:59-66), so
+                                    # these must NOT dead-letter
+                                    dtype = (item.get("DataType") or "string").lower()
+                                    if dtype not in {"string", "integer", "float", "date-time", "datetime"}:
+                                        raise ValueError(
+                                            f"unknown ItemData DataType {item.get('DataType')!r}"
+                                        )
+                                    dtype = "date-time" if dtype == "datetime" else dtype
+                                    value = item.get("Value")
+                                else:
                                     raise ValueError(f"unknown item element <{tag}>")
                                 rows.append(
                                     dict(
@@ -104,12 +120,19 @@ def parse_odm_bytes(path: str, blob: bytes) -> list[dict]:
                                         item_oid=item.get("ItemOID"),
                                         item_tx=_tx(item),
                                         data_type=dtype,
-                                        value_canon=(item.text or "").strip() or None,
+                                        value_canon=value,
                                     )
                                 )
         return rows
     except (ET.ParseError, ValueError) as exc:
-        return [dict(base, file_path=path, error=f"{type(exc).__name__}: {exc}")]
+        # malformed content: re-delivery can never succeed -> fatal
+        # (reference broker.clj:62-63 sends :requeue false for these)
+        return [dict(base, file_path=path, error=f"{type(exc).__name__}: {exc}", retryable=False)]
+    except Exception as exc:  # noqa: BLE001 — transient executor faults
+        # anything else (OOM slice, fs hiccup) is environmental: the
+        # same bytes may parse on re-delivery -> retryable (:requeue
+        # true, broker.clj:87-95)
+        return [dict(base, file_path=path, error=f"{type(exc).__name__}: {exc}", retryable=True)]
 
 
 def read_odm_xml(spark: SparkSession, path_glob: str) -> DataFrame:
@@ -139,6 +162,20 @@ def split_errors(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     from pyspark.sql import functions as F
 
     return parsed.where(F.col("error").isNull()), parsed.where(F.col("error").isNotNull())
+
+
+def route_parsed(parsed: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full A22 3-way routing: (valid, retryable, fatal).
+
+    ``retryable`` is the requeue path (reference ``broker.clj:87-95``
+    nack+requeue); ``fatal`` is the dead-letter path (ack + error
+    event).  A requeue loop re-feeds the retryable rows' files to the
+    source; deterministic command ids make the replay idempotent."""
+    from pyspark.sql import functions as F
+
+    valid = parsed.where(F.col("error").isNull())
+    errs = parsed.where(F.col("error").isNotNull())
+    return valid, errs.where(F.col("retryable")), errs.where(~F.col("retryable"))
 
 
 def odm_tables_from_xml(parsed: DataFrame, file_oid_meta: DataFrame):

@@ -42,8 +42,14 @@ def read_event_stream(spark, path: str, max_files_per_trigger: int = 1) -> DataF
 
 def dedupe_stream(events: DataFrame, id_col: str = "event_id", watermark: str = "1 hour") -> DataFrame:
     """Exactly-once-effect: drop replayed ids within the watermark
-    horizon (state is bounded by the watermark — B9)."""
-    return events.withWatermark("ts", watermark).dropDuplicates([id_col])
+    horizon.  ``dropDuplicatesWithinWatermark`` (PySpark 4.x) EVICTS a
+    key's state once the watermark passes its event time — plain
+    ``dropDuplicates([id])`` would keep every id forever, which is
+    correct but unbounded; this form makes the B9 bounded-state claim
+    true (replays of the same id are only possible within the
+    at-least-once redelivery horizon, which is what the watermark
+    models)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([id_col])
 
 
 def windowed_counts(
@@ -78,6 +84,92 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     return q
+
+
+CORRELATED_SCHEMA = "cid string, name string, ts timestamp, seq bigint"
+
+
+def correlate_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming per-cid first-event-wins correlation (A20 streaming
+    flavor; reference ``broker.clj:102-117``: one promise per command
+    cid, resolved by the FIRST event whose ``:cid`` matches, published
+    on the cid topic at ``:161``).
+
+    Out-of-order safe: "first" is by EVENT order ``(ts, seq)``, not
+    arrival order — per-cid state holds the running minimum
+    ``(ts, seq, name)``, so an event that arrives late but happened
+    earlier overwrites the provisional winner.  Each micro-batch emits
+    the current winner for every cid it touched (update mode); the last
+    emit per cid therefore equals the batch
+    ``correlate.first_event_name_agg`` answer (pinned by
+    tests/test_streaming.py::test_correlate_stream_equals_batch).
+
+    State is bounded two ways, mirroring the reference's registry of
+    in-flight promises: one small row per cid, and event-time timeout
+    eviction — the timeout is armed at winner_ts + the watermark delay,
+    so once the watermark passes it (no earlier event can still arrive)
+    the entry is dropped.  Commands that never receive any event have
+    no state here at all; their 'timeout' status is produced by the
+    downstream left-join (``plans.correlate.correlate``), same as
+    batch.
+
+    Input schema: ``cid string, ts timestamp, seq bigint, name string``
+    with ``ts`` watermarked by the caller or here.
+    """
+    import pandas as pd
+
+    delay_ms = _duration_ms(watermark)
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best = state.get if state.exists else None  # (ts_ns, seq, name)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "seq"]).iloc[0]
+            cand = (int(pd.Timestamp(pdf["ts"]).value), int(pdf["seq"]), str(pdf["name"]))
+            if best is None or cand[:2] < tuple(best[:2]):
+                best = cand
+        if best is None:
+            return
+        state.update(best)
+        # evict once no earlier event can still arrive: watermark has
+        # passed winner_ts + delay (setTimeoutTimestamp takes ms)
+        try:
+            state.setTimeoutTimestamp(best[0] // 1_000_000 + delay_ms)
+        except Exception:
+            pass  # timestamp already behind the watermark -> next batch evicts
+        yield pd.DataFrame(
+            {
+                "cid": [key[0]],
+                "name": [best[2]],
+                "ts": [pd.Timestamp(best[0])],
+                "seq": [best[1]],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("cid")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CORRELATED_SCHEMA,
+            stateStructType="ts_ns bigint, seq bigint, name string",
+            outputMode="update",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
+def _duration_ms(spec: str) -> int:
+    """Parse '1 hour' / '30 minutes' / '10 seconds' to milliseconds."""
+    n, unit = spec.split()
+    mult = {"hour": 3600_000, "minute": 60_000, "second": 1_000, "millisecond": 1}[
+        unit.rstrip("s")
+    ]
+    return int(n) * mult
 
 
 def stateful_user_counts(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:

@@ -9,7 +9,14 @@ from pyspark.sql import functions as F
 
 from lens_sds_batch_spark.oracle import odm_commands_sql
 from lens_sds_batch_spark.plans.commands import generate_commands, resolve_tx
-from lens_sds_batch_spark.plans.odm import BATCH_CMD_ID, SUB, derive_odm_from_tpch, nest, normalize
+from lens_sds_batch_spark.plans.odm import (
+    BATCH_CMD_ID,
+    SUB,
+    derive_odm_from_tpch,
+    derive_odm_resolved,
+    nest,
+    normalize,
+)
 
 from .conftest import SF_SMOKE
 from .oracle_utils import assert_match
@@ -60,10 +67,33 @@ def test_command_generation_idempotent(spark, odm):
     assert a.distinct().count() == total
 
 
+@pytest.mark.parametrize("flavor", ["md5", "sha1"])
+def test_fused_equals_generic(spark, odm, flavor):
+    """The join-free fused derivation (``derive_odm_resolved``: per-row
+    tx resolution + chain hashes at lineitem grain before the EAV
+    explode) must be row-identical to the generic normalized path
+    (``resolve_and_identify``'s parent joins) — this is what licenses
+    the flagship to use the fused plan."""
+    generic = generate_commands(odm, BATCH_CMD_ID, SUB, persist=False, flavor=flavor)
+    fused = generate_commands(
+        derive_odm_resolved(spark, SF_SMOKE, flavor=flavor, persist=False),
+        BATCH_CMD_ID,
+        SUB,
+        flavor=flavor,
+    )
+    assert generic.schema == fused.schema
+    # equal multiset sizes + empty one-way multiset difference ⇒ equal
+    assert generic.count() == fused.count()
+    assert generic.exceptAll(fused).count() == 0
+
+
 def test_uuid5_flavor_pins(spark, odm):
     """sha1 flavor: entity-id chain equals the python uuid5 reference
-    implementation (golden-pinned against the reference algorithm)."""
-    from lens_sds_batch_spark.functions.keys import NIL_UUID, uuid5_py
+    implementation, and the cmd id reproduces the reference's
+    ``gen-cmd-id`` byte encoding — name + sorted params flattened
+    (import_clinical_data.clj:288-289), uuid params as 16 RAW BYTES
+    (util.clj UUIDNameBytes), keywords as ':kw' UTF-8."""
+    from lens_sds_batch_spark.functions.keys import NIL_UUID, Kw, UuidBytes, uuid5_py
     from lens_sds_batch_spark.plans.commands import generate_commands as gc
 
     cmds = gc(odm, BATCH_CMD_ID, SUB, persist=False, flavor="sha1")
@@ -79,3 +109,14 @@ def test_uuid5_flavor_pins(spark, odm):
 
     u = _u.UUID(row["cmd_id"])
     assert u.version == 5 and u.variant == _u.RFC_4122
+    # full gen-cmd-id byte parity (sorted: file-oid < study-id < subject-key)
+    expected = uuid5_py(
+        BATCH_CMD_ID,
+        [
+            Kw("odm-import/insert-subject"),
+            Kw("file-oid"), row["file_oid"],
+            Kw("study-id"), UuidBytes(study_id),
+            Kw("subject-key"), row["subject_key"],
+        ],
+    )
+    assert row["cmd_id"] == expected

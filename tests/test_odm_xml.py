@@ -25,6 +25,23 @@ GOOD = """<ODM FileOID="F-X1">
 </ODM>
 """
 
+GENERIC = """<ODM FileOID="F-X4">
+  <ClinicalData StudyOID="S1">
+    <SubjectData SubjectKey="SK07" TransactionType="Insert">
+      <StudyEventData StudyEventOID="SE1">
+        <FormData FormOID="FM1">
+          <ItemGroupData ItemGroupOID="IG1">
+            <ItemData ItemOID="G1" Value="plain"/>
+            <ItemData ItemOID="G2" DataType="integer" Value="9"/>
+            <ItemData ItemOID="G3" DataType="datetime" Value="2026-01-01T00:00:00"/>
+          </ItemGroupData>
+        </FormData>
+      </StudyEventData>
+    </SubjectData>
+  </ClinicalData>
+</ODM>
+"""
+
 BAD_XML = "<ODM FileOID='F-X2'><ClinicalData"  # truncated -> parse error
 BAD_TX = """<ODM FileOID="F-X3">
   <ClinicalData StudyOID="S1">
@@ -61,6 +78,63 @@ def test_parse_and_split(spark, xml_dir):
     assert all(e["error"] for e in errs)
     kinds = {e["error"].split(":")[0] for e in errs}
     assert kinds == {"ParseError", "ValueError"}
+
+
+def test_generic_itemdata_form(spark, tmp_path):
+    """CDISC also allows generic <ItemData Value=… [DataType=…]> — valid
+    files must parse, not dead-letter (VERDICT missing-#2; the reference
+    consumes the same :data-type/:value pairs,
+    import_clinical_data.clj:59-66)."""
+    (tmp_path / "generic.xml").write_text(GENERIC)
+    valid, dead = split_errors(read_odm_xml(spark, str(tmp_path)))
+    assert dead.count() == 0
+    rows = {(r["item_oid"], r["data_type"], r["value_canon"]) for r in valid.collect()}
+    assert ("G1", "string", "plain") in rows  # DataType defaults to string
+    assert ("G2", "integer", "9") in rows
+    assert ("G3", "date-time", "2026-01-01T00:00:00") in rows  # datetime alias
+
+
+def test_null_item_value_hashes_deterministically(spark, tmp_path):
+    """An EMPTY item value (None value_canon) must still yield a real,
+    unique cmd_id — F.concat would otherwise null the payload and every
+    null-valued command would collapse onto a degenerate id (ADVICE
+    round 1; both engines coalesce to the ':nil' sentinel)."""
+    xml = """<ODM FileOID="F-N1">
+      <ClinicalData StudyOID="S1">
+        <SubjectData SubjectKey="SK01" TransactionType="Insert">
+          <StudyEventData StudyEventOID="SE1">
+            <FormData FormOID="FM1">
+              <ItemGroupData ItemGroupOID="IG1">
+                <ItemDataString ItemOID="I1"></ItemDataString>
+                <ItemDataString ItemOID="I2"></ItemDataString>
+                <ItemDataString ItemOID="I3">x</ItemDataString>
+              </ItemGroupData>
+            </FormData>
+          </StudyEventData>
+        </SubjectData>
+      </ClinicalData>
+    </ODM>
+    """
+    (tmp_path / "nulls.xml").write_text(xml)
+    from lens_sds_batch_spark.plans.commands import generate_commands
+    from lens_sds_batch_spark.sources.odm_xml import odm_tables_from_xml
+
+    parsed = read_odm_xml(spark, str(tmp_path))
+    meta = spark.createDataFrame(
+        [("F-N1", "transactional", "00000000-0000-0000-0000-0000000000aa", "t")],
+        "file_oid string, file_type string, batch_cmd_id string, sub string",
+    )
+    for flavor in ("md5", "sha1"):
+        cmds = generate_commands(
+            odm_tables_from_xml(parsed, meta),
+            "00000000-0000-0000-0000-0000000000aa", "t",
+            persist=False, flavor=flavor,
+        ).where(F.col("item_oid").isNotNull())
+        rows = cmds.select("item_oid", "cmd_id", "value_canon").collect()
+        assert len(rows) == 3, flavor
+        ids = {r["cmd_id"] for r in rows}
+        assert None not in ids and len(ids) == 3, flavor  # unique, non-null
+        assert all(len(r["cmd_id"]) == 36 for r in rows), flavor  # well-formed
 
 
 def test_xml_to_commands_end_to_end(spark, xml_dir):

@@ -101,6 +101,97 @@ def test_foreach_batch_lww_merge(spark, stream_dir, tmp_path):
     assert users_src == users_out
 
 
+def test_retryable_error_requeue_on_restart(spark, stream_dir, tmp_path):
+    """Reference broker.clj:87-95: a RETRYABLE failure nacks + requeues
+    the delivery.  The Structured Streaming analog: a micro-batch that
+    throws is NOT committed to the checkpoint and replays on restart.
+    First attempt: the sink raises on transient rows (k in (50,75],
+    resource down).  Restart on the same checkpoint with the resource
+    back: the batch replays and every event lands, no loss and no
+    double-write (the failed attempt never reached the sink)."""
+    out = str(tmp_path / "routed_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def make_sink(resource_up):
+        def sink(batch_df, epoch_id):
+            k = F.get_json_object("props", "$.k").cast("bigint")
+            routed = batch_df.withColumn(
+                "route",
+                F.when((k > 50) & (k <= 75), "transient").otherwise("ok"),
+            )
+            if not resource_up and routed.where(F.col("route") == "transient").count() > 0:
+                raise RuntimeError("downstream unavailable — retryable, requeue")
+            routed.write.mode("append").parquet(out)
+
+        return sink
+
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(make_sink(resource_up=False))
+        .start()
+    )
+    with pytest.raises(Exception, match="retryable|Terminated with exception"):
+        q.processAllAvailable()
+    q.stop()
+
+    q2 = (
+        read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(make_sink(resource_up=True))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = spark.read.parquet(out)
+    src = spark.read.parquet(stream_dir)
+    assert got.count() == src.count()  # nothing lost, nothing doubled
+    assert got.where(F.col("route") == "transient").count() > 0
+
+
+def test_correlate_stream_equals_batch(spark, tmp_path):
+    """A20 streaming flavor: per-cid first-event-wins under OUT-OF-ORDER
+    delivery (reference broker.clj:102-117 — the promise per cid takes
+    the first matching event).  Batch 1 delivers later event-times
+    first; batch 2 delivers earlier events late.  The streamed winner
+    (min over the update-mode emits, which equals the final state) must
+    match batch first_event_name_agg over the same static data."""
+    import datetime as dt
+
+    from lens_sds_batch_spark.plans.correlate import first_event_name_agg
+    from lens_sds_batch_spark.streaming.pipeline import CORRELATED_SCHEMA, correlate_stream
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "cid string, ts timestamp, seq bigint, name string"
+    # arrives FIRST: the in-event-time LATER events (provisional winners)
+    b1 = [(f"C{i}", base + dt.timedelta(minutes=30 + i), 2, "updated") for i in range(8)]
+    # arrives SECOND: earlier event-times for the even cids -> must overwrite
+    b2 = [(f"C{i}", base + dt.timedelta(minutes=i), 1, "created") for i in range(0, 8, 2)]
+    d = str(tmp_path / "corr_src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(d)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    q = run_to_memory(correlate_stream(stream, watermark="2 hours"), "corr", output_mode="update")
+    try:
+        assert [f.simpleString() for f in spark.table("corr").schema] == [
+            f.simpleString() for f in spark.createDataFrame([], CORRELATED_SCHEMA).schema
+        ]
+        # running-min state ⇒ final winner = min (ts, seq) over all emits
+        streamed = spark.sql(
+            "SELECT cid, min(struct(ts, seq, name)).name AS name FROM corr GROUP BY cid"
+        )
+        batch = first_event_name_agg(spark.read.parquet(d), ["ts", "seq"])
+        got = {r["cid"]: r["name"] for r in streamed.collect()}
+        want = {r["cid"]: r["name"] for r in batch.collect()}
+        assert got == want
+        # and the overwrite really exercised the out-of-order path
+        assert got["C0"] == "created" and got["C1"] == "updated"
+    finally:
+        q.stop()
+
+
 def test_stateful_user_counts(spark, stream_dir):
     """applyInPandasWithState accumulates per-user counts across
     micro-batches (update mode: last emitted row per user = total)."""
