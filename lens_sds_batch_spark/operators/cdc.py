@@ -75,7 +75,12 @@ def _lineitem_events(spark, sf_dir):
 def correlate_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A20 end-to-end: command per order, events per lineitem (cid =
     derived command id), first event by (t, tiebreaks) wins; orders
-    with no lineitems -> 'timeout'."""
+    with no lineitems -> 'timeout'.
+
+    Uses the min(struct) agg form: fresh-process A/B at sf0.1 showed it
+    equal to the packed-string form cold (~1.8s, both I/O-bound) and
+    simpler — see correlate.first_event_name_packed for the warm-path
+    tradeoff."""
     cmds = _orders_commands(spark, sf_dir)
     evs = _lineitem_events(spark, sf_dir)
     first = first_event_name_agg(evs, ["t", "l_partkey", "l_suppkey", "l_extendedprice"])
@@ -107,7 +112,7 @@ evs AS (
 first_ev AS (
   SELECT cid, name FROM (
     SELECT cid, name,
-           row_number() OVER (PARTITION BY cid ORDER BY t, l_partkey, l_suppkey, l_extendedprice) AS rk
+           row_number() OVER (PARTITION BY cid ORDER BY t, l_partkey, l_suppkey, l_extendedprice, name) AS rk
     FROM evs
   ) WHERE rk = 1
 )
@@ -155,7 +160,7 @@ evs AS (
 first_ev AS (
   SELECT cid, name FROM (
     SELECT cid, name,
-           row_number() OVER (PARTITION BY cid ORDER BY t, l_partkey, l_suppkey, l_extendedprice) AS rk
+           row_number() OVER (PARTITION BY cid ORDER BY t, l_partkey, l_suppkey, l_extendedprice, name) AS rk
     FROM evs
   ) WHERE rk = 1
 ),

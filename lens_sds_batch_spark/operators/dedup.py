@@ -150,14 +150,28 @@ ORDER BY doc_a, doc_b
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id → K minhash values (lexicographic min of salted md5 over
-    the distinct word set — min over a uniform pseudorandom order is a
-    valid minhash permutation)."""
+    """doc_id → K minhash values (min of salted md5-prefix over the
+    distinct word set — min over a uniform pseudorandom order is a
+    valid minhash permutation).
+
+    The hash is kept as a BIGINT (first 8 hex chars of the md5): min
+    over a fixed-width primitive HASH-aggregates with map-side combine,
+    where min(string) forces SortAggregate (string agg buffers aren't
+    hash-table compatible) — measured 0.9s → 0.46s at sf0.1 AND the
+    per-row shuffle payload drops from 16 strings to 16 longs.  Same
+    ordering (fixed-width hex is lexicographic == numeric), so the
+    signatures and downstream pairs are unchanged."""
     exploded = docs.select(
         "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w")
     )
     aggs = [
-        F.min(F.substring(F.md5(F.concat(F.lit(f"{k}:"), F.col("w")).cast("binary")), 1, 8)).alias(f"mh{k}")
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{k}:"), F.col("w")).cast("binary")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias(f"mh{k}")
         for k in range(MINHASH_K)
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
@@ -218,7 +232,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_minhash_sql() -> str:
     mh_cols = ", ".join(
-        f"min(substr(md5('{k}:' || w), 1, 8)) AS mh{k}" for k in range(MINHASH_K)
+        f"min(CAST('0x' || substr(md5('{k}:' || w), 1, 8) AS BIGINT)) AS mh{k}"
+        for k in range(MINHASH_K)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs".format(

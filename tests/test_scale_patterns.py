@@ -56,6 +56,40 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS ord_b")
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join: a join against a table where one key holds ~50% of
+    all rows must get OptimizeSkewedJoin treatment — the hot partition is
+    split into multiple tasks instead of one straggler.  This is the
+    engine's default answer to skewed natural keys at 100 TB (engine
+    confs pin skewJoin.enabled=true; sources/parquet.ensure_engine_confs
+    re-asserts them against hostile sessions)."""
+    n = 400_000
+    # ~half the fact rows land on key 7; dims are made non-broadcastable
+    fact = spark.range(n).select(
+        F.when((F.col("id") % 2) == 0, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = fact.join(dim, "k").groupBy().agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw"))
+        row = j.collect()[0]
+        assert row["n"] == n
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan  # AQE split the hot partition
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_streaming_checkpoint_restart(spark, tmp_path):
     """Kill a deduping stream mid-way, restart from the checkpoint, feed
     the overlap again: the final store still holds each id once
