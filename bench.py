@@ -47,6 +47,9 @@ HEADLINE = (
     "media_chunks",
     "rolling_hash",
     "salted_hot_key_agg",
+    # added round 2 (keys above are the r1-comparable 28-query suite)
+    "stratified_sample",
+    "pack_sequences",
 )
 
 

@@ -1,0 +1,126 @@
+"""Training-data curation operators over ``documents`` (north-star
+B11+): the two core "assemble the training mix" operations a
+100 TB-scale LLM pipeline runs after dedup/quality filtering.
+
+- stratified_sample — per-stratum (lang) sampling rates applied via a
+  DETERMINISTIC hash threshold (md5 of a salted doc key), not rand():
+  reruns pick the same docs, both engines agree bit-for-bit, and the
+  sample composition is auditable.  At scale this is a single scan with
+  the predicate pushed to the workers — zero shuffles.
+- pack_sequences — greedy sequence packing: docs are token-counted,
+  ordered within a (lang, source) shard, and assigned to fixed
+  token-budget bins by exclusive-cumsum div budget (the standard
+  "concat then split at context boundaries" packing).  The window
+  partitions by shard, so packing parallelizes across shards and no
+  global order is ever required — the 100 TB form packs within input
+  partitions, which is semantically free since bin membership is
+  arbitrary grouping.
+
+All JVM built-ins (md5 / conv / split / window cumsum) — no Python in
+the hot path; both have exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+
+# per-language mixture rates (upsample quality-rich en, downsample the
+# long tail) — illustrative fixed mix; a real run feeds these from a
+# mixture-weights config
+SAMPLE_RATES = {"en": 0.75, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+_DEFAULT_RATE = 0.1
+_HASH_DENOM = float(1 << 32)
+
+PACK_BUDGET = 1024  # tokens per packed sequence bin
+
+
+def _u(doc_id_col):
+    """Deterministic uniform-[0,1) draw per doc: first 8 hex chars of a
+    salted md5, as an integer fraction of 2^32.  Exact in IEEE double
+    (numerator < 2^32), so the threshold compare is reproducible and
+    engine-independent."""
+    h = F.md5(F.concat(F.lit("smp:"), doc_id_col.cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_HASH_DENOM)
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each doc iff its deterministic draw is under its language's
+    rate; emit the draw for audit.  Zero-shuffle scan+filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", "source", _u(F.col("doc_id")).alias("u"))
+        .where(F.col("u") < rate)
+        .orderBy("doc_id")
+    )
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"CASE {whens} ELSE {_DEFAULT_RATE} END"
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, u FROM (
+  SELECT doc_id, lang, source,
+         CAST('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           / {_HASH_DENOM} AS u
+  FROM documents
+)
+WHERE u < {_rate_case_sql()}
+ORDER BY doc_id
+"""
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget bin assignment per (lang, source) shard, then the
+    per-bin roll-up (n_docs, sum_tokens).  One shuffle on the shard
+    key for the window + one partial-aggregated shuffle for the
+    roll-up; the cumsum never crosses shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = docs.select("doc_id", "lang", "source", n_tok.alias("n_tok")).withColumn(
+        "bin", ((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET).cast("bigint")
+    )
+    return (
+        binned.groupBy("lang", "source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("lang", "source", "bin")
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+SELECT lang, source, bin, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+FROM (
+  SELECT lang, source,
+         CAST((sum(n_tok) OVER w - n_tok) // {PACK_BUDGET} AS BIGINT) AS bin,
+         n_tok
+  FROM (SELECT doc_id, lang, source, len(string_split(text, ' ')) AS n_tok FROM documents)
+  WINDOW w AS (PARTITION BY lang, source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+GROUP BY lang, source, bin
+ORDER BY lang, source, bin
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
+}

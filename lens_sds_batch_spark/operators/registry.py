@@ -23,9 +23,9 @@ ENTRY_QUERIES = 2  # odm_commands, odm_commands_uuid5 registered by __spark_entr
 
 
 def _modules():
-    from . import cdc, dedup, multimodal, relational, similarity, textops
+    from . import cdc, curation, dedup, multimodal, relational, similarity, textops
 
-    return [dedup, similarity, textops, multimodal, cdc, relational]
+    return [dedup, similarity, textops, curation, multimodal, cdc, relational]
 
 
 def all_queries() -> dict[str, tuple]:

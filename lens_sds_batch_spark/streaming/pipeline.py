@@ -86,6 +86,55 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
+def requeue_sink(
+    out_dir: str,
+    dead_dir: str,
+    requeue_dir: str,
+    is_ok,
+    is_retryable,
+    max_attempts: int = 3,
+):
+    """The reference's nack+requeue loop (``broker.clj:87-95``) as a
+    file-source FEEDBACK EDGE: a foreachBatch sink that routes each row
+
+    - success (``is_ok``)                 → ``out_dir``   (the ack path)
+    - retryable failure, attempts left    → ``requeue_dir`` with
+      ``attempts + 1`` — point this at the STREAM'S OWN SOURCE
+      directory and the file source redelivers it in a later trigger,
+      which is exactly AMQP basic.reject(requeue=true)
+    - fatal, or retry budget exhausted    → ``dead_dir``
+
+    ``is_ok`` / ``is_retryable`` are Column predicates and may read the
+    ``attempts`` column (rows must carry ``attempts``; seed with 0).
+    Deterministic ids keep redelivery idempotent downstream, the same
+    argument the reference makes for its at-least-once delivery.
+    """
+    from pyspark.sql import functions as F
+
+    def sink(batch_df, epoch_id):
+        att = F.col("attempts")
+        batch_df.persist()
+        try:
+            batch_df.where(is_ok).write.mode("append").parquet(out_dir)
+            failed = batch_df.where(~is_ok)
+            requeue = failed.where(is_retryable & (att + 1 < max_attempts)).withColumn(
+                "attempts", att + 1
+            )
+            # An append of an EMPTY frame still creates a part file; since
+            # requeue_dir is the stream's own source, that file would arm
+            # another trigger, whose empty append arms another — the query
+            # never quiesces.  Only feed back when there is a row to retry.
+            if not requeue.isEmpty():
+                requeue.coalesce(1).write.mode("append").parquet(requeue_dir)
+            dead = failed.where((~is_retryable) | (att + 1 >= max_attempts))
+            if not dead.isEmpty():
+                dead.write.mode("append").parquet(dead_dir)
+        finally:
+            batch_df.unpersist()
+
+    return sink
+
+
 CORRELATED_SCHEMA = "cid string, name string, ts timestamp, seq bigint"
 
 

@@ -150,6 +150,43 @@ def test_retryable_error_requeue_on_restart(spark, stream_dir, tmp_path):
     assert got.where(F.col("route") == "transient").count() > 0
 
 
+def test_requeue_feedback_loop(spark, tmp_path):
+    """requeue_sink pointed at the stream's own source dir = the AMQP
+    requeue loop: transient rows fail on attempt 0, are redelivered with
+    attempts=1 and then succeed; fatal rows dead-letter immediately;
+    nothing is lost and nothing retries past the budget."""
+    from lens_sds_batch_spark.streaming.pipeline import requeue_sink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    dead = str(tmp_path / "dead")
+    schema = "event_id bigint, kind string, attempts int"
+    rows = [(i, ("ok" if i % 3 == 0 else "transient" if i % 3 == 1 else "fatal"), 0) for i in range(60)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    # transient rows succeed once redelivered (attempts >= 1)
+    is_ok = (F.col("kind") == "ok") | ((F.col("kind") == "transient") & (F.col("attempts") >= 1))
+    is_retryable = F.col("kind") == "transient"
+    sink = requeue_sink(out, dead, src, is_ok, is_retryable, max_attempts=3)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()  # drains the feedback file too
+    q.stop()
+
+    got = spark.read.parquet(out)
+    assert got.count() == 40  # 20 ok + 20 transient-after-retry
+    tr = got.where(F.col("kind") == "transient")
+    assert tr.count() == 20 and tr.where(F.col("attempts") != 1).count() == 0
+    dd = spark.read.parquet(dead)
+    assert dd.count() == 20 and dd.where(F.col("kind") != "fatal").count() == 0
+
+
 def test_correlate_stream_equals_batch(spark, tmp_path):
     """A20 streaming flavor: per-cid first-event-wins under OUT-OF-ORDER
     delivery (reference broker.clj:102-117 — the promise per cid takes
