@@ -37,13 +37,21 @@ _HASH_DENOM = float(1 << 32)
 PACK_BUDGET = 1024  # tokens per packed sequence bin
 
 
-def _u(doc_id_col):
+def _u(doc_id_col, salt: str = "smp:"):
     """Deterministic uniform-[0,1) draw per doc: first 8 hex chars of a
     salted md5, as an integer fraction of 2^32.  Exact in IEEE double
     (numerator < 2^32), so the threshold compare is reproducible and
     engine-independent."""
-    h = F.md5(F.concat(F.lit("smp:"), doc_id_col.cast("string")).cast("binary"))
+    h = F.md5(F.concat(F.lit(salt), doc_id_col.cast("string")).cast("binary"))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_HASH_DENOM)
+
+
+def u_sql(salt: str = "smp:") -> str:
+    """DuckDB twin of :func:`_u` (an expression over ``doc_id``)."""
+    return (
+        f"CAST(CAST('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) AS DOUBLE) / {_HASH_DENOM}"
+    )
 
 
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

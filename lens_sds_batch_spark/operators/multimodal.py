@@ -18,7 +18,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -46,6 +48,17 @@ DECODED_SCHEMA = StructType(
         StructField("height", IntegerType()),
         StructField("n_frames", IntegerType()),
         StructField("format", StringType()),
+    ]
+)
+
+N_FEATURES = 8  # fake-codec feature width (stands in for a pooled embedding)
+FRAME_STRIDE = 7  # every-k-th frame sampling for video
+
+FEATURES_SCHEMA = StructType(
+    list(DECODED_SCHEMA.fields)
+    + [
+        StructField("features", ArrayType(DoubleType())),
+        StructField("sampled_frames", ArrayType(IntegerType())),
     ]
 )
 
@@ -129,9 +142,57 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Fake-codec feature extraction over Arrow batches — the realistic
+    batch SHAPE of a decode→pool→sample stage, with the codec itself a
+    deterministic stand-in (no media libs in this container):
+
+    - ``features``: N_FEATURES-dim pooled vector = per-block mean byte
+      value of the payload split into N_FEATURES equal blocks (what a
+      pooled image/audio embedding looks like to Spark: fixed-width
+      ``array<double>`` per row, vectorized with numpy per Arrow batch).
+    - ``sampled_frames``: every FRAME_STRIDE-th frame index for video
+      (variable-length ``array<int>`` per row — the ragged shape frame
+      sampling produces); empty for image/audio.
+
+    ``mapInPandas`` end-to-end: per-partition, zero shuffle, memory
+    bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, m in zip(pdf["payload"], pdf["media_type"]):
+                w, h, nf, fmt = _fake_decode(p, m)
+                buf = np.frombuffer(p, dtype=np.uint8)
+                blocks = np.array_split(buf, N_FEATURES)
+                feats = [float(b.mean()) if len(b) else 0.0 for b in blocks]
+                frames = (
+                    [int(i) for i in range(0, nf, FRAME_STRIDE)]
+                    if m.startswith("video")
+                    else []
+                )
+                rows.append((w, h, nf, fmt, feats, frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_frames": [r[2] for r in rows],
+                    "format": [r[3] for r in rows],
+                    "features": [r[4] for r in rows],
+                    "sampled_frames": [r[5] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(extract, FEATURES_SCHEMA)
+
+
 def media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only query: full decode pipeline with the stubbed decoder."""
-    return decode_media(media_table(spark, sf_dir)).orderBy("doc_id")
+    """Rows-only query: full decode→pool→frame-sample pipeline with the
+    stubbed codec (scalar dims + pooled feature vector + frame list)."""
+    return extract_media_features(media_table(spark, sf_dir)).orderBy("doc_id")
 
 
 QUERIES: dict[str, tuple] = {

@@ -28,6 +28,17 @@ def _tokens(col):
     return F.split(col, " ")
 
 
+def _ngrams(toks, n: int):
+    """Word n-grams as space-joined strings (1-based slice).  Spark's
+    ``sequence(1, k)`` DESCENDS when k < 1 ([1, 0]) instead of being
+    empty, so the short-doc case needs an explicit empty-array guard."""
+    count = F.size(toks) - (n - 1)
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
 def _hits(toks, words: tuple[str, ...]):
     """Count of tokens in ``words`` (duplicates counted).  NB: the
     filter lambda must be single-arg — a second (defaulted) parameter
@@ -353,14 +364,60 @@ FROM (
 GROUP BY doc_id ORDER BY doc_id
 """
 
+EVAL_RATE = 0.05  # deterministic held-out "benchmark" split for the contamination arm
+CONTAM_N = 5  # n-gram width for train/eval overlap (decontamination standard)
+
+
+def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check (the decontamination pass an LLM
+    corpus runs before training): a deterministic ``EVAL_RATE`` slice of
+    docs plays the held-out benchmark; every training doc is flagged
+    with the number of its distinct ``CONTAM_N``-grams that also occur
+    in the eval slice.
+
+    Scale shape: eval sets are tiny relative to the corpus, so the
+    distinct eval-n-gram set is BROADCAST and the check is a map-side
+    semi-join over the training n-gram stream — no corpus-wide shuffle.
+    Per-doc output: ``is_eval`` flag + ``eval_ngram_hits`` (0 for eval
+    docs themselves)."""
+    from .curation import _u
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = (_u(F.col("doc_id"), "evl:") < EVAL_RATE).cast("int")
+    grams = docs.select(
+        "doc_id",
+        is_eval.alias("is_eval"),
+        F.explode(_ngrams(_tokens(F.col("text")), CONTAM_N)).alias("g"),
+    )
+    eval_set = grams.where(F.col("is_eval") == 1).select("g").distinct()
+    hits = (
+        grams.where(F.col("is_eval") == 0)
+        .join(F.broadcast(eval_set), "g", "semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("eval_ngram_hits"))
+    )
+    return (
+        docs.select("doc_id", is_eval.alias("is_eval"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_eval",
+            F.coalesce("eval_ngram_hits", F.lit(0)).cast("bigint").alias("eval_ngram_hits"),
+        )
+    )
+
+
 def doc_features_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document feature pack in one result: language-ID
     (stopword-hit argmax), content fingerprints (md5 + 64-bit prefix),
     the corpus quality-gate verdict (as a ``kept`` flag so the pack
-    stays at doc grain), and the 8-bucket feature-hash vector
+    stays at doc grain), the repeated-bigram ratio (Gopher-style
+    repetition signal), the 8-bucket feature-hash vector, and the
+    train/eval contamination arm
     (lang_id + doc_fingerprints + corpus_filter + feature_hash_vectors
-    merged; each arm's computation unchanged).  One documents scan for
-    the per-row features + one token explode for the hash vector."""
+    + repetition + eval_contamination merged; each arm's computation
+    unchanged).  One documents scan for the per-row features + token
+    explodes for the hash vector and the contamination semi-join."""
     base = (
         lang_id(spark, sf_dir)
         .join(doc_fingerprints(spark, sf_dir), "doc_id")
@@ -370,16 +427,53 @@ def doc_features_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(toks)
     ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double")
     sw_ratio = _hits(toks, LANG_STOPWORDS["en"]).cast("double") / n_tok.cast("double")
+    grams2 = _ngrams(toks, 2)
+    rep = F.when(
+        F.size(grams2) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams2)).cast("double") / F.size(grams2).cast("double"),
+    ).otherwise(F.lit(0.0))
     gate = docs.select(
         "doc_id",
         (
             (n_tok >= 20) & (n_tok <= 1000) & (ttr >= 0.3) & (sw_ratio <= 0.2)
         ).cast("int").alias("kept"),
+        rep.alias("rep_bigram_ratio"),
     )
     return (
         base.join(gate, "doc_id")
         .join(feature_hash_vectors(spark, sf_dir), "doc_id")
+        .join(eval_contamination(spark, sf_dir), "doc_id")
         .orderBy("doc_id")
+    )
+
+
+CONTAM_SQL_CTES = f"""
+cg AS (
+  SELECT doc_id,
+         CAST({{u_evl}} < {EVAL_RATE} AS INT) AS is_eval,
+         unnest(list_transform(range(1, len(string_split(text, ' ')) - {CONTAM_N - 2}),
+                               i -> array_to_string(string_split(text, ' ')[i:i+{CONTAM_N - 1}], ' '))) AS g
+  FROM documents
+),
+ev AS (SELECT DISTINCT g FROM cg WHERE is_eval = 1),
+hits AS (
+  SELECT doc_id, count(DISTINCT g) AS eval_ngram_hits
+  FROM cg JOIN ev USING (g) WHERE is_eval = 0 GROUP BY doc_id
+),
+contam AS (
+  SELECT d.doc_id,
+         CAST({{u_evl_d}} < {EVAL_RATE} AS INT) AS is_eval,
+         CAST(COALESCE(hits.eval_ngram_hits, 0) AS BIGINT) AS eval_ngram_hits
+  FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+)"""
+
+
+def _contam_ctes() -> str:
+    from .curation import u_sql
+
+    return CONTAM_SQL_CTES.format(
+        u_evl=u_sql("evl:"), u_evl_d=u_sql("evl:").replace("doc_id", "d.doc_id")
     )
 
 
@@ -392,25 +486,37 @@ gate AS (
           AND (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.3)
           AND (CAST(len(list_filter(string_split(text, ' '), t -> t IN ('{_SW_EN}'))) AS DOUBLE)
-               / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 0.2) AS INT) AS kept
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 0.2) AS INT) AS kept,
+         CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+           1.0 - CAST(len(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                        i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) - 1 AS DOUBLE)
+         ELSE 0.0 END AS rep_bigram_ratio
   FROM documents
 ),
-fh AS ({FEATURE_HASH_SQL.strip()})
+fh AS ({FEATURE_HASH_SQL.strip()}),
+{{contam_ctes}}
 SELECT lang.doc_id, labeled_lang, predicted_lang, label_match,
-       md5_full, fp64, kept,
-       f0, f1, f2, f3, f4, f5, f6, f7
+       md5_full, fp64, kept, rep_bigram_ratio,
+       f0, f1, f2, f3, f4, f5, f6, f7,
+       is_eval, eval_ngram_hits
 FROM lang
 JOIN fp ON lang.doc_id = fp.doc_id
 JOIN gate ON lang.doc_id = gate.doc_id
 JOIN fh ON lang.doc_id = fh.doc_id
+JOIN contam ON lang.doc_id = contam.doc_id
 ORDER BY lang.doc_id
 """
 
 
+DOC_FEATURES_SQL = DOC_FEATURES_SQL.replace("{contam_ctes}", _contam_ctes())
+
+
 # ---------------------------------------------------------------------------
 # Registry: bench-headline queries stand alone; lang_id /
-# doc_fingerprints / corpus_filter / feature_hash_vectors ride in
-# doc_features_pack (see COVERAGE.md).
+# doc_fingerprints / corpus_filter / feature_hash_vectors /
+# repetition-ratio / eval_contamination ride in doc_features_pack
+# (see COVERAGE.md).
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {

@@ -135,6 +135,31 @@ def requeue_sink(
     return sink
 
 
+def session_windows_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of the batch ``session_window_agg`` (B9): built-in
+    ``session_window`` over event time.  Sessions stay open (state) and
+    MERGE while events inside the gap keep arriving; a session closes —
+    and in append mode emits exactly once — when the watermark passes
+    its end + gap.  State is one (start, end, count) per open session
+    per user, bounded by the watermark horizon.
+
+    Same schema as the batch op so the two can be compared row-for-row
+    (tests/test_streaming.py::test_session_windows_stream_equals_batch).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
 CORRELATED_SCHEMA = "cid string, name string, ts timestamp, seq bigint"
 
 

@@ -229,6 +229,64 @@ def test_correlate_stream_equals_batch(spark, tmp_path):
         q.stop()
 
 
+def test_session_windows_stream_equals_batch(spark, tmp_path):
+    """B9 session windows in streaming == batch session_window on the
+    same data.  Sessions must MERGE across micro-batches (file 2 brings
+    events inside file 1's gap) and only emit once closed; a far-future
+    sentinel event pushes the watermark past every real session so
+    append mode emits them all."""
+    import datetime as dt
+
+    from lens_sds_batch_spark.streaming.pipeline import session_windows_stream
+
+    base = dt.datetime(2026, 1, 1, 8, 0, 0)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+    def ev(i, minutes, uid):
+        return (i, base + dt.timedelta(minutes=minutes), uid, "e", 0.0, "{}")
+
+    # user 1: events at 0,10 | gap | 60,70   user 2: 0 | gap | 100
+    f1 = [ev(1, 0, 1), ev(2, 10, 1), ev(3, 60, 1), ev(4, 0, 2)]
+    # file 2 lands INSIDE user 1's first session gap window (minute 20)
+    # -> the open [0,10] session must absorb it, and adds 70 + user2's 100
+    f2 = [ev(5, 20, 1), ev(6, 70, 1), ev(7, 100, 2)]
+    sentinel = [ev(99, 60 * 24, 999)]  # pushes watermark past everything
+    d = str(tmp_path / "sess_src")
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(d)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(sentinel, schema).coalesce(1).write.mode("append").parquet(d)
+
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    q = run_to_memory(
+        session_windows_stream(stream, gap="30 minutes", watermark="10 minutes"),
+        "sess",
+        output_mode="append",
+    )
+    try:
+        got = {
+            (r["user_id"], r["session_start_us"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM sess WHERE user_id != 999").collect()
+        }
+        batch = (
+            spark.read.parquet(d)
+            .where(F.col("user_id") != 999)
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+                "n_events",
+            )
+        )
+        want = {(r["user_id"], r["session_start_us"]): r["n_events"] for r in batch.collect()}
+        assert got == want
+        # the cross-batch merge really happened: user 1's first session
+        # holds 0,10 (file 1) + 20 (file 2) = 3 events
+        assert got[(1, int(base.timestamp()) * 1_000_000)] == 3
+    finally:
+        q.stop()
+
+
 def test_stateful_user_counts(spark, stream_dir):
     """applyInPandasWithState accumulates per-user counts across
     micro-batches (update mode: last emitted row per user = total)."""

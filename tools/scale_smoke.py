@@ -1,0 +1,100 @@
+"""10x scale smoke for the dedup/similarity paths.
+
+Builds a one-off corpus at ~10x sf0.1 grain (documents replicated with
+offset doc_ids and a deterministic per-copy marker token appended, so
+copies are NEAR-duplicates, not byte-duplicates — the realistic shape),
+then times the bucketed dedup operators at 1x and 10x from the SAME
+session and prints the scaling factor per operator.
+
+A capped/bucketed pipeline should scale ~linearly in rows (plus shuffle
+log factors); a quadratic within-block blowup shows up as a >>10x time
+ratio.  This is the local stand-in for the 100 TB question: the same
+block-cap constants guard both.
+
+Usage: python tools/scale_smoke.py [replication] [sf_dir]
+Writes the scaled corpus under /tmp/lens_scale_smoke (re-created).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lens_sds_batch_spark.session import get_spark  # noqa: E402
+
+OPS = ("dedup_exact", "dedup_fingerprint", "ngram_jaccard_pairs",
+       "dedup_minhash_pairs", "simhash_dup_pairs", "knn_lsh_bucketed",
+       "embedding_dup_pairs", "stratified_sample", "pack_sequences")
+
+BASE_TMP = "/tmp/lens_scale_smoke"
+
+
+def build_scaled(spark, sf_dir: str, k: int) -> str:
+    """Replicate documents + embeddings k times with offset ids; each
+    copy's text gets a copy-marker token so replicas are near-dups."""
+    shutil.rmtree(BASE_TMP, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    copies = spark.range(k).withColumnRenamed("id", "copy")
+    scaled = (
+        docs.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") + F.col("copy") * n).alias("doc_id"),
+            F.when(F.col("copy") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" marker"), F.col("copy").cast("string")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    scaled.repartition(32).write.parquet(f"{BASE_TMP}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    (
+        emb.crossJoin(F.broadcast(copies))
+        .select((F.col("vec_id") + F.col("copy") * m).alias("vec_id"), "embedding", "label")
+        .repartition(32)
+        .write.parquet(f"{BASE_TMP}/embeddings.parquet")
+    )
+    return BASE_TMP
+
+
+def time_ops(spark, sf_dir: str) -> dict[str, float]:
+    from lens_sds_batch_spark.operators.registry import spark_queries
+
+    qs = spark_queries()
+    out = {}
+    for name in OPS:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    scaled_dir = build_scaled(spark, sf_dir, k)
+    base = time_ops(spark, sf_dir)  # warm (JVM+codegen) before the 10x run
+    scaled = time_ops(spark, scaled_dir)
+    report = {
+        "replication": k,
+        "base_sec": base,
+        "scaled_sec": scaled,
+        "ratio": {q: round(scaled[q] / max(base[q], 0.01), 1) for q in base},
+    }
+    print(json.dumps(report))
+    shutil.rmtree(BASE_TMP, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
