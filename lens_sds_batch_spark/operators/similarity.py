@@ -145,13 +145,23 @@ QUERIES: dict[str, tuple] = {
 
 
 DUP_COS_THRESHOLD = 0.9
+EMB_BUCKET_CAP = 200  # skew guard: drop sign buckets larger than this
 
 
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucket-blocked (never a
     corpus-wide cross join): pairs within the same sign bucket with
-    cosine >= threshold."""
+    cosine >= threshold.
+
+    Buckets larger than EMB_BUCKET_CAP are dropped (same skew guard as
+    dedup's HOT_BUCKET_CAP, mirrored in the oracle).  Real corpora have
+    exactly this hot-bucket shape — zero vectors, default embeddings,
+    mass-duplicated rows all land in one sign bucket, and the
+    within-bucket self-join is quadratic in its size (measured: 70x
+    cost at 100x rows when every bucket holds ~100 exact copies)."""
     vecs = _vecs(spark, sf_dir).withColumn("bucket", _bucket(F.col("v")))
+    bucket_sizes = vecs.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    vecs = vecs.join(bucket_sizes.where(F.col("bn") <= EMB_BUCKET_CAP), "bucket").drop("bn")
     a = vecs.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("norm").alias("na"), "bucket")
     b = vecs.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("norm").alias("nb"), F.col("bucket").alias("bucket_b"))
     pairs = a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("ia") < F.col("ib")))
@@ -164,7 +174,9 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_DUP_SQL = f"""
-WITH v AS (SELECT *, {_duck_bucket('emb')} AS bucket FROM ({_DUCK_V}))
+WITH v_all AS (SELECT *, {_duck_bucket('emb')} AS bucket FROM ({_DUCK_V})),
+kept AS (SELECT bucket FROM v_all GROUP BY bucket HAVING count(*) <= {EMB_BUCKET_CAP}),
+v AS (SELECT v_all.* FROM v_all JOIN kept USING (bucket))
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ({_DUCK_DOT.format(a='a.emb', b='b.emb')}) / (a.norm * b.norm) AS cos
 FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
