@@ -50,6 +50,9 @@ HEADLINE = (
     # added round 2 (keys above are the r1-comparable 28-query suite)
     "stratified_sample",
     "pack_sequences",
+    # added round 3
+    "dedup_clusters",
+    "corpus_shuffle_split",
 )
 
 

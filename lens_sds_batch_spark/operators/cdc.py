@@ -217,11 +217,48 @@ GROUP BY 1, 2, 3 ORDER BY event_type, route
 """
 
 
+def cdc_guard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 + A22 guards in one CORRECTNESS row: the success-gated
+    cascade and the retryable-vs-fatal dead-letter split,
+    union-harmonized onto (kind, k1, s1, s2, b1, v1) — each arm is the
+    unchanged original operator (see COVERAGE.md)."""
+    nl = lambda t, n: F.lit(None).cast(t).alias(n)  # noqa: E731
+    cascade = gated_cascade(spark, sf_dir).select(
+        F.lit("cascade").alias("kind"),
+        F.col("l_orderkey").cast("bigint").alias("k1"),
+        nl("string", "s1"),
+        nl("string", "s2"),
+        nl("boolean", "b1"),
+        F.col("n_children").cast("bigint").alias("v1"),
+    )
+    dls = dead_letter_split(spark, sf_dir).select(
+        F.lit("dead_letter").alias("kind"),
+        nl("bigint", "k1"),
+        F.col("event_type").alias("s1"),
+        F.col("route").alias("s2"),
+        F.col("retryable").alias("b1"),
+        F.col("n").cast("bigint").alias("v1"),
+    )
+    return cascade.unionByName(dls).orderBy("kind", "k1", "s1", "s2")
+
+
+CDC_GUARD_PACK_SQL = f"""
+SELECT 'cascade' AS kind, CAST(l_orderkey AS BIGINT) AS k1,
+       CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
+       CAST(NULL AS BOOLEAN) AS b1, CAST(n_children AS BIGINT) AS v1
+FROM ({GATED_CASCADE_SQL.strip().rstrip(';')})
+UNION ALL
+SELECT 'dead_letter' AS kind, CAST(NULL AS BIGINT) AS k1,
+       event_type AS s1, route AS s2, retryable AS b1, CAST(n AS BIGINT) AS v1
+FROM ({DEAD_LETTER_SQL.strip().rstrip(';')})
+ORDER BY kind, k1, s1, s2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "merge_lww": (merge_lww, MERGE_LWW_SQL),
     "correlate_first_event": (correlate_first_event, CORRELATE_SQL),
-    "gated_cascade": (gated_cascade, GATED_CASCADE_SQL),
-    "dead_letter_split": (dead_letter_split, DEAD_LETTER_SQL),
+    "cdc_guard_pack": (cdc_guard_pack, CDC_GUARD_PACK_SQL),
 }
 
 

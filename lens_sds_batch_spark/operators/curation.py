@@ -128,7 +128,59 @@ ORDER BY lang, source, bin
 """
 
 
+SPLIT_TRAIN = 0.90  # u < 0.90           -> train
+SPLIT_VALID = 0.95  # 0.90 <= u < 0.95   -> valid; rest -> test
+N_SHARDS = 64
+
+
+def corpus_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + train/valid/test split + output
+    shard assignment — the last step before a training run reads the
+    corpus.
+
+    - ``shuffle_key`` = salted md5 of the doc key: sorting by it IS the
+      global shuffle, and at scale Spark executes it as a
+      range-partitioned sort.  We deliberately emit the key rather than
+      a global ``row_number`` — an unpartitioned window would serialize
+      the whole corpus through one task, the classic single-partition
+      anti-pattern.
+    - ``shard`` = first-byte bucket of the key (uniform by
+      construction): the 100 TB run writes ``partitionBy(split, shard)``
+      so each training reader streams one shard's files in key order.
+    - ``split`` by the deterministic uniform draw (same auditable
+      hash-threshold device as :func:`stratified_sample`, different
+      salt so the two draws are independent).
+
+    Zero joins, zero Python; single scan + one range-sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shf:"), F.col("doc_id").cast("string")).cast("binary"))
+    u = _u(F.col("doc_id"), "spl:")
+    return docs.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        (F.conv(F.substring(key, 1, 2), 16, 10).cast("bigint") % N_SHARDS).alias("shard"),
+        F.when(u < SPLIT_TRAIN, "train")
+        .when(u < SPLIT_VALID, "valid")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("shuffle_key")
+
+
+CORPUS_SHUFFLE_SPLIT_SQL = f"""
+SELECT doc_id,
+       md5('shf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST('0x' || substr(md5('shf:' || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)
+         % {N_SHARDS} AS shard,
+       CASE WHEN u < {SPLIT_TRAIN} THEN 'train'
+            WHEN u < {SPLIT_VALID} THEN 'valid'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, {u_sql('spl:')} AS u FROM documents)
+ORDER BY shuffle_key
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
+    "corpus_shuffle_split": (corpus_shuffle_split, CORPUS_SHUFFLE_SPLIT_SQL),
 }

@@ -184,7 +184,9 @@ WHERE ({_DUCK_DOT.format(a='a.emb', b='b.emb')}) / (a.norm * b.norm) >= {DUP_COS
 ORDER BY vec_a, vec_b
 """
 
-QUERIES.update({"embedding_dup_pairs": (embedding_dup_pairs, EMBEDDING_DUP_SQL)})
+# embedding_dup_pairs rides in dedup.dup_pairs_pack (registry stays
+# inside the driver's 50-query CORRECTNESS window); the function + SQL
+# stay for tests and the pack arms.
 
 
 IVF_K = 16
