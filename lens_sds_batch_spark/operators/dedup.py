@@ -461,6 +461,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(CC_MAX_ITERS):
         nbr = edges.join(
             labels.select(F.col("doc_id").alias("dst"), "label"), "dst"
@@ -478,8 +479,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # With pointer jumping CC_MAX_ITERS=20 rounds covers diameter
+        # ~2^20, so this should never fire — but exiting the loop without
+        # reaching the sum fixpoint means the labels are NOT component
+        # minima, and returning them silently would be wrong-answer.
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge within "
+            f"{CC_MAX_ITERS} pointer-jumping rounds (pathological graph?); "
+            "labels would be partial — refusing to return them"
+        )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     out = (
         labels.join(sizes, "label")

@@ -191,8 +191,32 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 
 def media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only query: full decode→pool→frame-sample pipeline with the
-    stubbed codec (scalar dims + pooled feature vector + frame list)."""
-    return extract_media_features(media_table(spark, sf_dir)).orderBy("doc_id")
+    stubbed codec.
+
+    ``extract_media_features`` (the library API) stays array-typed; the
+    *registered* query scalarizes the array columns — the driver's
+    rows-only canonicalizer sorts rows with pandas ``sort_values``,
+    which cannot hash list cells (the r2 red row).  ``features`` is
+    digested as ``md5(to_json(round(...)))`` + ``size``; the ragged
+    ``sampled_frames`` becomes a CSV string.  Same computation, fully
+    sortable scalar output.
+    """
+    feats = extract_media_features(media_table(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "n_frames",
+        "format",
+        F.md5(
+            F.to_json(F.expr("transform(features, x -> round(x, 6))"))
+        ).alias("features_md5"),
+        F.size("features").alias("n_features"),
+        F.concat_ws(",", F.col("sampled_frames").cast("array<string>")).alias(
+            "sampled_frames_csv"
+        ),
+    ).orderBy("doc_id")
 
 
 QUERIES: dict[str, tuple] = {

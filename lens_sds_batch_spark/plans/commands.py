@@ -153,7 +153,16 @@ def _payload(name_col, params: dict, flavor: str = "md5"):
     for k in sorted(params):
         parts.append(F.lit(":" + k).cast("binary"))
         if k in _UUID_PARAMS:
-            parts.append(F.unhex(F.regexp_replace(params[k], "-", "")))
+            # coalesce mirrors the md5 flavor's :nil sentinel: a NULL uuid
+            # param (reachable via the XML path when an entity OID is
+            # missing) would otherwise null the whole binary concat and
+            # collapse the row's cmd_id to NULL
+            parts.append(
+                F.coalesce(
+                    F.unhex(F.regexp_replace(params[k], "-", "")),
+                    F.lit(_NIL_SENTINEL).cast("binary"),
+                )
+            )
         else:
             parts.append(
                 F.coalesce(params[k].cast("string"), F.lit(_NIL_SENTINEL)).cast("binary")

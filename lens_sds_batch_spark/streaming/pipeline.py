@@ -21,23 +21,60 @@ Tests drive these with a file source + memory sink (synchronous
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
 
 
-def read_event_stream(spark, path: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """File-based streaming source (stands in for Kafka/AMQP transport;
-    maxFilesPerTrigger is the prefetch-analog backpressure knob, A25)."""
+def read_event_stream(
+    spark,
+    path: str | None = None,
+    max_files_per_trigger: int = 1,
+    *,
+    source_format: str = "files",
+    kafka_options: dict | None = None,
+) -> DataFrame:
+    """Streaming source factory (reference A4/A5 transport seam).
+
+    - ``source_format="files"`` (default): parquet-directory stream —
+      the sandbox/test transport; ``maxFilesPerTrigger`` is the
+      prefetch-analog backpressure knob (A25, reference ``:prefetch``).
+    - ``source_format="kafka"``: the prod transport the reference's
+      AMQP exchange maps to (``broker.clj:157-170`` binds queues to the
+      ``lens-sds.commands`` exchange; here the topic + consumer group
+      come in via ``kafka_options``, e.g. ``{"kafka.bootstrap.servers":
+      ..., "subscribe": "lens-sds.commands", "maxOffsetsPerTrigger":
+      ...}``).  The record value is JSON of EVENTS_SCHEMA.  Switching
+      transports is a config change, not a rewrite — every downstream
+      operator sees the same schema.
+
+    The sandbox has no broker, so only the file path is exercised by
+    tests; the kafka branch is the documented drop-in.
+    """
     from ..sources.parquet import ensure_engine_confs
 
     ensure_engine_confs(spark)
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
-    )
+    if source_format == "files":
+        if path is None:
+            raise ValueError("source_format='files' requires a path")
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+    if source_format == "kafka":
+        reader = spark.readStream.format("kafka")
+        for k, v in (kafka_options or {}).items():
+            reader = reader.option(k, v)
+        return (
+            reader.load()
+            .select(F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e"))
+            .select("e.*")
+        )
+    raise ValueError(f"unknown source_format: {source_format!r} (expected 'files' or 'kafka')")
 
 
 def dedupe_stream(events: DataFrame, id_col: str = "event_id", watermark: str = "1 hour") -> DataFrame:
@@ -93,6 +130,7 @@ def requeue_sink(
     is_ok,
     is_retryable,
     max_attempts: int = 3,
+    requeue_writer_partitions: int = 1,
 ):
     """The reference's nack+requeue loop (``broker.clj:87-95``) as a
     file-source FEEDBACK EDGE: a foreachBatch sink that routes each row
@@ -106,18 +144,30 @@ def requeue_sink(
 
     ``is_ok`` / ``is_retryable`` are Column predicates and may read the
     ``attempts`` column (rows must carry ``attempts``; seed with 0).
+    NULL predicate results (e.g. a predicate over a nullable column)
+    are normalized to False so every row lands in EXACTLY one of the
+    three outputs — ``where(p)`` and ``where(~p)`` would both drop a
+    NULL row, silently losing it.
     Deterministic ids keep redelivery idempotent downstream, the same
     argument the reference makes for its at-least-once delivery.
+
+    ``requeue_writer_partitions`` sizes the requeue append: 1 (default)
+    writes a single file per trigger, which keeps the sandbox file-
+    source feedback loop tidy but is a single-writer bottleneck; at
+    cluster scale (or a real Kafka requeue topic) raise it so each
+    trigger's retry volume is written in parallel.
     """
     from pyspark.sql import functions as F
 
     def sink(batch_df, epoch_id):
         att = F.col("attempts")
+        ok = F.coalesce(is_ok.cast("boolean"), F.lit(False))
+        retryable = F.coalesce(is_retryable.cast("boolean"), F.lit(False))
         batch_df.persist()
         try:
-            batch_df.where(is_ok).write.mode("append").parquet(out_dir)
-            failed = batch_df.where(~is_ok)
-            requeue = failed.where(is_retryable & (att + 1 < max_attempts)).withColumn(
+            batch_df.where(ok).write.mode("append").parquet(out_dir)
+            failed = batch_df.where(~ok)
+            requeue = failed.where(retryable & (att + 1 < max_attempts)).withColumn(
                 "attempts", att + 1
             )
             # An append of an EMPTY frame still creates a part file; since
@@ -125,8 +175,10 @@ def requeue_sink(
             # another trigger, whose empty append arms another — the query
             # never quiesces.  Only feed back when there is a row to retry.
             if not requeue.isEmpty():
-                requeue.coalesce(1).write.mode("append").parquet(requeue_dir)
-            dead = failed.where((~is_retryable) | (att + 1 >= max_attempts))
+                requeue.coalesce(requeue_writer_partitions).write.mode("append").parquet(
+                    requeue_dir
+                )
+            dead = failed.where((~retryable) | (att + 1 >= max_attempts))
             if not dead.isEmpty():
                 dead.write.mode("append").parquet(dead_dir)
         finally:
@@ -214,7 +266,14 @@ def correlate_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         try:
             state.setTimeoutTimestamp(best[0] // 1_000_000 + delay_ms)
         except Exception:
-            pass  # timestamp already behind the watermark -> next batch evicts
+            # timestamp already behind the watermark: arm a fallback just
+            # above it so hasTimedOut still fires — leaving the key with
+            # NO timeout would leak the entry until another event for the
+            # same cid happened to arrive
+            try:
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            except Exception:
+                pass  # no watermark yet this batch -> re-armed on next event
         yield pd.DataFrame(
             {
                 "cid": [key[0]],
@@ -237,13 +296,37 @@ def correlate_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+_DURATION_RE = re.compile(
+    r"^\s*(\d+(?:\.\d+)?)\s*"
+    r"(days?|d|hours?|hrs?|h|minutes?|mins?|m|seconds?|secs?|s|milliseconds?|millis?|ms)\s*$",
+    re.IGNORECASE,
+)
+
+_DURATION_UNIT_MS = {
+    "d": 86_400_000, "day": 86_400_000,
+    "h": 3_600_000, "hr": 3_600_000, "hour": 3_600_000,
+    "m": 60_000, "min": 60_000, "minute": 60_000,
+    "s": 1_000, "sec": 1_000, "second": 1_000,
+    "ms": 1, "milli": 1, "millisecond": 1,
+}
+
+
 def _duration_ms(spec: str) -> int:
-    """Parse '1 hour' / '30 minutes' / '10 seconds' to milliseconds."""
-    n, unit = spec.split()
-    mult = {"hour": 3600_000, "minute": 60_000, "second": 1_000, "millisecond": 1}[
-        unit.rstrip("s")
-    ]
-    return int(n) * mult
+    """Parse a Spark interval string ('1 hour', '30s', '1.5 hours',
+    '2 days', '250 ms') to milliseconds.  Accepts the units Spark's
+    watermark grammar does (day/hour/minute/second/millisecond, long or
+    abbreviated, optional plural, fractional amounts); anything else
+    raises ValueError with the offending spec named."""
+    m = _DURATION_RE.match(spec)
+    if not m:
+        raise ValueError(
+            f"unsupported duration {spec!r}: expected '<number> "
+            "<day|hour|minute|second|millisecond>' (abbreviations ok, e.g. '30s')"
+        )
+    amount, unit = m.groups()
+    unit = unit.lower()
+    key = unit if unit in _DURATION_UNIT_MS else unit.rstrip("s")
+    return int(float(amount) * _DURATION_UNIT_MS[key])
 
 
 def stateful_user_counts(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
