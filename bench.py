@@ -70,27 +70,34 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).groupBy(
         "l_returnflag"
     ).count().write.format("noop").mode("overwrite").save()
-    timings: dict[str, float] = {}
+    # failure-isolated: a broken query becomes an {"err": ...} row, the
+    # suite JSON always prints (round 3 lost its entire perf signal when
+    # one analysis error aborted the whole run)
+    timings: dict[str, object] = {}
+    errors = 0
     for name in HEADLINE:
-        builder = qs[name]
-        df = builder(spark, sf_dir)
-        # warm the plan (analysis/optimization) but time execution
-        start = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        try:
+            builder = qs[name]
+            df = builder(spark, sf_dir)
+            # warm the plan (analysis/optimization) but time execution
+            start = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as e:  # noqa: BLE001
+            errors += 1
+            timings[name] = {"err": f"{type(e).__name__}: {str(e)[:300]}"}
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall-clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    total = round(sum(t for t in timings.values() if isinstance(t, (int, float))), 3)
+    out = {
+        "metric": "headline-suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

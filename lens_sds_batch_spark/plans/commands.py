@@ -27,11 +27,25 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.keys import NIL_UUID, uuid3_str_col, uuid5_col
 from .odm import OdmTables
+
+
+def per_file_batch_cmd_id(flavor: str = "md5") -> Column:
+    """Per-row batch-cmd-id derived from ``file_oid`` — the multi-file
+    batch entry point.  The reference consumes a *queue* of batch
+    commands, one per ODM file, and namespaces every generated cmd id
+    under its own batch command's id (``broker.clj:157-169``,
+    ``import_clinical_data.clj:288-297``: ``gen-cmd-id`` hashes into the
+    batch-cmd-id namespace).  Passing this Column as
+    ``generate_commands(batch_cmd_id=...)`` reproduces that: N files in
+    one DataFrame run, each file's commands namespaced under its own
+    deterministic batch id — a pure projection, no join, so the
+    multi-file path costs nothing extra at scale."""
+    return _keyfn(flavor)(NIL_UUID, [F.lit("batch-cmd"), F.col("file_oid")])
 
 COMMAND_COLUMNS = (
     "cmd_id",
@@ -153,14 +167,15 @@ def _payload(name_col, params: dict, flavor: str = "md5"):
     for k in sorted(params):
         parts.append(F.lit(":" + k).cast("binary"))
         if k in _UUID_PARAMS:
-            # coalesce mirrors the md5 flavor's :nil sentinel: a NULL uuid
-            # param (reachable via the XML path when an entity OID is
-            # missing) would otherwise null the whole binary concat and
-            # collapse the row's cmd_id to NULL
+            # the :nil sentinel applies ONLY when the source column itself
+            # is NULL (reachable via the XML path when an entity OID is
+            # missing) — a malformed non-hex uuid string must stay a NULL
+            # payload (unhex -> NULL nulls the whole concat, surfacing as
+            # a detectable NULL cmd_id) rather than silently sharing the
+            # sentinel bytes with genuinely-absent params
             parts.append(
-                F.coalesce(
-                    F.unhex(F.regexp_replace(params[k], "-", "")),
-                    F.lit(_NIL_SENTINEL).cast("binary"),
+                F.when(params[k].isNull(), F.lit(_NIL_SENTINEL).cast("binary")).otherwise(
+                    F.unhex(F.regexp_replace(params[k], "-", ""))
                 )
             )
         else:
@@ -209,8 +224,9 @@ def _level_commands(df, batch_cmd_id, sub, entity, params, out, item_level=False
             .when(F.col("rtx") == "remove", rem)
             .otherwise(ins)
         )
+    batch_ns = batch_cmd_id if isinstance(batch_cmd_id, Column) else F.lit(batch_cmd_id)
     cols = [
-        _keyfn(flavor)(F.lit(batch_cmd_id), [payload]).alias("cmd_id"),
+        _keyfn(flavor)(batch_ns, [payload]).alias("cmd_id"),
         name.alias("name"),
         F.lit(sub).alias("sub"),
     ]

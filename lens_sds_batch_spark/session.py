@@ -31,8 +31,9 @@ def get_spark(app_name: str = "lens-sds-batch-spark", cpus: int | None = None) -
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet carries TIMESTAMP(NANOS) which Spark rejects;
-        # read as int64 nanos and do event-time math in exact BIGINT
+        # defensive: if events.parquet ever carries TIMESTAMP(NANOS)
+        # again (r1-2 testdata), read it as int64 instead of erroring;
+        # no-op on the current TIMESTAMP(MICROS) files
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -33,8 +33,12 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     - UTC session timezone: parquet timestamps must mean the same
       instant as in the DuckDB oracle (naive-UTC), or every epoch
       canonicalization skews by the local offset.
-    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which Spark
-      otherwise refuses to read at all (PARQUET_TYPE_ILLEGAL).
+    - nanosAsLong: kept defensively — if the testdata ever ships
+      TIMESTAMP(NANOS) again (as it did through round 2), Spark reads
+      it as int64 instead of refusing (PARQUET_TYPE_ILLEGAL), and
+      ``load_events`` takes its integral fast-path.  The current
+      testdata is TIMESTAMP(MICROS, isAdjustedToUTC=false), on which
+      this conf is a no-op.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -51,17 +55,33 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with the nano-precision timestamp exposed as exact BIGINT
-    nanoseconds (``ts_ns``).  The parquet type is TIMESTAMP(NANOS),
-    which Spark reads as int64 under ``nanosAsLong`` (session.py) and
-    DuckDB exposes via ``epoch_ns(ts)`` — both engines see identical
-    integers, so ordering and window math are bit-exact."""
+    """events with the timestamp canonicalized to exact BIGINT epoch
+    nanoseconds (``ts_ns``), schema-adaptively — the driver's testdata
+    has shipped two different physical types for ``ts`` across rounds:
+
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) (current): Spark reads
+      TIMESTAMP_NTZ, which cannot cast to BIGINT directly.  NTZ→TZ cast
+      is instant-preserving under the UTC session timezone
+      (``ensure_engine_confs``), so ``unix_micros(cast ts as timestamp)
+      * 1000`` equals DuckDB ``epoch_ns(ts)`` bit-exactly.
+    - TIMESTAMP(NANOS) (rounds 1-2): read as int64 under
+      ``nanosAsLong`` — already epoch nanos, plain bigint cast.
+
+    Both paths give the oracle's ``epoch_ns(ts)`` integers, so ordering
+    and window math stay bit-exact against DuckDB."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     df = load_table(spark, sf_dir, "events")
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, (T.LongType, T.IntegerType)):
+        ts_ns = F.col("ts").cast("bigint")
+    else:
+        # TIMESTAMP or TIMESTAMP_NTZ (instant-preserving under UTC tz)
+        ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
     return df.select(
         "event_id",
-        F.col("ts").cast("bigint").alias("ts_ns"),
+        ts_ns.alias("ts_ns"),
         "user_id",
         "event_type",
         "value",

@@ -32,7 +32,7 @@ EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type strin
 def read_event_stream(
     spark,
     path: str | None = None,
-    max_files_per_trigger: int = 1,
+    max_files_per_trigger: int | None = None,
     *,
     source_format: str = "files",
     kafka_options: dict | None = None,
@@ -62,16 +62,26 @@ def read_event_stream(
             raise ValueError("source_format='files' requires a path")
         return (
             spark.readStream.schema(EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("maxFilesPerTrigger", 1 if max_files_per_trigger is None else max_files_per_trigger)
             .parquet(path)
         )
     if source_format == "kafka":
+        if max_files_per_trigger is not None:
+            raise ValueError(
+                "max_files_per_trigger is a file-source knob; for kafka use "
+                "kafka_options={'maxOffsetsPerTrigger': ...}"
+            )
         reader = spark.readStream.format("kafka")
         for k, v in (kafka_options or {}).items():
             reader = reader.option(k, v)
         return (
             reader.load()
             .select(F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e"))
+            # malformed record values parse to a NULL struct; dropping
+            # them here is the dead-letter-lite guard (a real deploy
+            # routes them via requeue_sink's fatal path instead of
+            # propagating all-NULL rows downstream)
+            .where(F.col("e").isNotNull())
             .select("e.*")
         )
     raise ValueError(f"unknown source_format: {source_format!r} (expected 'files' or 'kafka')")
@@ -160,7 +170,10 @@ def requeue_sink(
     from pyspark.sql import functions as F
 
     def sink(batch_df, epoch_id):
-        att = F.col("attempts")
+        # attempts is seeded with 0 by contract, but a NULL must not make
+        # the routing predicates non-total (NULL att+1<max and NULL
+        # att+1>=max would BOTH drop the row — silently lost)
+        att = F.coalesce(F.col("attempts"), F.lit(0))
         ok = F.coalesce(is_ok.cast("boolean"), F.lit(False))
         retryable = F.coalesce(is_retryable.cast("boolean"), F.lit(False))
         batch_df.persist()

@@ -36,7 +36,55 @@ def test_engine_confs_reassert_on_load(spark):
         load_table(spark, SF_SMOKE, "orders")
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
         assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
-        # and the nanos table is actually readable again
+        # and the events table is actually readable again
         assert load_events(spark, SF_SMOKE).limit(1).count() == 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_events_ts_physical_type(spark):
+    """Loud canary for testdata drift: the driver's events.parquet `ts`
+    physical type changed between rounds (TIMESTAMP(NANOS) r1-2 →
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) r3+), which broke a third
+    of the contract in r3.  If it shifts again, fail HERE with the
+    dtype printed, not deep inside 10 operators."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lens_sds_batch_spark.sources.parquet import load_events
+
+    handled = {"long", "timestamp", "timestamp_ntz"}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.exists(path):
+            continue
+        arrow_t = pq.read_schema(path).field("ts").type
+        ev = load_events(spark, f"/root/testdata/{sf}")
+        spark_t = ev.schema["ts_ns"].dataType.typeName()
+        assert spark_t == "long", (
+            f"{sf}: ts_ns must be BIGINT, got {spark_t} (parquet ts = {arrow_t})"
+        )
+        raw_t = spark.read.parquet(path).schema["ts"].dataType.typeName()
+        assert raw_t in handled, (
+            f"{sf}: events.parquet ts reads as unhandled Spark type {raw_t!r} "
+            f"(parquet physical type {arrow_t}) — teach load_events this case"
+        )
+
+
+def test_all_queries_analyze(spark):
+    """Contract canary: ANALYZE (df.schema) every registry builder at
+    sf0.001 in one session.  The r3 break was an analysis-time cast
+    error that silently poisoned 10 CORRECTNESS rows + the bench; this
+    catches any future loader/type drift in seconds without executing a
+    single job."""
+    from .conftest import SF_SMOKE
+
+    failures = {}
+    for name, fn in entry_mod.queries().items():
+        try:
+            df = fn(spark, SF_SMOKE)
+            assert len(df.schema.fields) > 0
+        except Exception as e:  # noqa: BLE001
+            failures[name] = f"{type(e).__name__}: {str(e)[:200]}"
+    assert not failures, f"{len(failures)} builders fail analysis: {failures}"

@@ -202,3 +202,119 @@ def test_first_event_wins(spark):
     first = first_event_per_cid(events, [F.col("t"), F.col("id")])
     got = {r["cid"]: r["name"] for r in first.collect()}
     assert got == {"c1": "error", "c2": "subject/created"}
+
+
+def test_typed_value_cmd_id_golden_sha1(spark):
+    """Pin the sha1-flavor insert-item cmd_id for each typed value
+    (integer / float / date-time / string) — the ONE documented parity
+    delta vs the reference (plans/commands.py generate_commands
+    docstring; reference ``util.clj:32-43`` + ``coerce`` at
+    ``import_clinical_data.clj:54-57``).
+
+    The reference hands clj-uuid the *typed object* (Long / Double-or-
+    BigDecimal / java.util.Date), whose UUIDNameBytes Object branch
+    encodes via JVM-internal bytes; this sandbox has neither Clojure nor
+    the clj-uuid jar, and the ODM parser's runtime type for :float is
+    not determinable from the reference checkout alone — so byte parity
+    for typed VALUES is unverifiable here and we deliberately hash the
+    canonical *string* form instead (floats as DECIMAL(18,2) strings,
+    date-times as epoch seconds, ints verbatim; plans/odm.py canon).
+    String values ARE byte-parity (UTF-8 both sides, golden-pinned in
+    test_keys.py).  This test freezes the divergent ids per type so any
+    drift in the engine's own contract fails loudly."""
+    from lens_sds_batch_spark.functions.keys import uuid5_py
+
+    items = [
+        (FILE, "S1", "SK01", "SE1", "FM1", "IG1", "I-INT", None, "integer", "42"),
+        (FILE, "S1", "SK01", "SE1", "FM1", "IG1", "I-FLT", None, "float", "1.50"),
+        (FILE, "S1", "SK01", "SE1", "FM1", "IG1", "I-DT", None, "date-time", "1704067200"),
+        (FILE, "S1", "SK01", "SE1", "FM1", "IG1", "I-STR", None, "string", "x"),
+    ]
+    odm = build_odm(
+        spark,
+        [(FILE, "S1", "SK01", "insert")],
+        ses=[(FILE, "S1", "SK01", "SE1", None)],
+        forms=[(FILE, "S1", "SK01", "SE1", "FM1", None)],
+        igs=[(FILE, "S1", "SK01", "SE1", "FM1", "IG1", None)],
+        items=items,
+    )
+    cmds = generate_commands(odm, BATCH, SUB, persist=False, flavor="sha1")
+    got = {
+        r["item_oid"]: r["cmd_id"]
+        for r in cmds.where(F.col("name") == "odm-import/insert-item").collect()
+    }
+
+    # pure-Python replication of the engine's documented encoding
+    study_id = uuid5_py(NIL_UUID, ["S1"])
+    subject_id = uuid5_py(study_id, ["SK01"])
+    se_id = uuid5_py(subject_id, ["SE1"])
+    form_id = uuid5_py(se_id, ["FM1"])
+    ig_id = uuid5_py(form_id, ["IG1"])
+    import uuid as _uuid
+
+    def expect(item_oid, data_type, canon):
+        payload = (
+            b":odm-import/insert-item"
+            + b":data-type" + data_type.encode()
+            + b":file-oid" + FILE.encode()
+            + b":item-group-id" + _uuid.UUID(ig_id).bytes
+            + b":item-oid" + item_oid.encode()
+            + b":value" + canon.encode()
+        )
+        return uuid5_py(BATCH, [payload])
+
+    assert got == {
+        "I-INT": expect("I-INT", "integer", "42"),
+        "I-FLT": expect("I-FLT", "float", "1.50"),
+        "I-DT": expect("I-DT", "date-time", "1704067200"),
+        "I-STR": expect("I-STR", "string", "x"),
+    }
+
+
+def test_multifile_batch_per_file_cmd_id_namespacing(spark):
+    """Reference consumes a QUEUE of batch commands — one per ODM file —
+    and namespaces every generated cmd id under its own batch command's
+    id (``broker.clj:157-169``, ``import_clinical_data.clj:288-297``).
+    Multi-file run: identical subtrees in two files must yield IDENTICAL
+    entity ids (path-deterministic, file-independent) but DISTINCT cmd
+    ids (namespaced per batch cmd)."""
+    from lens_sds_batch_spark.plans.commands import per_file_batch_cmd_id
+
+    files = spark.createDataFrame(
+        [("F-A", "transactional", "ignored", SUB), ("F-B", "transactional", "ignored", SUB)],
+        "file_oid string, file_type string, batch_cmd_id string, sub string",
+    )
+    odm = OdmTables(
+        files=files,
+        subjects=spark.createDataFrame(
+            [("F-A", "S1", "SK01", "insert"), ("F-B", "S1", "SK01", "insert")], S_COLS
+        ),
+        study_events=spark.createDataFrame([], SE_COLS),
+        forms=spark.createDataFrame([], FM_COLS),
+        item_groups=spark.createDataFrame([], IG_COLS),
+        items=spark.createDataFrame([], IT_COLS),
+    )
+    cmds = generate_commands(odm, per_file_batch_cmd_id(), SUB, persist=False)
+    rows = {r["file_oid"]: r for r in cmds.collect()}
+    assert set(rows) == {"F-A", "F-B"}
+    # same path -> same entity id regardless of file
+    assert rows["F-A"]["parent_id"] == rows["F-B"]["parent_id"]
+    # distinct batch namespaces -> distinct cmd ids
+    assert rows["F-A"]["cmd_id"] != rows["F-B"]["cmd_id"]
+    # and each equals the scalar-namespace run for its own file
+    for foid in ("F-A", "F-B"):
+        bid = uuid3_str_py(NIL_UUID, ["batch-cmd", foid])
+        solo = generate_commands(
+            OdmTables(
+                files=files.where(F.col("file_oid") == foid),
+                subjects=odm.subjects.where(F.col("file_oid") == foid),
+                study_events=odm.study_events,
+                forms=odm.forms,
+                item_groups=odm.item_groups,
+                items=odm.items,
+            ),
+            bid,
+            SUB,
+            persist=False,
+        ).collect()
+        assert solo[0]["cmd_id"] == rows[foid]["cmd_id"]

@@ -21,8 +21,8 @@ from .conftest import SF_SMOKE
 @pytest.fixture()
 def stream_dir(spark, tmp_path):
     """Two files with overlapping event_ids — simulated at-least-once
-    redelivery.  Source timestamps are nanos (see load_events); rewrite
-    to micros timestamps for the stream."""
+    redelivery.  load_events canonicalizes source timestamps to ts_ns
+    BIGINT; rewrite to micros TIMESTAMP for the stream schema."""
     from lens_sds_batch_spark.sources.parquet import load_events
 
     src = (
