@@ -155,9 +155,10 @@ def requeue_sink(
     ``is_ok`` / ``is_retryable`` are Column predicates and may read the
     ``attempts`` column (rows must carry ``attempts``; seed with 0).
     NULL predicate results (e.g. a predicate over a nullable column)
-    are normalized to False so every row lands in EXACTLY one of the
-    three outputs — ``where(p)`` and ``where(~p)`` would both drop a
-    NULL row, silently losing it.
+    are normalized to False, and NULL ``attempts`` to 0, so every row
+    lands in EXACTLY one of the three outputs — ``where(p)`` and
+    ``where(~p)`` would both drop a NULL row, silently losing it
+    (routing totality pinned by test_requeue_null_routing_total).
     Deterministic ids keep redelivery idempotent downstream, the same
     argument the reference makes for its at-least-once delivery.
 

@@ -311,3 +311,61 @@ def test_stateful_user_counts(spark, stream_dir):
         assert final.count() == raw.count()
     finally:
         q.stop()
+
+
+def test_requeue_null_routing_total(spark, tmp_path):
+    """Total-routing contract under NULLs (ADVICE r3): rows whose
+    predicates or attempts evaluate to NULL must still land in exactly
+    one of out/requeue/dead — never silently dropped.  NULL is_ok ->
+    not-ok; NULL is_retryable -> fatal; NULL attempts -> treated as 0
+    (so a retryable row with NULL attempts requeues instead of
+    vanishing from BOTH the requeue and dead branches)."""
+    from lens_sds_batch_spark.streaming.pipeline import requeue_sink
+
+    src = str(tmp_path / "nsrc")
+    out = str(tmp_path / "nout")
+    dead = str(tmp_path / "ndead")
+    schema = "event_id bigint, kind string, attempts int"
+    rows = [
+        (1, "ok", 0),
+        (2, None, 0),        # NULL kind -> NULL predicates -> dead
+        (3, "transient", None),  # NULL attempts + retryable -> requeue, then succeed
+        (4, "fatal", None),  # NULL attempts + fatal -> dead
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    is_ok = (F.col("kind") == "ok") | (
+        (F.col("kind") == "transient") & (F.col("attempts") >= 1)
+    )
+    is_retryable = F.col("kind") == "transient"
+    sink = requeue_sink(out, dead, src, is_ok, is_retryable, max_attempts=3)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got_out = spark.read.parquet(out).collect()
+    got_dead = spark.read.parquet(dead).collect()
+    # every row accounted for exactly once in a terminal output
+    assert sorted(r["event_id"] for r in got_out) == [1, 3]
+    assert sorted(r["event_id"] for r in got_dead) == [2, 4]
+    # the NULL-attempts transient really went around the loop once
+    assert [r["attempts"] for r in got_out if r["event_id"] == 3] == [1]
+
+
+def test_kafka_source_rejects_file_trigger_knob(spark):
+    """max_files_per_trigger is a file-source knob; passing it with the
+    kafka transport must fail loudly instead of being silently ignored
+    (ADVICE r3)."""
+    with pytest.raises(ValueError, match="maxOffsetsPerTrigger"):
+        read_event_stream(
+            spark,
+            max_files_per_trigger=4,
+            source_format="kafka",
+            kafka_options={"kafka.bootstrap.servers": "example:9092"},
+        )
