@@ -28,9 +28,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from lens_sds_batch_spark.session import get_spark  # noqa: E402
 
-OPS = ("dedup_exact", "dedup_fingerprint", "ngram_jaccard_pairs",
+# dup_pairs_pack = the former ngram_jaccard_pairs + embedding_dup_pairs
+# arms (folded in round 3; registry names, see COVERAGE.md pack map)
+OPS = ("dedup_exact", "dedup_fingerprint", "dup_pairs_pack",
        "dedup_minhash_pairs", "simhash_dup_pairs", "knn_lsh_bucketed",
-       "embedding_dup_pairs", "stratified_sample", "pack_sequences")
+       "dedup_clusters", "stratified_sample", "pack_sequences")
 
 BASE_TMP = "/tmp/lens_scale_smoke"
 
