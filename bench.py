@@ -99,6 +99,10 @@ def main() -> None:
         out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
+    if errors:
+        # the suite JSON above still prints (the r3 lesson), but a
+        # broken query must not read as a faster suite + success rc
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

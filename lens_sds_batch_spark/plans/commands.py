@@ -34,17 +34,26 @@ from ..functions.keys import NIL_UUID, uuid3_str_col, uuid5_col
 from .odm import OdmTables
 
 
+# sentinel for generate_commands(batch_cmd_id=...): derive the batch
+# namespace per row from file_oid, using the SAME flavor as the command
+# hashing (passing per_file_batch_cmd_id() directly risks silently
+# mixing an md5 namespace with sha1 cmd hashing)
+PER_FILE = "per-file"
+
+
 def per_file_batch_cmd_id(flavor: str = "md5") -> Column:
     """Per-row batch-cmd-id derived from ``file_oid`` — the multi-file
     batch entry point.  The reference consumes a *queue* of batch
     commands, one per ODM file, and namespaces every generated cmd id
     under its own batch command's id (``broker.clj:157-169``,
     ``import_clinical_data.clj:288-297``: ``gen-cmd-id`` hashes into the
-    batch-cmd-id namespace).  Passing this Column as
-    ``generate_commands(batch_cmd_id=...)`` reproduces that: N files in
-    one DataFrame run, each file's commands namespaced under its own
-    deterministic batch id — a pure projection, no join, so the
-    multi-file path costs nothing extra at scale."""
+    batch-cmd-id namespace).  Prefer
+    ``generate_commands(batch_cmd_id=PER_FILE, flavor=...)``, which
+    calls this with the command-hash flavor so the namespace and cmd-id
+    flavors can't diverge: N files in one DataFrame run, each file's
+    commands namespaced under its own deterministic batch id — a pure
+    projection, no join, so the multi-file path costs nothing extra at
+    scale."""
     return _keyfn(flavor)(NIL_UUID, [F.lit("batch-cmd"), F.col("file_oid")])
 
 COMMAND_COLUMNS = (
@@ -273,9 +282,18 @@ def resolve_and_identify(odm: OdmTables, flavor: str = "md5") -> OdmTables:
 
 
 def generate_commands(
-    odm: OdmTables, batch_cmd_id: str, sub: str, persist: bool = True, flavor: str = "md5"
+    odm: OdmTables,
+    batch_cmd_id: str | Column,
+    sub: str,
+    persist: bool = True,
+    flavor: str = "md5",
 ) -> DataFrame:
     """The full per-level command set as one flat DataFrame.
+
+    ``batch_cmd_id`` is the id-namespace: a scalar uuid string (single
+    batch command), the :data:`PER_FILE` sentinel (multi-file batch —
+    each row's namespace derives from its ``file_oid``, same flavor as
+    the command hashing), or an explicit Column expression.
 
     ``persist`` caches each resolved level before fan-out — the level
     frontier feeds both its own command projection and the child
@@ -295,6 +313,8 @@ def generate_commands(
     Pre-resolved input (levels already carrying ``rtx`` + entity ids,
     e.g. from ``odm.derive_odm_resolved``'s join-free fused path) is
     detected and used as-is — no resolve joins, no level persists."""
+    if isinstance(batch_cmd_id, str) and batch_cmd_id == PER_FILE:
+        batch_cmd_id = per_file_batch_cmd_id(flavor)
     if "rtx" in odm.subjects.columns:
         r = odm  # fused/denormalized path: already resolved + identified
         persist = False

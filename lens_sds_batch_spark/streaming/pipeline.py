@@ -60,6 +60,10 @@ def read_event_stream(
     if source_format == "files":
         if path is None:
             raise ValueError("source_format='files' requires a path")
+        if kafka_options is not None:
+            raise ValueError(
+                "kafka_options is a kafka-source knob; for files use max_files_per_trigger"
+            )
         return (
             spark.readStream.schema(EVENTS_SCHEMA)
             .option("maxFilesPerTrigger", 1 if max_files_per_trigger is None else max_files_per_trigger)
@@ -77,11 +81,14 @@ def read_event_stream(
         return (
             reader.load()
             .select(F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e"))
-            # malformed record values parse to a NULL struct; dropping
-            # them here is the dead-letter-lite guard (a real deploy
-            # routes them via requeue_sink's fatal path instead of
-            # propagating all-NULL rows downstream)
-            .where(F.col("e").isNotNull())
+            # malformed record values parse (PERMISSIVE mode) to a
+            # struct whose FIELDS are all NULL — `e IS NOT NULL` would
+            # keep them — so the guard keys on the required event_id
+            # field; NULL tombstone record values also land here.
+            # Dead-letter-lite: a real deploy routes these via
+            # requeue_sink's fatal path instead of silently propagating
+            # all-NULL rows downstream.
+            .where(F.col("e.event_id").isNotNull())
             .select("e.*")
         )
     raise ValueError(f"unknown source_format: {source_format!r} (expected 'files' or 'kafka')")

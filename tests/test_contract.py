@@ -54,11 +54,13 @@ def test_events_ts_physical_type(spark):
 
     from lens_sds_batch_spark.sources.parquet import load_events
 
-    handled = {"long", "timestamp", "timestamp_ntz"}
+    handled = {"long", "integer", "timestamp", "timestamp_ntz"}
+    checked = 0
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         path = f"/root/testdata/{sf}/events.parquet"
         if not os.path.exists(path):
             continue
+        checked += 1
         arrow_t = pq.read_schema(path).field("ts").type
         ev = load_events(spark, f"/root/testdata/{sf}")
         spark_t = ev.schema["ts_ns"].dataType.typeName()
@@ -70,6 +72,7 @@ def test_events_ts_physical_type(spark):
             f"{sf}: events.parquet ts reads as unhandled Spark type {raw_t!r} "
             f"(parquet physical type {arrow_t}) — teach load_events this case"
         )
+    assert checked > 0, "no /root/testdata/sf* dirs found — canary checked nothing"
 
 
 def test_all_queries_analyze(spark):

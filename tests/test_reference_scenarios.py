@@ -278,7 +278,7 @@ def test_multifile_batch_per_file_cmd_id_namespacing(spark):
     Multi-file run: identical subtrees in two files must yield IDENTICAL
     entity ids (path-deterministic, file-independent) but DISTINCT cmd
     ids (namespaced per batch cmd)."""
-    from lens_sds_batch_spark.plans.commands import per_file_batch_cmd_id
+    from lens_sds_batch_spark.plans.commands import PER_FILE
 
     files = spark.createDataFrame(
         [("F-A", "transactional", "ignored", SUB), ("F-B", "transactional", "ignored", SUB)],
@@ -294,7 +294,7 @@ def test_multifile_batch_per_file_cmd_id_namespacing(spark):
         item_groups=spark.createDataFrame([], IG_COLS),
         items=spark.createDataFrame([], IT_COLS),
     )
-    cmds = generate_commands(odm, per_file_batch_cmd_id(), SUB, persist=False)
+    cmds = generate_commands(odm, PER_FILE, SUB, persist=False)
     rows = {r["file_oid"]: r for r in cmds.collect()}
     assert set(rows) == {"F-A", "F-B"}
     # same path -> same entity id regardless of file
