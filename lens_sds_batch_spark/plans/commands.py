@@ -41,6 +41,22 @@ from .odm import OdmTables
 PER_FILE = "per-file"
 
 
+def batch_cmd_id_map(meta: dict[str, str]) -> Column:
+    """Per-row batch-cmd-id looked up from a small ``{file_oid:
+    batch_cmd_id}`` mapping — the reference's batch-command QUEUE
+    metadata (each queued batch command carries its externally-assigned
+    id, ``broker.clj:157-169``).  Lets ONE ``generate_commands`` pass
+    process a multi-file micro-batch without a per-file driver loop
+    (the collect-and-loop shape that doesn't scale); the map is a
+    literal expression, broadcast-sized by nature (one entry per
+    in-flight batch command)."""
+    pairs: list[Column] = []
+    for k in sorted(meta):
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(meta[k]))
+    return F.element_at(F.create_map(*pairs), F.col("file_oid"))
+
+
 def per_file_batch_cmd_id(flavor: str = "md5") -> Column:
     """Per-row batch-cmd-id derived from ``file_oid`` — the multi-file
     batch entry point.  The reference consumes a *queue* of batch
@@ -234,10 +250,11 @@ def _level_commands(df, batch_cmd_id, sub, entity, params, out, item_level=False
             .otherwise(ins)
         )
     batch_ns = batch_cmd_id if isinstance(batch_cmd_id, Column) else F.lit(batch_cmd_id)
+    sub_col = sub if isinstance(sub, Column) else F.lit(sub)
     cols = [
         _keyfn(flavor)(batch_ns, [payload]).alias("cmd_id"),
         name.alias("name"),
-        F.lit(sub).alias("sub"),
+        sub_col.alias("sub"),
     ]
     for c in COMMAND_COLUMNS[3:]:
         if c not in out:
@@ -284,7 +301,7 @@ def resolve_and_identify(odm: OdmTables, flavor: str = "md5") -> OdmTables:
 def generate_commands(
     odm: OdmTables,
     batch_cmd_id: str | Column,
-    sub: str,
+    sub: str | Column,
     persist: bool = True,
     flavor: str = "md5",
 ) -> DataFrame:
@@ -293,7 +310,9 @@ def generate_commands(
     ``batch_cmd_id`` is the id-namespace: a scalar uuid string (single
     batch command), the :data:`PER_FILE` sentinel (multi-file batch —
     each row's namespace derives from its ``file_oid``, same flavor as
-    the command hashing), or an explicit Column expression.
+    the command hashing), or an explicit Column expression (e.g.
+    :func:`batch_cmd_id_map` for externally-assigned per-file ids).
+    ``sub`` likewise accepts a Column for per-file submitters.
 
     ``persist`` caches each resolved level before fan-out — the level
     frontier feeds both its own command projection and the child

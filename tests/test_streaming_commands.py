@@ -97,3 +97,41 @@ def test_streamed_commands_equal_batch(spark, tmp_path):
     assert "odm-import/remove-subject" in names
     assert "odm-import/remove-study-event" in names
     assert "odm-import/upsert-subject" in names
+
+
+def test_multifile_micro_batch_single_pass(spark, tmp_path):
+    """A multi-file micro-batch processed in ONE generate_commands pass
+    (batch_cmd_id_map + sub Column) must equal the per-file driver-loop
+    form — the loop is the collect-and-iterate shape that doesn't scale
+    when a trigger delivers many batch commands at once."""
+    from lens_sds_batch_spark.plans.commands import batch_cmd_id_map
+    from lens_sds_batch_spark.sources.odm_xml import odm_tables_from_xml
+
+    xml_dir = tmp_path / "xml1p"
+    xml_dir.mkdir()
+    (xml_dir / "a.xml").write_text(XML_A)
+    (xml_dir / "b.xml").write_text(XML_B)
+    parsed = read_odm_xml(spark, str(xml_dir))
+
+    # per-file loop form (the existing streaming shape)
+    looped = _commands_for_file(spark, parsed.where(F.col("file_oid") == "F-S1")).unionByName(
+        _commands_for_file(spark, parsed.where(F.col("file_oid") == "F-S2"))
+    )
+
+    # one-pass form: both files through a single pipeline, namespaces
+    # and submitter resolved per row from the queue metadata
+    meta_df = spark.createDataFrame(
+        [(f, "transactional", META[f][0], META[f][1]) for f in ("F-S1", "F-S2")],
+        "file_oid string, file_type string, batch_cmd_id string, sub string",
+    )
+    odm = odm_tables_from_xml(parsed, meta_df)
+    bcid_col = batch_cmd_id_map({f: META[f][0] for f in META})
+    sub_col = F.element_at(
+        F.create_map(*[F.lit(x) for f in META for x in (f, META[f][1])]),
+        F.col("file_oid"),
+    )
+    one_pass = generate_commands(odm, bcid_col, sub_col, persist=False)
+
+    assert one_pass.count() == looped.count()
+    assert one_pass.exceptAll(looped).count() == 0
+    assert looped.exceptAll(one_pass).count() == 0
