@@ -91,3 +91,45 @@ def test_all_queries_analyze(spark):
         except Exception as e:  # noqa: BLE001
             failures[name] = f"{type(e).__name__}: {str(e)[:200]}"
     assert not failures, f"{len(failures)} builders fail analysis: {failures}"
+
+
+def test_load_events_integral_fastpath_equivalence(spark, tmp_path):
+    """Both physical flavors the testdata has shipped must canonicalize
+    to IDENTICAL ts_ns: TIMESTAMP(NANOS) (read as int64 under
+    nanosAsLong -> bigint fast-path) vs TIMESTAMP(MICROS, ntz) (the
+    unix_micros conversion path).  Writes the same instants both ways
+    with pyarrow and diffs the loader output — pins the branch the
+    current testdata never exercises."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lens_sds_batch_spark.sources.parquet import load_events
+
+    micros = [1704067200_000_000, 1704070800_123_456, 1706659032_194_062]
+    cols = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 20, 30], pa.int64()),
+        "event_type": pa.array(["a", "b", "c"]),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "props": pa.array(["{}", "{}", "{}"]),
+    }
+    d_nanos = tmp_path / "nanos"
+    d_ntz = tmp_path / "ntz"
+    for d, ts_arr in (
+        (d_nanos, pa.array([m * 1000 for m in micros], pa.timestamp("ns"))),
+        (d_ntz, pa.array(micros, pa.timestamp("us"))),
+    ):
+        d.mkdir()
+        t = pa.table({"event_id": cols["event_id"], "ts": ts_arr, **{
+            k: v for k, v in cols.items() if k != "event_id"}})
+        pq.write_table(t, str(d / "events.parquet"))
+
+    a = load_events(spark, str(d_nanos))
+    b = load_events(spark, str(d_ntz))
+    # the nanos file must actually take the integral fast-path
+    assert spark.read.parquet(str(d_nanos / "events.parquet")).schema["ts"].dataType.typeName() == "long"
+    got_a = {r["event_id"]: r["ts_ns"] for r in a.collect()}
+    got_b = {r["event_id"]: r["ts_ns"] for r in b.collect()}
+    want = {i + 1: m * 1000 for i, m in enumerate(micros)}
+    assert got_a == want
+    assert got_b == want
