@@ -369,3 +369,31 @@ def test_kafka_source_rejects_file_trigger_knob(spark):
             source_format="kafka",
             kafka_options={"kafka.bootstrap.servers": "example:9092"},
         )
+
+
+def test_kafka_value_parse_guard_semantics(spark):
+    """The kafka branch's malformed-record guard, pinned on batch data
+    (the sandbox has no broker): from_json in PERMISSIVE mode yields a
+    struct whose FIELDS are all NULL for malformed JSON — `e IS NOT
+    NULL` keeps it (the r4 review catch) — so the guard keys on the
+    required event_id field.  If Spark's PERMISSIVE semantics ever
+    change, this fails before the production seam does."""
+    from lens_sds_batch_spark.streaming.pipeline import EVENTS_SCHEMA
+
+    vals = spark.createDataFrame(
+        [
+            ('{"event_id": 7, "ts": "2024-01-01T00:00:00", "user_id": 1, '
+             '"event_type": "a", "value": 1.5, "props": "{}"}',),
+            ("not json",),
+            (None,),
+            ('{"user_id": 2}',),  # schema-valid JSON missing event_id
+        ],
+        "value string",
+    )
+    parsed = vals.select(F.from_json(F.col("value"), EVENTS_SCHEMA).alias("e"))
+    # document the footgun: struct-of-NULLs is NOT a NULL struct
+    assert parsed.where(F.col("e").isNotNull()).count() == 3
+    good = parsed.where(F.col("e.event_id").isNotNull()).select("e.*")
+    rows = good.collect()
+    assert [r["event_id"] for r in rows] == [7]
+    assert rows[0]["value"] == 1.5
