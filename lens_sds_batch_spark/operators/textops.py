@@ -440,11 +440,12 @@ def doc_features_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("kept"),
         rep.alias("rep_bigram_ratio"),
     )
+    # no trailing orderBy: the sort's sampling pass re-executes the
+    # whole join tree (order-insensitive driver compare)
     return (
         base.join(gate, "doc_id")
         .join(feature_hash_vectors(spark, sf_dir), "doc_id")
         .join(eval_contamination(spark, sf_dir), "doc_id")
-        .orderBy("doc_id")
     )
 
 
