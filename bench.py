@@ -53,6 +53,15 @@ HEADLINE = (
     # added round 3
     "dedup_clusters",
     "corpus_shuffle_split",
+    # added round 4: the expensive pack queries were previously
+    # invisible to the per-round perf record (dup_pairs_pack measured
+    # 12s before its r4 sort fix — unbenchmarked); totals before r4 are
+    # comparable on the key subsets above only
+    "dup_pairs_pack",
+    "doc_features_pack",
+    "cdc_guard_pack",
+    "joins_pack",
+    "ivf_knn",
 )
 
 
