@@ -324,7 +324,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = docs.select("doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w"))
     sums = exploded.groupBy("doc_id").agg(*_simhash_bit_exprs())
     bits = [F.when(F.col(f"s{b}") >= 0, F.lit("1")).otherwise(F.lit("0")) for b in range(SIMHASH_BITS)]
-    return sums.select("doc_id", F.concat(*bits).alias("simhash")).orderBy("doc_id")
+    # no orderBy: this feeds simhash_dup_pairs MID-pipeline — a global
+    # sort here is an extra exchange + sampling double-execution of the
+    # 16-way bit sums, bought for nothing
+    return sums.select("doc_id", F.concat(*bits).alias("simhash"))
 
 
 def _duck_simhash_cte() -> str:
@@ -373,10 +376,10 @@ def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.substring("ha", i + 1, 1) != F.substring("hb", i + 1, 1), 1).otherwise(0)
         for i in range(SIMHASH_BITS)
     )
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .where(F.col("hamming") <= HAMMING_MAX)
-        .orderBy("doc_a", "doc_b")
+    # no trailing orderBy (order-insensitive driver compare; see
+    # ngram_jaccard_pairs for the sampling double-execution measurement)
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= HAMMING_MAX
     )
 
 
