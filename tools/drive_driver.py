@@ -1,0 +1,89 @@
+"""Driver-contract simulation: entry() smoke at sf0.001, then every
+queries()[name] at sf0.01 hash-compared against oracle_sql()[name] in
+DuckDB (sorted-column canonical tuple multisets)."""
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from lens_sds_batch_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_GATE = "/root/testdata/sf0.01"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return f"{v:.6f}"
+    return str(v)
+
+
+def rows_to_ms(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    spark = get_spark("drive-driver")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as em
+
+    # t1 smoke
+    df = em.entry(spark)
+    n = df.count()
+    print(f"entry(): {n} rows, schema ok", flush=True)
+    assert n >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_GATE}/{t}.parquet'")
+
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    bad = []
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_GATE)
+            scols = sdf.columns
+            srows = sdf.collect()
+            if name not in oracles:
+                print(f"{name}: rows-only, {len(srows)} rows ran OK ({time.time()-t0:.1f}s)", flush=True)
+                continue
+            orows_rel = con.sql(oracles[name])
+            ocols = orows_rel.columns
+            orows = orows_rel.fetchall()
+            if sorted(scols) != sorted(ocols):
+                bad.append(name)
+                print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(ocols)}", flush=True)
+                continue
+            sms = rows_to_ms(srows, scols)
+            oms = rows_to_ms(orows, ocols)
+            if len(sms) != len(oms):
+                bad.append(name)
+                print(f"{name}: ROWCOUNT MISMATCH spark={len(sms)} duck={len(oms)}", flush=True)
+            elif sms != oms:
+                bad.append(name)
+                diff = next(i for i, (a, b) in enumerate(zip(sms, oms)) if a != b)
+                print(f"{name}: VALUE MISMATCH at sorted-row {diff}:\n  spark={sms[diff]}\n  duck ={oms[diff]}", flush=True)
+            else:
+                print(f"{name}: OK {len(sms)} rows ({time.time()-t0:.1f}s)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            bad.append(name)
+            print(f"{name}: ERROR {type(e).__name__}: {str(e)[:300]}", flush=True)
+    print(f"\n=== {len(qs) - len(bad)}/{len(qs)} OK; failures: {bad}", flush=True)
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
