@@ -29,6 +29,31 @@ from pyspark.sql import functions as F
 EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
 
 
+def _canonicalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column to a session-TZ TIMESTAMP regardless
+    of the at-rest physical type.  The driver's events.parquet has
+    shipped three types across rounds — TIMESTAMP(NANOS) (read as int64
+    epoch nanos under ``nanosAsLong``), TIMESTAMP_NTZ (current), and
+    plain TIMESTAMP — and pinning one of them in a DDL schema is the
+    drift class that erased round 3 (see ``sources/parquet.load_events``,
+    the batch twin of this function).  Under the UTC session timezone
+    (``ensure_engine_confs``) every branch is instant-preserving, so the
+    watermark/window math downstream sees identical instants either way.
+    """
+    from pyspark.sql import types as T
+
+    if "ts" not in df.columns:
+        return df
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, (T.LongType, T.IntegerType)):
+        ts = F.expr("timestamp_micros(cast(ts as bigint) div 1000)")
+    elif isinstance(ts_type, T.TimestampNTZType):
+        ts = F.col("ts").cast("timestamp")
+    else:
+        return df
+    return df.withColumn("ts", ts)
+
+
 def read_event_stream(
     spark,
     path: str | None = None,
@@ -64,11 +89,29 @@ def read_event_stream(
             raise ValueError(
                 "kafka_options is a kafka-source knob; for files use max_files_per_trigger"
             )
-        return (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", 1 if max_files_per_trigger is None else max_files_per_trigger)
-            .parquet(path)
+        # Schema-ADAPTIVELY from the at-rest footers (cheap batch metadata
+        # read), not a pinned DDL: the driver's events parquet has changed
+        # ts physical type across rounds (NANOS -> NTZ), and a pinned
+        # `ts timestamp` mis-declares NTZ data (the round-3 failure
+        # class).  Fall back to EVENTS_SCHEMA only when the directory has
+        # no files yet (e.g. a requeue loop seeded later).
+        try:
+            at_rest = spark.read.parquet(path).schema
+        except Exception:
+            at_rest = EVENTS_SCHEMA
+        reader = spark.readStream.schema(at_rest).option(
+            "maxFilesPerTrigger", 1 if max_files_per_trigger is None else max_files_per_trigger
         )
+        # FileStreamSource pins basePath to the literal (non-glob) path,
+        # and basePath must be a DIRECTORY — so a single at-rest file
+        # (the driver's events.parquet) needs glob-ifying: `{name}` is a
+        # one-member glob, which keeps the override off and anchors the
+        # implied basePath at the parent directory instead.
+        import os
+
+        if os.path.isfile(path):
+            path = f"{os.path.dirname(path)}/{{{os.path.basename(path)}}}"
+        return _canonicalize_event_ts(reader.parquet(path))
     if source_format == "kafka":
         if max_files_per_trigger is not None:
             raise ValueError(

@@ -358,6 +358,61 @@ def test_requeue_null_routing_total(spark, tmp_path):
     assert [r["attempts"] for r in got_out if r["event_id"] == 3] == [1]
 
 
+def test_stream_raw_driver_parquet_schema_adaptive(spark):
+    """Drift-proofing (r4 verdict #1): read_event_stream pointed at the
+    RAW driver events.parquet — no fixture re-materialization — must
+    declare the at-rest ts type correctly (TIMESTAMP_NTZ today, NANOS in
+    rounds 1-2) and canonicalize it to a session-TZ timestamp, so the
+    streamed tumbling aggregate equals the batch one over load_events'
+    ts_ns.  If the driver's physical type drifts again, this fails here
+    instead of erasing CORRECTNESS rows (the round-3 failure class)."""
+    from pyspark.sql import types as T
+
+    from lens_sds_batch_spark.sources.parquet import load_events
+
+    stream = read_event_stream(spark, f"{SF_SMOKE}/events.parquet", max_files_per_trigger=10)
+    assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
+    q = run_to_memory(windowed_counts(stream, watermark=None), "raw_win", output_mode="complete")
+    try:
+        streamed = {
+            (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+            for r in spark.sql("SELECT * FROM raw_win").collect()
+        }
+        batch = (
+            load_events(spark, SF_SMOKE)
+            .groupBy(
+                F.timestamp_micros(
+                    (F.col("ts_ns") / 1000 / 3_600_000_000).cast("bigint") * 3_600_000_000
+                ).alias("window_start"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        )
+        want = {
+            (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+            for r in batch.collect()
+        }
+        assert streamed == want and len(want) > 0
+    finally:
+        q.stop()
+
+
+def test_canonicalize_event_ts_all_physical_types(spark):
+    """The three at-rest branches of _canonicalize_event_ts map the same
+    instant to the same timestamp: int64 epoch-nanos, TIMESTAMP_NTZ, and
+    already-TIMESTAMP all land on identical session-TZ instants."""
+    from lens_sds_batch_spark.streaming.pipeline import _canonicalize_event_ts
+
+    ns = 1_700_000_000_123_456_000
+    via_long = _canonicalize_event_ts(spark.createDataFrame([(ns,)], "ts bigint"))
+    via_ntz = _canonicalize_event_ts(
+        spark.sql(f"SELECT cast(timestamp_micros({ns // 1000}) AS timestamp_ntz) AS ts")
+    )
+    via_ts = _canonicalize_event_ts(spark.sql(f"SELECT timestamp_micros({ns // 1000}) AS ts"))
+    got = {df.select(F.unix_micros("ts")).collect()[0][0] for df in (via_long, via_ntz, via_ts)}
+    assert got == {ns // 1000}
+
+
 def test_kafka_source_rejects_file_trigger_knob(spark):
     """max_files_per_trigger is a file-source knob; passing it with the
     kafka transport must fail loudly instead of being silently ignored
