@@ -118,15 +118,25 @@ class UuidBytes:
 
 def _fmt_uuid(h: Column, version: str) -> Column:
     """32-hex-char digest -> RFC-4122 formatted uuid string with the
-    given version nibble and a forced RFC variant nibble."""
+    given version nibble and a forced RFC variant nibble.
+
+    NULL-propagating by construction: ``concat_ws`` SKIPS null args, so
+    a NULL digest (NULL payload, e.g. a malformed non-hex uuid param
+    nulling the sha1 byte payload) would silently format as the EMPTY
+    STRING — every such row sharing one degenerate id, invisible to any
+    NULL check.  The explicit when() keeps NULL-in → NULL-out so the
+    cmd-id guard in plans/commands.py can detect it."""
     variant = F.translate(F.substring(h, 17, 1), _HEX, _VARIANT_MAP)
-    return F.concat_ws(
-        "-",
-        F.substring(h, 1, 8),
-        F.substring(h, 9, 4),
-        F.concat(F.lit(version), F.substring(h, 14, 3)),
-        F.concat(variant, F.substring(h, 18, 3)),
-        F.substring(h, 21, 12),
+    return F.when(
+        h.isNotNull(),
+        F.concat_ws(
+            "-",
+            F.substring(h, 1, 8),
+            F.substring(h, 9, 4),
+            F.concat(F.lit(version), F.substring(h, 14, 3)),
+            F.concat(variant, F.substring(h, 18, 3)),
+            F.substring(h, 21, 12),
+        ),
     )
 
 

@@ -33,7 +33,7 @@ def merge_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.select(
         "user_id", "event_id", F.expr("ts_ns div 1000000000").alias("ts_epoch"), "event_type", "value"
-    ).orderBy("user_id")
+    )
 
 
 MERGE_LWW_SQL = """
@@ -140,7 +140,6 @@ def gated_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         gated.groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("n_children"))
-        .orderBy("l_orderkey")
     )
 
 
@@ -199,7 +198,6 @@ def dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         routed.groupBy("event_type", "route", "retryable")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("event_type", "route")
     )
 
 
@@ -309,7 +307,7 @@ def entity_state_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=[F.col("priority")],
         is_delete=F.col("is_remove"),
     )
-    return merged.select("study_oid", "subject_key", "version").orderBy("study_oid", "subject_key")
+    return merged.select("study_oid", "subject_key", "version")
 
 
 from ..oracle import SUBJECT_TX  # noqa: E402  (shared tx derivation text)
@@ -362,7 +360,6 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("valid_to", F.lead("valid_from").over(w))
         .drop("ts_ns")
-        .orderBy("user_id", "valid_from", "event_id")
     )
 
 
@@ -389,7 +386,6 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
             "n_events",
         )
-        .orderBy("user_id", "session_start_us")
     )
 
 

@@ -64,7 +64,6 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", "lang", "source", _u(F.col("doc_id")).alias("u"))
         .where(F.col("u") < rate)
-        .orderBy("doc_id")
     )
 
 
@@ -108,7 +107,6 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").cast("bigint").alias("sum_tokens"),
         )
-        .orderBy("lang", "source", "bin")
     )
 
 
@@ -163,7 +161,7 @@ def corpus_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(u < SPLIT_VALID, "valid")
         .otherwise("test")
         .alias("split"),
-    ).orderBy("shuffle_key")
+    )
 
 
 CORPUS_SHUFFLE_SPLIT_SQL = f"""

@@ -88,7 +88,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bytes.alias("n_bytes"),
         F.ceil(n_bytes / CHUNK_BYTES).cast("bigint").alias("n_chunks"),
         F.lower(F.hex(F.substring(F.col("payload"), 1, 8))).alias("header_hex"),
-    ).orderBy("doc_id")
+    )
 
 
 MULTIMODAL_META_SQL = f"""
@@ -216,7 +216,7 @@ def media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.col("sampled_frames").cast("array<string>")).alias(
             "sampled_frames_csv"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 QUERIES: dict[str, tuple] = {
@@ -251,7 +251,7 @@ def media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_idx",
         (F.length("chunk_hex") / 2).cast("bigint").alias("chunk_bytes"),
         F.md5(F.col("chunk_hex").cast("binary")).alias("chunk_md5"),
-    ).orderBy("doc_id", "chunk_idx")
+    )
 
 
 MEDIA_CHUNKS_SQL = f"""

@@ -56,7 +56,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -145,7 +144,6 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double").alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
     )
 
 
@@ -178,7 +176,6 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
     )
 
 
@@ -198,7 +195,6 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
         .select("o_orderkey", "o_orderstatus")
-        .orderBy("o_orderkey")
     )
 
 
@@ -220,7 +216,6 @@ def join_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
         .select("c_custkey", F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"))
-        .orderBy("c_custkey")
     )
 
 
@@ -246,7 +241,6 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
-        .orderBy("o_custkey", "rk")
     )
 
 
@@ -273,7 +267,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
         F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 WINDOW_RUNNING_SQL = """
@@ -301,7 +295,6 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.rollup("r_name", "n_name")
         .agg(F.count(F.lit(1)).alias("n_customers"), F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"))
-        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
     )
 
 
@@ -325,7 +318,6 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").alias("n_part"),
             F.count(F.lit(1)).alias("n_rows"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -345,7 +337,7 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     a = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
     b = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
-    return a.intersect(b).orderBy("o_custkey")
+    return a.intersect(b)
 
 
 SET_INTERSECT_SQL = """
@@ -360,7 +352,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     a = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
     b = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
-    return a.subtract(b).orderBy("o_custkey")
+    return a.subtract(b)
 
 
 SET_EXCEPT_SQL = """
@@ -401,7 +393,7 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_type", 1, 5).alias("type5"),
         (F.col("p_size") * 2 + 1).alias("size2"),
         F.concat_ws("-", "p_brand", F.col("p_size").cast("string")).alias("brand_size"),
-    ).orderBy("p_partkey")
+    )
 
 
 SCALAR_FUNCS_SQL = """
@@ -431,7 +423,6 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
-        .orderBy("window_start", "event_type")
     )
 
 
@@ -460,7 +451,6 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         flagged.groupBy("user_id")
         .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
-        .orderBy("user_id")
     )
 
 
@@ -521,7 +511,6 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_ev", F.max("ev_ts").over(w))
         .where(F.col("is_probe") == 1)
         .select("o_orderkey", F.expr("last_ev div 1000000000").alias("last_event_epoch"))
-        .orderBy("o_orderkey")
     )
 
 
@@ -551,7 +540,7 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("5-LOW", "low"),
         ]
     ]
-    return orders.groupBy("o_orderstatus").agg(*aggs).orderBy("o_orderstatus")
+    return orders.groupBy("o_orderstatus").agg(*aggs)
 
 
 PIVOT_SQL = """
@@ -576,7 +565,6 @@ def unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) AS (attr, val)"
             ),
         )
-        .orderBy("p_partkey", "attr")
     )
 
 
@@ -603,7 +591,7 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
         F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
         F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
-    ).orderBy("nationkey")
+    )
 
 
 JOIN_FULL_OUTER_SQL = """
@@ -620,7 +608,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit cross join: region x order-status grid."""
     region = load_table(spark, sf_dir, "region").select("r_name")
     status = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
-    return region.crossJoin(status).orderBy("r_name", "o_orderstatus")
+    return region.crossJoin(status)
 
 
 JOIN_CROSS_SQL = """
@@ -643,7 +631,7 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("tb") > F.col("ta"))
         & (F.col("tb") - F.col("ta") <= 60 * 1_000_000_000),
     )
-    return pairs.groupBy(F.col("ua").alias("user_id")).agg(F.count(F.lit(1)).alias("n_pairs")).orderBy("user_id")
+    return pairs.groupBy(F.col("ua").alias("user_id")).agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 RANGE_JOIN_SQL = """
@@ -664,7 +652,6 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.cube("c_mktsegment", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.asc_nulls_first("c_mktsegment"), F.asc_nulls_first("o_orderstatus"))
     )
 
 
@@ -688,7 +675,7 @@ def window_funcs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_orderkey").over(w).alias("prev_key"),
         F.lead("o_orderkey").over(w).alias("next_key"),
         F.first_value("o_orderkey").over(w).alias("top_key"),
-    ).orderBy("o_custkey", "rnk", "o_orderkey")
+    )
 
 
 WINDOW_FUNCS_SQL = """
@@ -716,7 +703,7 @@ def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").alias("d"),
         F.quarter("o_orderdate").alias("q"),
         ((epoch_day + 4) % 7).alias("dow"),
-    ).orderBy("o_orderkey")
+    )
 
 
 DATE_PARTS_SQL = """
@@ -735,7 +722,6 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderpriority")
         .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -760,7 +746,6 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev2.select(((F.col("hour_idx") - F.col("k")) * 3600).alias("window_start"), "event_type")
         .groupBy("window_start", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("window_start", "event_type")
     )
 
 
@@ -780,7 +765,7 @@ def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad("o_orderstatus", 3, "_").alias("status_pad"),
         F.reverse("o_orderpriority").alias("prio_rev"),
         F.translate("o_orderstatus", "OFP", "ofp").alias("status_lc"),
-    ).orderBy("o_orderkey")
+    )
 
 
 STRING_FUNCS2_SQL = """
@@ -794,18 +779,50 @@ FROM orders ORDER BY o_orderkey
 
 
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct + approximate quantiles (rows-only: sketch
-    algorithms differ across engines by design; exactness is covered by
-    agg_distinct / percentile_exact)."""
+    """HLL distinct + approximate quantile sketches — oracle-PAIRED by
+    proving the error bounds inside the query: sketch values differ
+    across engines by design (so raw sketch output can never hash-match
+    DuckDB), but the CLAIM a sketch makes is checkable.  The query
+    emits the exact values plus in-bound flags; the oracle emits the
+    same exact values with literal-true flags, so the CORRECTNESS row
+    fails if either sketch ever drifts out of its documented envelope
+    (VERDICT r4 #8 — this replaces the rows-only registration).
+
+    Bounds checked (both deterministic given the data):
+    - HLL (default rsd=0.05): |approx - exact| <= 15% of exact (3σ).
+    - percentile_approx (default accuracy 1e4 => rank error ~1e-4):
+      approx median lies within the exact [p45, p55] value band.
+    At 100 TB these sketches are the only viable plan (exact distinct
+    of 1e12 keys is a full shuffle of all keys); the in-bound flags are
+    how a pipeline validates them cheaply at small SF first."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        )
-        .orderBy("l_returnflag")
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("apc"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("amed"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
+    return g.select(
+        "l_returnflag",
+        "n_parts_exact",
+        "n_rows",
+        (F.abs(F.col("apc") - F.col("n_parts_exact"))
+         <= 0.15 * F.col("n_parts_exact")).cast("int").alias("hll_within_15pct"),
+        ((F.col("amed") >= F.col("p45")) & (F.col("amed") <= F.col("p55")))
+        .cast("int").alias("median_within_rank_band"),
+    )
+
+
+APPROX_SKETCHES_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts_exact,
+       count(*) AS n_rows,
+       1 AS hll_within_15pct,
+       1 AS median_within_rank_band
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
 
 
 def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -828,7 +845,6 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_qty").cast("double").alias("total_qty"),
             F.sum("p_n").alias("n_rows"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -851,7 +867,6 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_mktsegment, o_orderstatus, count(*) AS n
         FROM __gs_join
         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
-        ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
         """
     )
 
@@ -869,7 +884,7 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     a = orders.where(F.col("o_orderstatus") != "F").select("o_custkey")
     b = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
-    return a.exceptAll(b).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).orderBy("o_custkey")
+    return a.exceptAll(b).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
 
 
 SET_EXCEPT_ALL_SQL = """
@@ -894,7 +909,7 @@ def array_funcs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(sorted_w, -1).alias("last_sorted"),
         F.slice(sorted_w, 1, 3).cast("string").alias("first3"),
         F.array_contains(words, "data").cast("int").alias("has_data"),
-    ).orderBy("doc_id")
+    )
 
 
 ARRAY_FUNCS_SQL = """
@@ -917,7 +932,7 @@ def json_funcs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k"),
         (k % 7).alias("k_mod"),
         F.concat(F.lit('{"k2":'), (k * 2).cast("string"), F.lit("}")).alias("rebuilt"),
-    ).orderBy("event_id")
+    )
 
 
 JSON_FUNCS_SQL = """
@@ -943,7 +958,6 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -1003,7 +1017,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("od_epoch").alias("o_orderdate_epoch"),
         F.sum(_dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
-    ).orderBy("o_custkey", "o_orderdate_epoch", "o_orderkey")
+    )
 
 
 WINDOW_RANGE_SQL = """
@@ -1030,7 +1044,6 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         days.join(F.broadcast(first_seen), "user_id")
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
         .agg(F.countDistinct("user_id").alias("n_active"))
-        .orderBy("cohort_day", "day_offset")
     )
 
 
@@ -1057,7 +1070,6 @@ def percentile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
             F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
         )
-        .orderBy("o_orderstatus")
     )
 
 
@@ -1135,7 +1147,7 @@ def joins_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = arms[0]
     for a in arms[1:]:
         out = out.unionByName(a)
-    return out.orderBy("kind", "k1", "s1")
+    return out
 
 
 def _arm(kind: str, inner_sql: str, cols: str) -> str:
@@ -1186,7 +1198,7 @@ def window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderkey").over(w_rank).alias("next_key"),
         F.first_value("o_orderkey").over(w_rank).alias("top_key"),
         F.sum(_dec("o_totalprice")).over(w_range).cast("double").alias("spend_30d"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 WINDOW_PACK_SQL = """
@@ -1242,7 +1254,7 @@ def agg_multi_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = arms[0]
     for a in arms[1:]:
         out = out.unionByName(a)
-    return out.orderBy("kind", "k1", "k2")
+    return out
 
 
 AGG_MULTI_SQL = f"""
@@ -1278,7 +1290,7 @@ def set_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = arms[0]
     for a in arms[1:]:
         out = out.unionByName(a)
-    return out.orderBy("kind", "k1")
+    return out
 
 
 SET_OPS_SQL = f"""
@@ -1308,7 +1320,7 @@ def row_funcs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").alias("d"),
         F.quarter("o_orderdate").alias("q"),
         ((epoch_day + 4) % 7).alias("dow"),
-    ).orderBy("o_orderkey")
+    )
 
 
 ROW_FUNCS_SQL = """
@@ -1360,7 +1372,7 @@ def scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = arms[0]
     for a in arms[1:]:
         out = out.unionByName(a)
-    return out.orderBy("kind", "id")
+    return out
 
 
 SCALAR_PACK_SQL = f"""
@@ -1392,7 +1404,7 @@ def percentile_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p75").cast("double").alias("p75"),
         ),
     ]
-    return arms[0].unionByName(arms[1]).orderBy("kind", "grp")
+    return arms[0].unionByName(arms[1])
 
 
 PERCENTILE_PACK_SQL = f"""
@@ -1423,7 +1435,7 @@ def reshape_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl("bigint", "v_cnt"),
         F.col("val").cast("double").alias("v_num"),
     )
-    return piv.unionByName(unp).orderBy("kind", "key", "attr")
+    return piv.unionByName(unp)
 
 
 RESHAPE_PACK_SQL = f"""
@@ -1469,7 +1481,7 @@ def tpch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = arms[0]
     for a in arms[1:]:
         out = out.unionByName(a)
-    return out.orderBy("kind", "k1")
+    return out
 
 
 TPCH_PACK_SQL = f"""
@@ -1501,7 +1513,7 @@ def time_aggs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_active").cast("bigint").alias("v1"),
         ),
     ]
-    return arms[0].unionByName(arms[1]).orderBy("kind", "k1", "s1", "k2")
+    return arms[0].unionByName(arms[1])
 
 
 TIME_AGGS_SQL = f"""
@@ -1539,5 +1551,5 @@ QUERIES: dict[str, tuple] = {
     "reshape_pack": (reshape_pack, RESHAPE_PACK_SQL),
     "tpch_pack": (tpch_pack, TPCH_PACK_SQL),
     "time_aggs_pack": (time_aggs_pack, TIME_AGGS_SQL),
-    "approx_sketches": (approx_sketches, None),
+    "approx_sketches": (approx_sketches, APPROX_SKETCHES_SQL),
 }

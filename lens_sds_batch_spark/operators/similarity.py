@@ -42,7 +42,6 @@ def _topk(scored: DataFrame) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TOP_K)
         .select("qid", "vec_id", "cos", "rk")
-        .orderBy("qid", "rk")
     )
 
 
@@ -170,7 +169,7 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ib").alias("vec_b"),
         (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
     )
-    return scored.where(F.col("cos") >= DUP_COS_THRESHOLD).orderBy("vec_a", "vec_b")
+    return scored.where(F.col("cos") >= DUP_COS_THRESHOLD)
 
 
 EMBEDDING_DUP_SQL = f"""
@@ -261,7 +260,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("q", 1).alias("q0"),
         F.element_at("q", 2).alias("q1"),
         F.round(dequant_err / F.col("scale"), 4).alias("max_err_in_scale_units"),
-    ).orderBy("vec_id")
+    )
 
 
 QUANTIZE_SQL = """

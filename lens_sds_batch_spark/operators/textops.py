@@ -67,7 +67,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_distinct.cast("double") / n_tok.cast("double")).alias("ttr"),
         (n_stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
         ((F.length("text") - (n_tok - 1)).cast("double") / n_tok.cast("double")).alias("mean_token_len"),
-    ).orderBy("doc_id")
+    )
 
 
 _SW_EN = "', '".join(LANG_STOPWORDS["en"])
@@ -105,7 +105,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "labeled_lang",
         pred.alias("predicted_lang"),
         F.when(pred == F.col("labeled_lang"), 1).otherwise(0).alias("label_match"),
-    ).orderBy("doc_id")
+    )
 
 
 def _lang_score_sql(lang: str) -> str:
@@ -142,7 +142,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(_tokens(F.col("text"))).alias("ws_tokens"),
         F.regexp_count(F.col("text"), F.lit(BPE_ISH)).alias("bpe_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 TOKEN_COUNTS_SQL = f"""
@@ -163,7 +163,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         h.alias("md5_full"),
         F.substring(h, 1, 16).alias("fp64"),
-    ).orderBy("doc_id")
+    )
 
 
 DOC_FINGERPRINTS_SQL = """
@@ -203,7 +203,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TFIDF_TOP)
-        .orderBy("doc_id", "rk")
     )
 
 
@@ -279,7 +278,6 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ttr") >= 0.3)
             & (F.col("sw_ratio") <= 0.2)
         )
-        .orderBy("doc_id")
     )
 
 
@@ -323,7 +321,7 @@ def rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, t: (acc * RH_BASE + v(t)) % RH_MOD,
     )
-    return docs.select("doc_id", h.alias("rhash")).orderBy("doc_id")
+    return docs.select("doc_id", h.alias("rhash"))
 
 
 ROLLING_HASH_SQL = f"""
@@ -348,7 +346,7 @@ def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = exploded.select("doc_id", bucket.alias("b")).groupBy("doc_id").agg(
         *[F.sum(F.when(F.col("b") == i, 1).otherwise(0)).alias(f"f{i}") for i in range(FH_BUCKETS)]
     )
-    return counts.orderBy("doc_id")
+    return counts
 
 
 _FH_COLS = ", ".join(

@@ -49,12 +49,26 @@ def batch_cmd_id_map(meta: dict[str, str]) -> Column:
     process a multi-file micro-batch without a per-file driver loop
     (the collect-and-loop shape that doesn't scale); the map is a
     literal expression, broadcast-sized by nature (one entry per
-    in-flight batch command)."""
+    in-flight batch command).
+
+    A ``file_oid`` absent from the map FAILS THE JOB (raise_error), not
+    silently NULLs: ``element_at`` returns NULL for a missing key, that
+    NULL would flow into every cmd_id of the whole file, and nothing
+    downstream consumes NULL ids — a stale queue-metadata map would
+    lose the file's commands without a trace (ADVICE r4)."""
     pairs: list[Column] = []
     for k in sorted(meta):
         pairs.append(F.lit(k))
         pairs.append(F.lit(meta[k]))
-    return F.element_at(F.create_map(*pairs), F.col("file_oid"))
+    return F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col("file_oid")),
+        F.raise_error(
+            F.concat(
+                F.lit("batch_cmd_id_map: file_oid not in queue metadata map: "),
+                F.coalesce(F.col("file_oid"), F.lit("<NULL>")),
+            )
+        ),
+    )
 
 
 def per_file_batch_cmd_id(flavor: str = "md5") -> Column:
@@ -251,8 +265,24 @@ def _level_commands(df, batch_cmd_id, sub, entity, params, out, item_level=False
         )
     batch_ns = batch_cmd_id if isinstance(batch_cmd_id, Column) else F.lit(batch_cmd_id)
     sub_col = sub if isinstance(sub, Column) else F.lit(sub)
+    # NULL-cmd_id guard (ADVICE r4): a malformed non-hex uuid param nulls
+    # the sha1 payload, and a NULL namespace would null any flavor — the
+    # doc says that state is "detectable", so DETECT it: ids are the
+    # idempotency/dedupe contract (A18) and a NULL id propagating
+    # silently breaks replay-safety downstream.  coalesce short-circuits,
+    # so the well-formed row pays only a null check.
+    cmd_id = F.coalesce(
+        _keyfn(flavor)(batch_ns, [payload]),
+        F.raise_error(
+            F.concat(
+                F.lit(f"generate_commands: NULL cmd_id at {entity} level "
+                      "(malformed uuid param or NULL batch namespace?) file_oid="),
+                F.coalesce(F.col("file_oid"), F.lit("<NULL>")),
+            )
+        ),
+    )
     cols = [
-        _keyfn(flavor)(batch_ns, [payload]).alias("cmd_id"),
+        cmd_id.alias("cmd_id"),
         name.alias("name"),
         sub_col.alias("sub"),
     ]

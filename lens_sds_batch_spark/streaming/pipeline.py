@@ -61,6 +61,7 @@ def read_event_stream(
     *,
     source_format: str = "files",
     kafka_options: dict | None = None,
+    include_malformed: bool = False,
 ) -> DataFrame:
     """Streaming source factory (reference A4/A5 transport seam).
 
@@ -88,6 +89,11 @@ def read_event_stream(
         if kafka_options is not None:
             raise ValueError(
                 "kafka_options is a kafka-source knob; for files use max_files_per_trigger"
+            )
+        if include_malformed:
+            raise ValueError(
+                "include_malformed is a kafka-source knob (parquet rows are "
+                "typed at rest — there is no malformed-value parse to surface)"
             )
         # Schema-ADAPTIVELY from the at-rest footers (cheap batch metadata
         # read), not a pinned DDL: the driver's events parquet has changed
@@ -121,20 +127,45 @@ def read_event_stream(
         reader = spark.readStream.format("kafka")
         for k, v in (kafka_options or {}).items():
             reader = reader.option(k, v)
-        return (
-            reader.load()
-            .select(F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e"))
-            # malformed record values parse (PERMISSIVE mode) to a
-            # struct whose FIELDS are all NULL — `e IS NOT NULL` would
-            # keep them — so the guard keys on the required event_id
-            # field; NULL tombstone record values also land here.
-            # Dead-letter-lite: a real deploy routes these via
-            # requeue_sink's fatal path instead of silently propagating
-            # all-NULL rows downstream.
-            .where(F.col("e.event_id").isNotNull())
-            .select("e.*")
-        )
+        parsed = parse_event_records(reader.load())
+        if include_malformed:
+            # full A22 3-way seam: the caller routes through requeue_sink
+            # (is_ok = ~_malformed, is_retryable = False) so malformed
+            # record values land in the dead-letter output, counted —
+            # never silently dropped (reference broker.clj:65-95).
+            return parsed
+        return parsed.where(~F.col("_malformed")).drop("_raw_value", "_malformed", "attempts")
     raise ValueError(f"unknown source_format: {source_format!r} (expected 'files' or 'kafka')")
+
+
+def parse_event_records(records: DataFrame) -> DataFrame:
+    """Kafka record values (JSON of EVENTS_SCHEMA) → typed event columns
+    plus the dead-letter bookkeeping the A22 contract needs:
+
+    - ``_malformed``: True when the value failed to parse as an event.
+      ``from_json`` in PERMISSIVE mode yields a struct whose FIELDS are
+      all NULL for malformed JSON — a bare ``e IS NOT NULL`` would keep
+      it — so the flag keys on the required ``event_id`` field; NULL
+      tombstone record values land here too.
+    - ``_raw_value``: the original record value, preserved so the
+      dead-letter output carries the evidence (a parsed all-NULL row is
+      undebuggable).
+    - ``attempts``: seeded 0, the requeue_sink routing contract.
+
+    Parse failure is FATAL, not retryable — re-delivering bytes that
+    don't parse can never succeed, so route with ``is_ok =
+    ~_malformed``, ``is_retryable = lit(False)`` and malformed records
+    go straight to the dead output, counted (see ``requeue_sink``'s
+    ``metrics``)."""
+    return records.select(
+        F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e"),
+        F.col("value").cast("string").alias("_raw_value"),
+    ).select(
+        "e.*",
+        "_raw_value",
+        F.col("e.event_id").isNull().alias("_malformed"),
+        F.lit(0).alias("attempts"),
+    )
 
 
 def dedupe_stream(events: DataFrame, id_col: str = "event_id", watermark: str = "1 hour") -> DataFrame:
@@ -191,6 +222,7 @@ def requeue_sink(
     is_retryable,
     max_attempts: int = 3,
     requeue_writer_partitions: int = 1,
+    metrics: dict | None = None,
 ):
     """The reference's nack+requeue loop (``broker.clj:87-95``) as a
     file-source FEEDBACK EDGE: a foreachBatch sink that routes each row
@@ -217,6 +249,14 @@ def requeue_sink(
     source feedback loop tidy but is a single-writer bottleneck; at
     cluster scale (or a real Kafka requeue topic) raise it so each
     trigger's retry volume is written in parallel.
+
+    ``metrics``: pass a dict and the sink accumulates routed-row counts
+    into ``ok`` / ``requeued`` / ``dead`` across triggers — the A22
+    observability hook (dead-lettered rows are COUNTED, not silently
+    absorbed; the reference logs each reject at ``broker.clj:90``).
+    Counting costs one extra action per output per trigger, so it is
+    opt-in; production deploys export these through the streaming query
+    listener instead.
     """
     from pyspark.sql import functions as F
 
@@ -229,7 +269,8 @@ def requeue_sink(
         retryable = F.coalesce(is_retryable.cast("boolean"), F.lit(False))
         batch_df.persist()
         try:
-            batch_df.where(ok).write.mode("append").parquet(out_dir)
+            okdf = batch_df.where(ok)
+            okdf.write.mode("append").parquet(out_dir)
             failed = batch_df.where(~ok)
             requeue = failed.where(retryable & (att + 1 < max_attempts)).withColumn(
                 "attempts", att + 1
@@ -245,6 +286,10 @@ def requeue_sink(
             dead = failed.where((~retryable) | (att + 1 >= max_attempts))
             if not dead.isEmpty():
                 dead.write.mode("append").parquet(dead_dir)
+            if metrics is not None:
+                metrics["ok"] = metrics.get("ok", 0) + okdf.count()
+                metrics["requeued"] = metrics.get("requeued", 0) + requeue.count()
+                metrics["dead"] = metrics.get("dead", 0) + dead.count()
         finally:
             batch_df.unpersist()
 

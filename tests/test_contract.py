@@ -133,3 +133,40 @@ def test_load_events_integral_fastpath_equivalence(spark, tmp_path):
     want = {i + 1: m * 1000 for i, m in enumerate(micros)}
     assert got_a == want
     assert got_b == want
+
+
+def test_pack_arms_individually_importable(spark):
+    """Registry-headroom contract (COVERAGE.md): every operator folded
+    into a pack stays a NAMED, importable, independently callable
+    function — the fold is a schema cast, not a merge — so any pack can
+    be unfolded back into standalone registrations without rewriting."""
+    from .conftest import SF_SMOKE
+
+    ARM_FUNCS = {
+        "lens_sds_batch_spark.operators.relational": [
+            # joins_pack
+            "join_semi", "join_anti", "join_outer_counts", "join_full_outer",
+            "join_cross", "range_join",
+            # window_pack / agg_multi_pack / set_ops_pack
+            "window_running_sum", "window_funcs_pack", "window_range_frame",
+            "agg_distinct", "agg_cube", "agg_grouping_sets",
+            "set_intersect", "set_except", "set_except_all",
+            # row_funcs / scalar / percentile / reshape / tpch / time_aggs
+            "string_funcs2", "date_parts", "scalar_funcs", "array_funcs_pack",
+            "json_funcs_pack", "percentile_exact", "percentile_multi",
+            "pivot_status_priority", "unpivot_part",
+            "q4_order_priority", "q10_returned_items", "topk_global",
+            "events_sliding", "cohort_retention",
+        ],
+        "lens_sds_batch_spark.operators.dedup": ["ngram_jaccard_pairs"],
+        "lens_sds_batch_spark.operators.similarity": ["embedding_dup_pairs"],
+    }
+    import importlib
+
+    for mod_name, funcs in ARM_FUNCS.items():
+        mod = importlib.import_module(mod_name)
+        for fn_name in funcs:
+            fn = getattr(mod, fn_name)  # AttributeError = a fold lost its arm
+            df = fn(spark, SF_SMOKE)
+            assert df.columns, f"{fn_name} produced no schema"
+            df.explain(mode="simple")  # analyzes the plan without executing

@@ -318,3 +318,54 @@ def test_multifile_batch_per_file_cmd_id_namespacing(spark):
             persist=False,
         ).collect()
         assert solo[0]["cmd_id"] == rows[foid]["cmd_id"]
+
+
+def test_batch_cmd_id_map_unmapped_file_fails_loudly(spark):
+    """ADVICE r4: a file_oid absent from the queue-metadata map must
+    FAIL the job, not silently emit NULL cmd_ids for the whole file
+    (nothing downstream consumes NULL ids — the commands would be lost
+    without a trace)."""
+    from lens_sds_batch_spark.plans.commands import batch_cmd_id_map
+
+    odm = build_odm(
+        spark, [(FILE, "S1", "SK01", "insert"), ("F-UNMAPPED", "S1", "SK02", "insert")]
+    )
+    # mapped file still works
+    ok = generate_commands(
+        build_odm(spark, [(FILE, "S1", "SK01", "insert")]),
+        batch_cmd_id_map({FILE: BATCH}),
+        SUB,
+        persist=False,
+    ).collect()
+    assert len(ok) == 1 and ok[0]["cmd_id"] is not None
+    # unmapped file -> raise_error surfaces at execution
+    with pytest.raises(Exception, match="not in queue metadata map: F-UNMAPPED"):
+        generate_commands(odm, batch_cmd_id_map({FILE: BATCH}), SUB, persist=False).collect()
+
+
+def test_null_cmd_id_guard_fires_on_malformed_uuid_param(spark):
+    """ADVICE r4: the sha1 flavor nulls the payload for a malformed
+    non-hex uuid param (documented as a 'detectable NULL cmd_id') — the
+    guard makes that state actually detected: generation fails loudly
+    instead of propagating a NULL id into the idempotency contract."""
+    # craft a pre-resolved (fused-path) subjects level whose study_id is
+    # a malformed uuid string: unhex() -> NULL -> NULL payload
+    subjects = spark.createDataFrame(
+        [(FILE, "S1", "SK01", "insert", "insert", "not-a-hex-uuid", "also-bad")],
+        S_COLS + ", rtx string, study_id string, subject_id string",
+    )
+    odm = OdmTables(
+        files=spark.createDataFrame(
+            [(FILE, "transactional", BATCH, SUB)],
+            "file_oid string, file_type string, batch_cmd_id string, sub string",
+        ),
+        subjects=subjects,
+        study_events=spark.createDataFrame([], SE_COLS + ", rtx string, study_event_id string, subject_id string"),
+        forms=spark.createDataFrame([], FM_COLS + ", rtx string, form_id string, study_event_id string"),
+        item_groups=spark.createDataFrame([], IG_COLS + ", rtx string, item_group_id string, form_id string"),
+        items=spark.createDataFrame(
+            [], IT_COLS + ", rtx string, item_id string, item_group_id string"
+        ),
+    )
+    with pytest.raises(Exception, match="NULL cmd_id at subject level"):
+        generate_commands(odm, BATCH, SUB, persist=False, flavor="sha1").collect()

@@ -452,3 +452,46 @@ def test_kafka_value_parse_guard_semantics(spark):
     rows = good.collect()
     assert [r["event_id"] for r in rows] == [7]
     assert rows[0]["value"] == 1.5
+
+
+def test_kafka_malformed_routes_to_dead_letter(spark, tmp_path):
+    """A22 completeness on the kafka seam: malformed record values are
+    NOT silently dropped — parse_event_records flags them, and routing
+    through requeue_sink's fatal path lands them (with their raw bytes)
+    in the dead output, counted.  Runs on batch data: the foreachBatch
+    sink function is a plain callable and the parse helper is
+    transport-agnostic, so no live broker is needed."""
+    from lens_sds_batch_spark.streaming.pipeline import parse_event_records, requeue_sink
+
+    records = spark.createDataFrame(
+        [
+            ('{"event_id": 7, "ts": "2024-01-01T00:00:00", "user_id": 1, '
+             '"event_type": "a", "value": 1.5, "props": "{}"}',),
+            ('{"event_id": 8, "ts": "2024-01-01T00:01:00", "user_id": 2, '
+             '"event_type": "b", "value": 2.5, "props": "{}"}',),
+            ("not json",),
+            (None,),  # tombstone record value
+            ('{"user_id": 2}',),  # schema-valid JSON missing event_id
+        ],
+        "value string",
+    )
+    parsed = parse_event_records(records)
+    assert parsed.where("_malformed").count() == 3
+    out, dead, requeue = str(tmp_path / "out"), str(tmp_path / "dead"), str(tmp_path / "rq")
+    metrics: dict = {}
+    sink = requeue_sink(
+        out, dead, requeue,
+        is_ok=~F.col("_malformed"),
+        is_retryable=F.lit(False),  # bytes that don't parse never will
+        metrics=metrics,
+    )
+    sink(parsed, epoch_id=0)
+    assert metrics == {"ok": 2, "requeued": 0, "dead": 3}
+    dead_rows = spark.read.parquet(dead).collect()
+    assert len(dead_rows) == 3
+    # the dead output preserves the raw evidence for forensics
+    assert {r["_raw_value"] for r in dead_rows} == {"not json", None, '{"user_id": 2}'}
+    assert {r["event_id"] for r in spark.read.parquet(out).collect()} == {7, 8}
+    import os
+
+    assert not os.path.exists(requeue)  # nothing retryable -> no feedback file

@@ -10,6 +10,7 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 
 from lens_sds_batch_spark.session import get_spark
+from tests.oracle_utils import assert_type_families
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_GATE = "/root/testdata/sf0.01"
@@ -65,6 +66,17 @@ def main():
             if sorted(scols) != sorted(ocols):
                 bad.append(name)
                 print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(ocols)}", flush=True)
+                continue
+            # The real driver's hash is TYPE-sensitive (DuckDB sum(INTEGER)
+            # -> HUGEINT hashes differently from Spark BIGINT even with
+            # equal values) — reuse the pytest-side family check so the
+            # simulation reproduces that sensitivity instead of passing an
+            # uncast oracle aggregate the driver would fail.
+            try:
+                assert_type_families(sdf, con.execute(oracles[name]).arrow())
+            except AssertionError as e:
+                bad.append(name)
+                print(f"{name}: TYPE-FAMILY MISMATCH {e}", flush=True)
                 continue
             sms = rows_to_ms(srows, scols)
             oms = rows_to_ms(orows, ocols)
