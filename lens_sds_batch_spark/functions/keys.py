@@ -120,23 +120,28 @@ def _fmt_uuid(h: Column, version: str) -> Column:
     """32-hex-char digest -> RFC-4122 formatted uuid string with the
     given version nibble and a forced RFC variant nibble.
 
-    NULL-propagating by construction: ``concat_ws`` SKIPS null args, so
-    a NULL digest (NULL payload, e.g. a malformed non-hex uuid param
-    nulling the sha1 byte payload) would silently format as the EMPTY
-    STRING — every such row sharing one degenerate id, invisible to any
-    NULL check.  The explicit when() keeps NULL-in → NULL-out so the
-    cmd-id guard in plans/commands.py can detect it."""
+    NULLABILITY CONTRACT (measured, r5): the output is NON-nullable —
+    ``concat_ws`` SKIPS null args, so a NULL digest (NULL payload)
+    formats as the EMPTY STRING, not NULL.  That is deliberate: every
+    null-PROPAGATING variant tried poisons downstream plans —
+    a ``when(h.isNotNull(), ...)`` wrapper defeats codegen
+    subexpression elimination of ``h`` (md5 re-evaluated per fragment,
+    flagship 6.9s → 16s at sf0.1), and any nullable formatting
+    (``concat`` + dash literals, or a zero-width null carrier) makes
+    every JOIN on a uuid column push an ``isnotnull(<whole uuid
+    expr>)`` filter below the projection, re-evaluating the md5 per
+    row with no CSE across the Filter/Project boundary (correlate
+    4.7s → 6.9s).  Callers that must DETECT a null-payload state guard
+    the PAYLOAD, not the formatted uuid — see
+    ``plans/commands._level_commands``."""
     variant = F.translate(F.substring(h, 17, 1), _HEX, _VARIANT_MAP)
-    return F.when(
-        h.isNotNull(),
-        F.concat_ws(
-            "-",
-            F.substring(h, 1, 8),
-            F.substring(h, 9, 4),
-            F.concat(F.lit(version), F.substring(h, 14, 3)),
-            F.concat(variant, F.substring(h, 18, 3)),
-            F.substring(h, 21, 12),
-        ),
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit(version), F.substring(h, 14, 3)),
+        F.concat(variant, F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
     )
 
 

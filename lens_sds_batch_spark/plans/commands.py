@@ -265,24 +265,27 @@ def _level_commands(df, batch_cmd_id, sub, entity, params, out, item_level=False
         )
     batch_ns = batch_cmd_id if isinstance(batch_cmd_id, Column) else F.lit(batch_cmd_id)
     sub_col = sub if isinstance(sub, Column) else F.lit(sub)
-    # NULL-cmd_id guard (ADVICE r4): a malformed non-hex uuid param nulls
-    # the sha1 payload, and a NULL namespace would null any flavor — the
-    # doc says that state is "detectable", so DETECT it: ids are the
-    # idempotency/dedupe contract (A18) and a NULL id propagating
-    # silently breaks replay-safety downstream.  coalesce short-circuits,
-    # so the well-formed row pays only a null check.
-    cmd_id = F.coalesce(
-        _keyfn(flavor)(batch_ns, [payload]),
+    # NULL-payload guard (ADVICE r4): a malformed non-hex uuid param
+    # nulls the sha1 payload — without a guard the uuid formatter folds
+    # that into one shared degenerate id (empty string), silently
+    # breaking the A18 idempotency/dedupe contract.  The guard sits on
+    # the PAYLOAD, not the formatted cmd_id: a guard on the uuid output
+    # would make it nullable, and a nullable join/group key re-evaluates
+    # the whole hash in a pushed isnotnull Filter (see
+    # functions/keys._fmt_uuid's nullability contract).  coalesce
+    # short-circuits, so the well-formed row pays one null check.
+    guarded_payload = F.coalesce(
+        payload,
         F.raise_error(
             F.concat(
-                F.lit(f"generate_commands: NULL cmd_id at {entity} level "
-                      "(malformed uuid param or NULL batch namespace?) file_oid="),
+                F.lit(f"generate_commands: NULL cmd-id payload at {entity} level "
+                      "(malformed uuid param?) file_oid="),
                 F.coalesce(F.col("file_oid"), F.lit("<NULL>")),
             )
-        ),
+        ).cast("binary" if flavor == "sha1" else "string"),
     )
     cols = [
-        cmd_id.alias("cmd_id"),
+        _keyfn(flavor)(batch_ns, [guarded_payload]).alias("cmd_id"),
         name.alias("name"),
         sub_col.alias("sub"),
     ]

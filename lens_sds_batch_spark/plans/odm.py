@@ -257,10 +257,13 @@ def derive_odm_resolved(
     )
 
     # --- study events (orders grain): subject rtx is a pure function of
-    # o_custkey, so inheritance + pruning are row-local ---
+    # o_custkey, so inheritance + pruning are row-local.  se_base keeps
+    # o_orderkey so the lineitem join below can CARRY the id chain down
+    # instead of recomputing it ---
     ok, customerk = F.col("o_orderkey"), F.col("o_custkey")
-    se = (
+    se_base = (
         orders.select(
+            "o_orderkey",
             F.lit(FILE_OID).alias("file_oid"),
             _study_oid(customerk).alias("study_oid"),
             _subject_key(customerk).alias("subject_key"),
@@ -276,10 +279,14 @@ def derive_odm_resolved(
         .withColumn("study_event_id", key(F.col("subject_id"), [F.col("study_event_oid")]))
         .drop("study_id")
     )
+    se = se_base.drop("o_orderkey")
 
     # --- lineitem base: the one equi-join (natural key) + form_seq
-    # window, then the full ancestor tx/rtx chain and the id chain down
-    # to item_group_id — all BEFORE the EAV explode ---
+    # window.  The ancestor path, rtx, and the study→…→study_event id
+    # chain ride in FROM THE ORDERS SIDE of the join (150k-grain, r5 —
+    # previously the 3 chain hashes re-ran per 600k lineitem row), so
+    # the lineitem grain pays only its own form hash — all BEFORE the
+    # EAV explode ---
     from pyspark.sql import Window
 
     w = Window.partitionBy("l_orderkey").orderBy(
@@ -287,24 +294,28 @@ def derive_odm_resolved(
         "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
     )
     lk, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    se_keep = se_base.where(F.col("rtx") != "remove").select(
+        "o_orderkey",
+        "file_oid",
+        "study_oid",
+        "subject_key",
+        "study_event_oid",
+        F.col("rtx").alias("se_rtx"),
+        "study_event_id",
+    )
+    # window FIRST over the narrow lineitem rows (the sort never touches
+    # the carried path/id strings), then the equi-join — the window's
+    # l_orderkey exchange doubles as the join-side distribution
+    li_seq = lineitem.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate",
+    ).withColumn("form_seq", F.row_number().over(w))
     li = (
-        lineitem.join(
-            orders.select("o_orderkey", "o_custkey"), lineitem.l_orderkey == orders.o_orderkey
-        )
-        .withColumn("form_seq", F.row_number().over(w))
-        .withColumn("subj_rtx", _subj_rtx(F.col("o_custkey")))
-        .withColumn("se_rtx", F.coalesce(_se_tx(lk), F.col("subj_rtx")))
+        li_seq.join(se_keep, li_seq.l_orderkey == se_keep.o_orderkey)
         .withColumn("form_tx", _form_tx(lk, ln))
         .withColumn("form_rtx", F.coalesce(F.col("form_tx"), F.col("se_rtx")))
-        .where((F.col("subj_rtx") != "remove") & (F.col("se_rtx") != "remove"))
-        .withColumn("file_oid", F.lit(FILE_OID))
-        .withColumn("study_oid", _study_oid(F.col("o_custkey")))
-        .withColumn("subject_key", _subject_key(F.col("o_custkey")))
-        .withColumn("study_event_oid", F.concat(F.lit("SE"), lk.cast("string")))
         .withColumn("form_oid", F.concat(F.lit("FM"), F.col("form_seq").cast("string")))
-        .withColumn("study_id", key(NIL_UUID, [F.col("study_oid")]))
-        .withColumn("subject_id", key(F.col("study_id"), [F.col("subject_key")]))
-        .withColumn("study_event_id", key(F.col("subject_id"), [F.col("study_event_oid")]))
         .withColumn("form_id", key(F.col("study_event_id"), [F.col("form_oid")]))
     )
     path_cols = ["file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid"]

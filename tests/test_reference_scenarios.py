@@ -367,5 +367,5 @@ def test_null_cmd_id_guard_fires_on_malformed_uuid_param(spark):
             [], IT_COLS + ", rtx string, item_id string, item_group_id string"
         ),
     )
-    with pytest.raises(Exception, match="NULL cmd_id at subject level"):
+    with pytest.raises(Exception, match="NULL cmd-id payload at subject level"):
         generate_commands(odm, BATCH, SUB, persist=False, flavor="sha1").collect()
