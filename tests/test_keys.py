@@ -131,3 +131,23 @@ def test_entity_key_chain():
     assert len({study, subject, se, form, ig, item}) == 6
     # stability pin (regression guard for our own algorithm)
     assert study == uuid5_py(NIL_UUID, ["S1"])
+
+
+def test_uuid_columns_are_non_nullable(spark):
+    """Nullability contract pin (r5): the uuid formatters must stay
+    NON-nullable.  A nullable uuid column makes every downstream join
+    push an isnotnull(<whole uuid expression>) Filter below the
+    projection, re-evaluating the md5/sha1 per row with no CSE across
+    the Filter/Project boundary — measured correlate_first_event
+    4.7s → 6.9s at sf0.1 when this regressed.  If this pin fails, read
+    functions/keys._fmt_uuid's docstring before 'fixing' it."""
+    from pyspark.sql import functions as F
+
+    from lens_sds_batch_spark.functions.keys import NIL_UUID, uuid3_str_col, uuid5_col
+
+    df = spark.createDataFrame([("x",)], "v string").select(
+        uuid3_str_col(NIL_UUID, [F.col("v")]).alias("u3"),
+        uuid5_col(NIL_UUID, [F.col("v").cast("binary")]).alias("u5"),
+    )
+    assert not df.schema["u3"].nullable, "uuid3_str_col became nullable (plan-poisoning)"
+    assert not df.schema["u5"].nullable, "uuid5_col became nullable (plan-poisoning)"
