@@ -326,13 +326,18 @@ HAMMING_MAX = 3
 
 
 def _simhash_bit_exprs():
-    """Per-bit contribution: md5(bit#word) first hex char in [0-7] -> +1
-    else -1 (an unbiased pseudorandom bit, identical in both engines)."""
+    """Per-bit contribution from ONE md5 per word (r5 — was one salted
+    md5 PER BIT, 16x the hashing): bit b is the high bit of hex char
+    2b of the digest (each hex char is 4 independent pseudorandom
+    bits; taking one per char keeps the 16 bits spread across the
+    digest).  Set -> +1, clear -> -1 — unbiased, identical in both
+    engines.  The md5 is one subexpression, CSE'd across all 16 sums
+    (see the keys.py nullability-contract gotcha for why branchy
+    per-bit variants were rejected)."""
     return [
         F.sum(
             F.when(
-                F.substring(F.md5(F.concat(F.lit(f"{b}#"), F.col("w")).cast("binary")), 1, 1)
-                .isin(*"01234567"),
+                F.substring(F.col("h"), b * 2 + 1, 1).isin(*"89abcdef"),
                 1,
             ).otherwise(-1)
         ).alias(f"s{b}")
@@ -340,32 +345,55 @@ def _simhash_bit_exprs():
     ]
 
 
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id -> 16-bit simhash over the distinct word set."""
+def _simhash_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    exploded = docs.select("doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w"))
-    sums = exploded.groupBy("doc_id").agg(*_simhash_bit_exprs())
-    bits = [F.when(F.col(f"s{b}") >= 0, F.lit("1")).otherwise(F.lit("0")) for b in range(SIMHASH_BITS)]
-    # no orderBy: this feeds simhash_dup_pairs MID-pipeline — a global
-    # sort here is an extra exchange + sampling double-execution of the
-    # 16-way bit sums, bought for nothing
-    return sums.select("doc_id", F.concat(*bits).alias("simhash"))
+    exploded = docs.select(
+        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w")
+    ).select("doc_id", F.md5(F.col("w").cast("binary")).alias("h"))
+    return exploded.groupBy("doc_id").agg(*_simhash_bit_exprs())
+
+
+def simhash_fingerprint_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> simhash as ONE 16-bit integer (bit b of the value =
+    majority sign of bit b, MSB first).  The integer form is the scale
+    representation: the candidate join ships 8 bytes instead of a
+    16-char string, blocking is a shift (high byte), and hamming
+    distance is ``bit_count(a XOR b)`` instead of 16 substring
+    comparisons (r5; both engines share the exact arithmetic)."""
+    sums = _simhash_sums(spark, sf_dir)
+    sh = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << (SIMHASH_BITS - 1 - b))).otherwise(F.lit(0))
+        sh = term if sh is None else sh + term
+    # no orderBy: feeds simhash_dup_pairs MID-pipeline
+    return sums.select("doc_id", sh.cast("bigint").alias("sh"))
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> 16-bit simhash bit string (human-readable projection of
+    the integer form; kept for tests/the fingerprint API)."""
+    ints = simhash_fingerprint_ints(spark, sf_dir)
+    return ints.select("doc_id", F.lpad(F.bin(F.col("sh")), SIMHASH_BITS, "0").alias("simhash"))
 
 
 def _duck_simhash_cte() -> str:
     sums = ", ".join(
-        f"sum(CASE WHEN substr(md5('{b}#' || w), 1, 1) IN "
-        "('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS s" + str(b)
+        f"sum(CASE WHEN substr(h, {b * 2 + 1}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s" + str(b)
         for b in range(SIMHASH_BITS)
     )
-    bits = " || ".join(f"CASE WHEN s{b} >= 0 THEN '1' ELSE '0' END" for b in range(SIMHASH_BITS))
+    sh = " + ".join(
+        f"CASE WHEN s{b} >= 0 THEN {1 << (SIMHASH_BITS - 1 - b)} ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
     return f"""
 sums AS (
   SELECT doc_id, {sums}
-  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)
+  FROM (SELECT doc_id, md5(unnest(list_distinct(string_split(text, ' ')))) AS h FROM documents)
   GROUP BY doc_id
 ),
-fps AS (SELECT doc_id, ({bits}) AS simhash FROM sums)
+fps_int AS (SELECT doc_id, CAST({sh} AS BIGINT) AS sh FROM sums),
+fps AS (SELECT doc_id, lpad(bin(sh), {SIMHASH_BITS}, '0') AS simhash FROM fps_int)
 """
 
 
@@ -377,55 +405,59 @@ SIMHASH_BLOCK_CAP = 100  # skew guard: drop blocks larger than this
 
 def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= HAMMING_MAX,
-    candidate-blocked on the first 8 bits (at scale: block key is a
+    candidate-blocked on the top 8 bits (at scale: block key is a
     partition key; flipping blocks probes adjacent buckets).
 
     Blocks larger than SIMHASH_BLOCK_CAP are dropped — without the cap
     a vocabulary-dense corpus collapses into a few prefixes and the
-    self-join goes quadratic (measured 41.6s -> ~2s at sf0.1)."""
-    fps = simhash_fingerprints(spark, sf_dir).withColumn(
-        "block", F.substring("simhash", 1, 8)
+    self-join goes quadratic (measured 41.6s -> ~2s at sf0.1).
+
+    Everything runs on the INTEGER fingerprint: block = sh >> 8 (a
+    shift, not a substring), hamming = bit_count(sh_a XOR sh_b) (one
+    popcount, not 16 per-character comparisons), the join payload is 8
+    bytes per side; the hot-block cap is a count window over the same
+    (block) partitioning the self-join shuffles on."""
+    fps = simhash_fingerprint_ints(spark, sf_dir).withColumn(
+        "block", F.shiftright("sh", 8)
     )
-    block_sizes = fps.groupBy("block").agg(F.count(F.lit(1)).alias("bn"))
-    fps = fps.join(block_sizes.where(F.col("bn") <= SIMHASH_BLOCK_CAP), "block").drop("bn")
-    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "block")
-    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), F.col("block").alias("block_b"))
+    wb = Window.partitionBy("block")
+    fps = (
+        fps.withColumn("bn", F.count(F.lit(1)).over(wb))
+        .where(F.col("bn") <= SIMHASH_BLOCK_CAP)
+        .drop("bn")
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("ha"), "block")
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("hb"), F.col("block").alias("block_b"))
     cand = a.join(
         b,
         (F.col("block") == F.col("block_b")) & (F.col("doc_a") < F.col("doc_b")),
     )
-    hamming = sum(
-        F.when(F.substring("ha", i + 1, 1) != F.substring("hb", i + 1, 1), 1).otherwise(0)
-        for i in range(SIMHASH_BITS)
-    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     # no trailing orderBy (order-insensitive driver compare; see
     # ngram_jaccard_pairs for the sampling double-execution measurement)
-    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+    return cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming")).where(
         F.col("hamming") <= HAMMING_MAX
     )
 
 
 def _duck_simhash_pairs_sql() -> str:
-    hamming = " + ".join(
-        f"CASE WHEN substr(a.simhash, {i + 1}, 1) <> substr(b.simhash, {i + 1}, 1) THEN 1 ELSE 0 END"
-        for i in range(SIMHASH_BITS)
-    )
     return (
         "WITH "
         + _duck_simhash_cte()
         + f""",
 blocked AS (
-  SELECT doc_id, simhash, substr(simhash, 1, 8) AS block FROM fps
+  SELECT doc_id, sh, sh // 256 AS block FROM fps_int
 ),
 kept AS (
   SELECT b.* FROM blocked b
   JOIN (SELECT block FROM blocked GROUP BY block
         HAVING count(*) <= {SIMHASH_BLOCK_CAP}) s USING (block)
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ({hamming}) AS hamming
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
 FROM kept a JOIN kept b
   ON a.block = b.block AND a.doc_id < b.doc_id
-WHERE ({hamming}) <= {HAMMING_MAX}
+WHERE bit_count(xor(a.sh, b.sh)) <= {HAMMING_MAX}
 ORDER BY doc_a, doc_b
 """
     )
