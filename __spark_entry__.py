@@ -28,11 +28,47 @@ def _odm_commands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _odm_commands_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True RFC-4122 UUIDv5 id flavor (reference byte-parity algebra).
-    Rows-only check: this DuckDB has no sha1; correctness of the id
-    algebra is golden-pinned in tests/test_keys.py instead."""
+    """True RFC-4122 UUIDv5 id flavor (reference byte-parity algebra),
+    oracle-PAIRED on everything this DuckDB can check (r5; was
+    rows-only): every NON-hash column is hash-compared against the
+    md5-flavor oracle (the two flavors differ only in the id
+    derivation), and the sha1 ids themselves — which DuckDB v1.0
+    cannot compute — are checked per-row for RFC-4122 well-formedness
+    (length, version nibble '5', variant nibble) as flags the oracle
+    pins to literal 1s.  The id BYTES remain golden-pinned in
+    tests/test_keys.py (including the reference's own
+    75e752d9-… vector)."""
+    from pyspark.sql import functions as F
+
     odm = derive_odm_resolved(spark, sf_dir, flavor="sha1")
-    return generate_commands(odm, BATCH_CMD_ID, SUB, flavor="sha1")
+    cmds = generate_commands(odm, BATCH_CMD_ID, SUB, flavor="sha1")
+
+    def wf(c):
+        return (
+            (F.length(c) == 36)
+            & (F.substring(c, 15, 1) == "5")
+            & F.substring(c, 20, 1).isin(*"89ab")
+        )
+
+    flag = (
+        wf(F.col("cmd_id"))
+        & wf(F.col("parent_id"))
+        & (F.col("item_id").isNull() | wf(F.col("item_id")))
+    )
+    return cmds.select(
+        "name", "sub", "file_oid", "study_oid", "subject_key", "study_event_oid",
+        "form_oid", "item_group_oid", "item_oid", "data_type", "value_canon",
+        flag.cast("int").alias("ids_wellformed"),
+    )
+
+
+def _odm_uuid5_oracle_sql() -> str:
+    return f"""
+SELECT name, sub, file_oid, study_oid, subject_key, study_event_oid,
+       form_oid, item_group_oid, item_oid, data_type, value_canon,
+       1 AS ids_wellformed
+FROM ({oracle.odm_commands_sql().strip().rstrip(';')})
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -55,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o = {
         "odm_commands": oracle.odm_commands_sql(),
+        "odm_commands_uuid5": _odm_uuid5_oracle_sql(),
     }
     from lens_sds_batch_spark.operators import registry
 

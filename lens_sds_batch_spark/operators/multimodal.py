@@ -190,17 +190,22 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 
 
 def media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only query: full decode→pool→frame-sample pipeline with the
-    stubbed codec.
+    """Oracle-PAIRED since r5 (was rows-only): full decode→pool→
+    frame-sample pipeline with the stubbed codec, hash-compared against
+    a DuckDB twin that recomputes the SAME deterministic arithmetic in
+    SQL.  The fake codec's outputs are pure functions of the payload
+    bytes (dims from byte length, pooled features = per-block mean byte
+    value over np.array_split boundaries, frame indices = a stride
+    range), so the oracle can mirror them exactly — block sums of
+    uint8 are integers < 2^53, hence bit-identical in float64
+    regardless of summation order.  What stays Spark-only is the
+    EXECUTION shape (Arrow mapInPandas, zero shuffle); what the oracle
+    pins is every VALUE the stub produces.
 
     ``extract_media_features`` (the library API) stays array-typed; the
-    *registered* query scalarizes the array columns — the driver's
-    rows-only canonicalizer sorts rows with pandas ``sort_values``,
-    which cannot hash list cells (the r2 red row).  ``features`` is
-    digested as ``md5(to_json(round(...)))`` + ``size``; the ragged
-    ``sampled_frames`` becomes a CSV string.  Same computation, fully
-    sortable scalar output.
-    """
+    registered query scalarizes: features become f0..f{N_FEATURES-1}
+    columns (rounded to 6dp, matching the driver float canonicalizer),
+    ragged ``sampled_frames`` a CSV string."""
     feats = extract_media_features(media_table(spark, sf_dir))
     return feats.select(
         "doc_id",
@@ -209,19 +214,70 @@ def media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "n_frames",
         "format",
-        F.md5(
-            F.to_json(F.expr("transform(features, x -> round(x, 6))"))
-        ).alias("features_md5"),
-        F.size("features").alias("n_features"),
+        *[
+            F.round(F.element_at("features", i + 1), 6).alias(f"f{i}")
+            for i in range(N_FEATURES)
+        ],
         F.concat_ws(",", F.col("sampled_frames").cast("array<string>")).alias(
             "sampled_frames_csv"
         ),
     )
 
 
+def _media_decode_sql() -> str:
+    """DuckDB twin of the fake codec: byte means via hex-space byte
+    extraction (this DuckDB lacks substr(BLOB)); np.array_split block k
+    of n items = start k*(n//N) + min(k, n%N), length n//N + (k < n%N)."""
+    f_cols = []
+    for k in range(N_FEATURES):
+        start = f"({k} * (n // {N_FEATURES}) + least({k}, n % {N_FEATURES}))"
+        blen = f"((n // {N_FEATURES}) + CASE WHEN {k} < n % {N_FEATURES} THEN 1 ELSE 0 END)"
+        mean = (
+            f"list_avg(list_transform(range(1, {blen} + 1), "
+            f"i -> CAST('0x' || substr(hx, ({start} + i - 1) * 2 + 1, 2) AS INT)))"
+        )
+        f_cols.append(
+            f"CASE WHEN {blen} > 0 THEN round({mean}, 6) ELSE 0.0 END AS f{k}"
+        )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+dec AS (
+  SELECT doc_id, media_type, hx, n,
+    CAST(CASE WHEN media_type = 'image/png' THEN n % 640 + 1
+              WHEN media_type = 'audio/wav' THEN 0
+              ELSE n % 1920 + 1 END AS INT) AS width,
+    CAST(CASE WHEN media_type = 'image/png' THEN n % 480 + 1
+              WHEN media_type = 'audio/wav' THEN 0
+              ELSE n % 1080 + 1 END AS INT) AS height,
+    CAST(CASE WHEN media_type = 'image/png' THEN 1
+              WHEN media_type = 'audio/wav' THEN n % 1000 + 1
+              ELSE n % 240 + 1 END AS INT) AS n_frames,
+    CASE WHEN media_type = 'image/png' THEN 'png'
+         WHEN media_type = 'audio/wav' THEN 'wav'
+         ELSE 'mp4' END AS format
+  FROM m
+)
+SELECT doc_id, media_type, width, height, n_frames, format,
+       {", ".join(f_cols)},
+       CASE WHEN media_type = 'video/mp4'
+            THEN array_to_string(list_transform(range(0, n_frames, {FRAME_STRIDE}),
+                                                x -> CAST(x AS VARCHAR)), ',')
+            ELSE '' END AS sampled_frames_csv
+FROM dec ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
-    "media_decode_stub": (media_decode_stub, None),
+    "media_decode_stub": (media_decode_stub, _media_decode_sql()),
 }
 
 

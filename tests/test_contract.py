@@ -11,9 +11,13 @@ def test_registry_consistency():
     oracles = entry_mod.oracle_sql()
     # every oracle belongs to a registered query
     assert set(oracles) <= set(qs)
-    # flagship + uuid5 flavor registered; flagship oracle-paired
+    # flagship + uuid5 flavor registered, BOTH oracle-paired (uuid5
+    # since r5: non-hash columns + id well-formedness flags)
     assert "odm_commands" in oracles
-    assert "odm_commands_uuid5" in qs and "odm_commands_uuid5" not in oracles
+    assert "odm_commands_uuid5" in qs and "odm_commands_uuid5" in oracles
+    # the whole registry is oracle-paired — a regression to rows-only
+    # silently weakens the CORRECTNESS gate, so make it loud
+    assert set(oracles) == set(qs), f"rows-only rows reappeared: {set(qs) - set(oracles)}"
     # all builders are callables with the (spark, sf_dir) arity
     for name, fn in qs.items():
         assert callable(fn), name
