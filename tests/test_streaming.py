@@ -495,3 +495,45 @@ def test_kafka_malformed_routes_to_dead_letter(spark, tmp_path):
     import os
 
     assert not os.path.exists(requeue)  # nothing retryable -> no feedback file
+
+
+def test_stream_sliding_windows_match_batch(spark, stream_dir):
+    """B9 sliding-window twin: streaming windowed_counts with a 2h
+    window sliding every 1h must agree with a batch recomputation —
+    each event lands in exactly 2 windows, and every window the stream
+    emits carries the full batch count for that (window, type) pair.
+    Complements the tumbling pin above so BOTH window shapes have a
+    streaming-equals-batch witness."""
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=2)
+    q = run_to_memory(
+        windowed_counts(dedupe_stream(stream), window="2 hours", slide="1 hour", watermark=None),
+        "win_slide",
+        output_mode="append",
+    )
+    try:
+        ev = spark.read.parquet(stream_dir).dropDuplicates(["event_id"])
+        hour = 3600
+        batch = (
+            ev.select(
+                "event_type",
+                F.explode(F.array(F.lit(0), F.lit(1))).alias("k"),
+                (F.unix_timestamp("ts") / hour).cast("bigint").alias("hidx"),
+            )
+            .select(
+                ((F.col("hidx") - F.col("k")) * hour).alias("ws_epoch"), "event_type"
+            )
+            .groupBy("ws_epoch", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        streamed = spark.sql(
+            "SELECT unix_timestamp(window_start) AS ws_epoch, event_type, n FROM win_slide"
+        )
+        assert streamed.count() > 0  # watermark must have closed some windows
+        mismatched = (
+            streamed.alias("s")
+            .join(batch.alias("b"), ["ws_epoch", "event_type"])
+            .where(F.col("s.n") != F.col("b.n"))
+        )
+        assert mismatched.count() == 0
+    finally:
+        q.stop()
