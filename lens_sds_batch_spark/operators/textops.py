@@ -382,10 +382,19 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     is_eval = (_u(F.col("doc_id"), "evl:") < EVAL_RATE).cast("int")
+    # grams hashed to BIGINTs (md5 prefix, mirrored in the oracle): the
+    # distinct/broadcast/semi-join/count-distinct chain then moves 8-byte
+    # longs instead of ~50-char gram strings (r5; same trick as
+    # ngram_jaccard_pairs' hashed word sets — a rare cross-engine 32-bit
+    # collision shrinks both engines' counts identically).
+    gram_hashes = F.transform(
+        _ngrams(_tokens(F.col("text")), CONTAM_N),
+        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 8), 16, 10).cast("bigint"),
+    )
     grams = docs.select(
         "doc_id",
         is_eval.alias("is_eval"),
-        F.explode(_ngrams(_tokens(F.col("text")), CONTAM_N)).alias("g"),
+        F.explode(gram_hashes).alias("g"),
     )
     eval_set = grams.where(F.col("is_eval") == 1).select("g").distinct()
     hits = (
@@ -452,7 +461,7 @@ cg AS (
   SELECT doc_id,
          CAST({{u_evl}} < {EVAL_RATE} AS INT) AS is_eval,
          unnest(list_transform(range(1, len(string_split(text, ' ')) - {CONTAM_N - 2}),
-                               i -> array_to_string(string_split(text, ' ')[i:i+{CONTAM_N - 1}], ' '))) AS g
+                               i -> CAST('0x' || substr(md5(array_to_string(string_split(text, ' ')[i:i+{CONTAM_N - 1}], ' ')), 1, 8) AS BIGINT))) AS g
   FROM documents
 ),
 ev AS (SELECT DISTINCT g FROM cg WHERE is_eval = 1),
