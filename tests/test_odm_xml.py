@@ -165,3 +165,68 @@ def test_xml_to_commands_end_to_end(spark, xml_dir):
     # deterministic: re-run equals
     again = generate_commands(odm, "00000000-0000-0000-0000-0000000000ff", "xml-importer", persist=False)
     assert {tuple(r) for r in cmds.collect()} == {tuple(r) for r in again.collect()}
+
+
+def test_full_reference_lifecycle_xml_to_entity_state(spark, xml_dir):
+    """The reference's WHOLE life in one chain, each stage feeding the
+    next: XML blob -> parse + dead-letter split (A2/A3/A22/A23) ->
+    tree -> deterministic-id commands (A9-A19, the import side) ->
+    broker correlation with first-event-wins and timeout (A20/A24) ->
+    success-gated visibility (A11) -> LWW entity-state apply (the
+    lens-sds-tx side the reference delegates to).  A user of the
+    reference switching to this engine runs exactly this pipeline."""
+    from lens_sds_batch_spark.plans.commands import generate_commands
+    from lens_sds_batch_spark.plans.correlate import correlate, first_event_name_agg, success_set
+    from lens_sds_batch_spark.plans.merge import apply_lww
+    from lens_sds_batch_spark.sources.odm_xml import odm_tables_from_xml
+
+    BATCH = "00000000-0000-0000-0000-0000000000ff"
+    parsed = read_odm_xml(spark, xml_dir)
+    valid, dead = split_errors(parsed)
+    assert dead.count() == 2  # the malformed fixtures dead-letter, not crash
+    meta = spark.createDataFrame(
+        [("F-X1", "transactional", BATCH, "xml-importer")],
+        "file_oid string, file_type string, batch_cmd_id string, sub string",
+    )
+    cmds = generate_commands(
+        odm_tables_from_xml(parsed, meta), BATCH, "xml-importer", persist=False
+    )
+
+    # broker simulation: every command gets a created event EXCEPT the
+    # I2 update (no reply -> timeout); the I1 update also gets a LATE
+    # error at t=2 after its created at t=1 — first-event-wins must
+    # keep 'created'
+    withheld = cmds.where(F.col("item_oid") == "I2").select("cmd_id")
+    replies = (
+        cmds.join(withheld, "cmd_id", "left_anti")
+        .select(F.col("cmd_id").alias("cid"), F.lit(1).alias("t"), F.lit("created").alias("name"))
+    )
+    late_err = cmds.where(F.col("item_oid") == "I1").select(
+        F.col("cmd_id").alias("cid"), F.lit(2).alias("t"), F.lit("error").alias("name")
+    )
+    first = first_event_name_agg(replies.unionByName(late_err), ["t"])
+    correlated = correlate(cmds, first)
+
+    by_item = {r["item_oid"]: r["status"] for r in correlated.where(F.col("item_oid").isNotNull()).collect()}
+    assert by_item["I2"] == "timeout"  # no reply ever arrived
+    assert by_item["I1"] == "created"  # the late error lost first-event-wins
+    ok = success_set(correlated, ["created", "updated"])
+    assert ok.count() == correlated.count() - 1  # everything but the timeout
+
+    # entity-state apply (lens-sds-tx analog): successful subject-level
+    # commands land on an empty state table; SK02's remove tombstones
+    subj = correlated.where(
+        F.col("name").isin("odm-import/insert-subject", "odm-import/remove-subject")
+        & (F.col("status") == "created")
+    ).select(
+        "study_oid",
+        "subject_key",
+        F.lit(1).alias("priority"),
+        (F.col("name") == "odm-import/remove-subject").alias("is_remove"),
+    )
+    state = apply_lww(
+        subj, keys=["study_oid", "subject_key"],
+        order_cols=[F.col("priority")], is_delete=F.col("is_remove"),
+    )
+    final = {(r["study_oid"], r["subject_key"]) for r in state.collect()}
+    assert final == {("S1", "SK01")}  # SK01 inserted; SK02 tombstoned away
