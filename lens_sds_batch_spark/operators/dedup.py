@@ -150,17 +150,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_JACCARD_SQL = f"""
-WITH d_all AS (
+WITH d_all AS MATERIALIZED (
   SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
          list_distinct(list_transform(string_split(text, ' '),
                                       w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT))) AS wset
   FROM documents
 ),
-kept_blocks AS (
+kept_blocks AS MATERIALIZED (
   SELECT lang, len_bucket FROM d_all
   GROUP BY lang, len_bucket HAVING count(*) <= {JACCARD_BLOCK_CAP}
 ),
-d AS (
+d AS MATERIALIZED (
   SELECT d_all.* FROM d_all JOIN kept_blocks USING (lang, len_bucket)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -292,7 +292,7 @@ def _duck_minhash_ctes() -> str:
         for b in range(MINHASH_BANDS)
     )
     return f"""
-sigs AS (
+sigs AS MATERIALIZED (
   SELECT doc_id, {mh_cols}
   FROM (
     SELECT doc_id,
@@ -302,12 +302,12 @@ sigs AS (
   )
   GROUP BY doc_id
 ),
-banded_all AS ({band_selects}),
+banded_all AS MATERIALIZED ({band_selects}),
 sized AS (
   SELECT band_id, band_key FROM banded_all
   GROUP BY band_id, band_key HAVING count(*) <= {HOT_BUCKET_CAP}
 ),
-banded AS (
+banded AS MATERIALIZED (
   SELECT b.* FROM banded_all b JOIN sized s USING (band_id, band_key)
 ),
 cand AS (
@@ -315,8 +315,8 @@ cand AS (
   FROM banded a JOIN banded b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
-wsets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM documents),
-pairs AS (
+wsets AS MATERIALIZED (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM documents),
+pairs AS MATERIALIZED (
   SELECT doc_a, doc_b,
          CAST(len(wa.wset) + len(wb.wset) - len(list_distinct(list_concat(wa.wset, wb.wset))) AS DOUBLE)
            / CAST(len(list_distinct(list_concat(wa.wset, wb.wset))) AS DOUBLE) AS jaccard
@@ -471,10 +471,10 @@ def _duck_simhash_pairs_sql() -> str:
         "WITH "
         + _duck_simhash_cte()
         + f""",
-blocked AS (
+blocked AS MATERIALIZED (
   SELECT doc_id, sh, sh // 256 AS block FROM fps_int
 ),
-kept AS (
+kept AS MATERIALIZED (
   SELECT b.* FROM blocked b
   JOIN (SELECT block FROM blocked GROUP BY block
         HAVING count(*) <= {SIMHASH_BLOCK_CAP}) s USING (block)
@@ -601,7 +601,7 @@ def _duck_clusters_sql() -> str:
         "WITH RECURSIVE "
         + _duck_minhash_ctes()
         + f""",
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM pairs

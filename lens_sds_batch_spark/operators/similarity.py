@@ -72,7 +72,7 @@ _DUCK_V = (
 
 
 KNN_BRUTEFORCE_SQL = f"""
-WITH v AS ({_DUCK_V}),
+WITH v AS MATERIALIZED ({_DUCK_V}),
 q AS (SELECT vec_id AS qid, emb AS qv, norm AS qnorm FROM v WHERE vec_id % {QUERY_STRIDE} = 0),
 scored AS (
   SELECT qid, vec_id, ({_DUCK_DOT.format(a='qv', b='emb')}) / (qnorm * norm) AS cos
@@ -121,7 +121,7 @@ def _duck_bucket(col: str) -> str:
 
 
 KNN_LSH_SQL = f"""
-WITH v AS (SELECT *, {_duck_bucket('emb')} AS bucket FROM ({_DUCK_V})),
+WITH v AS MATERIALIZED (SELECT *, {_duck_bucket('emb')} AS bucket FROM ({_DUCK_V})),
 q AS (SELECT vec_id AS qid, emb AS qv, norm AS qnorm, bucket AS qbucket FROM v
       WHERE vec_id % {QUERY_STRIDE} = 0),
 scored AS (
@@ -173,9 +173,9 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_DUP_SQL = f"""
-WITH v_all AS (SELECT *, {_duck_bucket('emb')} AS bucket FROM ({_DUCK_V})),
+WITH v_all AS MATERIALIZED (SELECT *, {_duck_bucket('emb')} AS bucket FROM ({_DUCK_V})),
 kept AS (SELECT bucket FROM v_all GROUP BY bucket HAVING count(*) <= {EMB_BUCKET_CAP}),
-v AS (SELECT v_all.* FROM v_all JOIN kept USING (bucket))
+v AS MATERIALIZED (SELECT v_all.* FROM v_all JOIN kept USING (bucket))
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ({_DUCK_DOT.format(a='a.emb', b='b.emb')}) / (a.norm * b.norm) AS cos
 FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -301,7 +301,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUANTIZE_SQL = """
-WITH v AS (
+WITH v AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
 ),
 scaled AS (

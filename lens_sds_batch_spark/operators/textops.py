@@ -457,7 +457,7 @@ def doc_features_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTAM_SQL_CTES = f"""
-cg AS (
+cg AS MATERIALIZED (
   SELECT doc_id,
          CAST({{u_evl}} < {EVAL_RATE} AS INT) AS is_eval,
          unnest(list_transform(range(1, len(string_split(text, ' ')) - {CONTAM_N - 2}),

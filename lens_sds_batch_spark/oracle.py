@@ -82,8 +82,12 @@ def _items_union() -> str:
     return " UNION ALL ".join(selects)
 
 
-def odm_ctes() -> str:
-    """The WITH-clause body: derivation + tx resolution + id chains."""
+def odm_ctes(ids: bool = True) -> str:
+    """The WITH-clause body: derivation + tx resolution (+ id chains
+    when ``ids``).  ``ids=False`` stops at the *_r CTEs — DuckDB
+    executes MATERIALIZED CTEs even when unreferenced, so the
+    hash-free uuid5 oracle must not emit the md5-chain CTEs at
+    all."""
     form_path = (
         f"'{FILE_OID}' AS file_oid,"
         " 'ST' || CAST(o_custkey % 3 AS VARCHAR) AS study_oid,"
@@ -91,7 +95,7 @@ def odm_ctes() -> str:
         " 'SE' || CAST(l_orderkey AS VARCHAR) AS study_event_oid,"
         " 'FM' || CAST(form_seq AS VARCHAR) AS form_oid"
     )
-    return f"""
+    body = f"""
 subjects AS (
   SELECT '{FILE_OID}' AS file_oid,
          'ST' || CAST(c_custkey % 3 AS VARCHAR) AS study_oid,
@@ -99,7 +103,7 @@ subjects AS (
          {SUBJECT_TX} AS tx_type
   FROM customer
 ),
-subjects_r AS (SELECT *, coalesce(tx_type, 'insert') AS rtx FROM subjects),
+subjects_r AS MATERIALIZED (SELECT *, coalesce(tx_type, 'insert') AS rtx FROM subjects),
 study_events AS (
   SELECT '{FILE_OID}' AS file_oid,
          'ST' || CAST(o_custkey % 3 AS VARCHAR) AS study_oid,
@@ -108,13 +112,13 @@ study_events AS (
          {SE_TX} AS tx_type
   FROM orders
 ),
-se_r AS (
+se_r AS MATERIALIZED (
   SELECT c.*, coalesce(c.tx_type, p.rtx) AS rtx
   FROM study_events c
   JOIN subjects_r p USING (file_oid, study_oid, subject_key)
   WHERE p.rtx <> 'remove'
 ),
-li AS (
+li AS MATERIALIZED (
   SELECT {form_path},
          l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
          l_shipdate, l_partkey
@@ -134,7 +138,7 @@ forms AS (
          {FORM_TX} AS tx_type
   FROM li
 ),
-forms_r AS (
+forms_r AS MATERIALIZED (
   SELECT c.*, coalesce(c.tx_type, p.rtx) AS rtx
   FROM forms c
   JOIN se_r p USING (file_oid, study_oid, subject_key, study_event_oid)
@@ -145,33 +149,33 @@ item_groups AS (
          'IG1' AS item_group_oid, CAST(NULL AS VARCHAR) AS tx_type
   FROM li
 ),
-igs_r AS (
+igs_r AS MATERIALIZED (
   SELECT c.*, coalesce(c.tx_type, p.rtx) AS rtx
   FROM item_groups c
   JOIN forms_r p USING (file_oid, study_oid, subject_key, study_event_oid, form_oid)
   WHERE p.rtx <> 'remove'
 ),
 items AS ({_items_union()}),
-items_r AS (
+items_r AS MATERIALIZED (
   SELECT c.*, coalesce(c.tx_type, p.rtx) AS rtx
   FROM items c
   JOIN igs_r p USING (file_oid, study_oid, subject_key, study_event_oid, form_oid, item_group_oid)
   WHERE p.rtx <> 'remove'
-),
-subj_ids AS (
+){"," if ids else ""}{"" if ids else "ZZZEND"}
+subj_ids AS MATERIALIZED (
   SELECT *,
     {duck_uuid3(f"'{NIL_HEX}'", ["study_oid"], "h0", "study_id")},
     {duck_uuid3(ns_hex("study_id"), ["subject_key"], "h1", "subject_id")}
   FROM subjects_r
 ),
-se_ids AS (
+se_ids AS MATERIALIZED (
   SELECT *,
     {duck_uuid3(f"'{NIL_HEX}'", ["study_oid"], "h0", "study_id")},
     {duck_uuid3(ns_hex("study_id"), ["subject_key"], "h1", "subject_id")},
     {duck_uuid3(ns_hex("subject_id"), ["study_event_oid"], "h2", "study_event_id")}
   FROM se_r
 ),
-form_ids AS (
+form_ids AS MATERIALIZED (
   SELECT *,
     {duck_uuid3(f"'{NIL_HEX}'", ["study_oid"], "h0", "study_id")},
     {duck_uuid3(ns_hex("study_id"), ["subject_key"], "h1", "subject_id")},
@@ -179,7 +183,7 @@ form_ids AS (
     {duck_uuid3(ns_hex("study_event_id"), ["form_oid"], "h3", "form_id")}
   FROM forms_r
 ),
-ig_ids AS (
+ig_ids AS MATERIALIZED (
   SELECT *,
     {duck_uuid3(f"'{NIL_HEX}'", ["study_oid"], "h0", "study_id")},
     {duck_uuid3(ns_hex("study_id"), ["subject_key"], "h1", "subject_id")},
@@ -188,7 +192,7 @@ ig_ids AS (
     {duck_uuid3(ns_hex("form_id"), ["item_group_oid"], "h4", "item_group_id")}
   FROM igs_r
 ),
-item_ids AS (
+item_ids AS MATERIALIZED (
   SELECT *,
     {duck_uuid3(f"'{NIL_HEX}'", ["study_oid"], "h0", "study_id")},
     {duck_uuid3(ns_hex("study_id"), ["subject_key"], "h1", "subject_id")},
@@ -198,6 +202,8 @@ item_ids AS (
     {duck_uuid3(ns_hex("item_group_id"), ["item_oid"], "h5", "item_id")}
   FROM items_r
 )"""
+    return body if ids else body.split("ZZZEND")[0].rstrip()
+
 
 
 # ---------------------------------------------------------------------------
@@ -232,6 +238,46 @@ def _cmd_select(src: str, rtx: str, verb_entity: str, params: dict[str, str], ou
         f"SELECT {duck_fmt('__ch')} AS cmd_id, '{name}' AS name, '{SUB}' AS sub, {outs} "
         f"FROM (SELECT *, md5({payload}) AS __ch FROM {src} WHERE rtx = '{rtx}')"
     )
+
+
+def _cmd_select_nohash(src: str, rtx: str, verb_entity: str, out: dict[str, str]) -> str:
+    """Non-hash projection of one level×verb: the uuid5-flavor oracle
+    (odm_commands_nohash_sql) checks every column EXCEPT the ids, so it
+    reads from the *_r CTEs and never evaluates the md5 chains — the
+    *_ids CTEs are unreferenced and pruned, cutting the oracle from
+    ~94s to seconds at sf0.01."""
+    name = f"odm-import/{verb_entity}"
+    cols = [c for c in _OUT_COLS if c not in ("parent_id", "item_id")]
+    outs = ", ".join(
+        (f"{out[c]} AS {c}" if c in out else f"CAST(NULL AS VARCHAR) AS {c}") for c in cols
+    )
+    return (
+        f"SELECT '{name}' AS name, '{SUB}' AS sub, {outs}, 1 AS ids_wellformed "
+        f"FROM {src} WHERE rtx = '{rtx}'"
+    )
+
+
+def odm_commands_nohash_sql() -> str:
+    """The uuid5-flavor oracle: identical command rows minus the sha1
+    id columns (DuckDB has no sha1), plus the literal well-formedness
+    flag the Spark side computes per row."""
+    sub_out = {"file_oid": "file_oid", "study_oid": "study_oid", "subject_key": "subject_key"}
+    se_out = dict(sub_out, study_event_oid="study_event_oid")
+    fm_out = dict(se_out, form_oid="form_oid")
+    ig_out = dict(fm_out, item_group_oid="item_group_oid")
+    it_out = dict(ig_out, item_oid="item_oid")
+    it_val_out = dict(it_out, data_type="data_type", value_canon="value_canon")
+
+    selects = []
+    for verb in ("insert", "upsert", "remove"):
+        selects.append(_cmd_select_nohash("subjects_r", verb, f"{verb}-subject", sub_out))
+        selects.append(_cmd_select_nohash("se_r", verb, f"{verb}-study-event", se_out))
+        selects.append(_cmd_select_nohash("forms_r", verb, f"{verb}-form", fm_out))
+        selects.append(_cmd_select_nohash("igs_r", verb, f"{verb}-item-group", ig_out))
+    for verb in ("insert", "upsert", "update"):
+        selects.append(_cmd_select_nohash("items_r", verb, f"{verb}-item", it_val_out))
+    selects.append(_cmd_select_nohash("items_r", "remove", "remove-item", it_out))
+    return "WITH " + odm_ctes(ids=False) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def odm_commands_sql() -> str:
