@@ -169,38 +169,27 @@ subj_ids AS MATERIALIZED (
   FROM subjects_r
 ),
 se_ids AS MATERIALIZED (
-  SELECT *,
-    {duck_uuid3(f"'{NIL_HEX}'", ["study_oid"], "h0", "study_id")},
-    {duck_uuid3(ns_hex("study_id"), ["subject_key"], "h1", "subject_id")},
-    {duck_uuid3(ns_hex("subject_id"), ["study_event_oid"], "h2", "study_event_id")}
-  FROM se_r
+  SELECT c.*, p.study_id, p.subject_id,
+    {duck_uuid3(ns_hex("p.subject_id"), ["c.study_event_oid"], "h2", "study_event_id")}
+  FROM se_r c JOIN subj_ids p USING (file_oid, study_oid, subject_key)
 ),
 form_ids AS MATERIALIZED (
-  SELECT *,
-    {duck_uuid3(f"'{NIL_HEX}'", ["study_oid"], "h0", "study_id")},
-    {duck_uuid3(ns_hex("study_id"), ["subject_key"], "h1", "subject_id")},
-    {duck_uuid3(ns_hex("subject_id"), ["study_event_oid"], "h2", "study_event_id")},
-    {duck_uuid3(ns_hex("study_event_id"), ["form_oid"], "h3", "form_id")}
-  FROM forms_r
+  SELECT c.*, p.study_id, p.subject_id, p.study_event_id,
+    {duck_uuid3(ns_hex("p.study_event_id"), ["c.form_oid"], "h3", "form_id")}
+  FROM forms_r c
+  JOIN se_ids p USING (file_oid, study_oid, subject_key, study_event_oid)
 ),
 ig_ids AS MATERIALIZED (
-  SELECT *,
-    {duck_uuid3(f"'{NIL_HEX}'", ["study_oid"], "h0", "study_id")},
-    {duck_uuid3(ns_hex("study_id"), ["subject_key"], "h1", "subject_id")},
-    {duck_uuid3(ns_hex("subject_id"), ["study_event_oid"], "h2", "study_event_id")},
-    {duck_uuid3(ns_hex("study_event_id"), ["form_oid"], "h3", "form_id")},
-    {duck_uuid3(ns_hex("form_id"), ["item_group_oid"], "h4", "item_group_id")}
-  FROM igs_r
+  SELECT c.*, p.study_id, p.subject_id, p.study_event_id, p.form_id,
+    {duck_uuid3(ns_hex("p.form_id"), ["c.item_group_oid"], "h4", "item_group_id")}
+  FROM igs_r c
+  JOIN form_ids p USING (file_oid, study_oid, subject_key, study_event_oid, form_oid)
 ),
 item_ids AS MATERIALIZED (
-  SELECT *,
-    {duck_uuid3(f"'{NIL_HEX}'", ["study_oid"], "h0", "study_id")},
-    {duck_uuid3(ns_hex("study_id"), ["subject_key"], "h1", "subject_id")},
-    {duck_uuid3(ns_hex("subject_id"), ["study_event_oid"], "h2", "study_event_id")},
-    {duck_uuid3(ns_hex("study_event_id"), ["form_oid"], "h3", "form_id")},
-    {duck_uuid3(ns_hex("form_id"), ["item_group_oid"], "h4", "item_group_id")},
-    {duck_uuid3(ns_hex("item_group_id"), ["item_oid"], "h5", "item_id")}
-  FROM items_r
+  SELECT c.*, p.study_id, p.subject_id, p.study_event_id, p.form_id, p.item_group_id,
+    {duck_uuid3(ns_hex("p.item_group_id"), ["c.item_oid"], "h5", "item_id")}
+  FROM items_r c
+  JOIN ig_ids p USING (file_oid, study_oid, subject_key, study_event_oid, form_oid, item_group_oid)
 )"""
     return body if ids else body.split("ZZZEND")[0].rstrip()
 
