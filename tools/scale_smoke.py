@@ -32,7 +32,12 @@ from lens_sds_batch_spark.session import get_spark  # noqa: E402
 # arms (folded in round 3; registry names, see COVERAGE.md pack map)
 OPS = ("dedup_exact", "dedup_fingerprint", "dup_pairs_pack",
        "dedup_minhash_pairs", "simhash_dup_pairs", "knn_lsh_bucketed",
-       "dedup_clusters", "stratified_sample", "pack_sequences")
+       "dedup_clusters", "stratified_sample", "pack_sequences",
+       # r5: the flagship + relational paths, over key-consistently
+       # replicated customer/orders/lineitem/events (offsets preserve
+       # join integrity, so these run the REAL pipelines at 10x)
+       "odm_commands", "correlate_first_event", "q1_pricing_summary",
+       "asof_join")
 
 BASE_TMP = "/tmp/lens_scale_smoke"
 
@@ -65,13 +70,38 @@ def build_scaled(spark, sf_dir: str, k: int) -> str:
         .repartition(32)
         .write.parquet(f"{BASE_TMP}/embeddings.parquet")
     )
+
+    # relational side, key-consistent: every key column is offset by the
+    # SAME per-table stride in every referencing table, so joins (o_custkey
+    # -> c_custkey, l_orderkey -> o_orderkey) stay intact at k copies
+    def replicate(df, offsets: dict[str, int], name: str):
+        cols = [
+            ((F.col(c) + F.col("copy") * offsets[c]).alias(c) if c in offsets else F.col(c))
+            for c in df.columns
+        ]
+        df.crossJoin(F.broadcast(copies)).select(*cols).repartition(32).write.parquet(
+            f"{BASE_TMP}/{name}.parquet"
+        )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nc = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    no = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ne = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    nu = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    replicate(cust, {"c_custkey": nc}, "customer")
+    replicate(orders, {"o_orderkey": no, "o_custkey": nc}, "orders")
+    replicate(li, {"l_orderkey": no}, "lineitem")
+    replicate(ev, {"event_id": ne, "user_id": nu}, "events")
     return BASE_TMP
 
 
 def time_ops(spark, sf_dir: str) -> dict[str, float]:
-    from lens_sds_batch_spark.operators.registry import spark_queries
+    import __spark_entry__ as em  # includes the flagship queries
 
-    qs = spark_queries()
+    qs = em.queries()
     out = {}
     for name in OPS:
         t0 = time.time()
