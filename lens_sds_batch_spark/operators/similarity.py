@@ -246,20 +246,25 @@ def ivf_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = knn_bruteforce(spark, sf_dir).select(
         F.col("qid"), F.col("vec_id").alias("ev")
     )
-    approx = ivf_knn(spark, sf_dir).select(F.col("qid"), F.col("vec_id").alias("av"))
-    hit = exact.join(
-        approx, (exact.qid == approx.qid) & (exact.ev == approx.av), "left_semi"
+    approx = ivf_knn(spark, sf_dir).select(
+        F.col("qid").alias("aqid"), F.col("vec_id").alias("av")
     )
-    return (
-        exact.groupBy()
-        .agg(F.count_distinct("qid").alias("n_q"), F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(hit.groupBy().agg(F.count(F.lit(1)).alias("n_hit")))
-        .select(
-            F.col("n_q").cast("bigint").alias("n_queries"),
-            (F.col("n_hit") / F.col("n_exact") >= IVF_RECALL_MIN)
-            .cast("int")
-            .alias("recall_above_floor"),
+    # ONE pass: left join marks each exact neighbor as hit/miss, then a
+    # single global aggregate computes query count, exact count, and
+    # hits together — the exact plan is consumed once (a semi-join +
+    # separate aggregate branch would re-run the brute-force top-k
+    # window per branch).
+    joined = exact.join(
+        approx, (exact.qid == approx.aqid) & (exact.ev == approx.av), "left"
+    )
+    return joined.groupBy().agg(
+        F.count_distinct("qid").cast("bigint").alias("n_queries"),
+        (
+            F.sum(F.col("av").isNotNull().cast("int")) / F.count(F.lit(1))
+            >= IVF_RECALL_MIN
         )
+        .cast("int")
+        .alias("recall_above_floor"),
     )
 
 

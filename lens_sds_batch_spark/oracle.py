@@ -87,7 +87,7 @@ def odm_ctes(ids: bool = True) -> str:
     when ``ids``).  ``ids=False`` stops at the *_r CTEs — DuckDB
     executes MATERIALIZED CTEs even when unreferenced, so the
     hash-free uuid5 oracle must not emit the md5-chain CTEs at
-    all."""
+    all (they are appended as a separate tail only when ``ids``)."""
     form_path = (
         f"'{FILE_OID}' AS file_oid,"
         " 'ST' || CAST(o_custkey % 3 AS VARCHAR) AS study_oid,"
@@ -161,7 +161,10 @@ items_r AS MATERIALIZED (
   FROM items c
   JOIN igs_r p USING (file_oid, study_oid, subject_key, study_event_oid, form_oid, item_group_oid)
   WHERE p.rtx <> 'remove'
-){"," if ids else ""}{"" if ids else "ZZZEND"}
+)"""
+    if not ids:
+        return body
+    return body + f""",
 subj_ids AS MATERIALIZED (
   SELECT *,
     {duck_uuid3(f"'{NIL_HEX}'", ["study_oid"], "h0", "study_id")},
@@ -191,7 +194,6 @@ item_ids AS MATERIALIZED (
   FROM items_r c
   JOIN ig_ids p USING (file_oid, study_oid, subject_key, study_event_oid, form_oid, item_group_oid)
 )"""
-    return body if ids else body.split("ZZZEND")[0].rstrip()
 
 
 

@@ -99,11 +99,25 @@ def read_event_stream(
         # read), not a pinned DDL: the driver's events parquet has changed
         # ts physical type across rounds (NANOS -> NTZ), and a pinned
         # `ts timestamp` mis-declares NTZ data (the round-3 failure
-        # class).  Fall back to EVENTS_SCHEMA only when the directory has
-        # no files yet (e.g. a requeue loop seeded later).
+        # class).  Fall back to EVENTS_SCHEMA only for the
+        # directory-empty/missing case (a stream dir seeded later) — and
+        # LOUDLY: a broad silent except here would reinstate the exact
+        # drift class this probe exists to prevent (a corrupt footer or
+        # transient FS error would quietly re-pin the DDL schema).
+        from pyspark.errors import AnalysisException
+
         try:
             at_rest = spark.read.parquet(path).schema
-        except Exception:
+        except AnalysisException as e:
+            import sys as _sys
+
+            print(
+                f"read_event_stream: schema probe of {path!r} failed "
+                f"({type(e).__name__}: {str(e)[:120]}); falling back to the "
+                "pinned EVENTS_SCHEMA — ts-type drift is NOT protected for "
+                "this stream",
+                file=_sys.stderr,
+            )
             at_rest = EVENTS_SCHEMA
         reader = spark.readStream.schema(at_rest).option(
             "maxFilesPerTrigger", 1 if max_files_per_trigger is None else max_files_per_trigger
@@ -223,6 +237,7 @@ def requeue_sink(
     max_attempts: int = 3,
     requeue_writer_partitions: int = 1,
     metrics: dict | None = None,
+    ok_drop_cols: tuple = (),
 ):
     """The reference's nack+requeue loop (``broker.clj:87-95``) as a
     file-source FEEDBACK EDGE: a foreachBatch sink that routes each row
@@ -250,6 +265,13 @@ def requeue_sink(
     cluster scale (or a real Kafka requeue topic) raise it so each
     trigger's retry volume is written in parallel.
 
+    ``ok_drop_cols``: columns stripped from the SUCCESS output only —
+    routing bookkeeping (e.g. the kafka seam's ``_raw_value`` /
+    ``_malformed``) must not leak into the ack path's schema, which
+    downstream consumers expect to match the plain-source schema; the
+    requeue and dead outputs keep every column (the dead-letter
+    evidence IS the bookkeeping).
+
     ``metrics``: pass a dict and the sink accumulates routed-row counts
     into ``ok`` / ``requeued`` / ``dead`` across triggers — the A22
     observability hook (dead-lettered rows are COUNTED, not silently
@@ -269,7 +291,7 @@ def requeue_sink(
         retryable = F.coalesce(is_retryable.cast("boolean"), F.lit(False))
         batch_df.persist()
         try:
-            okdf = batch_df.where(ok)
+            okdf = batch_df.where(ok).drop(*ok_drop_cols)
             okdf.write.mode("append").parquet(out_dir)
             failed = batch_df.where(~ok)
             requeue = failed.where(retryable & (att + 1 < max_attempts)).withColumn(

@@ -484,6 +484,7 @@ def test_kafka_malformed_routes_to_dead_letter(spark, tmp_path):
         is_ok=~F.col("_malformed"),
         is_retryable=F.lit(False),  # bytes that don't parse never will
         metrics=metrics,
+        ok_drop_cols=("_raw_value", "_malformed"),
     )
     sink(parsed, epoch_id=0)
     assert metrics == {"ok": 2, "requeued": 0, "dead": 3}
@@ -491,7 +492,11 @@ def test_kafka_malformed_routes_to_dead_letter(spark, tmp_path):
     assert len(dead_rows) == 3
     # the dead output preserves the raw evidence for forensics
     assert {r["_raw_value"] for r in dead_rows} == {"not json", None, '{"user_id": 2}'}
-    assert {r["event_id"] for r in spark.read.parquet(out).collect()} == {7, 8}
+    ok_df = spark.read.parquet(out)
+    assert {r["event_id"] for r in ok_df.collect()} == {7, 8}
+    # the ack path's schema matches the plain-source event schema —
+    # routing bookkeeping must not leak into downstream consumers
+    assert not {"_raw_value", "_malformed"} & set(ok_df.columns)
     import os
 
     assert not os.path.exists(requeue)  # nothing retryable -> no feedback file

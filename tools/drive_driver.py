@@ -60,9 +60,17 @@ def main():
             if name not in oracles:
                 print(f"{name}: rows-only, {len(srows)} rows ran OK ({time.time()-t0:.1f}s)", flush=True)
                 continue
-            orows_rel = con.sql(oracles[name])
-            ocols = orows_rel.columns
-            orows = orows_rel.fetchall()
+            # ONE oracle execution: the Arrow table serves both the
+            # type-family check and the row multiset (a second
+            # fetchall() would re-run the whole oracle — 2x the heavy
+            # ODM CTE chains per query).
+            duck_arrow = con.execute(oracles[name]).arrow()
+            ocols = duck_arrow.schema.names
+            orows = [
+                tuple(col[i] for col in cols_py)
+                for cols_py in [[c.to_pylist() for c in duck_arrow.columns]]
+                for i in range(duck_arrow.num_rows)
+            ]
             if sorted(scols) != sorted(ocols):
                 bad.append(name)
                 print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(ocols)}", flush=True)
@@ -73,7 +81,7 @@ def main():
             # simulation reproduces that sensitivity instead of passing an
             # uncast oracle aggregate the driver would fail.
             try:
-                assert_type_families(sdf, con.execute(oracles[name]).arrow())
+                assert_type_families(sdf, duck_arrow)
             except AssertionError as e:
                 bad.append(name)
                 print(f"{name}: TYPE-FAMILY MISMATCH {e}", flush=True)

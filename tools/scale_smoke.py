@@ -117,6 +117,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     scaled_dir = build_scaled(spark, sf_dir, k)
     base = time_ops(spark, sf_dir)  # warm (JVM+codegen) before the 10x run
+    # odm_commands persists its frontier inside the builder; a stale 1x
+    # cache competing for memory would bias the 10x timings this tool
+    # exists to measure
+    spark.catalog.clearCache()
     scaled = time_ops(spark, scaled_dir)
     report = {
         "replication": k,
