@@ -66,11 +66,7 @@ def main():
             # ODM CTE chains per query).
             duck_arrow = con.execute(oracles[name]).arrow()
             ocols = duck_arrow.schema.names
-            orows = [
-                tuple(col[i] for col in cols_py)
-                for cols_py in [[c.to_pylist() for c in duck_arrow.columns]]
-                for i in range(duck_arrow.num_rows)
-            ]
+            orows = list(zip(*(c.to_pylist() for c in duck_arrow.columns)))
             if sorted(scols) != sorted(ocols):
                 bad.append(name)
                 print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(ocols)}", flush=True)
