@@ -33,8 +33,10 @@ HEADLINE = (
     "dedup_exact",
     "dedup_fingerprint",
     "dedup_minhash_pairs",
-    "knn_bruteforce",
-    "knn_lsh_bucketed",
+    # r6: knn_pack folds the former knn_bruteforce + knn_lsh_bucketed
+    # rows (one pack = both arms executed, so for subset comparability
+    # its time stands in for the two former entries combined)
+    "knn_pack",
     "text_quality",
     "token_counts",
     "multimodal_meta",
@@ -102,24 +104,45 @@ def main() -> None:
             builds[name] = round(time.perf_counter() - b0, 3)
             start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 3)
+            timings[name] = round(time.perf_counter() - start, 2)
         except Exception as e:  # noqa: BLE001
             errors += 1
             timings[name] = {"err": f"{type(e).__name__}: {str(e)[:300]}"}
 
-    total = round(sum(t for t in timings.values() if isinstance(t, (int, float))), 3)
+    total = round(sum(t for t in timings.values() if isinstance(t, (int, float))), 2)
+    # The driver records only the LAST 2000 chars of stdout; r5 lost its
+    # machine-readable record (BENCH_r05.json parsed: null) because the
+    # per-query build_sec dict pushed the line past that window.  The
+    # stdout contract line therefore stays minimal (2dp, build_total
+    # only); the full build_sec detail goes to a sidecar file + stderr.
     out = {
-        "metric": "headline-suite wall-clock",
+        "metric": "headline-suite wall-clock (exec; +build_total sec of builder work)",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "build_sec": builds,
-        "build_total": round(sum(builds.values()), 3),
+        "build_total": round(sum(builds.values()), 2),
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    detail = {"build_sec": builds, "stdout_line_len": len(line)}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    import sys
+
+    print(json.dumps(detail), file=sys.stderr)
+    if len(line) > 1900:
+        # never let the contract line outgrow the capture window again:
+        # drop to the aggregate-only form rather than emit an unparseable
+        # record
+        out.pop("queries")
+        out["queries_dropped_for_length"] = True
+        line = json.dumps(out)
+    print(line)
     spark.stop()
     if errors:
         # the suite JSON above still prints (the r3 lesson), but a

@@ -137,9 +137,36 @@ SELECT qid, vec_id, cos, rk FROM ranked WHERE rk <= {TOP_K} ORDER BY qid, rk
 """
 
 
+def knn_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 ANN pack (r6): exact brute-force cosine top-k + the
+    LSH-bucketed approximate variant in one CORRECTNESS row,
+    union-harmonized onto (kind, qid, vec_id, cos, rk).  Each arm is
+    the unchanged original operator (individually unit-tested in
+    test_similarity_quality); folding frees a slot in the driver's
+    50-query window (see COVERAGE.md pack map).  No trailing orderBy —
+    a global sort would run both arms twice for range-boundary
+    sampling; the driver compare is order-insensitive."""
+    brute = knn_bruteforce(spark, sf_dir).select(
+        F.lit("brute").alias("kind"), "qid", "vec_id", "cos", "rk"
+    )
+    lsh = knn_lsh_bucketed(spark, sf_dir).select(
+        F.lit("lsh").alias("kind"), "qid", "vec_id", "cos", "rk"
+    )
+    return brute.unionByName(lsh)
+
+
+KNN_PACK_SQL = f"""
+SELECT 'brute' AS kind, qid, vec_id, cos, rk
+FROM ({KNN_BRUTEFORCE_SQL.strip().rstrip(';')})
+UNION ALL
+SELECT 'lsh' AS kind, qid, vec_id, cos, rk
+FROM ({KNN_LSH_SQL.strip().rstrip(';')})
+ORDER BY kind, qid, rk
+"""
+
+
 QUERIES: dict[str, tuple] = {
-    "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
-    "knn_lsh_bucketed": (knn_lsh_bucketed, KNN_LSH_SQL),
+    "knn_pack": (knn_pack, KNN_PACK_SQL),
 }
 
 

@@ -31,7 +31,7 @@ from lens_sds_batch_spark.session import get_spark  # noqa: E402
 # dup_pairs_pack = the former ngram_jaccard_pairs + embedding_dup_pairs
 # arms (folded in round 3; registry names, see COVERAGE.md pack map)
 OPS = ("dedup_exact", "dedup_fingerprint", "dup_pairs_pack",
-       "dedup_minhash_pairs", "simhash_dup_pairs", "knn_lsh_bucketed",
+       "dedup_minhash_pairs", "simhash_dup_pairs", "knn_lsh_bucketed",  # direct fn: not in the registry since the r6 knn_pack fold (brute arm is the labeled-quadratic baseline, excluded by design)
        "dedup_clusters", "stratified_sample", "pack_sequences",
        # r5: the flagship + relational paths, over key-consistently
        # replicated customer/orders/lineitem/events (offsets preserve
@@ -101,7 +101,9 @@ def build_scaled(spark, sf_dir: str, k: int) -> str:
 def time_ops(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as em  # includes the flagship queries
 
-    qs = em.queries()
+    from lens_sds_batch_spark.operators.similarity import knn_lsh_bucketed
+
+    qs = {**em.queries(), "knn_lsh_bucketed": knn_lsh_bucketed}
     out = {}
     for name in OPS:
         t0 = time.time()
