@@ -156,11 +156,13 @@ def parse_event_records(records: DataFrame) -> DataFrame:
     """Kafka record values (JSON of EVENTS_SCHEMA) → typed event columns
     plus the dead-letter bookkeeping the A22 contract needs:
 
-    - ``_malformed``: True when the value failed to parse as an event.
-      ``from_json`` in PERMISSIVE mode yields a struct whose FIELDS are
-      all NULL for malformed JSON — a bare ``e IS NOT NULL`` would keep
-      it — so the flag keys on the required ``event_id`` field; NULL
-      tombstone record values land here too.
+    - ``_malformed``: True when the value failed to parse as an event —
+      EITHER the required ``event_id`` field is NULL (unparseable JSON,
+      NULL tombstone values, schema-valid JSON missing the id), OR the
+      PERMISSIVE-mode corrupt-record column is populated: a record that
+      IS valid JSON and HAS an event_id but whose other fields fail
+      type coercion (e.g. ``"value": "abc"``) would otherwise pass with
+      silently-nulled fields instead of dead-lettering.
     - ``_raw_value``: the original record value, preserved so the
       dead-letter output carries the evidence (a parsed all-NULL row is
       undebuggable).
@@ -171,13 +173,19 @@ def parse_event_records(records: DataFrame) -> DataFrame:
     ~_malformed``, ``is_retryable = lit(False)`` and malformed records
     go straight to the dead output, counted (see ``requeue_sink``'s
     ``metrics``)."""
+    parse_schema = EVENTS_SCHEMA + ", _corrupt string"
+    event_cols = [s.split()[0] for s in EVENTS_SCHEMA.split(", ")]
     return records.select(
-        F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e"),
+        F.from_json(
+            F.col("value").cast("string"),
+            parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("e"),
         F.col("value").cast("string").alias("_raw_value"),
     ).select(
-        "e.*",
+        *[F.col(f"e.{c}").alias(c) for c in event_cols],
         "_raw_value",
-        F.col("e.event_id").isNull().alias("_malformed"),
+        (F.col("e.event_id").isNull() | F.col("e._corrupt").isNotNull()).alias("_malformed"),
         F.lit(0).alias("attempts"),
     )
 
@@ -278,7 +286,14 @@ def requeue_sink(
     absorbed; the reference logs each reject at ``broker.clj:90``).
     Counting costs one extra action per output per trigger, so it is
     opt-in; production deploys export these through the streaming query
-    listener instead.
+    listener instead.  foreachBatch is AT-LEAST-ONCE: on failure/restart
+    Spark re-invokes the sink with the SAME epoch_id, so counts for an
+    epoch already tallied are skipped (``_last_epoch`` in the dict)
+    rather than double-counted — replay only ever re-runs the most
+    recent epoch, so tracking one id bounds the bookkeeping.  (The
+    parquet appends themselves can still duplicate on replay; that is
+    the documented at-least-once file-sink contract, made harmless
+    downstream by deterministic ids + LWW merge.)
     """
     from pyspark.sql import functions as F
 
@@ -308,10 +323,11 @@ def requeue_sink(
             dead = failed.where((~retryable) | (att + 1 >= max_attempts))
             if not dead.isEmpty():
                 dead.write.mode("append").parquet(dead_dir)
-            if metrics is not None:
+            if metrics is not None and metrics.get("_last_epoch") != epoch_id:
                 metrics["ok"] = metrics.get("ok", 0) + okdf.count()
                 metrics["requeued"] = metrics.get("requeued", 0) + requeue.count()
                 metrics["dead"] = metrics.get("dead", 0) + dead.count()
+                metrics["_last_epoch"] = epoch_id
         finally:
             batch_df.unpersist()
 

@@ -487,7 +487,9 @@ def test_kafka_malformed_routes_to_dead_letter(spark, tmp_path):
         ok_drop_cols=("_raw_value", "_malformed"),
     )
     sink(parsed, epoch_id=0)
-    assert metrics == {"ok": 2, "requeued": 0, "dead": 3}
+    assert {k: v for k, v in metrics.items() if not k.startswith("_")} == {
+        "ok": 2, "requeued": 0, "dead": 3,
+    }
     dead_rows = spark.read.parquet(dead).collect()
     assert len(dead_rows) == 3
     # the dead output preserves the raw evidence for forensics
@@ -500,6 +502,95 @@ def test_kafka_malformed_routes_to_dead_letter(spark, tmp_path):
     import os
 
     assert not os.path.exists(requeue)  # nothing retryable -> no feedback file
+    # foreachBatch is at-least-once: a replay of the SAME epoch must not
+    # double-count the A22 metrics (the parquet re-append is the
+    # documented file-sink at-least-once contract, absorbed downstream
+    # by deterministic ids — only the observability counters dedupe)
+    sink(parsed, epoch_id=0)
+    assert {k: v for k, v in metrics.items() if not k.startswith("_")} == {
+        "ok": 2, "requeued": 0, "dead": 3,
+    }
+
+
+def test_kafka_seam_three_way_routing_end_to_end(spark, tmp_path):
+    """A22 3-way routing ON A RUNNING STREAM (reference broker.clj:65-95
+    ack / reject(requeue=true) / reject(requeue=false)): a binary
+    `value` file stream stands in for the kafka reader (same record
+    shape the kafka source emits), flows through parse_event_records →
+    requeue_sink, across TWO triggers (maxFilesPerTrigger=1).  Asserts
+    every class lands in exactly one output, counted:
+
+    - ok records            → out_dir, bookkeeping columns stripped
+    - malformed (bad JSON / NULL tombstone / type-corrupt field) → dead,
+      with raw-byte evidence
+    - retryable (transient event_type, attempts budget left) → requeue
+      with attempts+1
+    - fatal (non-retryable app failure) → dead
+    """
+    import json as _json
+    import os
+
+    from lens_sds_batch_spark.streaming.pipeline import parse_event_records, requeue_sink
+
+    def rec(eid, etype="a", value=1.5):
+        return _json.dumps(
+            {"event_id": eid, "ts": "2024-01-01T00:00:00", "user_id": 1,
+             "event_type": etype, "value": value, "props": "{}"}
+        ).encode()
+
+    src = str(tmp_path / "topic")
+    # trigger 1: ok, malformed bytes, type-corrupt field (event_id
+    # parses, value doesn't — the silent-null class)
+    spark.createDataFrame(
+        [(rec(1),), (b"not json",),
+         (b'{"event_id": 9, "ts": "2024-01-01T00:00:00", "user_id": 1, '
+          b'"event_type": "a", "value": "abc", "props": "{}"}',)],
+        "value binary",
+    ).coalesce(1).write.parquet(src)
+    # trigger 2: ok, retryable transient, NULL tombstone, fatal
+    spark.createDataFrame(
+        [(rec(2),), (rec(3, etype="transient"),), (None,), (rec(4, etype="fatal"),)],
+        "value binary",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out, dead, requeue = str(tmp_path / "out"), str(tmp_path / "dead"), str(tmp_path / "rq")
+    metrics: dict = {}
+    sink = requeue_sink(
+        out, dead, requeue,
+        is_ok=(~F.col("_malformed")) & ~F.col("event_type").isin("transient", "fatal"),
+        is_retryable=(~F.col("_malformed")) & (F.col("event_type") == "transient"),
+        max_attempts=3,
+        metrics=metrics,
+        ok_drop_cols=("_raw_value", "_malformed", "attempts"),
+    )
+    q = (
+        parse_event_records(
+            spark.readStream.schema("value binary").option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        .writeStream.foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    n_triggers = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    q.stop()
+    assert n_triggers >= 2  # the routing held ACROSS micro-batches
+
+    assert {k: v for k, v in metrics.items() if not k.startswith("_")} == {
+        "ok": 2,          # event_id 1, 2
+        "requeued": 1,    # event_id 3 (transient, attempts 0 -> 1)
+        "dead": 4,        # bad JSON + type-corrupt + tombstone + fatal
+    }
+    ok_df = spark.read.parquet(out)
+    assert {r["event_id"] for r in ok_df.collect()} == {1, 2}
+    assert not {"_raw_value", "_malformed", "attempts"} & set(ok_df.columns)
+    rq = spark.read.parquet(requeue).collect()
+    assert [(r["event_id"], r["attempts"]) for r in rq] == [(3, 1)]
+    dead_rows = spark.read.parquet(dead).collect()
+    assert len(dead_rows) == 4
+    by_raw = {r["_raw_value"] for r in dead_rows}
+    assert "not json" in by_raw and None in by_raw  # raw evidence kept
+    assert {r["event_id"] for r in dead_rows if r["event_id"] is not None} == {4, 9}
+    assert os.path.exists(dead) and os.path.exists(requeue)
 
 
 def test_stream_sliding_windows_match_batch(spark, stream_dir):
