@@ -132,8 +132,8 @@ def _fmt_uuid(h: Column, version: str) -> Column:
     expr>)`` filter below the projection, re-evaluating the md5 per
     row with no CSE across the Filter/Project boundary (correlate
     4.7s → 6.9s).  Callers that must DETECT a null-payload state guard
-    the PAYLOAD, not the formatted uuid — see
-    ``plans/commands._level_commands``."""
+    the PAYLOAD, not the formatted uuid — wrap it in
+    :func:`guard_payload` (loud failure by default)."""
     variant = F.translate(F.substring(h, 17, 1), _HEX, _VARIANT_MAP)
     return F.concat_ws(
         "-",
@@ -143,6 +143,24 @@ def _fmt_uuid(h: Column, version: str) -> Column:
         F.concat(variant, F.substring(h, 18, 3)),
         F.substring(h, 21, 12),
     )
+
+
+def guard_payload(payload: Column, msg: Column, cast_type: str = "string") -> Column:
+    """Loud-failure wrapper for a uuid-formatter payload (shared helper,
+    ADVICE r5): the formatters are NON-nullable by contract (see
+    ``_fmt_uuid``) — a NULL payload silently formats as the empty
+    string, collapsing distinct ids to one degenerate value.  Callers
+    that can receive a NULL payload (malformed uuid param, missing
+    source field) wrap it here so generation FAILS at execution instead:
+    ``coalesce`` short-circuits, so well-formed rows pay one null check,
+    and the guard sits on the PAYLOAD, not the formatted uuid, keeping
+    the id column non-nullable for join/group pushdown (a nullable uuid
+    key re-evaluates the hash inside a pushed isnotnull Filter).
+
+    ``msg`` is the error column (include the offending row's context);
+    ``cast_type`` must match the payload type ("binary" for the sha1
+    flavor, "string" for md5) so both coalesce branches agree."""
+    return F.coalesce(payload, F.raise_error(msg).cast(cast_type))
 
 
 def _to_bytes(part) -> Column:

@@ -516,9 +516,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     device from Shiloach-Vishkin / the large-star-small-star family,
     Kiveris et al. SoCC'14) doubles the already-covered distance — so
     rounds needed drop from O(diameter) to O(log diameter).  Measured
-    at sf0.01: 7 rounds plain -> 4 with jumping; at 100 TB every round
-    is a full shuffle, so the log bound is the difference between ~6
-    and ~40 shuffles on a chain-shaped component.
+    at sf0.01: 7 rounds plain -> 4 with jumping; at sf0.1 the chain
+    components converge in 9 jumped rounds.  At 100 TB every round is
+    a full shuffle, so the log bound is the difference between ~9 and
+    ~300 shuffles on a chain-shaped component.  A SECOND jump per
+    materialized round was measured and REJECTED (r6): without an
+    intervening checkpoint the self-join references the round's plan
+    twice, so the neighbor join recomputes 4x per round — 2.0s/round
+    vs 0.4 (branch duplication, the same reason each round
+    checkpoints).
 
     Convergence check = ``sum(label)``: labels only ever decrease, so
     the sum strictly decreases until fixpoint — one cheap aggregate
@@ -529,41 +535,79 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     singletons is pure wasted I/O — consumers anti-join the survivors'
     complement instead).
     """
-    pair_df = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # Materialize the pair generation ONCE before fanning out the two
+    # edge directions: the union references pair_df twice, and without
+    # the checkpoint each branch re-executes the whole minhash pipeline
+    # (measured: ~2.8s of the build was the second execution, r6).
+    pair_df = (
+        dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    )
     edges = (
         pair_df.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pair_df.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .persist()
     )
+    # Size the iteration's partitioning from the MEASURED edge count
+    # (r6): the dup graph is orders of magnitude smaller than the
+    # corpus (7.5k edges at sf0.1), but every round's shuffles default
+    # to spark.sql.shuffle.partitions — dozens of near-empty tasks
+    # whose fixed scheduling cost dominated the build (9.1s -> 5.6s at
+    # sf0.1).  coalesce() is a narrow collapse of post-shuffle
+    # partitions (no extra stage), and p grows linearly with the edge
+    # count (~2M edges / ~100 MB per partition), so a 100 TB dup graph
+    # still fans out across the cluster — this is "size the shuffle to
+    # the data", not "run it on one core".  (AQE would do the same with
+    # coalescePartitions.parallelismFirst=false, but that knob is
+    # session-global; the count is needed anyway and keeps the choice
+    # deterministic and local to this operator.)
+    n_edges = edges.count()
+    p = max(1, n_edges // 2_000_000)
+    edges_c = edges.coalesce(p)  # no-op when p exceeds the current count
     # Each round references the previous labels TWICE (own label union
     # propagated labels), so without lineage truncation the logical plan
     # doubles per round and analysis OOMs the driver — localCheckpoint
     # (eager) pins the round's result and resets the plan, the standard
     # device for iterative DataFrame algorithms.
+    #
+    # Seeding with min(self, min neighbor) — one aggregation over the
+    # edges, same shuffle the old distinct() paid — folds the first
+    # neighbor-propagation round into the seed (r6; one round saved on
+    # every graph).
+    # The convergence sum rides the SAME job as the checkpoint
+    # materialization via observe() (r6) — a separate .agg() action per
+    # round was a second full job, ~0.15s of pure scheduling overhead
+    # each (the state is tiny; the job launch IS the cost).
+    from pyspark.sql import Observation
+
+    obs = Observation()
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges_c.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.least(F.min("dst"), F.col("src")).alias("label"))
+        .coalesce(p)
+        .observe(obs, F.sum("label").alias("s"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    prev_sum = obs.get["s"]
     converged = False
     for _ in range(CC_MAX_ITERS):
-        nbr = edges.join(
+        nbr = edges_c.join(
             labels.select(F.col("doc_id").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("doc_id"), "label")
         jump = labels.join(
             labels.select(F.col("doc_id").alias("label"), F.col("label").alias("label2")),
             "label",
         ).select("doc_id", F.col("label2").alias("label"))
+        obs = Observation()
         labels = (
             labels.unionByName(nbr)
             .unionByName(jump)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
+            .coalesce(p)
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("label")).first()[0]
+        new_sum = obs.get["s"]
         if new_sum == prev_sum:
             converged = True
             break

@@ -789,7 +789,11 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r4 #8 — this replaces the rows-only registration).
 
     Bounds checked (both deterministic given the data):
-    - HLL (default rsd=0.05): |approx - exact| <= 15% of exact (3σ).
+    - HLL (default rsd=0.05): |approx - exact| <= 20% of exact (4σ —
+      widened from 3σ in r6 per ADVICE: the bound is data-dependent, so
+      a fresh SF/dataset could push a healthy engine past a 3σ gate;
+      the tighter 10% watchdog lives in tests/test_sketch_quality.py,
+      where a trip is diagnosable, not a CORRECTNESS zero).
     - percentile_approx (default accuracy 1e4 => rank error ~1e-4):
       approx median lies within the exact [p45, p55] value band.
     At 100 TB these sketches are the only viable plan (exact distinct
@@ -809,7 +813,7 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_parts_exact",
         "n_rows",
         (F.abs(F.col("apc") - F.col("n_parts_exact"))
-         <= 0.15 * F.col("n_parts_exact")).cast("int").alias("hll_within_15pct"),
+         <= 0.20 * F.col("n_parts_exact")).cast("int").alias("hll_within_20pct"),
         ((F.col("amed") >= F.col("p45")) & (F.col("amed") <= F.col("p55")))
         .cast("int").alias("median_within_rank_band"),
     )
@@ -819,7 +823,7 @@ APPROX_SKETCHES_SQL = """
 SELECT l_returnflag,
        count(DISTINCT l_partkey) AS n_parts_exact,
        count(*) AS n_rows,
-       1 AS hll_within_15pct,
+       1 AS hll_within_20pct,
        1 AS median_within_rank_band
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """

@@ -30,7 +30,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.keys import NIL_UUID, uuid3_str_col, uuid5_col
+from ..functions.keys import NIL_UUID, guard_payload, uuid3_str_col, uuid5_col
 from .odm import OdmTables
 
 
@@ -265,24 +265,20 @@ def _level_commands(df, batch_cmd_id, sub, entity, params, out, item_level=False
         )
     batch_ns = batch_cmd_id if isinstance(batch_cmd_id, Column) else F.lit(batch_cmd_id)
     sub_col = sub if isinstance(sub, Column) else F.lit(sub)
-    # NULL-payload guard (ADVICE r4): a malformed non-hex uuid param
-    # nulls the sha1 payload — without a guard the uuid formatter folds
-    # that into one shared degenerate id (empty string), silently
-    # breaking the A18 idempotency/dedupe contract.  The guard sits on
-    # the PAYLOAD, not the formatted cmd_id: a guard on the uuid output
-    # would make it nullable, and a nullable join/group key re-evaluates
-    # the whole hash in a pushed isnotnull Filter (see
-    # functions/keys._fmt_uuid's nullability contract).  coalesce
-    # short-circuits, so the well-formed row pays one null check.
-    guarded_payload = F.coalesce(
+    # NULL-payload guard (ADVICE r4; shared helper since r6): a
+    # malformed non-hex uuid param nulls the sha1 payload — without a
+    # guard the uuid formatter folds that into one shared degenerate id
+    # (empty string), silently breaking the A18 idempotency/dedupe
+    # contract.  See functions/keys.guard_payload for the
+    # payload-not-uuid placement rationale.
+    guarded_payload = guard_payload(
         payload,
-        F.raise_error(
-            F.concat(
-                F.lit(f"generate_commands: NULL cmd-id payload at {entity} level "
-                      "(malformed uuid param?) file_oid="),
-                F.coalesce(F.col("file_oid"), F.lit("<NULL>")),
-            )
-        ).cast("binary" if flavor == "sha1" else "string"),
+        F.concat(
+            F.lit(f"generate_commands: NULL cmd-id payload at {entity} level "
+                  "(malformed uuid param?) file_oid="),
+            F.coalesce(F.col("file_oid"), F.lit("<NULL>")),
+        ),
+        cast_type="binary" if flavor == "sha1" else "string",
     )
     cols = [
         _keyfn(flavor)(batch_ns, [guarded_payload]).alias("cmd_id"),

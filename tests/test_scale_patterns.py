@@ -156,3 +156,55 @@ def test_partitioned_sink_and_pruning(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(topic" in plan
     got = one.select("name").distinct().collect()
     assert [r["name"] for r in got] == ["odm-import/insert-subject"]
+
+
+def test_flagship_plan_shapes_pinned(spark):
+    """Golden plan-shape snapshots (VERDICT r5 #8): the bench can hide a
+    plan regression in noise — a future optimizer/code change that
+    introduces a cartesian product, a row-at-a-time Python UDF, or an
+    extra sort-merge join into a flagship query should fail HERE, by
+    name, not as a vague slowdown.  Bounds are ceilings (a better plan
+    may always appear); they pin the r6 shapes at sf0.001:
+
+    - odm_commands: at most 1 SortMergeJoin (the single natural-key
+      equi-join; everything else is windows over the same exchange)
+    - correlate_first_event: 0 SMJ (command side broadcasts)
+    - q1_pricing_summary: pure scan+agg, at most 2 exchanges (partial +
+      final agg), no join of any kind
+    - every pinned query: 0 CartesianProduct, 0 row-at-a-time Python
+      (BatchEvalPython); media_decode_stub stays the ONLY Arrow UDF op
+    """
+    import __spark_entry__ as em
+
+    from .conftest import SF_SMOKE
+
+    qs = em.queries()
+
+    def plan_of(name):
+        return qs[name](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+
+    bounds = {
+        # name: (max_smj, max_cartesian, max_row_python)
+        "odm_commands": (1, 0, 0),
+        "correlate_first_event": (0, 0, 0),
+        "q1_pricing_summary": (0, 0, 0),
+        "dup_pairs_pack": (2, 0, 0),
+        "cdc_guard_pack": (1, 0, 0),
+        "doc_features_pack": (2, 0, 0),
+    }
+    for name, (max_smj, max_cart, max_py) in bounds.items():
+        plan = plan_of(name)
+        assert plan.count("SortMergeJoin") <= max_smj, (
+            f"{name}: {plan.count('SortMergeJoin')} SortMergeJoins (pinned <= {max_smj})"
+        )
+        assert plan.count("CartesianProduct") <= max_cart, f"{name}: cartesian product appeared"
+        assert plan.count("BatchEvalPython") <= max_py, f"{name}: row-at-a-time Python UDF appeared"
+
+    q1 = plan_of("q1_pricing_summary")
+    assert q1.count("Exchange") <= 2, f"q1: {q1.count('Exchange')} exchanges (pinned <= 2)"
+    assert "Join" not in q1
+
+    # the deliberate Arrow UDF op keeps its zero-exchange shape
+    media = plan_of("media_decode_stub")
+    assert media.count("MapInPandas") + media.count("ArrowEvalPython") >= 1
+    assert media.count("Exchange") == 0, "media_decode_stub grew a shuffle"

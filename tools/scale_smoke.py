@@ -113,8 +113,16 @@ def time_ops(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main():
+    global OPS
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    if len(sys.argv) > 3:  # comma-separated op subset (100x runs time a
+        # few targeted ops; building + timing all 13 would take ~30 min)
+        subset = sys.argv[3].split(",")
+        unknown = set(subset) - set(OPS)
+        if unknown:
+            raise SystemExit(f"unknown ops: {sorted(unknown)}")
+        OPS = tuple(o for o in OPS if o in subset)
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     scaled_dir = build_scaled(spark, sf_dir, k)
