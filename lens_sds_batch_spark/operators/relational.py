@@ -1005,6 +1005,114 @@ LIMIT 20
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (r6): pure filter+aggregate — ALL three predicates
+    (shipdate year band, discount band, quantity ceiling) must reach the
+    parquet scan as PushedFilters; the plan is a scan + partial/final
+    agg with zero joins and zero wide columns.  The canonical 100 TB
+    win: I/O bound, row-group pruned, nothing shuffled but one partial
+    aggregate per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 4))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q12_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted to this schema (no l_shipmode /
+    l_commitdate in the testdata): per returnflag, count late-shipped
+    lines (l_shipdate > o_orderdate + 90 days) split by order priority
+    urgency — the join + date-interval predicate + CASE-inside-agg
+    shape.  The orders side carries only (o_orderkey, o_orderpriority,
+    o_orderdate): column pruning keeps the shuffle narrow."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(urgent.cast("bigint")).alias("high_line_count"),
+            F.sum((~urgent).cast("bigint")).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — broadcast dim join (part
+    is the small side) + conditional aggregation.  Both engines sum in
+    DECIMAL (exact), cast to DOUBLE, and divide in DOUBLE in the same
+    expression order, so the ratio is bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)")))
+        .cast("double")
+        .alias("promo_rev"),
+        F.sum(rev).cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        (F.col("promo_rev") / F.col("total_rev") * F.lit(100.0)).alias("promo_pct"),
+        F.round("promo_rev", 2).alias("promo_rev_r"),
+        F.round("total_rev", 2).alias("total_rev_r"),
+    )
+
+
+Q14_SQL = """
+WITH agg AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+)
+SELECT promo_rev / total_rev * 100.0 AS promo_pct,
+       round(promo_rev, 2) AS promo_rev_r,
+       round(total_rev, 2) AS total_rev_r
+FROM agg
+"""
+
+
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame: per customer, rolling 30-day spend (range over
     epoch seconds — value-based frames, not row-based)."""
@@ -1481,6 +1589,30 @@ def tpch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             _nl("bigint", "v1"),
             F.col("p_retailprice").cast("double").alias("v2"),
         ),
+        # r6 arms: Q6 (pure pushdown filter-agg), Q12 shape (join +
+        # date-interval predicate + CASE counts), Q14 (broadcast dim
+        # join + conditional ratio)
+        q6_forecast_revenue(spark, sf_dir).select(
+            F.lit("q6").alias("kind"),
+            _nl("string", "k1"),
+            _nl("string", "k2"),
+            F.col("n_lines").cast("bigint").alias("v1"),
+            F.col("revenue").alias("v2"),
+        ),
+        q12_late_priority_counts(spark, sf_dir).select(
+            F.lit("q12").alias("kind"),
+            F.col("l_returnflag").alias("k1"),
+            _nl("string", "k2"),
+            F.col("high_line_count").cast("bigint").alias("v1"),
+            F.col("low_line_count").cast("double").alias("v2"),
+        ),
+        q14_promo_revenue(spark, sf_dir).select(
+            F.lit("q14").alias("kind"),
+            _nl("string", "k1"),
+            _nl("string", "k2"),
+            _nl("bigint", "v1"),
+            F.col("promo_pct").alias("v2"),
+        ),
     ]
     out = arms[0]
     for a in arms[1:]:
@@ -1494,6 +1626,12 @@ UNION ALL
 {_arm('q10', Q10_SQL, "CAST(c_custkey AS VARCHAR) AS k1, c_name AS k2, CAST(NULL AS BIGINT) AS v1, CAST(revenue AS DOUBLE) AS v2")}
 UNION ALL
 {_arm('topk_part', TOPK_GLOBAL_SQL, "CAST(p_partkey AS VARCHAR) AS k1, p_name AS k2, CAST(NULL AS BIGINT) AS v1, CAST(p_retailprice AS DOUBLE) AS v2")}
+UNION ALL
+{_arm('q6', Q6_SQL, "CAST(NULL AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(n_lines AS BIGINT) AS v1, revenue AS v2")}
+UNION ALL
+{_arm('q12', Q12_SQL, "l_returnflag AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(high_line_count AS BIGINT) AS v1, CAST(low_line_count AS DOUBLE) AS v2")}
+UNION ALL
+{_arm('q14', Q14_SQL, "CAST(NULL AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(NULL AS BIGINT) AS v1, promo_pct AS v2")}
 ORDER BY kind, k1
 """
 
