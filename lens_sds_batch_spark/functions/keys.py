@@ -116,9 +116,10 @@ class UuidBytes:
 # Column expressions (the engine hot path)
 # ---------------------------------------------------------------------------
 
-def _fmt_uuid(h: Column, version: str) -> Column:
-    """32-hex-char digest -> RFC-4122 formatted uuid string with the
-    given version nibble and a forced RFC variant nibble.
+def _fmt_uuid_sql(h: str, version: str) -> str:
+    """32-hex-char digest (as a Spark-SQL fragment) -> RFC-4122
+    formatted uuid string with the given version nibble and a forced
+    RFC variant nibble.
 
     NULLABILITY CONTRACT (measured, r5): the output is NON-nullable —
     ``concat_ws`` SKIPS null args, so a NULL digest (NULL payload)
@@ -133,15 +134,21 @@ def _fmt_uuid(h: Column, version: str) -> Column:
     row with no CSE across the Filter/Project boundary (correlate
     4.7s → 6.9s).  Callers that must DETECT a null-payload state guard
     the PAYLOAD, not the formatted uuid — wrap it in
-    :func:`guard_payload` (loud failure by default)."""
-    variant = F.translate(F.substring(h, 17, 1), _HEX, _VARIANT_MAP)
-    return F.concat_ws(
-        "-",
-        F.substring(h, 1, 8),
-        F.substring(h, 9, 4),
-        F.concat(F.lit(version), F.substring(h, 14, 3)),
-        F.concat(variant, F.substring(h, 18, 3)),
-        F.substring(h, 21, 12),
+    :func:`guard_payload` (loud failure by default).
+
+    BUILD-TIME form (r6): the formatters now assemble ONE Spark-SQL
+    string and parse it with a single ``F.expr`` call instead of
+    composing ~20 ``Column`` operations — measured 50 builder calls:
+    1.50s composed vs 0.03s parsed (each ``F.xxx`` is a Py4J round
+    trip; the flagship build makes hundreds of them).  The resulting
+    expression TREE is identical, so runtime plans, CSE behavior, and
+    the golden uuid bytes are unchanged (pinned by tests/test_keys.py).
+    """
+    return (
+        f"concat_ws('-', substring({h},1,8), substring({h},9,4), "
+        f"concat('{version}', substring({h},14,3)), "
+        f"concat(translate(substring({h},17,1), '{_HEX}', '{_VARIANT_MAP}'), "
+        f"substring({h},18,3)), substring({h},21,12))"
     )
 
 
@@ -163,6 +170,43 @@ def guard_payload(payload: Column, msg: Column, cast_type: str = "string") -> Co
     return F.coalesce(payload, F.raise_error(msg).cast(cast_type))
 
 
+import re as _re
+
+_BARE_COL_RE = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _esc(s: str) -> str:
+    """Escape a Python string into a Spark-SQL single-quoted literal
+    body (Spark's parser treats backslash as an escape by default)."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _bare_col_sql(c: Column) -> str | None:
+    """SQL text of a Column IF it is a bare attribute reference, else
+    None.  ``Column.toString`` is only trusted for this one shape: for
+    operator nodes it emits function-call forms (``%(a, 3)``,
+    ``=(rtx, 'u')``) whose parse/resolution is not guaranteed, and a
+    binary literal stringifies as the Java array reference.  Anything
+    non-bare routes to the composed-Column slow path."""
+    s = c._jc.toString()
+    return s if _BARE_COL_RE.match(s) else None
+
+
+def _fmt_uuid(h: Column, version: str) -> Column:
+    """Composed-Column twin of :func:`_fmt_uuid_sql` (the fallback path
+    for complex payload trees); same expression shape, same
+    nullability contract."""
+    variant = F.translate(F.substring(h, 17, 1), _HEX, _VARIANT_MAP)
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit(version), F.substring(h, 14, 3)),
+        F.concat(variant, F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
+
+
 def _to_bytes(part) -> Column:
     """Encode one name part to a binary Column (clj-uuid semantics)."""
     if isinstance(part, Kw):
@@ -176,26 +220,70 @@ def _to_bytes(part) -> Column:
     return F.lit(str(part).encode("utf-8"))
 
 
-def uuid5_col(ns: Column | str, parts: list) -> Column:
-    """UUIDv5 (sha1, byte-exact with the reference) as a column expr.
-
-    ``ns`` is a uuid-string column/literal; ``parts`` a list of Columns /
-    strings / Kw / UuidBytes, concatenated clj-uuid-style.
-    """
-    ns_col = F.lit(ns) if isinstance(ns, str) else ns
-    ns_bytes = F.unhex(F.regexp_replace(ns_col, "-", ""))
-    payload = F.concat(ns_bytes, *[_to_bytes(p) for p in parts])
-    return _fmt_uuid(F.sha1(payload), "5")
-
-
 def _to_str(part) -> Column:
     if isinstance(part, Column):
         return part.cast("string")
     return F.lit(str(part))
 
 
+def _to_bytes_sql(part) -> str | None:
+    """Binary Spark-SQL fragment for one name part, or None when the
+    part needs the composed-Column path (non-bare Column)."""
+    if isinstance(part, Kw):
+        return "X'" + (":" + part.name).encode("utf-8").hex() + "'"
+    if isinstance(part, UuidBytes):
+        return f"unhex('{part.value.replace('-', '')}')"
+    if isinstance(part, Column):
+        bare = _bare_col_sql(part)
+        return None if bare is None else f"CAST({bare} AS BINARY)"
+    if isinstance(part, bytes):
+        return "X'" + part.hex() + "'"
+    return f"CAST('{_esc(str(part))}' AS BINARY)"
+
+
+def _to_str_sql(part) -> str | None:
+    if isinstance(part, Column):
+        bare = _bare_col_sql(part)
+        return None if bare is None else f"CAST({bare} AS STRING)"
+    return f"'{_esc(str(part))}'"
+
+
+def uuid5_col(ns: Column | str, parts: list) -> Column:
+    """UUIDv5 (sha1, byte-exact with the reference) as a column expr.
+
+    ``ns`` is a uuid-string column/literal; ``parts`` a list of Columns /
+    strings / Kw / UuidBytes, concatenated clj-uuid-style.  Fast path
+    (bare-column/literal parts — the common engine shape) assembles ONE
+    parsed SQL string; complex Column parts fall back to composed
+    Columns.  See ``_fmt_uuid_sql`` for why and the measurements.
+    """
+    if isinstance(ns, str):
+        ns_sql = f"unhex('{ns.replace('-', '')}')"
+    else:
+        bare = _bare_col_sql(ns)
+        ns_sql = None if bare is None else f"unhex(regexp_replace({bare}, '-', ''))"
+    part_sqls = [_to_bytes_sql(p) for p in parts]
+    if ns_sql is not None and all(p is not None for p in part_sqls):
+        payload = "concat(" + ", ".join([ns_sql] + part_sqls) + ")"
+        return F.expr(_fmt_uuid_sql(f"sha1({payload})", "5"))
+    ns_col = F.lit(ns) if isinstance(ns, str) else ns
+    ns_bytes = F.unhex(F.regexp_replace(ns_col, "-", ""))
+    payload = F.concat(ns_bytes, *[_to_bytes(p) for p in parts])
+    return _fmt_uuid(F.sha1(payload), "5")
+
+
 def uuid3_str_col(ns: Column | str, parts: list) -> Column:
-    """md5 string-payload deterministic uuid (oracle-checkable flavor)."""
+    """md5 string-payload deterministic uuid (oracle-checkable flavor).
+    Same fast-path/fallback split as :func:`uuid5_col`."""
+    if isinstance(ns, str):
+        ns_sql = f"'{ns.replace('-', '').lower()}'"
+    else:
+        bare = _bare_col_sql(ns)
+        ns_sql = None if bare is None else f"lower(regexp_replace({bare}, '-', ''))"
+    part_sqls = [_to_str_sql(p) for p in parts]
+    if ns_sql is not None and all(p is not None for p in part_sqls):
+        payload = "concat(" + ", ".join([ns_sql] + part_sqls) + ")"
+        return F.expr(_fmt_uuid_sql(f"md5(CAST({payload} AS BINARY))", "3"))
     ns_col = F.lit(ns) if isinstance(ns, str) else ns
     ns_hex = F.lower(F.regexp_replace(ns_col, "-", ""))
     payload = F.concat(ns_hex, *[_to_str(p) for p in parts])
