@@ -359,6 +359,46 @@ def session_windows_stream(
     )
 
 
+def correlate_join_stream(
+    commands: DataFrame,
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream INTERVAL join (B9): each in-flight command
+    (``cmd_id``, ``cmd_ts``) matches events (``cid``, ``ts``, ``name``)
+    arriving within ``[cmd_ts, cmd_ts + horizon]`` — the join-shaped
+    twin of the reference's await-reply correlation (``broker.clj:
+    102-117``: a promise per command fulfilled by a matching event;
+    the horizon is its await timeout).
+
+    Both sides are watermarked and the join condition carries the
+    explicit event-time range — that PAIR is what lets Spark bound the
+    join state: buffered events older than ``watermark`` are evicted,
+    and a command's state can be dropped once the event watermark
+    passes ``cmd_ts + horizon`` because no future event can still fall
+    inside its window.  Without the range condition the state grows
+    forever (both sides buffer everything); Spark accepts the query but
+    a 100 TB deploy OOMs — the range is load-bearing, not decoration.
+
+    INNER join: matches emit as soon as both rows arrive (no watermark
+    wait — only OUTER stream-stream joins must hold rows back to decide
+    null-padding).  The no-reply/timeout path therefore stays with the
+    stateful ``correlate_stream`` / batch left-join; this operator is
+    the matched-pairs firehose.
+    """
+    delay_ms = _duration_ms(horizon)  # validates the spec eagerly too
+    c = commands.withWatermark("cmd_ts", watermark)
+    e = events.withWatermark("ts", watermark)
+    return c.join(
+        e,
+        (F.col("cmd_id") == F.col("cid"))
+        & (F.col("ts") >= F.col("cmd_ts"))
+        & (F.col("ts") <= F.col("cmd_ts") + F.expr(f"INTERVAL {delay_ms} MILLISECONDS")),
+        "inner",
+    )
+
+
 CORRELATED_SCHEMA = "cid string, name string, ts timestamp, seq bigint"
 
 

@@ -633,3 +633,67 @@ def test_stream_sliding_windows_match_batch(spark, stream_dir):
         assert mismatched.count() == 0
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """B9 stream-stream interval join: commands and events arrive as
+    two independent file streams (2 files each, out-of-order event
+    times across batches); every (command, event) pair with the event
+    inside [cmd_ts, cmd_ts + 1h] must emit exactly once, equal to the
+    static batch join."""
+    import datetime as dt
+
+    from lens_sds_batch_spark.streaming.pipeline import correlate_join_stream
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    cmd_rows = [(f"C{i}", ts(10 * i)) for i in range(12)]
+    ev_rows = []
+    for i in range(12):
+        ev_rows.append((f"C{i}", ts(10 * i + 5), f"ok{i}"))        # inside horizon
+        ev_rows.append((f"C{i}", ts(10 * i + 90), f"late{i}"))     # outside (90m > 1h)
+        if i % 3 == 0:
+            ev_rows.append((f"C{i}", ts(10 * i + 30), f"second{i}"))  # inside too
+    ev_rows.append(("C999", ts(0), "orphan"))  # no matching command
+
+    cdir, edir = str(tmp_path / "cmds"), str(tmp_path / "events")
+    cdf = spark.createDataFrame(cmd_rows, "cmd_id string, cmd_ts timestamp")
+    edf = spark.createDataFrame(ev_rows, "cid string, ts timestamp, name string")
+    # split into 2 files each, interleaved delivery (second halves carry
+    # EARLIER event-times than the first halves' tails -> out-of-order)
+    cdf.where("cmd_id < 'C5'").coalesce(1).write.parquet(cdir)
+    cdf.where("cmd_id >= 'C5'").coalesce(1).write.mode("append").parquet(cdir)
+    edf.where("name like '%1%'").coalesce(1).write.parquet(edir)
+    edf.where("name not like '%1%'").coalesce(1).write.mode("append").parquet(edir)
+
+    cstream = spark.readStream.schema("cmd_id string, cmd_ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(cdir)
+    estream = spark.readStream.schema("cid string, ts timestamp, name string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(edir)
+    joined = correlate_join_stream(cstream, estream, horizon="1 hour", watermark="10 minutes")
+    q = run_to_memory(joined.select("cmd_id", "name"), "ssj", output_mode="append")
+    try:
+        got = {(r["cmd_id"], r["name"]) for r in spark.sql("SELECT * FROM ssj").collect()}
+        n_got = spark.sql("SELECT count(*) AS n FROM ssj").first()["n"]
+    finally:
+        q.stop()
+
+    batch = (
+        cdf.join(
+            edf,
+            (cdf.cmd_id == edf.cid)
+            & (edf.ts >= cdf.cmd_ts)
+            & (edf.ts <= F.expr("cmd_ts + INTERVAL 1 HOUR")),
+        )
+        .select("cmd_id", "name")
+    )
+    want = {(r["cmd_id"], r["name"]) for r in batch.collect()}
+    assert got == want
+    assert n_got == len(want)  # exactly once: no duplicate emits
+    assert all(not n.startswith("late") for _, n in got)
+    assert not any(c == "C999" for c, _ in got)
