@@ -182,3 +182,84 @@ QUERIES: dict[str, tuple] = {
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "corpus_shuffle_split": (corpus_shuffle_split, CORPUS_SHUFFLE_SPLIT_SQL),
 }
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation FUNNEL (r6): the stage-wise survivor counts a
+    training-data pipeline reports after each cut — the composition
+    query over the individual B11 operators, each stage's semantics
+    identical to its standalone twin:
+
+    0 raw              |documents|
+    1 quality_gate     corpus_filter survivors (token band + TTR +
+                       stopword-ratio)
+    2 lang_en          ∩ lang_id predicted 'en'
+    3 exact_dedup      one canonical (min doc_id) per md5(text)
+    4 near_dup_pruned  minus docs that are the LARGER side of a
+                       minhash-LSH near-dup pair whose smaller side
+                       also survived (pair-based pruning: cheaper than
+                       full connected components, over-keeps only when
+                       a chain's smaller member was itself cut — the
+                       standard first-pass at corpus scale; the full
+                       CC treatment is `dedup_clusters`)
+
+    Every stage is a filter/aggregate over the previous survivor set —
+    at 100 TB the funnel is one doc-grain pass + the (already-capped)
+    pair generation; counts are map-side-combinable aggregates.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import dedup_minhash_pairs
+    from .textops import corpus_filter, lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = corpus_filter(spark, sf_dir).select("doc_id")
+    en = lang_id(spark, sf_dir).where(F.col("predicted_lang") == "en").select("doc_id")
+    s2 = s1.join(en, "doc_id")
+    fp = docs.join(s2, "doc_id").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    s3 = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    drop = pairs.join(s3.withColumnRenamed("doc_id", "doc_a"), "doc_a").select("doc_b")
+    s4 = s3.join(drop, s3.doc_id == drop.doc_b, "left_anti")
+
+    def stage(idx, name, df):
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+
+    out = stage(0, "raw", docs)
+    for i, (name, df) in enumerate(
+        [("quality_gate", s1), ("lang_en", s2), ("exact_dedup", s3), ("near_dup_pruned", s4)],
+        start=1,
+    ):
+        out = out.unionByName(stage(i, name, df))
+    return out
+
+
+def _curation_funnel_sql() -> str:
+    from .dedup import _duck_minhash_ctes
+    from .textops import CORPUS_FILTER_SQL, LANG_ID_SQL
+
+    return f"""
+WITH {_duck_minhash_ctes()},
+q AS MATERIALIZED (SELECT doc_id FROM ({CORPUS_FILTER_SQL.strip().rstrip(';')})),
+en AS (SELECT doc_id FROM ({LANG_ID_SQL.strip().rstrip(';')}) WHERE predicted_lang = 'en'),
+s2 AS MATERIALIZED (SELECT doc_id FROM q JOIN en USING (doc_id)),
+fp AS (SELECT d.doc_id, md5(d.text) AS f FROM documents d JOIN s2 USING (doc_id)),
+s3 AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+drop3 AS (SELECT p.doc_b FROM pairs p JOIN s3 a ON p.doc_a = a.doc_id),
+s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_b FROM drop3))
+SELECT 0 AS stage_idx, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL SELECT 1, 'quality_gate', CAST(count(*) AS BIGINT) FROM q
+UNION ALL SELECT 2, 'lang_en', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT) FROM s3
+UNION ALL SELECT 4, 'near_dup_pruned', CAST(count(*) AS BIGINT) FROM s4
+ORDER BY stage_idx
+"""
+
+
+QUERIES.update({"curation_funnel": (curation_funnel, _curation_funnel_sql())})

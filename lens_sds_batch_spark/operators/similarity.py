@@ -231,7 +231,14 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _vecs(spark, sf_dir)
     ml = vecs.withColumn("features", array_to_vector("v"))
-    model = KMeans(k=IVF_K, seed=42, featuresCol="features", predictionCol="cell").fit(ml)
+    # maxIter=8 (r6): the default 20 costs 3.9s of builder wall-clock at
+    # sf0.1 for a 0.25% training-cost difference (1851.9 vs 1847.3 —
+    # measured); an ANN coarse quantizer needs balanced cells, not a
+    # converged optimum, and recall is guarded twice (pytest bound +
+    # the oracle-pinned recall floor).
+    model = KMeans(
+        k=IVF_K, seed=42, maxIter=8, featuresCol="features", predictionCol="cell"
+    ).fit(ml)
     assigned = model.transform(ml).select("vec_id", "v", "norm", "cell")
 
     centroids = spark.createDataFrame(
