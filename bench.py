@@ -64,6 +64,8 @@ HEADLINE = (
     "cdc_guard_pack",
     "joins_pack",
     "ivf_knn",
+    # added round 6
+    "curation_funnel",
 )
 
 

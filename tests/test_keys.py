@@ -151,3 +151,50 @@ def test_uuid_columns_are_non_nullable(spark):
     )
     assert not df.schema["u3"].nullable, "uuid3_str_col became nullable (plan-poisoning)"
     assert not df.schema["u5"].nullable, "uuid5_col became nullable (plan-poisoning)"
+
+
+def test_fast_path_equals_python_and_fallback_adversarial(spark):
+    """r6 guard for the single-parse SQL fast path: over adversarial
+    literal strings (quotes, backslashes, newlines, unicode, SQL-ish
+    fragments), the fast path (str parts / bare-column parts) must
+    equal BOTH the Python golden implementation and the composed-Column
+    fallback (forced via a non-bare Column part).  An escaping bug in
+    _esc / _to_str_sql shows up here before it can corrupt ids."""
+    adversarial = [
+        "plain",
+        "",
+        "it's",
+        'a"b',
+        "back\\slash",
+        "semi;colon--comment",
+        "line\nbreak",
+        "unié中",
+        "' OR 1=1 --",
+        ":kw/with-colons",
+        "  spaces  ",
+    ]
+    df = spark.createDataFrame([(s,) for s in adversarial], "v string")
+    out = df.select(
+        "v",
+        # fast path: literal str part
+        *[
+            uuid3_str_col(NIL_UUID, [s]).alias(f"lit3_{i}")
+            for i, s in enumerate(adversarial)
+        ],
+        # fast path: bare column part
+        uuid3_str_col(NIL_UUID, [F.col("v")]).alias("col3"),
+        # forced fallback: non-bare column part (concat breaks bareness)
+        uuid3_str_col(NIL_UUID, [F.concat(F.col("v"), F.lit(""))]).alias("fb3"),
+        uuid5_col(NIL_UUID, [F.col("v").cast("binary")]).alias("col5"),
+        uuid5_col(NIL_UUID, [F.concat(F.col("v"), F.lit("")).cast("binary")]).alias("fb5"),
+    ).collect()
+    by_v = {r["v"]: r for r in out}
+    for i, s in enumerate(adversarial):
+        py3 = uuid3_str_py(NIL_UUID, [s])
+        py5 = uuid5_py(NIL_UUID, [s])
+        r = by_v[s]
+        # literal fast path == python golden (same value in every row)
+        assert out[0][f"lit3_{i}"] == py3, f"literal fast path broke on {s!r}"
+        # column fast path == python golden == forced fallback
+        assert r["col3"] == py3 == r["fb3"], f"column path broke on {s!r}"
+        assert r["col5"] == py5 == r["fb5"], f"uuid5 path broke on {s!r}"
