@@ -364,6 +364,7 @@ def correlate_join_stream(
     events: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INTERVAL join (B9): each in-flight command
     (``cmd_id``, ``cmd_ts``) matches events (``cid``, ``ts``, ``name``)
@@ -381,11 +382,19 @@ def correlate_join_stream(
     forever (both sides buffer everything); Spark accepts the query but
     a 100 TB deploy OOMs — the range is load-bearing, not decoration.
 
-    INNER join: matches emit as soon as both rows arrive (no watermark
-    wait — only OUTER stream-stream joins must hold rows back to decide
-    null-padding).  The no-reply/timeout path therefore stays with the
-    stateful ``correlate_stream`` / batch left-join; this operator is
-    the matched-pairs firehose.
+    ``how="inner"`` (default): matches emit as soon as both rows arrive
+    (no watermark wait — only OUTER stream-stream joins must hold rows
+    back to decide null-padding); the matched-pairs firehose.
+
+    ``how="left_outer"``: the STREAMING TIMEOUT PATH — a command whose
+    window ``[cmd_ts, cmd_ts + horizon]`` closes under the event
+    watermark with no match emits once with NULL event columns, i.e.
+    the reference's no-reply timeout (``broker.clj:117``) as a pure
+    join, no custom state code.  Emission is watermark-gated: the null
+    row appears only after the event watermark passes ``cmd_ts +
+    horizon``, so downstream sees each command exactly once, matched
+    or timed out (pinned by
+    tests/test_streaming.py::test_stream_stream_outer_join_timeout_path).
     """
     delay_ms = _duration_ms(horizon)  # validates the spec eagerly too
     c = commands.withWatermark("cmd_ts", watermark)
@@ -395,7 +404,7 @@ def correlate_join_stream(
         (F.col("cmd_id") == F.col("cid"))
         & (F.col("ts") >= F.col("cmd_ts"))
         & (F.col("ts") <= F.col("cmd_ts") + F.expr(f"INTERVAL {delay_ms} MILLISECONDS")),
-        "inner",
+        how,
     )
 
 

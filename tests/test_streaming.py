@@ -697,3 +697,56 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     assert n_got == len(want)  # exactly once: no duplicate emits
     assert all(not n.startswith("late") for _, n in got)
     assert not any(c == "C999" for c, _ in got)
+
+
+def test_stream_stream_outer_join_timeout_path(spark, tmp_path):
+    """B9 streaming timeout path (reference broker.clj:117 — the await
+    that never resolves): a LEFT OUTER interval join emits a command
+    with NULL event columns exactly once, after the event watermark
+    passes cmd_ts + horizon.  Far-future rows on both streams push the
+    watermark so the timeout decision is forced inside the test."""
+    import datetime as dt
+
+    from lens_sds_batch_spark.streaming.pipeline import correlate_join_stream
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    cdir, edir = str(tmp_path / "cmds"), str(tmp_path / "events")
+    spark.createDataFrame(
+        [("C1", ts(0)), ("C2", ts(5))], "cmd_id string, cmd_ts timestamp"
+    ).coalesce(1).write.parquet(cdir)
+    spark.createDataFrame(
+        [("C1", ts(3), "ok1")], "cid string, ts timestamp, name string"
+    ).coalesce(1).write.parquet(edir)
+    # watermark pushers (their own windows stay open; they must NOT emit)
+    spark.createDataFrame(
+        [("CX", ts(600))], "cmd_id string, cmd_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(cdir)
+    spark.createDataFrame(
+        [("EX", ts(600), "push")], "cid string, ts timestamp, name string"
+    ).coalesce(1).write.mode("append").parquet(edir)
+
+    c = spark.readStream.schema("cmd_id string, cmd_ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(cdir)
+    e = spark.readStream.schema("cid string, ts timestamp, name string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(edir)
+    joined = correlate_join_stream(
+        c, e, horizon="10 minutes", watermark="5 minutes", how="left_outer"
+    ).select("cmd_id", F.coalesce(F.col("name"), F.lit("timeout")).alias("status"))
+    q = joined.writeStream.outputMode("append").format("memory").queryName("oj").start()
+    try:
+        q.processAllAvailable()
+        q.processAllAvailable()  # extra pass: final watermark propagates
+        rows = sorted(
+            (r["cmd_id"], r["status"]) for r in spark.sql("SELECT * FROM oj").collect()
+        )
+    finally:
+        q.stop()
+    # C1 matched; C2's window closed under the watermark with no event
+    # -> exactly one timeout row; CX's window is still open -> nothing
+    assert rows == [("C1", "ok1"), ("C2", "timeout")]
