@@ -187,9 +187,15 @@ def _bare_col_sql(c: Column) -> str | None:
     operator nodes it emits function-call forms (``%(a, 3)``,
     ``=(rtx, 'u')``) whose parse/resolution is not guaranteed, and a
     binary literal stringifies as the Java array reference.  Anything
-    non-bare routes to the composed-Column slow path."""
+    non-bare routes to the composed-Column slow path.
+
+    The accepted name is BACKTICK-QUOTED into the fragment: unquoted, a
+    column literally named ``current_date`` would parse as the zero-arg
+    function (stable-looking but wrong ids that change daily) and a
+    reserved word like ``order`` would be a ParseException the
+    composed path never had."""
     s = c._jc.toString()
-    return s if _BARE_COL_RE.match(s) else None
+    return f"`{s}`" if _BARE_COL_RE.match(s) else None
 
 
 def _fmt_uuid(h: Column, version: str) -> Column:

@@ -213,13 +213,18 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import corpus_filter, lang_id
 
     docs = load_table(spark, sf_dir, "documents")
-    s1 = corpus_filter(spark, sf_dir).select("doc_id")
+    # Each survivor set feeds BOTH its own count branch and every later
+    # stage; without persist the unioned count plan re-executes
+    # corpus_filter in 4 branches and lang_id in 3 (the same
+    # branch-duplication class dedup_clusters checkpoints against).
+    # persist() is lazy: the first branch materializes, the rest reuse.
+    s1 = corpus_filter(spark, sf_dir).select("doc_id").persist()
     en = lang_id(spark, sf_dir).where(F.col("predicted_lang") == "en").select("doc_id")
-    s2 = s1.join(en, "doc_id")
+    s2 = s1.join(en, "doc_id").persist()
     fp = docs.join(s2, "doc_id").select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
     )
-    s3 = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    s3 = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id").persist()
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     drop = pairs.join(s3.withColumnRenamed("doc_id", "doc_a"), "doc_a").select("doc_b")
     s4 = s3.join(drop, s3.doc_id == drop.doc_b, "left_anti")

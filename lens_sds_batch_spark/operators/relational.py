@@ -1050,14 +1050,17 @@ def q12_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )
+    # NULL-safe bucket split mirroring the oracle's CASE exactly: a
+    # NULL o_orderpriority must count as LOW (the CASE ELSE branch),
+    # not vanish from both sums (isin(NULL) -> NULL, sum skips it)
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .groupBy("l_returnflag")
         .agg(
-            F.sum(urgent.cast("bigint")).alias("high_line_count"),
-            F.sum((~urgent).cast("bigint")).alias("low_line_count"),
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
         )
     )
 

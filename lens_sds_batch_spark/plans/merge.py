@@ -108,20 +108,35 @@ def merge_into(
     from pyspark.sql import Observation
     from pyspark.sql.utils import AnalysisException
 
+    # ONLY the read sits in the try: a schema mismatch in unionByName
+    # must raise loudly — swallowing it as "no target yet" would
+    # replace the whole table with just the malformed batch.
     try:
         current = spark.read.parquet(target_path)
-        unioned = current.unionByName(updates)
     except AnalysisException:  # first batch: no target yet
         current = None
-        unioned = updates
+    unioned = updates if current is None else current.unionByName(updates)
     merged = apply_lww(unioned, keys, order_exprs, is_delete)
     obs = Observation()
     merged = merged.observe(obs, F.count(F.lit(1)).alias("n"))
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     tmp = target_path.rstrip("/") + ".__tmp"
+    old = target_path.rstrip("/") + ".__old"
     merged.write.mode("overwrite").parquet(tmp)
     fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(jvm_path(target_path), True)
+    # Swap via rename-aside, not delete-then-rename: a crash between a
+    # delete and the rename would leave NO readable target, and the
+    # next merge_into would silently rebuild from the incoming batch
+    # alone.  With the aside sequence every crash point leaves either
+    # the old state (rename not reached) or the new state readable at
+    # the target path; only the cleanup of __old can be lost.
+    fs.delete(jvm_path(old), True)  # stale leftover from a prior crash
+    if current is not None and not fs.rename(jvm_path(target_path), jvm_path(old)):
+        raise IOError(f"merge_into: could not move {target_path} aside")
     if not fs.rename(jvm_path(tmp), jvm_path(target_path)):
+        # put the old state back rather than leave the target missing
+        if current is not None:
+            fs.rename(jvm_path(old), jvm_path(target_path))
         raise IOError(f"merge_into: could not swap {tmp} -> {target_path}")
+    fs.delete(jvm_path(old), True)
     return {"engine": "parquet-swap", "rows": obs.get["n"]}

@@ -38,6 +38,9 @@ def get_spark(app_name: str = "lens-sds-batch-spark", cpus: int | None = None) -
         # JVM context. Production-off is the documented intent of the
         # knob.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # uuid fast-path literal escaping assumes the default parser
+        # mode (see sources/parquet.ensure_engine_confs)
+        .config("spark.sql.parser.escapedStringLiterals", "false")
         # defensive: if events.parquet ever carries TIMESTAMP(NANOS)
         # again (r1-2 testdata), read it as int64 instead of erroring;
         # no-op on the current TIMESTAMP(MICROS) files

@@ -81,10 +81,11 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     its documented remedy is cache-or-save the parsed result.  Both
     returned frames share the one materialized scan, which is also what
     a 100 TB split wants — one pass over the raw bytes, two consumers.
-    Callers that finish with the split should ``unpersist()`` either
-    frame's storage via ``clean.unpersist()``'s parent when done; for
-    the one-shot ingestion jobs this seam serves, letting the cache age
-    out is fine."""
+    ``persist()`` marks the INPUT frame's plan, so the caller releases
+    the cache by calling ``.unpersist()`` on the frame they passed in,
+    once both outputs are consumed — long-lived sessions ingesting many
+    tables through this seam should do so, or executor storage
+    accumulates dead cached scans (one-shot jobs can let it age out)."""
     df = df.persist()
     clean = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     dead = df.where(F.col(CORRUPT_COL).isNotNull())

@@ -43,6 +43,12 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # The uuid fast path (functions/keys) escapes string literals for
+    # the DEFAULT parser mode; under legacy Hive-compat
+    # escapedStringLiterals=true the same fragment would hash a
+    # different payload than the composed fallback — pin it off for
+    # any externally-provided session.
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

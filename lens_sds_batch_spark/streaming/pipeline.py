@@ -174,18 +174,21 @@ def parse_event_records(records: DataFrame) -> DataFrame:
     go straight to the dead output, counted (see ``requeue_sink``'s
     ``metrics``)."""
     parse_schema = EVENTS_SCHEMA + ", _corrupt string"
-    event_cols = [s.split()[0] for s in EVENTS_SCHEMA.split(", ")]
-    return records.select(
+    # expand e.* and drop the corrupt column AFTER deriving the flag —
+    # never derive field names by string-splitting the DDL (a future
+    # decimal(10,2) or struct field would split inside its parentheses)
+    expanded = records.select(
         F.from_json(
             F.col("value").cast("string"),
             parse_schema,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
         ).alias("e"),
         F.col("value").cast("string").alias("_raw_value"),
-    ).select(
-        *[F.col(f"e.{c}").alias(c) for c in event_cols],
+    ).select("e.*", "_raw_value")
+    return expanded.select(
+        *[c for c in expanded.columns if c not in ("_corrupt", "_raw_value")],
         "_raw_value",
-        (F.col("e.event_id").isNull() | F.col("e._corrupt").isNotNull()).alias("_malformed"),
+        (F.col("event_id").isNull() | F.col("_corrupt").isNotNull()).alias("_malformed"),
         F.lit(0).alias("attempts"),
     )
 
@@ -297,6 +300,12 @@ def requeue_sink(
     """
     from pyspark.sql import functions as F
 
+    # per-SINK-INSTANCE replay guard (closure, not a key in the
+    # caller's dict): two sinks sharing one metrics dict must not
+    # suppress each other's counts on an epoch-id collision, and the
+    # bookkeeping must not leak into user-owned state
+    last_epoch: list = [None]
+
     def sink(batch_df, epoch_id):
         # attempts is seeded with 0 by contract, but a NULL must not make
         # the routing predicates non-total (NULL att+1<max and NULL
@@ -323,11 +332,11 @@ def requeue_sink(
             dead = failed.where((~retryable) | (att + 1 >= max_attempts))
             if not dead.isEmpty():
                 dead.write.mode("append").parquet(dead_dir)
-            if metrics is not None and metrics.get("_last_epoch") != epoch_id:
+            if metrics is not None and last_epoch[0] != epoch_id:
                 metrics["ok"] = metrics.get("ok", 0) + okdf.count()
                 metrics["requeued"] = metrics.get("requeued", 0) + requeue.count()
                 metrics["dead"] = metrics.get("dead", 0) + dead.count()
-                metrics["_last_epoch"] = epoch_id
+                last_epoch[0] = epoch_id
         finally:
             batch_df.unpersist()
 

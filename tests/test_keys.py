@@ -198,3 +198,18 @@ def test_fast_path_equals_python_and_fallback_adversarial(spark):
         # column fast path == python golden == forced fallback
         assert r["col3"] == py3 == r["fb3"], f"column path broke on {s!r}"
         assert r["col5"] == py5 == r["fb5"], f"uuid5 path broke on {s!r}"
+
+
+def test_fast_path_keyword_and_reserved_column_names(spark):
+    """r6 review: a column literally named current_date must hash the
+    COLUMN (backtick-quoted), not resolve to the zero-arg function —
+    and a reserved word like `order` must not ParseException."""
+    df = spark.createDataFrame(
+        [("a", "b")], "current_date string, order string"
+    )
+    row = df.select(
+        uuid3_str_col(NIL_UUID, [F.col("current_date")]).alias("u1"),
+        uuid3_str_col(NIL_UUID, [F.col("order")]).alias("u2"),
+    ).first()
+    assert row["u1"] == uuid3_str_py(NIL_UUID, ["a"])
+    assert row["u2"] == uuid3_str_py(NIL_UUID, ["b"])

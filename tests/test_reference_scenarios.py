@@ -458,3 +458,28 @@ def test_merge_into_creates_target_on_first_batch(spark, tmp_path):
     )
     rows = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
     assert rows == {("k1", "b")} and res["rows"] == 1
+
+
+def test_merge_into_schema_mismatch_raises_loudly(spark, tmp_path):
+    """r6 review: a malformed update batch (wrong column name) must
+    RAISE, not be silently treated as 'no target yet' — which would
+    replace the whole table with just the bad batch."""
+    from pyspark.sql import functions as F
+
+    from lens_sds_batch_spark.plans.merge import merge_into
+
+    target = str(tmp_path / "t")
+    good = spark.createDataFrame(
+        [("k1", 1, "a", False)], "k string, pri int, v string, dead boolean"
+    )
+    good.write.parquet(target)
+    bad = spark.createDataFrame(
+        [("k1", 2, "b", False)], "k string, pri int, WRONG string, dead boolean"
+    )
+    with pytest.raises(Exception, match="WRONG|unionByName|UNRESOLVED"):
+        merge_into(
+            spark, target, bad, keys=["k"], order_cols=["pri"], is_delete=F.col("dead")
+        )
+    # the existing table survived untouched
+    rows = spark.read.parquet(target).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("k1", "a")]
