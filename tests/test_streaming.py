@@ -750,3 +750,53 @@ def test_stream_stream_outer_join_timeout_path(spark, tmp_path):
     # C1 matched; C2's window closed under the watermark with no event
     # -> exactly one timeout row; CX's window is still open -> nothing
     assert rows == [("C1", "ok1"), ("C2", "timeout")]
+
+
+def test_stream_stream_join_state_survives_restart(spark, tmp_path):
+    """The interval join's buffered state must survive a
+    checkpoint restart: a command whose event has NOT arrived when the
+    query stops must still match when the event arrives after restart —
+    the crash-recovery twin of the reference's in-flight promise
+    registry (broker.clj:102-117)."""
+    import datetime as dt
+
+    from lens_sds_batch_spark.streaming.pipeline import correlate_join_stream
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    cdir, edir = str(tmp_path / "cmds"), str(tmp_path / "events")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("C1", ts(0)), ("C2", ts(5))], "cmd_id string, cmd_ts timestamp"
+    ).coalesce(1).write.parquet(cdir)
+    spark.createDataFrame(
+        [("C1", ts(3), "ok1")], "cid string, ts timestamp, name string"
+    ).coalesce(1).write.parquet(edir)
+
+    def start():
+        c = spark.readStream.schema("cmd_id string, cmd_ts timestamp").parquet(cdir)
+        e = spark.readStream.schema("cid string, ts timestamp, name string").parquet(edir)
+        return (
+            correlate_join_stream(c, e, horizon="1 hour", watermark="10 minutes")
+            .select("cmd_id", "name")
+            .writeStream.option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # C2 sits in join state, unmatched
+    # C2's event arrives while the query is DOWN
+    spark.createDataFrame(
+        [("C2", ts(8), "ok2")], "cid string, ts timestamp, name string"
+    ).coalesce(1).write.mode("append").parquet(edir)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted((r["cmd_id"], r["name"]) for r in spark.read.parquet(out).collect())
+    assert rows == [("C1", "ok1"), ("C2", "ok2")]
