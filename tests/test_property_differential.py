@@ -136,3 +136,53 @@ def test_pipeline_matches_reference_walk(spark, txs):
     expected = walk_reference(tx)
     got = extract_spark(generate_commands(build_tables(spark, tx), BATCH, SUB, persist=False))
     assert got == expected
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2", "k3"]),          # merge key
+            st.integers(min_value=0, max_value=9),        # recency
+            st.sampled_from(["a", "b", "c"]),             # payload
+            st.booleans(),                                # tombstone
+        ),
+        min_size=0,
+        max_size=24,
+    )
+)
+def test_apply_lww_matches_python_reference(spark, rows):
+    """Differential property: apply_lww (window row_number over the
+    recency chain, tombstone drop) vs an independent Python dict-fold
+    LWW over random CDC streams.  Ties on (key, recency) are broken by
+    the payload and tombstone columns in BOTH implementations so the
+    property is fully deterministic (duplicate rows differing only in
+    the tombstone flag would otherwise rank nondeterministically)."""
+    from pyspark.sql import functions as F
+
+    from lens_sds_batch_spark.plans.merge import apply_lww
+
+    py_state: dict = {}
+    for k, pri, val, dead in rows:
+        cur = py_state.get(k)
+        if cur is None or (pri, val, dead) >= cur:
+            py_state[k] = (pri, val, dead)
+    expected = {(k, v[1]) for k, v in py_state.items() if not v[2]}
+
+    df = spark.createDataFrame(
+        rows or [("__none__", 0, "a", True)],
+        "k string, pri int, v string, dead boolean",
+    )
+    got = apply_lww(
+        df,
+        keys=["k"],
+        order_cols=[F.col("pri"), F.col("v"), F.col("dead")],
+        is_delete=F.col("dead"),
+    )
+    got_set = {(r["k"], r["v"]) for r in got.collect() if r["k"] != "__none__"}
+    assert got_set == expected
