@@ -128,7 +128,10 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     line = json.dumps(out)
-    detail = {"build_sec": builds, "stdout_line_len": len(line)}
+    # the sidecar carries the FULL record (incl. per-query exec timings
+    # and any err dicts) so even the aggregate-only stdout fallback
+    # below loses nothing machine-readable (r6 review)
+    detail = {"build_sec": builds, "queries": timings, "stdout_line_len": len(line)}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
             json.dump(detail, f, indent=1)

@@ -193,7 +193,23 @@ def _bare_col_sql(c: Column) -> str | None:
     column literally named ``current_date`` would parse as the zero-arg
     function (stable-looking but wrong ids that change daily) and a
     reserved word like ``order`` would be a ParseException the
-    composed path never had."""
+    composed path never had.
+
+    The node-class gate (r6 review) rejects everything that merely
+    STRINGIFIES like an identifier: ``F.lit(True)`` prints ``true``,
+    ``F.lit(None)`` prints ``NULL``, ``F.lit(inf)`` prints
+    ``Infinity`` — re-parsing those as column refs would resolve a
+    phantom column or crash; and a DATAFRAME-BOUND column (``df['v']``,
+    an ExpressionColumnNode) must not degrade to name resolution,
+    which is ambiguous after a join where the free-name form would
+    silently pick a side.  Only a genuinely unresolved attribute is
+    safe to re-emit by name."""
+    try:
+        node_cls = c._jc.node().getClass().getName()
+    except Exception:
+        return None
+    if node_cls != "org.apache.spark.sql.internal.UnresolvedAttribute":
+        return None
     s = c._jc.toString()
     return f"`{s}`" if _BARE_COL_RE.match(s) else None
 
@@ -264,7 +280,7 @@ def uuid5_col(ns: Column | str, parts: list) -> Column:
     Columns.  See ``_fmt_uuid_sql`` for why and the measurements.
     """
     if isinstance(ns, str):
-        ns_sql = f"unhex('{ns.replace('-', '')}')"
+        ns_sql = f"unhex('{_esc(ns.replace('-', ''))}')"
     else:
         bare = _bare_col_sql(ns)
         ns_sql = None if bare is None else f"unhex(regexp_replace({bare}, '-', ''))"
@@ -282,7 +298,7 @@ def uuid3_str_col(ns: Column | str, parts: list) -> Column:
     """md5 string-payload deterministic uuid (oracle-checkable flavor).
     Same fast-path/fallback split as :func:`uuid5_col`."""
     if isinstance(ns, str):
-        ns_sql = f"'{ns.replace('-', '').lower()}'"
+        ns_sql = f"'{_esc(ns.replace('-', '').lower())}'"
     else:
         bare = _bare_col_sql(ns)
         ns_sql = None if bare is None else f"lower(regexp_replace({bare}, '-', ''))"

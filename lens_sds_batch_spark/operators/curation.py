@@ -214,17 +214,21 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # Each survivor set feeds BOTH its own count branch and every later
-    # stage; without persist the unioned count plan re-executes
-    # corpus_filter in 4 branches and lang_id in 3 (the same
-    # branch-duplication class dedup_clusters checkpoints against).
-    # persist() is lazy: the first branch materializes, the rest reuse.
-    s1 = corpus_filter(spark, sf_dir).select("doc_id").persist()
+    # stage; without lineage truncation the unioned count plan
+    # re-executes corpus_filter in 4 branches and lang_id in 3 (the
+    # same branch-duplication class dedup_clusters checkpoints
+    # against).  localCheckpoint, not persist (r6 review): persist
+    # entries live in the CacheManager until an explicit unpersist —
+    # a leak for a builder that returns before the result is consumed —
+    # while localCheckpointed RDD storage is released by the
+    # ContextCleaner once the returned plan is garbage-collected.
+    s1 = corpus_filter(spark, sf_dir).select("doc_id").localCheckpoint()
     en = lang_id(spark, sf_dir).where(F.col("predicted_lang") == "en").select("doc_id")
-    s2 = s1.join(en, "doc_id").persist()
+    s2 = s1.join(en, "doc_id").localCheckpoint()
     fp = docs.join(s2, "doc_id").select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
     )
-    s3 = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id").persist()
+    s3 = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id").localCheckpoint()
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     drop = pairs.join(s3.withColumnRenamed("doc_id", "doc_a"), "doc_a").select("doc_b")
     s4 = s3.join(drop, s3.doc_id == drop.doc_b, "left_anti")

@@ -24,7 +24,14 @@ def apply_lww(
     is_delete: Column,
 ) -> DataFrame:
     """Keep the latest row per key (ordering = order_cols DESC chain),
-    dropping keys whose latest row is a tombstone."""
+    dropping keys whose latest row is a tombstone.
+
+    A NULL ``is_delete`` on the winning row drops the key too:
+    ``where(~NULL)`` filters NULL exactly like SQL's ``WHERE NOT
+    is_remove`` — the DuckDB oracles rely on that agreement, so do NOT
+    "fix" this to coalesce NULL→False without changing both sides.
+    Callers with nullable tombstone sources should coalesce BEFORE
+    calling if keep-on-NULL is the semantics they want."""
     w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in order_cols])
     return (
         df.withColumn("__rk", F.row_number().over(w))
@@ -108,6 +115,18 @@ def merge_into(
     from pyspark.sql import Observation
     from pyspark.sql.utils import AnalysisException
 
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    tmp = target_path.rstrip("/") + ".__tmp"
+    old = target_path.rstrip("/") + ".__old"
+    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    # CRASH RECOVERY FIRST (r6 review): a prior run that died between
+    # the two renames left the only copy of the table at __old and no
+    # target — restore it BEFORE the read, or this run would take the
+    # "first batch" path and the cleanup below would delete the sole
+    # surviving state.
+    if not fs.exists(jvm_path(target_path)) and fs.exists(jvm_path(old)):
+        if not fs.rename(jvm_path(old), jvm_path(target_path)):
+            raise IOError(f"merge_into: crash recovery rename {old} -> {target_path} failed")
     # ONLY the read sits in the try: a schema mismatch in unionByName
     # must raise loudly — swallowing it as "no target yet" would
     # replace the whole table with just the malformed batch.
@@ -119,18 +138,13 @@ def merge_into(
     merged = apply_lww(unioned, keys, order_exprs, is_delete)
     obs = Observation()
     merged = merged.observe(obs, F.count(F.lit(1)).alias("n"))
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    tmp = target_path.rstrip("/") + ".__tmp"
-    old = target_path.rstrip("/") + ".__old"
     merged.write.mode("overwrite").parquet(tmp)
-    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    # Swap via rename-aside, not delete-then-rename: a crash between a
-    # delete and the rename would leave NO readable target, and the
-    # next merge_into would silently rebuild from the incoming batch
-    # alone.  With the aside sequence every crash point leaves either
-    # the old state (rename not reached) or the new state readable at
-    # the target path; only the cleanup of __old can be lost.
-    fs.delete(jvm_path(old), True)  # stale leftover from a prior crash
+    # Swap via rename-aside, not delete-then-rename: with the recovery
+    # branch above, every crash point leaves a readable state — the old
+    # table (crash before the second rename; restored on next run) or
+    # the new one; only the cleanup of __old can be lost, and a
+    # leftover __old while the target EXISTS is provably stale.
+    fs.delete(jvm_path(old), True)  # stale leftover (target exists here)
     if current is not None and not fs.rename(jvm_path(target_path), jvm_path(old)):
         raise IOError(f"merge_into: could not move {target_path} aside")
     if not fs.rename(jvm_path(tmp), jvm_path(target_path)):

@@ -291,7 +291,9 @@ def requeue_sink(
     opt-in; production deploys export these through the streaming query
     listener instead.  foreachBatch is AT-LEAST-ONCE: on failure/restart
     Spark re-invokes the sink with the SAME epoch_id, so counts for an
-    epoch already tallied are skipped (``_last_epoch`` in the dict)
+    epoch already tallied are skipped (a per-sink-instance closure
+    tracks the last-seen epoch — NOT a key in the caller's dict, so
+    two sinks sharing one metrics dict cannot suppress each other)
     rather than double-counted — replay only ever re-runs the most
     recent epoch, so tracking one id bounds the bookkeeping.  (The
     parquet appends themselves can still duplicate on replay; that is

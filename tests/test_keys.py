@@ -213,3 +213,41 @@ def test_fast_path_keyword_and_reserved_column_names(spark):
     ).first()
     assert row["u1"] == uuid3_str_py(NIL_UUID, ["a"])
     assert row["u2"] == uuid3_str_py(NIL_UUID, ["b"])
+
+
+def test_fast_path_literal_columns_and_bound_columns(spark):
+    """r6 high-effort review: Column literals that STRINGIFY like
+    identifiers (lit(True) -> 'true', lit(None) -> 'NULL') must route
+    to the composed fallback, and a dataframe-BOUND column (a['v']
+    after a join with an ambiguous free name) must keep its binding
+    instead of degrading to name resolution."""
+    # boolean literal: composed path hashes the string 'true'
+    row = spark.range(1).select(
+        uuid3_str_col(NIL_UUID, [F.lit(True)]).alias("u"),
+    ).first()
+    assert row["u"] == uuid3_str_py(NIL_UUID, ["true"])
+
+    # bound column through an ambiguous join: must hash side a's value
+    a = spark.createDataFrame([(1, "va")], "k int, v string")
+    b = spark.createDataFrame([(1, "vb")], "k int, v string")
+    j = a.join(b, "k")
+    got = j.select(uuid3_str_col(NIL_UUID, [a["v"]]).alias("u")).first()["u"]
+    assert got == uuid3_str_py(NIL_UUID, ["va"])
+
+
+def test_uuid_ns_string_is_escaped_in_fast_path(spark):
+    """A quote-bearing ns string must hash the literal characters, not
+    parse as SQL concat — fast path and Python golden must agree."""
+    ns = "a'||'b"
+    got = spark.range(1).select(
+        uuid3_str_col(ns, ["x"]).alias("u")
+    ).first()["u"]
+    # the engine lowercases + strips dashes from ns before hashing
+    import hashlib
+
+    payload = ns.replace("-", "").lower() + "x"
+    h = hashlib.md5(payload.encode()).hexdigest()
+    from lens_sds_batch_spark.functions.keys import _VARIANT_MAP
+
+    expect = f"{h[0:8]}-{h[8:12]}-3{h[13:16]}-{_VARIANT_MAP[int(h[16],16)]}{h[17:20]}-{h[20:32]}"
+    assert got == expect

@@ -483,3 +483,33 @@ def test_merge_into_schema_mismatch_raises_loudly(spark, tmp_path):
     # the existing table survived untouched
     rows = spark.read.parquet(target).collect()
     assert [(r["k"], r["v"]) for r in rows] == [("k1", "a")]
+
+
+def test_merge_into_recovers_from_crash_between_renames(spark, tmp_path):
+    """r6 high-effort review: simulate a crash between the two swap
+    renames (target moved to __old, tmp never installed).  The next
+    merge_into must RESTORE __old before reading — not treat the
+    missing target as a first batch and delete the sole surviving
+    state."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lens_sds_batch_spark.plans.merge import merge_into
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("k1", 1, "a", False)], "k string, pri int, v string, dead boolean"
+    ).write.parquet(target)
+    # crash simulation: target renamed aside, nothing installed
+    shutil.move(target, target + ".__old")
+
+    updates = spark.createDataFrame(
+        [("k2", 2, "b", False)], "k string, pri int, v string, dead boolean"
+    )
+    res = merge_into(
+        spark, target, updates, keys=["k"], order_cols=["pri"], is_delete=F.col("dead")
+    )
+    rows = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    # BOTH the recovered old state and the new batch survive
+    assert rows == {("k1", "a"), ("k2", "b")} and res["rows"] == 2
