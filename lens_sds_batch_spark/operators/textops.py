@@ -86,11 +86,16 @@ FROM documents ORDER BY doc_id
 """
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lang_id(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:
     """Stopword-hit language ID with deterministic argmax (priority
-    order en > es > de > fr on ties)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    order en > es > de > fr on ties).  ``base``: optional pre-tokenized
+    (doc_id, text, lang, toks) frame — doc_features_pack shares ONE
+    checkpointed tokenization across its arms (r6; measured 4.7s →
+    2.0s for the pack; note this is NOT the disproven r5 single-
+    projection fusion — arms stay separate, only the scan+split is
+    shared)."""
+    docs = load_table(spark, sf_dir, "documents") if base is None else base
+    toks = _tokens(F.col("text")) if base is None else F.col("toks")
     scores = {lang: _hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
     df = docs.select("doc_id", F.col("lang").alias("labeled_lang"), *[scores[lg].alias(f"s_{lg}") for lg in LANG_STOPWORDS])
     s = {lg: F.col(f"s_{lg}") for lg in LANG_STOPWORDS}
@@ -153,10 +158,10 @@ FROM documents ORDER BY doc_id
 """
 
 
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_fingerprints(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:
     """Content fingerprints: full md5 + a 64-bit prefix ("rolling-hash"
     style short fingerprint) of the normalized text."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents") if base is None else base
     norm = F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " ")
     h = F.md5(norm.cast("binary"))
     return docs.select(
@@ -335,13 +340,14 @@ FROM documents ORDER BY doc_id
 """
 
 
-def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def feature_hash_vectors(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:
     """Feature hashing (hashing trick): token -> md5-derived bucket in
     [0, FH_BUCKETS); per-doc bucket counts become a fixed-width dense
     vector — the schema-free text→vector featurizer that needs no
     vocabulary broadcast at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
-    exploded = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    docs = load_table(spark, sf_dir, "documents") if base is None else base
+    toks = _tokens(F.col("text")) if base is None else F.col("toks")
+    exploded = docs.select("doc_id", F.explode(toks).alias("t"))
     bucket = F.ascii(F.substring(F.md5(F.col("t").cast("binary")), 1, 1)) % FH_BUCKETS
     counts = exploded.select("doc_id", bucket.alias("b")).groupBy("doc_id").agg(
         *[F.sum(F.when(F.col("b") == i, 1).otherwise(0)).alias(f"f{i}") for i in range(FH_BUCKETS)]
@@ -366,7 +372,7 @@ EVAL_RATE = 0.05  # deterministic held-out "benchmark" split for the contaminati
 CONTAM_N = 5  # n-gram width for train/eval overlap (decontamination standard)
 
 
-def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def eval_contamination(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:
     """Train/eval contamination check (the decontamination pass an LLM
     corpus runs before training): a deterministic ``EVAL_RATE`` slice of
     docs plays the held-out benchmark; every training doc is flagged
@@ -380,7 +386,7 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs themselves)."""
     from .curation import _u
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents") if base is None else base
     is_eval = (_u(F.col("doc_id"), "evl:") < EVAL_RATE).cast("int")
     # grams hashed to BIGINTs (md5 prefix, mirrored in the oracle): the
     # distinct/broadcast/semi-join/count-distinct chain then moves 8-byte
@@ -388,7 +394,7 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ngram_jaccard_pairs' hashed word sets — a rare cross-engine 32-bit
     # collision shrinks both engines' counts identically).
     gram_hashes = F.transform(
-        _ngrams(_tokens(F.col("text")), CONTAM_N),
+        _ngrams(_tokens(F.col("text")) if base is None else F.col("toks"), CONTAM_N),
         lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 8), 16, 10).cast("bigint"),
     )
     grams = docs.select(
@@ -423,14 +429,24 @@ def doc_features_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/eval contamination arm
     (lang_id + doc_fingerprints + corpus_filter + feature_hash_vectors
     + repetition + eval_contamination merged; each arm's computation
-    unchanged).  One documents scan for the per-row features + token
-    explodes for the hash vector and the contamination semi-join."""
-    base = (
-        lang_id(spark, sf_dir)
-        .join(doc_fingerprints(spark, sf_dir), "doc_id")
+    unchanged).  All six arms read ONE localCheckpointed tokenized
+    scan (r6: doc_id, text, lang, toks) instead of each re-scanning and
+    re-splitting documents — measured 4.7s → 2.0s at sf0.1.  This is
+    NOT the r5-disproven single-projection fusion (that hit codegen
+    limits); the arms remain separate plans joined on doc_id, only the
+    scan+tokenize is shared, and checkpointed storage is
+    ContextCleaner-released once the returned plan is dropped."""
+    shared = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", _tokens(F.col("text")).alias("toks"))
+        .localCheckpoint()
     )
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    base = (
+        lang_id(spark, sf_dir, base=shared)
+        .join(doc_fingerprints(spark, sf_dir, base=shared), "doc_id")
+    )
+    docs = shared
+    toks = F.col("toks")
     n_tok = F.size(toks)
     ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double")
     sw_ratio = _hits(toks, LANG_STOPWORDS["en"]).cast("double") / n_tok.cast("double")
@@ -451,8 +467,8 @@ def doc_features_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole join tree (order-insensitive driver compare)
     return (
         base.join(gate, "doc_id")
-        .join(feature_hash_vectors(spark, sf_dir), "doc_id")
-        .join(eval_contamination(spark, sf_dir), "doc_id")
+        .join(feature_hash_vectors(spark, sf_dir, base=shared), "doc_id")
+        .join(eval_contamination(spark, sf_dir, base=shared), "doc_id")
     )
 
 
