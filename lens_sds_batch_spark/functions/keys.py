@@ -254,7 +254,10 @@ def _to_bytes_sql(part) -> str | None:
     if isinstance(part, Kw):
         return "X'" + (":" + part.name).encode("utf-8").hex() + "'"
     if isinstance(part, UuidBytes):
-        return f"unhex('{part.value.replace('-', '')}')"
+        # _esc'd like every string literal: an unescaped quote-bearing
+        # value would parse as SQL concat (different payload than the
+        # composed fallback, which unhex-NULLs the non-hex string)
+        return f"unhex('{_esc(part.value.replace('-', ''))}')"
     if isinstance(part, Column):
         bare = _bare_col_sql(part)
         return None if bare is None else f"CAST({bare} AS BINARY)"

@@ -207,8 +207,6 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the funnel is one doc-grain pass + the (already-capped)
     pair generation; counts are map-side-combinable aggregates.
     """
-    from pyspark.sql import functions as F
-
     from .dedup import dedup_minhash_pairs
     from .textops import corpus_filter, lang_id
 

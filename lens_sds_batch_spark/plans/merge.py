@@ -145,7 +145,15 @@ def merge_into(
     # the new one; only the cleanup of __old can be lost, and a
     # leftover __old while the target EXISTS is provably stale.
     fs.delete(jvm_path(old), True)  # stale leftover (target exists here)
-    if current is not None and not fs.rename(jvm_path(target_path), jvm_path(old)):
+    # Move aside whenever the PATH exists — not just when it was
+    # readable parquet (r6 review): a pre-created empty dir or junk
+    # leftovers read as "no target" (current=None), but renaming tmp
+    # onto an existing directory NESTS it on HDFS (silent data loss)
+    # or fails on local FS.  Aside-moving the junk too keeps the
+    # destination clear without destroying anything.
+    if fs.exists(jvm_path(target_path)) and not fs.rename(
+        jvm_path(target_path), jvm_path(old)
+    ):
         raise IOError(f"merge_into: could not move {target_path} aside")
     if not fs.rename(jvm_path(tmp), jvm_path(target_path)):
         # put the old state back rather than leave the target missing

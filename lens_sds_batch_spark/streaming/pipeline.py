@@ -291,22 +291,22 @@ def requeue_sink(
     opt-in; production deploys export these through the streaming query
     listener instead.  foreachBatch is AT-LEAST-ONCE: on failure/restart
     Spark re-invokes the sink with the SAME epoch_id, so counts for an
-    epoch already tallied are skipped (a per-sink-instance closure
-    tracks the last-seen epoch — NOT a key in the caller's dict, so
-    two sinks sharing one metrics dict cannot suppress each other)
-    rather than double-counted — replay only ever re-runs the most
-    recent epoch, so tracking one id bounds the bookkeeping.  (The
+    epoch already tallied are skipped rather than double-counted.  The
+    last-seen epoch lives in the metrics dict under a key NAMESPACED BY
+    ``out_dir`` (``"_last_epoch:<out_dir>"``): dict-resident so the
+    guard survives the restart-rebuilds-the-sink pattern (a fresh
+    closure would re-count the replayed epoch), namespaced so two
+    sinks sharing one dict cannot suppress each other on an epoch-id
+    collision.  Replay only ever re-runs the most recent epoch, so one
+    id per sink bounds the bookkeeping; underscore-prefixed keys are
+    bookkeeping, not counts.  (The
     parquet appends themselves can still duplicate on replay; that is
     the documented at-least-once file-sink contract, made harmless
     downstream by deterministic ids + LWW merge.)
     """
     from pyspark.sql import functions as F
 
-    # per-SINK-INSTANCE replay guard (closure, not a key in the
-    # caller's dict): two sinks sharing one metrics dict must not
-    # suppress each other's counts on an epoch-id collision, and the
-    # bookkeeping must not leak into user-owned state
-    last_epoch: list = [None]
+    epoch_key = f"_last_epoch:{out_dir}"  # see docstring: dict-resident + namespaced
 
     def sink(batch_df, epoch_id):
         # attempts is seeded with 0 by contract, but a NULL must not make
@@ -334,11 +334,11 @@ def requeue_sink(
             dead = failed.where((~retryable) | (att + 1 >= max_attempts))
             if not dead.isEmpty():
                 dead.write.mode("append").parquet(dead_dir)
-            if metrics is not None and last_epoch[0] != epoch_id:
+            if metrics is not None and metrics.get(epoch_key) != epoch_id:
                 metrics["ok"] = metrics.get("ok", 0) + okdf.count()
                 metrics["requeued"] = metrics.get("requeued", 0) + requeue.count()
                 metrics["dead"] = metrics.get("dead", 0) + dead.count()
-                last_epoch[0] = epoch_id
+                metrics[epoch_key] = epoch_id
         finally:
             batch_df.unpersist()
 

@@ -251,3 +251,19 @@ def test_uuid_ns_string_is_escaped_in_fast_path(spark):
 
     expect = f"{h[0:8]}-{h[8:12]}-3{h[13:16]}-{_VARIANT_MAP[int(h[16],16)]}{h[17:20]}-{h[20:32]}"
     assert got == expect
+
+
+def test_uuid5_uuidbytes_quote_value_fast_equals_fallback(spark):
+    """r6 review: a quote-bearing UuidBytes value must not parse as SQL
+    concat in the fast path — both paths unhex a non-hex literal to a
+    NULL payload and format identically (the documented empty-string
+    degenerate, guarded at call sites by guard_payload)."""
+    from lens_sds_batch_spark.functions.keys import UuidBytes
+
+    bad = UuidBytes("a'||'b")
+    row = spark.range(1).select(
+        uuid5_col(NIL_UUID, [bad]).alias("fast"),
+        # force the composed fallback with a bound-expression ns
+        uuid5_col(F.concat(F.lit(NIL_UUID), F.lit("")), [bad]).alias("fb"),
+    ).first()
+    assert row["fast"] == row["fb"]

@@ -510,6 +510,21 @@ def test_kafka_malformed_routes_to_dead_letter(spark, tmp_path):
     assert {k: v for k, v in metrics.items() if not k.startswith("_")} == {
         "ok": 2, "requeued": 0, "dead": 3,
     }
+    # ...and the guard must survive the restart-rebuilds-the-sink
+    # pattern: a FRESH sink instance over the same dirs + dict replaying
+    # the same epoch still skips (the last-epoch record is dict-resident,
+    # namespaced by out_dir — r6 review)
+    sink2 = requeue_sink(
+        out, dead, requeue,
+        is_ok=~F.col("_malformed"),
+        is_retryable=F.lit(False),
+        metrics=metrics,
+        ok_drop_cols=("_raw_value", "_malformed"),
+    )
+    sink2(parsed, epoch_id=0)
+    assert {k: v for k, v in metrics.items() if not k.startswith("_")} == {
+        "ok": 2, "requeued": 0, "dead": 3,
+    }
 
 
 def test_kafka_seam_three_way_routing_end_to_end(spark, tmp_path):
