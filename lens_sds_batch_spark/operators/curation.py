@@ -184,6 +184,15 @@ QUERIES: dict[str, tuple] = {
 }
 
 
+# SemDeDup cosine cutoff for the funnel's semantic stage.  The dup_pairs
+# threshold (0.9) targets true near-copies; the synthetic embeddings are
+# random (max within-bucket cosine ~0.43 at sf0.01), so the funnel uses a
+# corpus-calibrated tau at roughly the top-1% of within-bucket pair
+# cosines — a real pipeline tunes exactly this dial against a held-out
+# duplicate-judgment set.
+SEM_COS_TAU = 0.35
+
+
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation FUNNEL (r6): the stage-wise survivor counts a
     training-data pipeline reports after each cut — the composition
@@ -202,12 +211,25 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        a chain's smaller member was itself cut — the
                        standard first-pass at corpus scale; the full
                        CC treatment is `dedup_clusters`)
+    5 semantic_dedup   SemDeDup-style pass (Abbas et al. 2023): minus
+                       docs whose EMBEDDING sits above SEM_COS_TAU
+                       cosine of a surviving
+                       smaller-id doc in the same LSH sign bucket —
+                       catches paraphrase-level duplicates the lexical
+                       stages miss.  Reuses embedding_dup_pairs'
+                       capped within-bucket generation (never
+                       corpus-quadratic); greedy keep-min-id stands in
+                       for SemDeDup's keep-farthest-from-centroid.
+                       The synthetic corpus couples embeddings to docs
+                       1:1 (vec_id == doc_id), which the stage relies
+                       on to join pairs against doc survivors.
 
     Every stage is a filter/aggregate over the previous survivor set —
     at 100 TB the funnel is one doc-grain pass + the (already-capped)
     pair generation; counts are map-side-combinable aggregates.
     """
     from .dedup import dedup_minhash_pairs
+    from .similarity import embedding_dup_pairs
     from .textops import corpus_filter, lang_id
 
     docs = load_table(spark, sf_dir, "documents")
@@ -229,7 +251,12 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id").localCheckpoint()
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     drop = pairs.join(s3.withColumnRenamed("doc_id", "doc_a"), "doc_a").select("doc_b")
-    s4 = s3.join(drop, s3.doc_id == drop.doc_b, "left_anti")
+    # s4 feeds three consumers (its count, the semantic drop set, s5) —
+    # checkpoint so the minhash pipeline doesn't re-execute per branch
+    s4 = s3.join(drop, s3.doc_id == drop.doc_b, "left_anti").localCheckpoint()
+    epairs = embedding_dup_pairs(spark, sf_dir, threshold=SEM_COS_TAU).select("vec_a", "vec_b")
+    drop_sem = epairs.join(s4.withColumnRenamed("doc_id", "vec_a"), "vec_a").select("vec_b")
+    s5 = s4.join(drop_sem, s4.doc_id == drop_sem.vec_b, "left_anti")
 
     def stage(idx, name, df):
         return df.agg(
@@ -240,7 +267,13 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = stage(0, "raw", docs)
     for i, (name, df) in enumerate(
-        [("quality_gate", s1), ("lang_en", s2), ("exact_dedup", s3), ("near_dup_pruned", s4)],
+        [
+            ("quality_gate", s1),
+            ("lang_en", s2),
+            ("exact_dedup", s3),
+            ("near_dup_pruned", s4),
+            ("semantic_dedup", s5),
+        ],
         start=1,
     ):
         out = out.unionByName(stage(i, name, df))
@@ -249,6 +282,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _curation_funnel_sql() -> str:
     from .dedup import _duck_minhash_ctes
+    from .similarity import embedding_dup_sql
     from .textops import CORPUS_FILTER_SQL, LANG_ID_SQL
 
     return f"""
@@ -259,12 +293,16 @@ s2 AS MATERIALIZED (SELECT doc_id FROM q JOIN en USING (doc_id)),
 fp AS (SELECT d.doc_id, md5(d.text) AS f FROM documents d JOIN s2 USING (doc_id)),
 s3 AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
 drop3 AS (SELECT p.doc_b FROM pairs p JOIN s3 a ON p.doc_a = a.doc_id),
-s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_b FROM drop3))
+s4 AS MATERIALIZED (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_b FROM drop3)),
+epairs AS MATERIALIZED (SELECT vec_a, vec_b FROM ({embedding_dup_sql(SEM_COS_TAU).strip().rstrip(';')})),
+drop5 AS (SELECT p.vec_b FROM epairs p JOIN s4 a ON p.vec_a = a.doc_id),
+s5 AS (SELECT doc_id FROM s4 WHERE doc_id NOT IN (SELECT vec_b FROM drop5))
 SELECT 0 AS stage_idx, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
 UNION ALL SELECT 1, 'quality_gate', CAST(count(*) AS BIGINT) FROM q
 UNION ALL SELECT 2, 'lang_en', CAST(count(*) AS BIGINT) FROM s2
 UNION ALL SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT) FROM s3
 UNION ALL SELECT 4, 'near_dup_pruned', CAST(count(*) AS BIGINT) FROM s4
+UNION ALL SELECT 5, 'semantic_dedup', CAST(count(*) AS BIGINT) FROM s5
 ORDER BY stage_idx
 """
 

@@ -174,7 +174,9 @@ DUP_COS_THRESHOLD = 0.9
 EMB_BUCKET_CAP = 200  # skew guard: drop sign buckets larger than this
 
 
-def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = DUP_COS_THRESHOLD
+) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucket-blocked (never a
     corpus-wide cross join): pairs within the same sign bucket with
     cosine >= threshold.
@@ -196,19 +198,24 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ib").alias("vec_b"),
         (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
     )
-    return scored.where(F.col("cos") >= DUP_COS_THRESHOLD)
+    return scored.where(F.col("cos") >= threshold)
 
 
-EMBEDDING_DUP_SQL = f"""
+def embedding_dup_sql(threshold: float = DUP_COS_THRESHOLD) -> str:
+    """DuckDB twin of embedding_dup_pairs at the given threshold."""
+    return f"""
 WITH v_all AS MATERIALIZED (SELECT *, {_duck_bucket('emb')} AS bucket FROM ({_DUCK_V})),
 kept AS (SELECT bucket FROM v_all GROUP BY bucket HAVING count(*) <= {EMB_BUCKET_CAP}),
 v AS MATERIALIZED (SELECT v_all.* FROM v_all JOIN kept USING (bucket))
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ({_DUCK_DOT.format(a='a.emb', b='b.emb')}) / (a.norm * b.norm) AS cos
 FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE ({_DUCK_DOT.format(a='a.emb', b='b.emb')}) / (a.norm * b.norm) >= {DUP_COS_THRESHOLD}
+WHERE ({_DUCK_DOT.format(a='a.emb', b='b.emb')}) / (a.norm * b.norm) >= {threshold}
 ORDER BY vec_a, vec_b
 """
+
+
+EMBEDDING_DUP_SQL = embedding_dup_sql()
 
 # embedding_dup_pairs rides in dedup.dup_pairs_pack (registry stays
 # inside the driver's 50-query CORRECTNESS window); the function + SQL

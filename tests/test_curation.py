@@ -101,3 +101,92 @@ def test_eval_contamination_matches_python_walk(spark):
     }
     assert got == want
     assert eval_ids  # split actually selected something at this SF
+
+
+def test_span_dedup_matches_python_walk(spark):
+    """Span-level keep-first dedup re-derived in plain Python over the
+    real corpus: counts AND the reassembly md5 (content + order)."""
+    from lens_sds_batch_spark.operators.textops import SPAN_W, span_dedup
+
+    docs = _docs(spark)
+    spans: list[tuple[int, int, str]] = []
+    for doc_id in sorted(docs):
+        toks = docs[doc_id][0].split(" ")
+        n = -(-len(toks) // SPAN_W)
+        for pos in range(n):
+            spans.append((doc_id, pos, " ".join(toks[pos * SPAN_W : (pos + 1) * SPAN_W])))
+    first: dict[str, tuple[int, int]] = {}
+    for doc_id, pos, sp in spans:  # list is already in (doc_id, pos) order
+        first.setdefault(sp, (doc_id, pos))
+    want = {}
+    for doc_id in sorted(docs):
+        mine = [(p, s) for d, p, s in spans if d == doc_id]
+        kept = [s for p, s in mine if first[s] == (doc_id, p)]
+        want[doc_id] = (
+            len(mine),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (r["spans_total"], r["spans_kept"], r["dedup_text_md5"])
+        for r in span_dedup(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_span_dedup_keep_first_semantics(spark):
+    """Crafted duplicates pin the keep-first rules the corpus may not
+    exercise: cross-doc dup (earlier doc wins), within-doc self-repeat
+    (earlier pos wins), doc losing ALL spans (md5 of empty string)."""
+    from pyspark.sql import functions as F
+
+    from lens_sds_batch_spark.operators.textops import SPAN_W, _tokens, span_dedup
+
+    A = " ".join(f"w{i}" for i in range(SPAN_W))
+    B = " ".join(f"x{i}" for i in range(SPAN_W))
+    C = " ".join(f"y{i}" for i in range(SPAN_W))
+    rows = [
+        (0, f"{A} {B}"),  # first owner of A and B
+        (1, f"{A} {C}"),  # A dropped, C kept
+        (2, f"{B} {B}"),  # doc0 owns B: both copies dropped
+        (3, f"{C} tail words"),  # C dropped, short tail span kept
+    ]
+    base = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    got = {
+        r["doc_id"]: (r["spans_total"], r["spans_kept"], r["dedup_text_md5"])
+        for r in span_dedup(spark, SF_SMOKE, base=base).collect()
+    }
+
+    def h(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got == {
+        0: (2, 2, h(f"{A} {B}")),
+        1: (2, 1, h(C)),
+        2: (2, 0, h("")),
+        3: (2, 1, h("tail words")),
+    }
+
+
+def test_curation_funnel_stage_order(spark):
+    """Funnel stages are named, indexed, and monotonically
+    non-increasing; raw == |documents|."""
+    from lens_sds_batch_spark.operators.curation import curation_funnel
+
+    rows = {
+        r["stage_idx"]: (r["stage"], r["n_docs"])
+        for r in curation_funnel(spark, SF_SMOKE).collect()
+    }
+    assert [rows[i][0] for i in range(6)] == [
+        "raw",
+        "quality_gate",
+        "lang_en",
+        "exact_dedup",
+        "near_dup_pruned",
+        "semantic_dedup",
+    ]
+    counts = [rows[i][1] for i in range(6)]
+    assert counts[0] == spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
