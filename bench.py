@@ -30,8 +30,9 @@ HEADLINE = (
     "asof_join",
     "merge_lww",
     "correlate_first_event",
-    "dedup_exact",
-    "dedup_fingerprint",
+    # r6: dedup_basic_pack folds the former dedup_exact +
+    # dedup_fingerprint rows (its time stands in for the two combined)
+    "dedup_basic_pack",
     "dedup_minhash_pairs",
     # r6: knn_pack folds the former knn_bruteforce + knn_lsh_bucketed
     # rows (one pack = both arms executed, so for subset comparability

@@ -336,9 +336,35 @@ def _duck_minhash_sql() -> str:
     )
 
 
+def dedup_basic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_exact`` + ``dedup_fingerprint`` under one harmonized
+    schema (r6 fold — frees one registry slot inside the driver's
+    50-query window; both arms unchanged and individually tested).
+    The exact arm has no fingerprint column, so it carries NULL."""
+    ex = dedup_exact(spark, sf_dir).select(
+        F.lit("exact").alias("arm"),
+        F.lit(None).cast("string").alias("fingerprint"),
+        "keeper_id",
+        "n_copies",
+    )
+    fp = dedup_fingerprint(spark, sf_dir).select(
+        F.lit("fingerprint").alias("arm"), "fingerprint", "keeper_id", "n_copies"
+    )
+    return ex.unionByName(fp)
+
+
+DEDUP_BASIC_PACK_SQL = f"""
+SELECT 'exact' AS arm, CAST(NULL AS VARCHAR) AS fingerprint, keeper_id, n_copies
+FROM ({DEDUP_EXACT_SQL.strip().rstrip(';')})
+UNION ALL
+SELECT 'fingerprint' AS arm, fingerprint, keeper_id, n_copies
+FROM ({DEDUP_FINGERPRINT_SQL.strip().rstrip(';')})
+ORDER BY arm, keeper_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
-    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
-    "dedup_fingerprint": (dedup_fingerprint, DEDUP_FINGERPRINT_SQL),
+    "dedup_basic_pack": (dedup_basic_pack, DEDUP_BASIC_PACK_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, _duck_minhash_sql()),
 }
 

@@ -30,7 +30,7 @@ from lens_sds_batch_spark.session import get_spark  # noqa: E402
 
 # dup_pairs_pack = the former ngram_jaccard_pairs + embedding_dup_pairs
 # arms (folded in round 3; registry names, see COVERAGE.md pack map)
-OPS = ("dedup_exact", "dedup_fingerprint", "dup_pairs_pack",
+OPS = ("dedup_basic_pack", "dup_pairs_pack",  # basic pack = former dedup_exact + dedup_fingerprint (r6 fold)
        "dedup_minhash_pairs", "simhash_dup_pairs", "knn_lsh_bucketed",  # direct fn: not in the registry since the r6 knn_pack fold (brute arm is the labeled-quadratic baseline, excluded by design)
        "dedup_clusters", "stratified_sample", "pack_sequences",
        "curation_funnel",  # r6: composes quality gate + lang-id + dedup + near-dup pruning
