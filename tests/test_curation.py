@@ -7,6 +7,10 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
 from lens_sds_batch_spark.operators.curation import (
     PACK_BUDGET,
     SAMPLE_RATES,
@@ -103,15 +107,14 @@ def test_eval_contamination_matches_python_walk(spark):
     assert eval_ids  # split actually selected something at this SF
 
 
-def test_span_dedup_matches_python_walk(spark):
-    """Span-level keep-first dedup re-derived in plain Python over the
-    real corpus: counts AND the reassembly md5 (content + order)."""
-    from lens_sds_batch_spark.operators.textops import SPAN_W, span_dedup
+def _span_walk(texts: dict[int, str]) -> dict[int, tuple[int, int, str]]:
+    """Plain-Python keep-first span dedup: the independent reference
+    walk for span_dedup (counts + reassembly md5 per doc)."""
+    from lens_sds_batch_spark.operators.textops import SPAN_W
 
-    docs = _docs(spark)
     spans: list[tuple[int, int, str]] = []
-    for doc_id in sorted(docs):
-        toks = docs[doc_id][0].split(" ")
+    for doc_id in sorted(texts):
+        toks = texts[doc_id].split(" ")
         n = -(-len(toks) // SPAN_W)
         for pos in range(n):
             spans.append((doc_id, pos, " ".join(toks[pos * SPAN_W : (pos + 1) * SPAN_W])))
@@ -119,7 +122,7 @@ def test_span_dedup_matches_python_walk(spark):
     for doc_id, pos, sp in spans:  # list is already in (doc_id, pos) order
         first.setdefault(sp, (doc_id, pos))
     want = {}
-    for doc_id in sorted(docs):
+    for doc_id in sorted(texts):
         mine = [(p, s) for d, p, s in spans if d == doc_id]
         kept = [s for p, s in mine if first[s] == (doc_id, p)]
         want[doc_id] = (
@@ -127,6 +130,15 @@ def test_span_dedup_matches_python_walk(spark):
             len(kept),
             hashlib.md5(" ".join(kept).encode()).hexdigest(),
         )
+    return want
+
+
+def test_span_dedup_matches_python_walk(spark):
+    """Span-level keep-first dedup re-derived in plain Python over the
+    real corpus: counts AND the reassembly md5 (content + order)."""
+    from lens_sds_batch_spark.operators.textops import span_dedup
+
+    want = _span_walk({did: t for did, (t, _, _) in _docs(spark).items()})
     got = {
         r["doc_id"]: (r["spans_total"], r["spans_kept"], r["dedup_text_md5"])
         for r in span_dedup(spark, SF_SMOKE).collect()
@@ -190,3 +202,40 @@ def test_curation_funnel_stage_order(spark):
     counts = [rows[i][1] for i in range(6)]
     assert counts[0] == spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
     assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.integers(0, 4), min_size=1, max_size=4),  # pool-span blocks
+            st.integers(0, 15),  # unique tail length (the final short span)
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_span_dedup_property(spark, docs_spec):
+    """Hypothesis differential: random corpora assembled from a 5-span
+    pool (guaranteeing cross-doc AND within-doc duplicate spans the
+    fixed corpus rarely produces) + per-doc unique tails (short final
+    spans) — Spark must match the Python keep-first walk exactly,
+    including reassembly md5s."""
+    from pyspark.sql import functions as F
+
+    from lens_sds_batch_spark.operators.textops import SPAN_W, _tokens, span_dedup
+
+    pool = [" ".join(f"p{j}w{i}" for i in range(SPAN_W)) for j in range(5)]
+    texts = {}
+    for doc_id, (blocks, tail) in enumerate(docs_spec):
+        words = [pool[b] for b in blocks] + [f"t{doc_id}x{i}" for i in range(tail)]
+        texts[doc_id] = " ".join(words)
+    base = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    ).select("doc_id", _tokens(F.col("text")).alias("toks"))
+    got = {
+        r["doc_id"]: (r["spans_total"], r["spans_kept"], r["dedup_text_md5"])
+        for r in span_dedup(spark, SF_SMOKE, base=base).collect()
+    }
+    assert got == _span_walk(texts)
