@@ -33,6 +33,56 @@ def rows_to_ms(rows, cols):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def compare_one(con, spark, name, fn, sql, sf_dir=SF_GATE) -> bool:
+    """Run ONE registry query against its oracle and print the verdict
+    line; returns True on OK.  Shared by the full driver simulation and
+    tools/check_query.py so the spot-check tool can never drift from
+    the simulation it mirrors.  ``sql=None`` = the driver's weaker
+    rows-only check."""
+    t0 = time.time()
+    try:
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = sdf.collect()
+        if sql is None:
+            print(f"{name}: rows-only, {len(srows)} rows ran OK ({time.time()-t0:.1f}s)", flush=True)
+            return True
+        # ONE oracle execution: the Arrow table serves both the
+        # type-family check and the row multiset (a second
+        # fetchall() would re-run the whole oracle — 2x the heavy
+        # ODM CTE chains per query).
+        duck_arrow = con.execute(sql).arrow()
+        ocols = duck_arrow.schema.names
+        orows = list(zip(*(c.to_pylist() for c in duck_arrow.columns)))
+        if sorted(scols) != sorted(ocols):
+            print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(ocols)}", flush=True)
+            return False
+        # The real driver's hash is TYPE-sensitive (DuckDB sum(INTEGER)
+        # -> HUGEINT hashes differently from Spark BIGINT even with
+        # equal values) — reuse the pytest-side family check so the
+        # simulation reproduces that sensitivity instead of passing an
+        # uncast oracle aggregate the driver would fail.
+        try:
+            assert_type_families(sdf, duck_arrow)
+        except AssertionError as e:
+            print(f"{name}: TYPE-FAMILY MISMATCH {e}", flush=True)
+            return False
+        sms = rows_to_ms(srows, scols)
+        oms = rows_to_ms(orows, ocols)
+        if len(sms) != len(oms):
+            print(f"{name}: ROWCOUNT MISMATCH spark={len(sms)} duck={len(oms)}", flush=True)
+            return False
+        if sms != oms:
+            diff = next(i for i, (a, b) in enumerate(zip(sms, oms)) if a != b)
+            print(f"{name}: VALUE MISMATCH at sorted-row {diff}:\n  spark={sms[diff]}\n  duck ={oms[diff]}", flush=True)
+            return False
+        print(f"{name}: OK {len(sms)} rows ({time.time()-t0:.1f}s)", flush=True)
+        return True
+    except Exception as e:  # noqa: BLE001
+        print(f"{name}: ERROR {type(e).__name__}: {str(e)[:300]}", flush=True)
+        return False
+
+
 def main():
     spark = get_spark("drive-driver")
     spark.sparkContext.setLogLevel("ERROR")
@@ -50,52 +100,11 @@ def main():
 
     qs = em.queries()
     oracles = em.oracle_sql()
-    bad = []
-    for name, fn in qs.items():
-        t0 = time.time()
-        try:
-            sdf = fn(spark, SF_GATE)
-            scols = sdf.columns
-            srows = sdf.collect()
-            if name not in oracles:
-                print(f"{name}: rows-only, {len(srows)} rows ran OK ({time.time()-t0:.1f}s)", flush=True)
-                continue
-            # ONE oracle execution: the Arrow table serves both the
-            # type-family check and the row multiset (a second
-            # fetchall() would re-run the whole oracle — 2x the heavy
-            # ODM CTE chains per query).
-            duck_arrow = con.execute(oracles[name]).arrow()
-            ocols = duck_arrow.schema.names
-            orows = list(zip(*(c.to_pylist() for c in duck_arrow.columns)))
-            if sorted(scols) != sorted(ocols):
-                bad.append(name)
-                print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(ocols)}", flush=True)
-                continue
-            # The real driver's hash is TYPE-sensitive (DuckDB sum(INTEGER)
-            # -> HUGEINT hashes differently from Spark BIGINT even with
-            # equal values) — reuse the pytest-side family check so the
-            # simulation reproduces that sensitivity instead of passing an
-            # uncast oracle aggregate the driver would fail.
-            try:
-                assert_type_families(sdf, duck_arrow)
-            except AssertionError as e:
-                bad.append(name)
-                print(f"{name}: TYPE-FAMILY MISMATCH {e}", flush=True)
-                continue
-            sms = rows_to_ms(srows, scols)
-            oms = rows_to_ms(orows, ocols)
-            if len(sms) != len(oms):
-                bad.append(name)
-                print(f"{name}: ROWCOUNT MISMATCH spark={len(sms)} duck={len(oms)}", flush=True)
-            elif sms != oms:
-                bad.append(name)
-                diff = next(i for i, (a, b) in enumerate(zip(sms, oms)) if a != b)
-                print(f"{name}: VALUE MISMATCH at sorted-row {diff}:\n  spark={sms[diff]}\n  duck ={oms[diff]}", flush=True)
-            else:
-                print(f"{name}: OK {len(sms)} rows ({time.time()-t0:.1f}s)", flush=True)
-        except Exception as e:  # noqa: BLE001
-            bad.append(name)
-            print(f"{name}: ERROR {type(e).__name__}: {str(e)[:300]}", flush=True)
+    bad = [
+        name
+        for name, fn in qs.items()
+        if not compare_one(con, spark, name, fn, oracles.get(name))
+    ]
     print(f"\n=== {len(qs) - len(bad)}/{len(qs)} OK; failures: {bad}", flush=True)
     spark.stop()
     sys.exit(1 if bad else 0)
