@@ -38,8 +38,9 @@ HEADLINE = (
     # rows (one pack = both arms executed, so for subset comparability
     # its time stands in for the two former entries combined)
     "knn_pack",
-    "text_quality",
-    "token_counts",
+    # r6: textstats_pack folds the former text_quality + token_counts
+    # rows (its time stands in for the two combined)
+    "textstats_pack",
     "multimodal_meta",
     "entity_state_subjects",
     "scd2_history",
@@ -67,6 +68,7 @@ HEADLINE = (
     "ivf_knn",
     # added round 6
     "curation_funnel",
+    "layout_zorder",
 )
 
 

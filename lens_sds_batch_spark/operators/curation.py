@@ -177,10 +177,79 @@ ORDER BY shuffle_key
 """
 
 
+ZBITS = 8  # bits per z-order dimension (two dims -> 16-bit Morton key)
+ZBUCKET_SHIFT = 8  # coarse layout cluster = top 8 bits of the key
+
+
+def _morton(d0, d1):
+    """Morton (z-order) interleave of two ``ZBITS``-wide ints via plain
+    shift/mask arithmetic — bit i of d0 lands at key bit 2i, bit i of
+    d1 at 2i+1.  The DuckDB twin runs the identical formula."""
+    z = F.lit(0).cast("bigint")
+    for i in range(ZBITS):
+        z = (
+            z
+            + F.shiftright(d0, i).bitwiseAND(F.lit(1)) * F.lit(2 ** (2 * i))
+            + F.shiftright(d1, i).bitwiseAND(F.lit(1)) * F.lit(2 ** (2 * i + 1))
+        )
+    return z
+
+
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key per document over two pruning
+    dimensions — the data-layout step a 100 TB lakehouse runs before
+    writing (Delta/Iceberg ``OPTIMIZE ZORDER BY``): interleaving the
+    bits of (length bucket, source hash) yields ONE sort key whose
+    ranges stay local in BOTH dimensions, so parquet row-group min/max
+    stats prune scans filtered on either column.
+
+    Key assignment is a pure projection — zero shuffle at any scale;
+    the physical re-layout is then a single
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` write (the
+    write side is demonstrated in ``test_scale_patterns``' partitioned
+    write + partition-pruning test for ``zbucket``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d_len = F.least(F.floor(F.col("n_chars") / 4), F.lit(255)).cast("bigint")
+    d_src = F.conv(F.substring(F.md5(F.col("source").cast("binary")), 1, 2), 16, 10).cast(
+        "bigint"
+    )
+    keyed = docs.select("doc_id", d_len.alias("d_len"), d_src.alias("d_src"))
+    z = _morton(F.col("d_len"), F.col("d_src"))
+    return keyed.select(
+        "doc_id",
+        "d_len",
+        "d_src",
+        z.alias("zkey"),
+        F.shiftright(z, ZBUCKET_SHIFT).cast("bigint").alias("zbucket"),
+    )
+
+
+def _morton_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"(({a} >> {i}) & 1) * {2 ** (2 * i)} + (({b} >> {i}) & 1) * {2 ** (2 * i + 1)}"
+        for i in range(ZBITS)
+    )
+
+
+LAYOUT_ZORDER_SQL = f"""
+SELECT doc_id, d_len, d_src,
+       CAST({_morton_sql('d_len', 'd_src')} AS BIGINT) AS zkey,
+       CAST(zkey >> {ZBUCKET_SHIFT} AS BIGINT) AS zbucket
+FROM (
+  SELECT doc_id,
+         CAST(LEAST(n_chars // 4, 255) AS BIGINT) AS d_len,
+         CAST('0x' || substr(md5(source), 1, 2) AS BIGINT) AS d_src
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "corpus_shuffle_split": (corpus_shuffle_split, CORPUS_SHUFFLE_SPLIT_SQL),
+    "layout_zorder": (layout_zorder, LAYOUT_ZORDER_SQL),
 }
 
 

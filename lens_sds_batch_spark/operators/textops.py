@@ -631,9 +631,24 @@ DOC_FEATURES_SQL = DOC_FEATURES_SQL.replace("{contam_ctes}", _contam_ctes())
 # (see COVERAGE.md).
 # ---------------------------------------------------------------------------
 
+def textstats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_quality`` + ``token_counts`` joined at doc grain under
+    one wide schema (r6 fold — both arms unchanged and independently
+    callable; same fold pattern as doc_features_pack's arms).  One
+    scan-side join on doc_id, no new shuffle beyond the arms' own."""
+    return text_quality(spark, sf_dir).join(token_counts(spark, sf_dir), "doc_id")
+
+
+TEXTSTATS_PACK_SQL = f"""
+SELECT q.*, t.ws_tokens, t.bpe_tokens
+FROM ({TEXT_QUALITY_SQL.strip().rstrip(';')}) q
+JOIN ({TOKEN_COUNTS_SQL.strip().rstrip(';')}) t ON q.doc_id = t.doc_id
+ORDER BY q.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
-    "text_quality": (text_quality, TEXT_QUALITY_SQL),
-    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "textstats_pack": (textstats_pack, TEXTSTATS_PACK_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "bigram_topk": (bigram_topk, BIGRAM_TOPK_SQL),
     "rolling_hash": (rolling_hash, ROLLING_HASH_SQL),

@@ -162,9 +162,13 @@ def test_pack_arms_individually_importable(spark):
             "q4_order_priority", "q10_returned_items", "topk_global",
             "events_sliding", "cohort_retention",
         ],
-        # r6 folds: dedup_basic_pack + knn_pack arms stay independently callable
+        # r6 folds: dedup_basic_pack + knn_pack + textstats_pack arms
+        # stay independently callable
         "lens_sds_batch_spark.operators.dedup": [
             "ngram_jaccard_pairs", "dedup_exact", "dedup_fingerprint",
+        ],
+        "lens_sds_batch_spark.operators.textops": [
+            "text_quality", "token_counts",
         ],
         "lens_sds_batch_spark.operators.similarity": [
             "embedding_dup_pairs", "knn_bruteforce", "knn_lsh_bucketed",

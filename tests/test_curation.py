@@ -239,3 +239,36 @@ def test_span_dedup_property(spark, docs_spec):
         for r in span_dedup(spark, SF_SMOKE, base=base).collect()
     }
     assert got == _span_walk(texts)
+
+
+def test_layout_zorder_matches_python_walk(spark):
+    """Morton key re-derived in Python over the real corpus, plus
+    pinned interleave values (bit i of d_len at key bit 2i, bit i of
+    d_src at 2i+1)."""
+    from lens_sds_batch_spark.operators.curation import ZBITS, ZBUCKET_SHIFT, layout_zorder
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(ZBITS):
+            z += ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert morton(0, 0) == 0
+    assert morton(255, 255) == 65535
+    assert morton(1, 0) == 1
+    assert morton(0, 1) == 2
+    assert morton(0b1010, 0b0101) == 0b01100110
+
+    docs = _docs(spark)
+    want = {}
+    for did, (text, _, source) in docs.items():
+        n_chars = len(text)
+        d_len = min(n_chars // 4, 255)
+        d_src = int(hashlib.md5(source.encode()).hexdigest()[:2], 16)
+        z = morton(d_len, d_src)
+        want[did] = (d_len, d_src, z, z >> ZBUCKET_SHIFT)
+    got = {
+        r["doc_id"]: (r["d_len"], r["d_src"], r["zkey"], r["zbucket"])
+        for r in layout_zorder(spark, SF_SMOKE).collect()
+    }
+    assert got == want

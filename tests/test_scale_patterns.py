@@ -208,3 +208,44 @@ def test_flagship_plan_shapes_pinned(spark):
     media = plan_of("media_decode_stub")
     assert media.count("MapInPandas") + media.count("ArrowEvalPython") >= 1
     assert media.count("Exchange") == 0, "media_decode_stub grew a shuffle"
+
+
+def test_zorder_layout_write_and_pruning(spark, tmp_path):
+    """layout_zorder's write side: range-repartition + sort by zkey,
+    partition the files by zbucket — a filtered read on zbucket must
+    prune partitions, and each written file must hold a contiguous
+    zkey range (the property that makes row-group min/max stats prune
+    scans on EITHER underlying dimension at 100 TB)."""
+    import os
+
+    from lens_sds_batch_spark.operators.curation import layout_zorder
+
+    out = str(tmp_path / "docs_zordered")
+    keyed = layout_zorder(spark, SF_SMOKE)
+    (
+        keyed.repartitionByRange(4, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.partitionBy("zbucket")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    assert any(d.startswith("zbucket=") for d in os.listdir(out))
+
+    # partition pruning on the coarse cluster
+    buckets = sorted(r["zbucket"] for r in keyed.select("zbucket").distinct().collect())
+    one = spark.read.parquet(out).where(F.col("zbucket") == buckets[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(zbucket" in plan
+    assert {r["zbucket"] for r in one.select("zbucket").distinct().collect()} == {buckets[0]}
+
+    # zbucket is a zkey prefix, so bucket ranges must not overlap:
+    # max(zkey) of bucket b < min(zkey) of bucket b+1
+    stats = (
+        spark.read.parquet(out)
+        .groupBy("zbucket")
+        .agg(F.min("zkey").alias("lo"), F.max("zkey").alias("hi"))
+        .orderBy("zbucket")
+        .collect()
+    )
+    for a, b in zip(stats, stats[1:]):
+        assert a["hi"] < b["lo"]
