@@ -423,6 +423,29 @@ def eval_contamination(spark: SparkSession, sf_dir: str, base: DataFrame | None 
 SPAN_W = 16  # words per dedup span (the "line" analog for the single-line corpus)
 
 
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """One row per non-overlapping ``SPAN_W``-word span of a
+    ``(doc_id, toks)`` frame: (doc_id, pos, span, span_md5).  A pure
+    generator projection — STREAMING-SAFE, so the streaming keep-first
+    twin of ``span_dedup`` is simply
+    ``explode_spans(stream).dropDuplicates(["span_md5"])`` (state = one
+    row per distinct span hash; a production stream bounds it with
+    ``dropDuplicatesWithinWatermark``).  Stream==batch keep-first
+    parity is pinned in tests/test_streaming.py."""
+    toks = F.col("toks")
+    # size >= 1 always (split('') = ['']) so sequence never descends
+    n_spans = F.ceil(F.size(toks) / F.lit(SPAN_W)).cast("int")
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(F.slice(toks, i * SPAN_W + 1, SPAN_W), " "),
+            )
+        ).alias("pos", "span"),
+    ).withColumn("span_md5", F.md5(F.col("span").cast("binary")))
+
+
 def span_dedup(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:
     """Span-level keep-first deduplication — the line/paragraph dedup
     pass of CCNet/MassiveText-style corpus pipelines (the synthetic
@@ -448,19 +471,8 @@ def span_dedup(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) 
         if base is None
         else base
     )
-    toks = F.col("toks")
-    # size >= 1 always (split('') = ['']) so sequence never descends
-    n_spans = F.ceil(F.size(toks) / F.lit(SPAN_W)).cast("int")
-    spans = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_spans - 1),
-                lambda i: F.array_join(F.slice(toks, i * SPAN_W + 1, SPAN_W), " "),
-            )
-        ).alias("pos", "span"),
-    )
-    w = Window.partitionBy(F.md5(F.col("span").cast("binary"))).orderBy("doc_id", "pos")
+    spans = explode_spans(docs)
+    w = Window.partitionBy("span_md5").orderBy("doc_id", "pos")
     ranked = spans.withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
     # collect_list drops the NULLs the `when` leaves for non-kept spans;
     # array_sort on (pos, span) structs restores doc order deterministically

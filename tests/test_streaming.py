@@ -815,3 +815,44 @@ def test_stream_stream_join_state_survives_restart(spark, tmp_path):
     q.stop()
     rows = sorted((r["cmd_id"], r["name"]) for r in spark.read.parquet(out).collect())
     assert rows == [("C1", "ok1"), ("C2", "ok2")]
+
+
+def test_span_dedup_stream_keep_first_cross_batch(spark, tmp_path):
+    """B11 streaming twin of span_dedup: explode_spans +
+    dropDuplicates(span_md5) over a file stream.  A span seen in
+    micro-batch 1 and replayed in micro-batch 2 must be suppressed by
+    the dedup STATE (not just within-batch distinct); every distinct
+    span is emitted exactly once, and the retained count equals the
+    batch span_dedup's total kept spans over the same docs."""
+    from lens_sds_batch_spark.operators.textops import SPAN_W, _tokens, explode_spans, span_dedup
+
+    A, B, C, D, E = (
+        " ".join(f"{ch}{i}" for i in range(SPAN_W)) for ch in ("a", "b", "c", "d", "e")
+    )
+    schema = "doc_id long, text string"
+    d = str(tmp_path / "span_src")
+    # batch 1: A duplicated WITHIN the batch (docs 0 and 1)
+    spark.createDataFrame([(0, f"{A} {B}"), (1, f"{A} {C}")], schema).coalesce(1).write.parquet(d)
+    # batch 2: A and B replayed ACROSS batches + two new spans
+    spark.createDataFrame([(2, f"{A} {D}"), (3, f"{B} {E}")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    docs = stream.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    q = run_to_memory(explode_spans(docs).dropDuplicates(["span_md5"]), "span_dd")
+    try:
+        rows = spark.table("span_dd").collect()
+        hashes = [r["span_md5"] for r in rows]
+        assert len(hashes) == len(set(hashes)) == 5  # each distinct span exactly once
+        assert {r["span"] for r in rows} == {A, B, C, D, E}
+        # batch twin over the same static docs: total kept == distinct spans
+        batch_docs = spark.read.parquet(d).select(
+            "doc_id", _tokens(F.col("text")).alias("toks")
+        )
+        kept_total = sum(
+            r["spans_kept"] for r in span_dedup(spark, SF_SMOKE, base=batch_docs).collect()
+        )
+        assert kept_total == 5
+    finally:
+        q.stop()
