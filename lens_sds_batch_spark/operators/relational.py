@@ -468,24 +468,46 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+ASOF_TOL_NS = 6 * 3600 * 1_000_000_000  # tolerance arm: 6 hours in ns
+# The synthetic orders (1995-2001) and events (Jan 2024) calendars are
+# DISJOINT, so raw order dates would make every backward lookup NULL
+# (vacuously "correct").  Probes are therefore mapped deterministically
+# into the events month: base epoch + (order epoch mod 30 days) —
+# identical arithmetic in the oracle, and it scatters probes so all
+# four direction arms produce real hits AND real misses at sf0.01.
+ASOF_BASE_S = 1_704_067_200  # 2024-01-01T00:00:00Z
+ASOF_SPAN_S = 30 * 86400
+
+
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: latest event at-or-before each order's date for the
-    order's (synthetic) user — the distributed merge-asof plan:
+    """As-of join with the full merge-asof direction surface (pandas
+    ``merge_asof`` parity): per order-probe, the latest event
+    at-or-before (backward), the earliest at-or-after (forward), the
+    nearest of the two (tie → backward), and backward bounded by a
+    30-day tolerance — all from ONE distributed plan:
 
     union(events, order-probes) → one shuffle on the key → running
-    ``max(event_ts)`` window → keep probe rows.  NO join at all: the
-    pair space never materializes (the round-1 inequality-join form
-    broadcast the unbounded events side and exploded per-user pairs —
-    both fatal at 100 TB).  Shuffle size = |events| + |orders|, exactly
-    once, on the natural key; skewed users cost a long sorted
-    partition, not a quadratic blowup.  Probes sort after events at
-    equal timestamps (is_probe tiebreak) so ts == odate counts, per
-    the at-or-before contract.  The oracle keeps the declarative
-    inequality form — same semantics, independent plan."""
+    ``max(ev_ts)`` window (backward) + a mirrored descending running
+    ``min(ev_ts)`` window (forward) over the SAME exchange → keep
+    probe rows.  NO join at all: the pair space never materializes
+    (the round-1 inequality-join form broadcast the unbounded events
+    side and exploded per-user pairs — both fatal at 100 TB).  Shuffle
+    size = |events| + |orders|, exactly once, on the natural key; the
+    two directions cost two in-partition sorts, not a second shuffle;
+    skewed users cost a long sorted partition, not a quadratic
+    blowup.  Inclusive at equality in both directions via the
+    is_probe tiebreak (probes sort after events ascending, after
+    events descending too).  Nearest/tolerance are per-row CASE
+    arithmetic over the two window results.  The oracle keeps the
+    declarative inequality-join form — same semantics, independent
+    plan."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         (F.col("o_custkey") % 15).alias("uid"),
-        (F.unix_timestamp("o_orderdate") * F.lit(1_000_000_000)).alias("odate_ns"),
+        (
+            (F.lit(ASOF_BASE_S) + F.unix_timestamp("o_orderdate") % ASOF_SPAN_S)
+            * F.lit(1_000_000_000)
+        ).alias("odate_ns"),
     )
     probes = orders.select(
         "uid",
@@ -501,26 +523,62 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("o_orderkey"),
         F.col("ts_ns").alias("ev_ts"),
     )
-    w = (
+    wb = (
         Window.partitionBy("uid")
         .orderBy("t", "is_probe")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wf = (
+        Window.partitionBy("uid")
+        .orderBy(F.col("t").desc(), F.col("is_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_ev, next_ev = F.col("last_ev"), F.col("next_ev")
+    nearest = (
+        F.when(last_ev.isNull(), next_ev)
+        .when(next_ev.isNull(), last_ev)
+        .when(F.col("t") - last_ev <= next_ev - F.col("t"), last_ev)
+        .otherwise(next_ev)
+    )
     return (
         ev_rows.unionByName(probes)
-        .withColumn("last_ev", F.max("ev_ts").over(w))
+        .withColumn("last_ev", F.max("ev_ts").over(wb))
+        .withColumn("next_ev", F.min("ev_ts").over(wf))
         .where(F.col("is_probe") == 1)
-        .select("o_orderkey", F.expr("last_ev div 1000000000").alias("last_event_epoch"))
+        .select(
+            "o_orderkey",
+            F.expr("last_ev div 1000000000").alias("last_event_epoch"),
+            F.expr("next_ev div 1000000000").alias("next_event_epoch"),
+            (nearest / F.lit(1_000_000_000)).cast("bigint").alias("nearest_event_epoch"),
+            F.when(F.col("t") - last_ev <= ASOF_TOL_NS, F.expr("last_ev div 1000000000")).alias(
+                "last_event_epoch_within_tol"
+            ),
+        )
     )
 
 
-ASOF_JOIN_SQL = """
-SELECT o_orderkey, max(epoch_ns(ts) // 1000000000) AS last_event_epoch
-FROM (SELECT o_orderkey, o_custkey % 15 AS uid,
-             CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 AS odate_ns
-      FROM orders) o
-LEFT JOIN events e ON o.uid = e.user_id AND epoch_ns(e.ts) <= o.odate_ns
-GROUP BY o_orderkey ORDER BY o_orderkey
+ASOF_JOIN_SQL = f"""
+WITH o AS (SELECT o_orderkey, o_custkey % 15 AS uid,
+                  ({ASOF_BASE_S} + CAST(epoch(o_orderdate) AS BIGINT) % {ASOF_SPAN_S})
+                    * 1000000000 AS odate_ns
+           FROM orders),
+bwd AS (SELECT o_orderkey, max(epoch_ns(e.ts)) AS last_ns
+        FROM o LEFT JOIN events e ON o.uid = e.user_id AND epoch_ns(e.ts) <= o.odate_ns
+        GROUP BY o_orderkey),
+fwd AS (SELECT o_orderkey, min(epoch_ns(e.ts)) AS next_ns
+        FROM o LEFT JOIN events e ON o.uid = e.user_id AND epoch_ns(e.ts) >= o.odate_ns
+        GROUP BY o_orderkey)
+SELECT o.o_orderkey,
+       last_ns // 1000000000 AS last_event_epoch,
+       next_ns // 1000000000 AS next_event_epoch,
+       (CASE WHEN last_ns IS NULL THEN next_ns
+             WHEN next_ns IS NULL THEN last_ns
+             WHEN (o.odate_ns - last_ns) <= (next_ns - o.odate_ns) THEN last_ns
+             ELSE next_ns END) // 1000000000 AS nearest_event_epoch,
+       CASE WHEN o.odate_ns - last_ns <= {ASOF_TOL_NS}
+            THEN last_ns // 1000000000 END AS last_event_epoch_within_tol
+FROM o JOIN bwd USING (o_orderkey) JOIN fwd USING (o_orderkey)
+ORDER BY o.o_orderkey
 """
 
 
