@@ -253,15 +253,6 @@ QUERIES: dict[str, tuple] = {
 }
 
 
-# SemDeDup cosine cutoff for the funnel's semantic stage.  The dup_pairs
-# threshold (0.9) targets true near-copies; the synthetic embeddings are
-# random (max within-bucket cosine ~0.43 at sf0.01), so the funnel uses a
-# corpus-calibrated tau at roughly the top-1% of within-bucket pair
-# cosines — a real pipeline tunes exactly this dial against a held-out
-# duplicate-judgment set.
-SEM_COS_TAU = 0.35
-
-
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation FUNNEL (r6): the stage-wise survivor counts a
     training-data pipeline reports after each cut — the composition
@@ -298,7 +289,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair generation; counts are map-side-combinable aggregates.
     """
     from .dedup import dedup_minhash_pairs
-    from .similarity import embedding_dup_pairs
+    from .similarity import SEM_COS_TAU, embedding_dup_pairs
     from .textops import corpus_filter, lang_id
 
     docs = load_table(spark, sf_dir, "documents")
@@ -351,7 +342,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _curation_funnel_sql() -> str:
     from .dedup import _duck_minhash_ctes
-    from .similarity import embedding_dup_sql
+    from .similarity import SEM_COS_TAU, embedding_dup_sql
     from .textops import CORPUS_FILTER_SQL, LANG_ID_SQL
 
     return f"""

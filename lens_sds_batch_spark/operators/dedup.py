@@ -702,8 +702,11 @@ ORDER BY doc_id
 def dup_pairs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11 pair-generator pack: blocked exact n-gram jaccard pairs
     (documents) + LSH-bucketed embedding-cosine dup pairs (embeddings),
-    union-harmonized onto (kind, id_a, id_b, score)."""
-    from .similarity import embedding_dup_pairs
+    union-harmonized onto (kind, id_a, id_b, score).  The emb arm runs
+    at the corpus-calibrated SEM_COS_TAU — at the semantic 0.9 default
+    it produced ZERO pairs on the synthetic random embeddings, i.e. a
+    vacuously-green arm (r6 degeneracy audit)."""
+    from .similarity import SEM_COS_TAU, embedding_dup_pairs
 
     jac = ngram_jaccard_pairs(spark, sf_dir).select(
         F.lit("jaccard").alias("kind"),
@@ -711,7 +714,7 @@ def dup_pairs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("id_b"),
         F.col("jaccard").alias("score"),
     )
-    emb = embedding_dup_pairs(spark, sf_dir).select(
+    emb = embedding_dup_pairs(spark, sf_dir, threshold=SEM_COS_TAU).select(
         F.lit("emb_cos").alias("kind"),
         F.col("vec_a").alias("id_a"),
         F.col("vec_b").alias("id_b"),
@@ -724,7 +727,9 @@ def dup_pairs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dup_pairs_pack_sql() -> str:
-    from .similarity import EMBEDDING_DUP_SQL
+    from .similarity import SEM_COS_TAU, embedding_dup_sql
+
+    EMBEDDING_DUP_SQL = embedding_dup_sql(SEM_COS_TAU)
 
     return f"""
 SELECT 'jaccard' AS kind, doc_a AS id_a, doc_b AS id_b, jaccard AS score

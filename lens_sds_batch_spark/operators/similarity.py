@@ -171,6 +171,16 @@ QUERIES: dict[str, tuple] = {
 
 
 DUP_COS_THRESHOLD = 0.9
+# Corpus-calibrated near-dup tau (r6): the semantic default above
+# targets true near-copies, but the SYNTHETIC embeddings are random —
+# max within-bucket cosine ~0.43 at sf0.01 — so every consumer that
+# gated on 0.9 was VACUOUSLY green (zero pairs; found by
+# tools/degeneracy_audit.py).  Queries that need the pair machinery
+# EXERCISED on this corpus (dup_pairs_pack's emb arm, the funnel's
+# SemDeDup stage) use this tau ≈ the top-1% of within-bucket pair
+# cosines; a real pipeline tunes exactly this dial against a held-out
+# duplicate-judgment set.
+SEM_COS_TAU = 0.35
 EMB_BUCKET_CAP = 200  # skew guard: drop sign buckets larger than this
 
 

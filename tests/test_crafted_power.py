@@ -1,0 +1,99 @@
+"""Crafted-input tests restoring verification power where the
+synthetic corpus is DEGENERATE (found by tools/degeneracy_audit.py):
+
+- the corpus has zero exact-duplicate texts, so dedup_exact /
+  dedup_fingerprint run gate-green with n_copies == 1 everywhere — a
+  wrong keeper or count would never show;
+- every doc scores highest on English stopwords, so lang_id never
+  predicts es/de/fr at the gate;
+- every (lang, source) shard fits one PACK_BUDGET bin, so the packing
+  cumsum's bin arithmetic never exceeds bin 0.
+
+Each test synthesizes the missing shape and checks the operator's
+full contract against hand-computed expectations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: (doc_id, text, lang, source) -> a documents.parquet dir
+    usable as an sf_dir."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_dedup_exact_with_real_duplicates(spark, tmp_path):
+    from lens_sds_batch_spark.operators.dedup import dedup_exact
+
+    rows = [
+        (0, "alpha beta", "en", "s0"),
+        (3, "alpha beta", "en", "s0"),   # dup of 0 -> keeper 0, copies 2
+        (7, "alpha beta", "en", "s1"),   # third copy
+        (1, "gamma", "en", "s0"),        # unique
+        (5, "Alpha beta", "en", "s0"),   # case differs -> NOT an exact dup
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r["keeper_id"]: r["n_copies"] for r in dedup_exact(spark, sf).collect()}
+    assert got == {0: 3, 1: 1, 5: 1}
+
+
+def test_dedup_fingerprint_normalizes_variants(spark, tmp_path):
+    from lens_sds_batch_spark.operators.dedup import dedup_fingerprint
+
+    rows = [
+        (0, "alpha beta", "en", "s0"),
+        (2, "Alpha,  BETA!", "en", "s0"),  # case/punct/space variant -> same fp
+        (4, "alpha  beta", "en", "s0"),    # double space -> same fp
+        (6, "alpha gamma", "en", "s0"),    # different content
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r["keeper_id"]: r["n_copies"] for r in dedup_fingerprint(spark, sf).collect()}
+    assert got == {0: 3, 6: 1}
+
+
+def test_lang_id_discriminates_all_languages(spark):
+    from lens_sds_batch_spark.operators.textops import LANG_STOPWORDS, _tokens, lang_id
+
+    rows = [
+        (i, " ".join(LANG_STOPWORDS[lang] * 3) + " filler", lang)
+        for i, lang in enumerate(LANG_STOPWORDS)
+    ]
+    base = spark.createDataFrame(rows, "doc_id long, text string, lang string").select(
+        "doc_id", "text", "lang", _tokens(F.col("text")).alias("toks")
+    )
+    got = {
+        r["doc_id"]: (r["predicted_lang"], r["label_match"])
+        for r in lang_id(spark, "unused", base=base).collect()
+    }
+    want = {i: (lang, 1) for i, lang in enumerate(LANG_STOPWORDS)}
+    assert got == want
+
+
+def test_pack_sequences_fills_multiple_bins(spark, tmp_path):
+    from lens_sds_batch_spark.operators.curation import PACK_BUDGET, pack_sequences
+
+    # one shard of 10 docs x 300 tokens: budget 1024 -> bins of 3 docs
+    # (cumsum-exclusive // 1024: 0,300,600 -> 0; 900,1200,1500 -> 0,1,1 ...)
+    text = " ".join(f"w{i}" for i in range(300))
+    rows = [(i, text, "en", "s0") for i in range(10)]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        r["bin"]: (r["n_docs"], r["sum_tokens"])
+        for r in pack_sequences(spark, sf).collect()
+    }
+    # python walk: exclusive cumsum // budget
+    want: dict[int, list[int]] = {}
+    acc = 0
+    for _ in rows:
+        b = acc // PACK_BUDGET
+        n, s = want.get(b, (0, 0))
+        want[b] = (n + 1, s + 300)
+        acc += 300
+    assert got == want
+    assert len(got) >= 3  # the multi-bin path is actually exercised
