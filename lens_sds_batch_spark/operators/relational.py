@@ -534,7 +534,11 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     last_ev, next_ev = F.col("last_ev"), F.col("next_ev")
-    nearest = (
+    # choose the nearest side at NS granularity, then integer-divide —
+    # a double division here would round half-even at ~1.7e18 ns
+    # (ulp 256 ns) and diverge from the oracle's integer `//` on
+    # ns-granularity event times
+    nearest_ns = (
         F.when(last_ev.isNull(), next_ev)
         .when(next_ev.isNull(), last_ev)
         .when(F.col("t") - last_ev <= next_ev - F.col("t"), last_ev)
@@ -545,11 +549,12 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_ev", F.max("ev_ts").over(wb))
         .withColumn("next_ev", F.min("ev_ts").over(wf))
         .where(F.col("is_probe") == 1)
+        .withColumn("nearest_ns", nearest_ns)
         .select(
             "o_orderkey",
             F.expr("last_ev div 1000000000").alias("last_event_epoch"),
             F.expr("next_ev div 1000000000").alias("next_event_epoch"),
-            (nearest / F.lit(1_000_000_000)).cast("bigint").alias("nearest_event_epoch"),
+            F.expr("nearest_ns div 1000000000").alias("nearest_event_epoch"),
             F.when(F.col("t") - last_ev <= ASOF_TOL_NS, F.expr("last_ev div 1000000000")).alias(
                 "last_event_epoch_within_tol"
             ),

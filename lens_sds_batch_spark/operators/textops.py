@@ -51,23 +51,28 @@ def _hits(toks, words: tuple[str, ...]):
     return F.size(F.filter(toks, pred))
 
 
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc quality metrics: token counts, type-token ratio,
-    stopword ratio, mean token length."""
-    docs = load_table(spark, sf_dir, "documents")
+def _quality_cols() -> list:
+    """text_quality's column expressions over a ``text`` column —
+    shared by the standalone arm and textstats_pack."""
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     n_stop = _hits(toks, LANG_STOPWORDS["en"])
-    return docs.select(
-        "doc_id",
+    return [
         F.length("text").alias("len_chars"),
         n_tok.alias("n_tokens"),
         n_distinct.alias("n_distinct"),
         (n_distinct.cast("double") / n_tok.cast("double")).alias("ttr"),
         (n_stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
         ((F.length("text") - (n_tok - 1)).cast("double") / n_tok.cast("double")).alias("mean_token_len"),
-    )
+    ]
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality metrics: token counts, type-token ratio,
+    stopword ratio, mean token length."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *_quality_cols())
 
 
 _SW_EN = "', '".join(LANG_STOPWORDS["en"])
@@ -140,14 +145,18 @@ FROM scored ORDER BY doc_id
 """
 
 
+def _token_count_cols() -> list:
+    """token_counts' column expressions — shared with textstats_pack."""
+    return [
+        F.size(_tokens(F.col("text"))).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH)).alias("bpe_tokens"),
+    ]
+
+
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens vs a BPE-ish regex token estimate."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(_tokens(F.col("text"))).alias("ws_tokens"),
-        F.regexp_count(F.col("text"), F.lit(BPE_ISH)).alias("bpe_tokens"),
-    )
+    return docs.select("doc_id", *_token_count_cols())
 
 
 TOKEN_COUNTS_SQL = f"""
@@ -430,8 +439,12 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     twin of ``span_dedup`` is simply
     ``explode_spans(stream).dropDuplicates(["span_md5"])`` (state = one
     row per distinct span hash; a production stream bounds it with
-    ``dropDuplicatesWithinWatermark``).  Stream==batch keep-first
-    parity is pinned in tests/test_streaming.py."""
+    ``dropDuplicatesWithinWatermark``).  NB the twins agree on WHICH
+    spans survive (count/set parity, pinned in
+    tests/test_streaming.py) but not on which OCCURRENCE is the
+    keeper: batch keeps min (doc_id, pos); streaming dropDuplicates
+    keeps the arrival-order first, which is arbitrary within a
+    micro-batch — per-doc spans_kept can differ between the two."""
     toks = F.col("toks")
     # size >= 1 always (split('') = ['']) so sequence never descends
     n_spans = F.ceil(F.size(toks) / F.lit(SPAN_W)).cast("int")
@@ -644,11 +657,17 @@ DOC_FEATURES_SQL = DOC_FEATURES_SQL.replace("{contam_ctes}", _contam_ctes())
 # ---------------------------------------------------------------------------
 
 def textstats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``text_quality`` + ``token_counts`` joined at doc grain under
-    one wide schema (r6 fold — both arms unchanged and independently
-    callable; same fold pattern as doc_features_pack's arms).  One
-    scan-side join on doc_id, no new shuffle beyond the arms' own."""
-    return text_quality(spark, sf_dir).join(token_counts(spark, sf_dir), "doc_id")
+    """``text_quality`` + ``token_counts`` as ONE wide zero-shuffle
+    projection (r6 fold; both arms stay independently callable and
+    share the same expression builders, so the pack cannot drift from
+    them).  Both arms are pure per-row projections over the same scan,
+    so a doc-grain join here would have ADDED an exchange neither arm
+    has — at 100 TB a doc-grain broadcast is impossible and the join
+    would become a sort-merge with two shuffles (r6 review finding);
+    the single select keeps the whole pack inside one WholeStageCodegen
+    over one FileScan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *_quality_cols(), *_token_count_cols())
 
 
 TEXTSTATS_PACK_SQL = f"""

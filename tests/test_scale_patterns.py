@@ -238,14 +238,27 @@ def test_zorder_layout_write_and_pruning(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(zbucket" in plan
     assert {r["zbucket"] for r in one.select("zbucket").distinct().collect()} == {buckets[0]}
 
-    # zbucket is a zkey prefix, so bucket ranges must not overlap:
-    # max(zkey) of bucket b < min(zkey) of bucket b+1
-    stats = (
+    # contiguity must hold per FILE, not per bucket (bucket ranges are
+    # disjoint by construction since zbucket = zkey >> 8 — asserting
+    # those would be a tautology, r6 review finding): within a bucket,
+    # the per-file [min, max] zkey intervals must not overlap, which is
+    # exactly what the repartitionByRange + sortWithinPartitions write
+    # buys and what row-group min/max pruning needs.  Without the
+    # range repartition, a bucket's files come from arbitrary input
+    # splits and their ranges interleave.
+    per_file = (
         spark.read.parquet(out)
-        .groupBy("zbucket")
+        .groupBy("zbucket", F.input_file_name().alias("f"))
         .agg(F.min("zkey").alias("lo"), F.max("zkey").alias("hi"))
-        .orderBy("zbucket")
         .collect()
     )
-    for a, b in zip(stats, stats[1:]):
-        assert a["hi"] < b["lo"]
+    by_bucket: dict = {}
+    for r in per_file:
+        by_bucket.setdefault(r["zbucket"], []).append((r["lo"], r["hi"]))
+    multi = 0
+    for intervals in by_bucket.values():
+        intervals.sort()
+        multi += len(intervals) > 1
+        for (_, hi_a), (lo_b, _) in zip(intervals, intervals[1:]):
+            assert hi_a <= lo_b, "overlapping per-file zkey ranges in one bucket"
+    assert multi >= 1  # the multi-file case is actually exercised
