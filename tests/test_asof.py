@@ -74,3 +74,84 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         hits = sum(1 for r in vals if r[col] is not None)
         assert 0 < hits <= len(vals), col
     assert all(r["nearest_event_epoch"] is not None for r in vals)
+
+
+def test_asof_join_edge_cases(spark, tmp_path):
+    """Crafted boundary shapes the corpus can't guarantee: exact
+    ts==probe equality (inclusive BOTH directions), equidistant
+    events (nearest tie -> backward), the tolerance boundary (<= at
+    exactly ASOF_TOL_NS, miss one microsecond past it), and a user
+    with no events at all (every arm NULL)."""
+    import datetime as dt
+
+    epoch = dt.datetime(1970, 1, 1)
+
+    def order(okey, uid, offset_s):
+        # probe lands at ASOF_BASE_S + offset_s (odate = epoch + offset,
+        # so epoch(odate) % ASOF_SPAN_S == offset for offset < span)
+        assert offset_s < ASOF_SPAN_S
+        return (okey, uid, epoch + dt.timedelta(seconds=offset_s))
+
+    def event(uid, probe_offset_s, delta_us):
+        ts = epoch + dt.timedelta(
+            seconds=ASOF_BASE_S + probe_offset_s, microseconds=delta_us
+        )
+        return (1000 + uid, ts, uid, "e", 0.0, "{}")
+
+    tol_us = ASOF_TOL_NS // 1000
+    orders = [
+        order(0, 0, 1000),   # uid 0: exact-equality event
+        order(1, 1, 2000),   # uid 1: equidistant events at +-5s
+        order(2, 2, 3000),   # uid 2: backward exactly AT the tolerance bound
+        order(3, 3, 4000),   # uid 3: backward 1us PAST the tolerance bound
+        order(4, 4, 5000),   # uid 4: no events at all
+    ]
+    events = [
+        event(0, 1000, 0),            # ts == probe exactly
+        event(1, 2000, -5_000_000),   # 5s before
+        event(1, 2000, 5_000_000),    # 5s after (equidistant)
+        event(2, 3000, -tol_us),      # exactly tolerance behind
+        event(3, 4000, -(tol_us + 1)),  # one microsecond too far
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    got = {r["o_orderkey"]: r for r in asof_join(spark, d).collect()}
+    t = {k: ASOF_BASE_S + off for k, off in [(0, 1000), (1, 2000), (2, 3000), (3, 4000)]}
+
+    # exact equality: inclusive both directions, nearest == both
+    r0 = got[0]
+    assert (
+        r0["last_event_epoch"]
+        == r0["next_event_epoch"]
+        == r0["nearest_event_epoch"]
+        == r0["last_event_epoch_within_tol"]
+        == t[0]
+    )
+    # equidistant: nearest tie breaks BACKWARD (floor-second of t-5s)
+    r1 = got[1]
+    assert r1["last_event_epoch"] == t[1] - 5
+    assert r1["next_event_epoch"] == t[1] + 5
+    assert r1["nearest_event_epoch"] == t[1] - 5
+    # tolerance: <= at the bound hits; 1us past misses
+    tol_s = ASOF_TOL_NS // 1_000_000_000
+    assert got[2]["last_event_epoch_within_tol"] == t[2] - tol_s
+    assert got[3]["last_event_epoch"] is not None
+    assert got[3]["last_event_epoch_within_tol"] is None
+    # empty group: every arm NULL
+    r4 = got[4]
+    assert all(
+        r4[c] is None
+        for c in (
+            "last_event_epoch",
+            "next_event_epoch",
+            "nearest_event_epoch",
+            "last_event_epoch_within_tol",
+        )
+    )
