@@ -102,6 +102,16 @@ def assert_match(spark_df, duck_sql: str, sf_dir: str, limit: int | None = None)
     duck_cols = [d[0] for d in con.description]
     spark_rows = [tuple(r) for r in spark_df.collect()]
     spark_cols = spark_df.columns
+    # vacuity guard (r6 degeneracy audit): a hash-green EMPTY result or
+    # ALL-NULL column means both engines agree on nothing — the asof
+    # backward arm shipped exactly that way.  No current query has a
+    # legitimately empty/all-NULL shape at any test SF; if one ever
+    # does, allowlist it HERE with a comment, don't weaken the guard.
+    assert spark_rows, "empty result — vacuously green"
+    for i, c in enumerate(spark_cols):
+        assert any(r[i] is not None for r in spark_rows), (
+            f"column {c} is ALL NULL — vacuously green (degeneracy-audit class)"
+        )
     assert sorted(spark_cols) == sorted(duck_cols), f"columns differ: {spark_cols} vs {duck_cols}"
     assert len(spark_rows) == len(duck_rows), f"row counts differ: {len(spark_rows)} vs {len(duck_rows)}"
     ms, md = _multiset(spark_cols, spark_rows), _multiset(duck_cols, duck_rows)
