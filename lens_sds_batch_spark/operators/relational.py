@@ -471,11 +471,15 @@ GROUP BY user_id ORDER BY user_id
 ASOF_TOL_NS = 6 * 3600 * 1_000_000_000  # tolerance arm: 6 hours in ns
 # The synthetic orders (1995-2001) and events (Jan 2024) calendars are
 # DISJOINT, so raw order dates would make every backward lookup NULL
-# (vacuously "correct").  Probes are therefore mapped deterministically
-# into the events month: base epoch + (order epoch mod 30 days) —
-# identical arithmetic in the oracle, and it scatters probes so all
-# four direction arms produce real hits AND real misses at sf0.01.
-ASOF_BASE_S = 1_704_067_200  # 2024-01-01T00:00:00Z
+# (vacuously "correct", r6 degeneracy audit).  Probes are therefore
+# mapped deterministically into the events window: floor-second of
+# min(event ts) + (order epoch mod 30 days) — identical arithmetic in
+# the oracle, scattering probes so all four direction arms produce
+# real hits AND misses.  The base is DERIVED FROM THE DATA (a tiny
+# broadcast of the min-ts aggregate), not a constant, so the mapping
+# survives the per-round testdata regeneration shifting the events
+# calendar (the ts physical type has already drifted twice; a pinned
+# epoch here would re-vacuate the backward arm silently).
 ASOF_SPAN_S = 30 * 86400
 
 
@@ -501,13 +505,19 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic over the two window results.  The oracle keeps the
     declarative inequality-join form — same semantics, independent
     plan."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        (F.col("o_custkey") % 15).alias("uid"),
-        (
-            (F.lit(ASOF_BASE_S) + F.unix_timestamp("o_orderdate") % ASOF_SPAN_S)
-            * F.lit(1_000_000_000)
-        ).alias("odate_ns"),
+    ev = load_events(spark, sf_dir)
+    base = ev.agg(F.expr("min(ts_ns) div 1000000000").alias("asof_base_s"))
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 15).alias("uid"),
+            (
+                (F.col("asof_base_s") + F.unix_timestamp("o_orderdate") % ASOF_SPAN_S)
+                * F.lit(1_000_000_000)
+            ).alias("odate_ns"),
+        )
     )
     probes = orders.select(
         "uid",
@@ -516,7 +526,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.lit(None).cast("bigint").alias("ev_ts"),
     )
-    ev_rows = load_events(spark, sf_dir).select(
+    ev_rows = ev.select(
         F.col("user_id").alias("uid"),
         F.col("ts_ns").alias("t"),
         F.lit(0).alias("is_probe"),
@@ -563,10 +573,11 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ASOF_JOIN_SQL = f"""
-WITH o AS (SELECT o_orderkey, o_custkey % 15 AS uid,
-                  ({ASOF_BASE_S} + CAST(epoch(o_orderdate) AS BIGINT) % {ASOF_SPAN_S})
-                    * 1000000000 AS odate_ns
-           FROM orders),
+WITH base AS (SELECT min(epoch_ns(ts)) // 1000000000 AS asof_base_s FROM events),
+o AS (SELECT o_orderkey, o_custkey % 15 AS uid,
+             (asof_base_s + CAST(epoch(o_orderdate) AS BIGINT) % {ASOF_SPAN_S})
+               * 1000000000 AS odate_ns
+      FROM orders CROSS JOIN base),
 bwd AS (SELECT o_orderkey, max(epoch_ns(e.ts)) AS last_ns
         FROM o LEFT JOIN events e ON o.uid = e.user_id AND epoch_ns(e.ts) <= o.odate_ns
         GROUP BY o_orderkey),

@@ -8,7 +8,6 @@ from __future__ import annotations
 import pandas as pd
 
 from lens_sds_batch_spark.operators.relational import (
-    ASOF_BASE_S,
     ASOF_SPAN_S,
     ASOF_TOL_NS,
     asof_join,
@@ -22,17 +21,6 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
         ["o_orderkey", "o_custkey", "o_orderdate"]
     ]
-    # same probe mapping as the operator: base + order epoch mod span
-    od_epoch = (
-        (orders["o_orderdate"] - pd.Timestamp("1970-01-01")).dt.total_seconds().astype("int64")
-    )
-    probes = pd.DataFrame(
-        {
-            "o_orderkey": orders["o_orderkey"],
-            "uid": orders["o_custkey"] % 15,
-            "t": (ASOF_BASE_S + od_epoch % ASOF_SPAN_S) * 1_000_000_000,
-        }
-    ).sort_values("t", kind="mergesort")
     ev = (
         pd.DataFrame(
             [(r["user_id"], r["ts_ns"]) for r in load_events(spark, SF_SMOKE).collect()],
@@ -41,6 +29,19 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         .sort_values("ts", kind="mergesort")
         .reset_index(drop=True)
     )
+    # same probe mapping as the operator: data-derived base (floor-second
+    # of the earliest event) + order epoch mod span
+    base_s = int(ev["ts"].min()) // 1_000_000_000
+    od_epoch = (
+        (orders["o_orderdate"] - pd.Timestamp("1970-01-01")).dt.total_seconds().astype("int64")
+    )
+    probes = pd.DataFrame(
+        {
+            "o_orderkey": orders["o_orderkey"],
+            "uid": orders["o_custkey"] % 15,
+            "t": (base_s + od_epoch % ASOF_SPAN_S) * 1_000_000_000,
+        }
+    ).sort_values("t", kind="mergesort")
 
     def asof(direction, tolerance=None):
         m = pd.merge_asof(
@@ -85,33 +86,41 @@ def test_asof_join_edge_cases(spark, tmp_path):
     import datetime as dt
 
     epoch = dt.datetime(1970, 1, 1)
+    # the operator derives its probe base from min(event ts): an anchor
+    # event (uid 9, no probe) at ANCHOR_S pins the base exactly, and all
+    # other offsets stay above the tolerance window so the anchor is the
+    # global minimum
+    ANCHOR_S = 2_000_000_000
 
     def order(okey, uid, offset_s):
-        # probe lands at ASOF_BASE_S + offset_s (odate = epoch + offset,
+        # probe lands at ANCHOR_S + offset_s (odate = epoch + offset,
         # so epoch(odate) % ASOF_SPAN_S == offset for offset < span)
         assert offset_s < ASOF_SPAN_S
         return (okey, uid, epoch + dt.timedelta(seconds=offset_s))
 
     def event(uid, probe_offset_s, delta_us):
         ts = epoch + dt.timedelta(
-            seconds=ASOF_BASE_S + probe_offset_s, microseconds=delta_us
+            seconds=ANCHOR_S + probe_offset_s, microseconds=delta_us
         )
         return (1000 + uid, ts, uid, "e", 0.0, "{}")
 
     tol_us = ASOF_TOL_NS // 1000
+    tol_s = ASOF_TOL_NS // 1_000_000_000
+    off = {k: 30000 + 10000 * k for k in range(5)}  # all > tol_s above the anchor
     orders = [
-        order(0, 0, 1000),   # uid 0: exact-equality event
-        order(1, 1, 2000),   # uid 1: equidistant events at +-5s
-        order(2, 2, 3000),   # uid 2: backward exactly AT the tolerance bound
-        order(3, 3, 4000),   # uid 3: backward 1us PAST the tolerance bound
-        order(4, 4, 5000),   # uid 4: no events at all
+        order(0, 0, off[0]),   # uid 0: exact-equality event
+        order(1, 1, off[1]),   # uid 1: equidistant events at +-5s
+        order(2, 2, off[2]),   # uid 2: backward exactly AT the tolerance bound
+        order(3, 3, off[3]),   # uid 3: backward 1us PAST the tolerance bound
+        order(4, 4, off[4]),   # uid 4: no events at all
     ]
     events = [
-        event(0, 1000, 0),            # ts == probe exactly
-        event(1, 2000, -5_000_000),   # 5s before
-        event(1, 2000, 5_000_000),    # 5s after (equidistant)
-        event(2, 3000, -tol_us),      # exactly tolerance behind
-        event(3, 4000, -(tol_us + 1)),  # one microsecond too far
+        (999, epoch + dt.timedelta(seconds=ANCHOR_S), 9, "anchor", 0.0, "{}"),
+        event(0, off[0], 0),            # ts == probe exactly
+        event(1, off[1], -5_000_000),   # 5s before
+        event(1, off[1], 5_000_000),    # 5s after (equidistant)
+        event(2, off[2], -tol_us),      # exactly tolerance behind
+        event(3, off[3], -(tol_us + 1)),  # one microsecond too far
     ]
     d = str(tmp_path)
     spark.createDataFrame(
@@ -123,7 +132,7 @@ def test_asof_join_edge_cases(spark, tmp_path):
     ).coalesce(1).write.parquet(f"{d}/events.parquet")
 
     got = {r["o_orderkey"]: r for r in asof_join(spark, d).collect()}
-    t = {k: ASOF_BASE_S + off for k, off in [(0, 1000), (1, 2000), (2, 3000), (3, 4000)]}
+    t = {k: ANCHOR_S + off[k] for k in range(4)}
 
     # exact equality: inclusive both directions, nearest == both
     r0 = got[0]
@@ -140,7 +149,6 @@ def test_asof_join_edge_cases(spark, tmp_path):
     assert r1["next_event_epoch"] == t[1] + 5
     assert r1["nearest_event_epoch"] == t[1] - 5
     # tolerance: <= at the bound hits; 1us past misses
-    tol_s = ASOF_TOL_NS // 1_000_000_000
     assert got[2]["last_event_epoch_within_tol"] == t[2] - tol_s
     assert got[3]["last_event_epoch"] is not None
     assert got[3]["last_event_epoch_within_tol"] is None
