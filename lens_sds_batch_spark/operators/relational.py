@@ -506,7 +506,17 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative inequality-join form — same semantics, independent
     plan."""
     ev = load_events(spark, sf_dir)
-    base = ev.agg(F.expr("min(ts_ns) div 1000000000").alias("asof_base_s"))
+    # FLOOR division (x - pmod(x, y)) div y, not `div` (truncation):
+    # a pre-1970 min ts would floor to -1s in the oracle's `//` but
+    # truncate to 0s here, shifting every probe by a second.  Cost
+    # note: this is a second, column-pruned scan of events and a
+    # barrier before the probe mapping — measured +0.2s at sf0.1,
+    # the price of surviving testdata calendar drift.
+    base = ev.agg(
+        F.expr(
+            "(min(ts_ns) - pmod(min(ts_ns), 1000000000)) div 1000000000"
+        ).alias("asof_base_s")
+    )
     orders = (
         load_table(spark, sf_dir, "orders")
         .crossJoin(F.broadcast(base))

@@ -94,7 +94,7 @@ def assert_type_families(spark_df, duck_arrow: pa.Table):
     )
 
 
-def assert_match(spark_df, duck_sql: str, sf_dir: str, limit: int | None = None):
+def assert_match(spark_df, duck_sql: str, sf_dir: str):
     con = duck_connect(sf_dir)
     duck_arrow = con.execute(duck_sql).arrow()
     assert_type_families(spark_df, duck_arrow)

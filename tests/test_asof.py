@@ -73,7 +73,7 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     vals = list(got.values())
     for col in ("last_event_epoch", "next_event_epoch", "last_event_epoch_within_tol"):
         hits = sum(1 for r in vals if r[col] is not None)
-        assert 0 < hits <= len(vals), col
+        assert 0 < hits < len(vals), col  # strict: real hits AND real misses
     assert all(r["nearest_event_epoch"] is not None for r in vals)
 
 
@@ -85,7 +85,10 @@ def test_asof_join_edge_cases(spark, tmp_path):
     with no events at all (every arm NULL)."""
     import datetime as dt
 
-    epoch = dt.datetime(1970, 1, 1)
+    # tz-AWARE datetimes: PySpark converts naive datetimes via the
+    # SYSTEM timezone (time.mktime), not spark.sql.session.timeZone,
+    # so naive inputs would shift every instant on a non-UTC machine
+    epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
     # the operator derives its probe base from min(event ts): an anchor
     # event (uid 9, no probe) at ANCHOR_S pins the base exactly, and all
     # other offsets stay above the tolerance window so the anchor is the
