@@ -69,6 +69,23 @@ HEADLINE = (
     # added round 6
     "curation_funnel",
     "layout_zorder",
+    # late r6: the rest of the registry — bench now covers EVERY
+    # contract query (the r4 lesson: an unbenchmarked query hid a 12s
+    # regression).  Totals are r1/r4-comparable on the key subsets
+    # above only; per-query rows are the real record.
+    "odm_commands_uuid5",
+    "bigram_topk",
+    "media_decode_stub",
+    "window_pack",
+    "agg_multi_pack",
+    "set_ops_pack",
+    "row_funcs_pack",
+    "scalar_pack",
+    "percentile_pack",
+    "reshape_pack",
+    "tpch_pack",
+    "time_aggs_pack",
+    "approx_sketches",
 )
 
 

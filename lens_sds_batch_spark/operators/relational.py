@@ -884,14 +884,24 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 1e12 keys is a full shuffle of all keys); the in-bound flags are
     how a pipeline validates them cheaply at small SF first."""
     li = load_table(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
+    # The exact count-distinct runs as its OWN aggregate, joined back
+    # on the 3-row group key: mixing a distinct aggregate with the
+    # percentile/HLL aggregates forces Expand (every row duplicated
+    # per distinct-set) + SortAggregate over the expanded stream —
+    # measured 12.2s fused vs ~3s split at sf0.1 (late r6; the query
+    # was invisible to bench until the full-registry suite).  Two
+    # column-pruned scans beat one 2x-expanded sort by 4x.
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("apc"),
         F.percentile_approx("l_extendedprice", 0.5).alias("amed"),
-        F.countDistinct("l_partkey").alias("n_parts_exact"),
         F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
         F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact")
+    )
+    g = sketches.join(exact, "l_returnflag")
     return g.select(
         "l_returnflag",
         "n_parts_exact",
@@ -1197,6 +1207,47 @@ SELECT promo_rev / total_rev * 100.0 AS promo_pct,
        round(promo_rev, 2) AS promo_rev_r,
        round(total_rev, 2) AS total_rev_r
 FROM agg
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape adapted to this schema (no p_container /
+    l_shipmode in the testdata): revenue through an OR-of-AND-blocks
+    predicate spanning BOTH join sides — the classic disjunctive-join
+    stress.  Each branch conjoins a part predicate (brand/type + size
+    band) with a lineitem predicate (quantity band); since the
+    disjunction spans both tables it cannot be pushed below the join
+    wholesale, so the plan keeps the broadcast part join cheap and
+    evaluates the OR post-join — exactly what a 100 TB run wants (the
+    small side broadcast, the fact side streamed once)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_size")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(16, 35) & q.between(10, 35))
+        | ((F.col("p_type") == "ECONOMY") & sz.between(36, 50) & q.between(20, 50))
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(branch)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 35 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_type = 'ECONOMY' AND p_size BETWEEN 36 AND 50 AND l_quantity BETWEEN 20 AND 50)
 """
 
 
@@ -1700,6 +1751,14 @@ def tpch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             _nl("bigint", "v1"),
             F.col("promo_pct").alias("v2"),
         ),
+        # late-r6 arm: Q19 shape (disjunctive join predicate)
+        q19_disjunctive_revenue(spark, sf_dir).select(
+            F.lit("q19").alias("kind"),
+            _nl("string", "k1"),
+            _nl("string", "k2"),
+            F.col("n_lines").cast("bigint").alias("v1"),
+            F.col("revenue").alias("v2"),
+        ),
     ]
     out = arms[0]
     for a in arms[1:]:
@@ -1719,6 +1778,8 @@ UNION ALL
 {_arm('q12', Q12_SQL, "l_returnflag AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(high_line_count AS BIGINT) AS v1, CAST(low_line_count AS DOUBLE) AS v2")}
 UNION ALL
 {_arm('q14', Q14_SQL, "CAST(NULL AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(NULL AS BIGINT) AS v1, promo_pct AS v2")}
+UNION ALL
+{_arm('q19', Q19_SQL, "CAST(NULL AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(n_lines AS BIGINT) AS v1, revenue AS v2")}
 ORDER BY kind, k1
 """
 

@@ -234,6 +234,7 @@ EMBEDDING_DUP_SQL = embedding_dup_sql()
 
 IVF_K = 16
 IVF_NPROBE = 2
+IVF_FIT_CAP = 2048  # max vectors fed to the KMeans fit (see ivf_knn)
 
 
 def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,9 +254,31 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured); an ANN coarse quantizer needs balanced cells, not a
     # converged optimum, and recall is guarded twice (pytest bound +
     # the oracle-pinned recall floor).
+    # Sampled fit (late r6) — the 100 TB scale path made real: the
+    # coarse quantizer trains on a deterministic hash-drawn subset
+    # capped at IVF_FIT_CAP vectors (the full corpus is still ASSIGNED
+    # to cells; only the fit set shrinks).  Real IVF builds (FAISS
+    # train_size) do exactly this — centroids from a sample are
+    # statistically equivalent for cell balancing.
+    ml_fit = ml
+    n = ml.count()
+    if n > IVF_FIT_CAP:
+        draw = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")).cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(1 << 32))
+        )
+        ml_fit = ml.where(draw < F.lit(IVF_FIT_CAP / n))
     model = KMeans(
         k=IVF_K, seed=42, maxIter=8, featuresCol="features", predictionCol="cell"
-    ).fit(ml)
+    ).fit(ml_fit)
     assigned = model.transform(ml).select("vec_id", "v", "norm", "cell")
 
     centroids = spark.createDataFrame(
