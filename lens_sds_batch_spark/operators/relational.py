@@ -891,6 +891,9 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 12.2s fused vs ~3s split at sf0.1 (late r6; the query
     # was invisible to bench until the full-registry suite).  Two
     # column-pruned scans beat one 2x-expanded sort by 4x.
+    # (12.2s was the isolated warm A/B session; the full-suite bench
+    # run recorded 10.9 → 2.5s for the same change — both runs, one
+    # conclusion.)
     sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("apc"),
         F.percentile_approx("l_extendedprice", 0.5).alias("amed"),
@@ -901,7 +904,11 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts_exact")
     )
-    g = sketches.join(exact, "l_returnflag")
+    # null-safe join: the fused groupBy (and the oracle's GROUP BY)
+    # keep a NULL-flag group; a plain equi-join would silently drop it
+    g = sketches.join(
+        exact, sketches.l_returnflag.eqNullSafe(exact.l_returnflag)
+    ).drop(exact.l_returnflag)
     return g.select(
         "l_returnflag",
         "n_parts_exact",

@@ -234,7 +234,13 @@ EMBEDDING_DUP_SQL = embedding_dup_sql()
 
 IVF_K = 16
 IVF_NPROBE = 2
-IVF_FIT_CAP = 2048  # max vectors fed to the KMeans fit (see ivf_knn)
+# Expected KMeans fit-set size (Bernoulli draw at CAP/n — a BINOMIAL
+# size ~CAP±sqrt(CAP), NOT a hard bound; a hard cap would need a
+# sort+limit that costs more than the fit it trims).  1024 < the sf0.1
+# corpus (2000 vectors), so the sampled path actually executes in the
+# bench and scale runs rather than being dead code (r6 review finding:
+# at 2048 it never ran anywhere).
+IVF_FIT_CAP = 1024
 
 
 def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,28 +260,19 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured); an ANN coarse quantizer needs balanced cells, not a
     # converged optimum, and recall is guarded twice (pytest bound +
     # the oracle-pinned recall floor).
-    # Sampled fit (late r6) — the 100 TB scale path made real: the
-    # coarse quantizer trains on a deterministic hash-drawn subset
-    # capped at IVF_FIT_CAP vectors (the full corpus is still ASSIGNED
-    # to cells; only the fit set shrinks).  Real IVF builds (FAISS
-    # train_size) do exactly this — centroids from a sample are
-    # statistically equivalent for cell balancing.
+    # Sampled fit (late r6) — the 100 TB scale path: the coarse
+    # quantizer trains on a deterministic hash-drawn subset of
+    # expected size IVF_FIT_CAP (the full corpus is still ASSIGNED to
+    # cells; only the fit set shrinks).  Real IVF builds (FAISS
+    # train_size) do the same — centroids from a sample are
+    # statistically equivalent for cell balancing.  The draw is the
+    # same audited uniform-hash primitive the curation ops use.
+    from .curation import _u
+
     ml_fit = ml
     n = ml.count()
     if n > IVF_FIT_CAP:
-        draw = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")).cast("binary")),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("double")
-            / F.lit(float(1 << 32))
-        )
-        ml_fit = ml.where(draw < F.lit(IVF_FIT_CAP / n))
+        ml_fit = ml.where(_u(F.col("vec_id"), "ivf:") < F.lit(IVF_FIT_CAP / n))
     model = KMeans(
         k=IVF_K, seed=42, maxIter=8, featuresCol="features", predictionCol="cell"
     ).fit(ml_fit)
