@@ -40,7 +40,7 @@ OPS = ("dedup_basic_pack", "dup_pairs_pack",  # basic pack = former dedup_exact 
        # replicated customer/orders/lineitem/events (offsets preserve
        # join integrity, so these run the REAL pipelines at 10x)
        "odm_commands", "correlate_first_event", "q1_pricing_summary",
-       "asof_join")
+       "asof_join", "tpch_pack")  # tpch: part is NOT replicated (a dim), facts are
 
 BASE_TMP = "/tmp/lens_scale_smoke"
 
@@ -98,6 +98,10 @@ def build_scaled(spark, sf_dir: str, k: int) -> str:
     replicate(orders, {"o_orderkey": no, "o_custkey": nc}, "orders")
     replicate(li, {"l_orderkey": no}, "lineitem")
     replicate(ev, {"event_id": ne, "user_id": nu}, "events")
+    # dimension tables stay UNscaled (the realistic shape: facts grow,
+    # dims don't) — copied so dim-joining queries (tpch_pack) resolve
+    for dim in ("part", "supplier", "region", "nation"):
+        shutil.copyfile(f"{sf_dir}/{dim}.parquet", f"{BASE_TMP}/{dim}.parquet")
     return BASE_TMP
 
 
