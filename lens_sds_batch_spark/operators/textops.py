@@ -444,19 +444,25 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     tests/test_streaming.py) but not on which OCCURRENCE is the
     keeper: batch keeps min (doc_id, pos); streaming dropDuplicates
     keeps the arrival-order first, which is arbitrary within a
-    micro-batch — per-doc spans_kept can differ between the two."""
+    micro-batch — per-doc spans_kept can differ between the two.
+    Extra input columns (e.g. an event-time ts for
+    ``dropDuplicatesWithinWatermark``) are carried through."""
     toks = F.col("toks")
     # size >= 1 always (split('') = ['']) so sequence never descends
     n_spans = F.ceil(F.size(toks) / F.lit(SPAN_W)).cast("int")
-    return docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_spans - 1),
-                lambda i: F.array_join(F.slice(toks, i * SPAN_W + 1, SPAN_W), " "),
-            )
-        ).alias("pos", "span"),
-    ).withColumn("span_md5", F.md5(F.col("span").cast("binary")))
+    return (
+        docs.select(
+            "*",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_spans - 1),
+                    lambda i: F.array_join(F.slice(toks, i * SPAN_W + 1, SPAN_W), " "),
+                )
+            ).alias("pos", "span"),
+        )
+        .drop("toks")
+        .withColumn("span_md5", F.md5(F.col("span").cast("binary")))
+    )
 
 
 def span_dedup(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:

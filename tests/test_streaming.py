@@ -856,3 +856,50 @@ def test_span_dedup_stream_keep_first_cross_batch(spark, tmp_path):
         assert kept_total == 5
     finally:
         q.stop()
+
+
+def test_span_dedup_stream_watermark_bounded_state(spark, tmp_path):
+    """The production form of streaming span dedup: dropDuplicates
+    WITHIN WATERMARK bounds the state (plain dropDuplicates grows
+    forever).  The tradeoff pinned here: a duplicate arriving while
+    the key's state lives is suppressed; once the watermark passes and
+    the state is evicted, the same span RE-EMITS — bounded state buys
+    at-least-once dedup, not exactly-once."""
+    import datetime as dt
+
+    from lens_sds_batch_spark.operators.textops import SPAN_W, _tokens, explode_spans
+
+    A = " ".join(f"a{i}" for i in range(SPAN_W))
+    X = " ".join(f"x{i}" for i in range(SPAN_W))
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0, tzinfo=dt.timezone.utc)
+    schema = "doc_id long, ts timestamp, text string"
+    d = str(tmp_path / "span_wm_src")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(d)
+
+    write([(0, t0, A)])  # batch 1: A first seen
+    stream = spark.readStream.schema(schema).parquet(d)
+    docs = stream.select("doc_id", "ts", _tokens(F.col("text")).alias("toks"))
+    dedup = (
+        explode_spans(docs)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["span_md5"])
+    )
+    from lens_sds_batch_spark.streaming.pipeline import run_to_memory
+
+    q = run_to_memory(dedup, "span_wm")
+    try:
+        q.processAllAvailable()
+        # batch 2: A again 10 min later (state alive -> suppressed);
+        # X at +2h pushes the watermark far past A's expiry
+        write([(1, t0 + dt.timedelta(minutes=10), A), (2, t0 + dt.timedelta(hours=2), X)])
+        q.processAllAvailable()
+        # batch 3: A once more at +2h — state evicted, so it re-emits
+        write([(3, t0 + dt.timedelta(hours=2), A)])
+        q.processAllAvailable()
+        rows = spark.table("span_wm").collect()
+        by_doc = sorted((r["doc_id"], r["span"]) for r in rows)
+        assert by_doc == [(0, A), (2, X), (3, A)], by_doc
+    finally:
+        q.stop()
