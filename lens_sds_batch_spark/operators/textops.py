@@ -246,16 +246,20 @@ BIGRAM_TOP = 20
 
 def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 bigrams (n-gram analysis; explode + count + top-k
-    with lexical tiebreak)."""
-    docs = load_table(spark, sf_dir, "documents").where(F.size(_tokens(F.col("text"))) >= 2)
-    bigrams = docs.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> concat_ws(' ', element_at(split(text, ' '), i), element_at(split(text, ' '), i + 1)))"
-            )
-        ).alias("bigram")
+    with lexical tiebreak).
+
+    The tokens are materialized as a COLUMN before the n-gram lambda:
+    codegen subexpression elimination does NOT reach inside
+    higher-order-function lambda bodies, so a lambda that closes over
+    a raw ``split(text)`` expression re-splits the whole text PER
+    ELEMENT — O(words²) per doc (measured 2.5s → 0.6s warm at sf0.1
+    for this query, late r6)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(_tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 2)
     )
+    bigrams = docs.select(F.explode(_ngrams(F.col("toks"), 2)).alias("bigram"))
     return (
         bigrams.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -395,7 +399,17 @@ def eval_contamination(spark: SparkSession, sf_dir: str, base: DataFrame | None 
     docs themselves)."""
     from .curation import _u
 
-    docs = load_table(spark, sf_dir, "documents") if base is None else base
+    # toks materialized as a COLUMN either way: _ngrams' lambda closes
+    # over it, and lambda bodies escape codegen subexpression
+    # elimination — an unbound split(text) there re-splits per element
+    # (the bigram_topk lesson, late r6)
+    docs = (
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", _tokens(F.col("text")).alias("toks")
+        )
+        if base is None
+        else base
+    )
     is_eval = (_u(F.col("doc_id"), "evl:") < EVAL_RATE).cast("int")
     # grams hashed to BIGINTs (md5 prefix, mirrored in the oracle): the
     # distinct/broadcast/semi-join/count-distinct chain then moves 8-byte
@@ -403,7 +417,7 @@ def eval_contamination(spark: SparkSession, sf_dir: str, base: DataFrame | None 
     # ngram_jaccard_pairs' hashed word sets — a rare cross-engine 32-bit
     # collision shrinks both engines' counts identically).
     gram_hashes = F.transform(
-        _ngrams(_tokens(F.col("text")) if base is None else F.col("toks"), CONTAM_N),
+        _ngrams(F.col("toks"), CONTAM_N),
         lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 8), 16, 10).cast("bigint"),
     )
     grams = docs.select(
