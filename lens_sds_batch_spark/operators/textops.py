@@ -548,17 +548,123 @@ sdd AS (
 )"""
 
 
+SUBSTR_W = 8  # shingle width for unaligned duplicated-substring detection
+
+
+def substring_dup_features(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
+    """Unaligned duplicated-substring detection — the exact-substring
+    dedup SIGNAL of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): every OVERLAPPING ``SUBSTR_W``-word
+    shingle occurring more than once in the corpus marks its covered
+    word positions as duplicated; per doc, covered positions merge
+    into maximal runs (the classic gaps-and-islands
+    ``w - row_number()`` trick).  Unlike ``span_dedup``'s fixed
+    non-overlapping grid, this catches duplicates at ANY alignment —
+    the suffix-array result, computed with joins and windows instead.
+
+    Per doc: ``dup_word_count`` (exact covered-word count — distinct
+    indices, so overlapping shingles never double-count),
+    ``dup_ranges`` (maximal runs), ``longest_dup_run`` (words).
+
+    Scale shape: one explode (linear, coverage adds ×W), ONE shuffle
+    on the shingle hash for the global occurrence count, one per-doc
+    sort for run merging — no pairwise work, so it survives 100 TB
+    where true suffix arrays can't be built."""
+    docs = (
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", _tokens(F.col("text")).alias("toks")
+        )
+        if base is None
+        else base
+    )
+    from pyspark.sql import Window
+
+    sh = docs.select(
+        "doc_id", F.posexplode(_ngrams(F.col("toks"), SUBSTR_W)).alias("pos", "s")
+    )
+    wcnt = Window.partitionBy(F.md5(F.col("s").cast("binary")))
+    dup = sh.withColumn("cnt", F.count(F.lit(1)).over(wcnt)).where(F.col("cnt") > 1)
+    cov = (
+        dup.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + SUBSTR_W - 1)).alias("w"),
+        )
+        .distinct()
+    )
+    runs = cov.withColumn(
+        "grp", F.col("w") - F.row_number().over(Window.partitionBy("doc_id").orderBy("w"))
+    )
+    per_run = runs.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    feats = per_run.groupBy("doc_id").agg(
+        F.sum("run_len").cast("bigint").alias("dwc"),
+        F.count(F.lit(1)).cast("bigint").alias("dr"),
+        F.max("run_len").cast("bigint").alias("ldr"),
+    )
+    return docs.select("doc_id").join(feats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("dwc", F.lit(0)).cast("bigint").alias("dup_word_count"),
+        F.coalesce("dr", F.lit(0)).cast("bigint").alias("dup_ranges"),
+        F.coalesce("ldr", F.lit(0)).cast("bigint").alias("longest_dup_run"),
+    )
+
+
+SUBSTR_DUP_SQL_CTES = f"""
+sub0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sub1 AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks) - {SUBSTR_W - 1}, 0))) AS pos
+  FROM sub0
+),
+sub2 AS (
+  SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + {SUBSTR_W}], ' ') AS s
+  FROM sub1
+),
+subd AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY md5(s)) AS cnt FROM sub2
+  ) WHERE cnt > 1
+),
+subc AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(list_transform(range(0, {SUBSTR_W}), k -> pos + k)) AS w
+    FROM subd
+  )
+),
+subr AS (
+  SELECT doc_id, w, w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+  FROM subc
+),
+subrun AS (SELECT doc_id, grp, count(*) AS run_len FROM subr GROUP BY 1, 2),
+subf AS (
+  SELECT doc_id,
+         CAST(sum(run_len) AS BIGINT) AS dup_word_count,
+         CAST(count(*) AS BIGINT) AS dup_ranges,
+         CAST(max(run_len) AS BIGINT) AS longest_dup_run
+  FROM subrun GROUP BY doc_id
+),
+subfull AS (
+  SELECT d.doc_id,
+         COALESCE(subf.dup_word_count, 0) AS dup_word_count,
+         COALESCE(subf.dup_ranges, 0) AS dup_ranges,
+         COALESCE(subf.longest_dup_run, 0) AS longest_dup_run
+  FROM documents d LEFT JOIN subf ON d.doc_id = subf.doc_id
+)"""
+
+
 def doc_features_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document feature pack in one result: language-ID
     (stopword-hit argmax), content fingerprints (md5 + 64-bit prefix),
     the corpus quality-gate verdict (as a ``kept`` flag so the pack
     stays at doc grain), the repeated-bigram ratio (Gopher-style
     repetition signal), the 8-bucket feature-hash vector, the
-    train/eval contamination arm, and the span-level keep-first dedup
-    arm (lang_id + doc_fingerprints + corpus_filter +
+    train/eval contamination arm, the span-level keep-first dedup
+    arm, and the unaligned duplicated-substring arm
+    (lang_id + doc_fingerprints + corpus_filter +
     feature_hash_vectors + repetition + eval_contamination +
-    span_dedup merged; each arm's computation
-    unchanged).  All seven arms read ONE localCheckpointed tokenized
+    span_dedup + substring_dup_features merged; each arm's computation
+    unchanged).  All eight arms read ONE localCheckpointed tokenized
     scan (r6: doc_id, text, lang, toks) instead of each re-scanning and
     re-splitting documents — measured 4.7s → 2.0s at sf0.1.  This is
     NOT the r5-disproven single-projection fusion (that hit codegen
@@ -599,6 +705,7 @@ def doc_features_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(feature_hash_vectors(spark, sf_dir, base=shared), "doc_id")
         .join(eval_contamination(spark, sf_dir, base=shared), "doc_id")
         .join(span_dedup(spark, sf_dir, base=shared), "doc_id")
+        .join(substring_dup_features(spark, sf_dir, base=shared), "doc_id")
     )
 
 
@@ -650,18 +757,21 @@ gate AS (
 ),
 fh AS ({FEATURE_HASH_SQL.strip()}),
 {{contam_ctes}},
-{SPAN_DEDUP_SQL_CTES.strip()}
+{SPAN_DEDUP_SQL_CTES.strip()},
+{SUBSTR_DUP_SQL_CTES.strip()}
 SELECT lang.doc_id, labeled_lang, predicted_lang, label_match,
        md5_full, fp64, kept, rep_bigram_ratio,
        f0, f1, f2, f3, f4, f5, f6, f7,
        is_eval, eval_ngram_hits,
-       spans_total, spans_kept, dedup_text_md5
+       spans_total, spans_kept, dedup_text_md5,
+       dup_word_count, dup_ranges, longest_dup_run
 FROM lang
 JOIN fp ON lang.doc_id = fp.doc_id
 JOIN gate ON lang.doc_id = gate.doc_id
 JOIN fh ON lang.doc_id = fh.doc_id
 JOIN contam ON lang.doc_id = contam.doc_id
 JOIN sdd ON lang.doc_id = sdd.doc_id
+JOIN subfull ON lang.doc_id = subfull.doc_id
 ORDER BY lang.doc_id
 """
 

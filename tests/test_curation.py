@@ -272,3 +272,82 @@ def test_layout_zorder_matches_python_walk(spark):
         for r in layout_zorder(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def _substring_dup_walk(texts: dict[int, str]) -> dict[int, tuple[int, int, int]]:
+    """Plain-Python reference for substring_dup_features: global
+    shingle counts, per-doc covered-word sets, maximal-run merge."""
+    from collections import Counter
+
+    from lens_sds_batch_spark.operators.textops import SUBSTR_W
+
+    counts: Counter = Counter()
+    occ: dict[int, list[tuple[int, str]]] = {}
+    for d, t in texts.items():
+        toks = t.split(" ")
+        occ[d] = []
+        for p in range(max(len(toks) - SUBSTR_W + 1, 0)):
+            s = " ".join(toks[p : p + SUBSTR_W])
+            counts[s] += 1
+            occ[d].append((p, s))
+    want = {}
+    for d in texts:
+        cov: set[int] = set()
+        for p, s in occ[d]:
+            if counts[s] > 1:
+                cov.update(range(p, p + SUBSTR_W))
+        runs: list[list[int]] = []
+        for w in sorted(cov):
+            if runs and w == runs[-1][1] + 1:
+                runs[-1][1] = w
+            else:
+                runs.append([w, w])
+        longest = max((b - a + 1 for a, b in runs), default=0)
+        want[d] = (len(cov), len(runs), longest)
+    return want
+
+
+def test_substring_dup_matches_python_walk(spark):
+    from lens_sds_batch_spark.operators.textops import substring_dup_features
+
+    want = _substring_dup_walk({did: t for did, (t, _, _) in _docs(spark).items()})
+    got = {
+        r["doc_id"]: (r["dup_word_count"], r["dup_ranges"], r["longest_dup_run"])
+        for r in substring_dup_features(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert any(v[0] > 0 for v in want.values())  # the corpus exercises the arm
+
+
+def test_substring_dup_alignment_semantics(spark):
+    """Crafted shapes: the SAME 8-word sequence detected at DIFFERENT
+    alignments across docs (span_dedup's fixed grid can't see this),
+    adjacent within-doc repeats merging into one maximal run, and a
+    unique doc staying at zeros."""
+    from pyspark.sql import functions as F
+
+    from lens_sds_batch_spark.operators.textops import (
+        SUBSTR_W,
+        _tokens,
+        substring_dup_features,
+    )
+
+    S = " ".join(f"s{i}" for i in range(SUBSTR_W))
+    rows = [
+        (0, f"{S} f0 f1 f2 f3"),          # S at word 0
+        (1, f"p0 p1 p2 {S}"),             # S at word 3 (unaligned)
+        (2, f"{S} {S}"),                   # adjacent repeats -> one 16-word run
+        (3, " ".join(f"u{i}" for i in range(12))),  # all unique
+    ]
+    base = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    got = {
+        r["doc_id"]: (r["dup_word_count"], r["dup_ranges"], r["longest_dup_run"])
+        for r in substring_dup_features(spark, "unused", base=base).collect()
+    }
+    assert got == _substring_dup_walk({i: t for i, t in rows})
+    assert got[0] == (8, 1, 8)
+    assert got[1] == (8, 1, 8)
+    assert got[2] == (16, 1, 16)
+    assert got[3] == (0, 0, 0)
