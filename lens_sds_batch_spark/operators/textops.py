@@ -399,17 +399,7 @@ def eval_contamination(spark: SparkSession, sf_dir: str, base: DataFrame | None 
     docs themselves)."""
     from .curation import _u
 
-    # toks materialized as a COLUMN either way: _ngrams' lambda closes
-    # over it, and lambda bodies escape codegen subexpression
-    # elimination — an unbound split(text) there re-splits per element
-    # (the bigram_topk lesson, late r6)
-    docs = (
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", _tokens(F.col("text")).alias("toks")
-        )
-        if base is None
-        else base
-    )
+    docs = _tokenized_docs(spark, sf_dir, base)
     is_eval = (_u(F.col("doc_id"), "evl:") < EVAL_RATE).cast("int")
     # grams hashed to BIGINTs (md5 prefix, mirrored in the oracle): the
     # distinct/broadcast/semi-join/count-distinct chain then moves 8-byte
@@ -479,6 +469,18 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     )
 
 
+def _tokenized_docs(spark: SparkSession, sf_dir: str, base: DataFrame | None):
+    """(doc_id, toks) input frame shared by the span/substring arms:
+    toks is materialized as a COLUMN because the n-gram lambdas close
+    over it and lambda bodies escape codegen subexpression elimination
+    (an unbound split(text) there re-splits per element)."""
+    if base is not None:
+        return base
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+
+
 def span_dedup(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:
     """Span-level keep-first deduplication — the line/paragraph dedup
     pass of CCNet/MassiveText-style corpus pipelines (the synthetic
@@ -498,12 +500,7 @@ def span_dedup(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) 
     removes boilerplate shared across otherwise-distinct pages."""
     from pyspark.sql import Window
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", _tokens(F.col("text")).alias("toks"))
-        if base is None
-        else base
-    )
+    docs = _tokenized_docs(spark, sf_dir, base)
     spans = explode_spans(docs)
     w = Window.partitionBy("span_md5").orderBy("doc_id", "pos")
     ranked = spans.withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
@@ -568,23 +565,22 @@ def substring_dup_features(
     indices, so overlapping shingles never double-count),
     ``dup_ranges`` (maximal runs), ``longest_dup_run`` (words).
 
-    Scale shape: one explode (linear, coverage adds ×W), ONE shuffle
-    on the shingle hash for the global occurrence count, one per-doc
-    sort for run merging — no pairwise work, so it survives 100 TB
-    where true suffix arrays can't be built."""
-    docs = (
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", _tokens(F.col("text")).alias("toks")
-        )
-        if base is None
-        else base
-    )
+    Scale shape: one explode (linear, coverage adds ×W), then one
+    narrow exchange per stage — the shingle-count window, the
+    (doc_id, word) coverage distinct, and the per-doc run merge —
+    with no pairwise work anywhere, so it survives 100 TB where true
+    suffix arrays can't be built."""
+    docs = _tokenized_docs(spark, sf_dir, base)
     from pyspark.sql import Window
 
     sh = docs.select(
         "doc_id", F.posexplode(_ngrams(F.col("toks"), SUBSTR_W)).alias("pos", "s")
     )
-    wcnt = Window.partitionBy(F.md5(F.col("s").cast("binary")))
+    # partition by the shingle string itself: hashing it first would
+    # cost an md5 per row on both exchange sides while the string
+    # still crosses the shuffle (the window must re-evaluate its
+    # partition expression post-exchange)
+    wcnt = Window.partitionBy("s")
     dup = sh.withColumn("cnt", F.count(F.lit(1)).over(wcnt)).where(F.col("cnt") > 1)
     cov = (
         dup.select(
@@ -623,7 +619,7 @@ sub2 AS (
 ),
 subd AS (
   SELECT doc_id, pos FROM (
-    SELECT doc_id, pos, count(*) OVER (PARTITION BY md5(s)) AS cnt FROM sub2
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY s) AS cnt FROM sub2
   ) WHERE cnt > 1
 ),
 subc AS (

@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from lens_sds_batch_spark.operators.curation import corpus_shuffle_split
+from lens_sds_batch_spark.operators.curation import N_SHARDS, corpus_shuffle_split
 from lens_sds_batch_spark.operators.textops import corpus_filter
 from lens_sds_batch_spark.sources.parquet import load_table
 
@@ -54,7 +54,7 @@ def test_corpus_build_end_to_end(spark, tmp_path):
     per_doc = back.groupBy("doc_id").agg(F.count_distinct("split").alias("k"))
     assert per_doc.where(F.col("k") != 1).count() == 0
     # shard assignment is within range and deterministic vs the op
-    assert back.where((F.col("shard") < 0) | (F.col("shard") >= 64)).count() == 0
+    assert back.where((F.col("shard") < 0) | (F.col("shard") >= N_SHARDS)).count() == 0
     re_assign = {r["doc_id"]: (r["shard"], r["split"]) for r in assign.collect()}
     for r in back.select("doc_id", "shard", "split").collect():
         assert re_assign[r["doc_id"]] == (r["shard"], r["split"])

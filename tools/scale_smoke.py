@@ -124,7 +124,7 @@ def main():
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     if len(sys.argv) > 3:  # comma-separated op subset (100x runs time a
-        # few targeted ops; building + timing all 13 would take ~30 min)
+        # few targeted ops; building + timing all of OPS takes tens of minutes)
         subset = sys.argv[3].split(",")
         unknown = set(subset) - set(OPS)
         if unknown:
