@@ -34,7 +34,7 @@ OPS = ("dedup_basic_pack", "dup_pairs_pack",  # basic pack = former dedup_exact 
        "dedup_minhash_pairs", "simhash_dup_pairs", "knn_lsh_bucketed",  # direct fn: not in the registry since the r6 knn_pack fold (brute arm is the labeled-quadratic baseline, excluded by design)
        "dedup_clusters", "stratified_sample", "pack_sequences",
        "curation_funnel",  # r6: composes quality gate + lang-id + dedup + near-dup + semantic pruning
-       "doc_features_pack",  # r6: shared-checkpoint tokenized scan across 7 arms
+       "doc_features_pack",  # r6: shared-checkpoint tokenized scan across 8 arms
        "textstats_pack", "layout_zorder",  # r6 folds/additions
        # r5: the flagship + relational paths, over key-consistently
        # replicated customer/orders/lineitem/events (offsets preserve
