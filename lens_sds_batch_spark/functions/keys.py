@@ -133,8 +133,10 @@ def _fmt_uuid_sql(h: str, version: str) -> str:
     expr>)`` filter below the projection, re-evaluating the md5 per
     row with no CSE across the Filter/Project boundary (correlate
     4.7s → 6.9s).  Callers that must DETECT a null-payload state guard
-    the PAYLOAD, not the formatted uuid — wrap it in
-    :func:`guard_payload` (loud failure by default).
+    the PAYLOAD, not the formatted uuid — since r7 the public
+    formatters do this BY DEFAULT (``on_null="error"`` →
+    :func:`guard_payload`); ``on_null="empty"`` restores the raw
+    empty-string collapse for callers that pre-guard contextually.
 
     BUILD-TIME form (r6): the formatters now assemble ONE Spark-SQL
     string and parse it with a single ``F.expr`` call instead of
@@ -273,7 +275,22 @@ def _to_str_sql(part) -> str | None:
     return f"'{_esc(str(part))}'"
 
 
-def uuid5_col(ns: Column | str, parts: list) -> Column:
+def _guard_msg(fn: str) -> str:
+    # NO single quotes in here: the fast path splices it into a
+    # single-quoted SQL literal.
+    return (
+        f"{fn}: NULL id payload (NULL part or namespace) would collapse "
+        "distinct ids to one degenerate value; fix the source or waive "
+        "with on_null=empty"
+    )
+
+
+def _check_on_null(fn: str, on_null: str) -> None:
+    if on_null not in ("error", "empty"):
+        raise ValueError(f"{fn}: on_null must be 'error' or 'empty', got {on_null!r}")
+
+
+def uuid5_col(ns: Column | str, parts: list, on_null: str = "error") -> Column:
     """UUIDv5 (sha1, byte-exact with the reference) as a column expr.
 
     ``ns`` is a uuid-string column/literal; ``parts`` a list of Columns /
@@ -281,7 +298,19 @@ def uuid5_col(ns: Column | str, parts: list) -> Column:
     (bare-column/literal parts — the common engine shape) assembles ONE
     parsed SQL string; complex Column parts fall back to composed
     Columns.  See ``_fmt_uuid_sql`` for why and the measurements.
+
+    ``on_null`` (r7, VERDICT r6 #5 — guard_payload is now the DEFAULT
+    path): ``"error"`` wraps the payload in :func:`guard_payload`, so a
+    NULL part/namespace RAISES at execution instead of silently
+    formatting the empty-string degenerate id; well-formed rows pay one
+    short-circuited null check.  The guard sits INSIDE the hash
+    argument, so the formatted uuid stays non-nullable (concat_ws) and
+    hash CSE is unchanged — the plan-poisoning modes measured in
+    ``_fmt_uuid_sql``'s docstring do not apply.  Pass ``"empty"`` to
+    waive (callers that pre-guard with a contextual message, or whose
+    NULL-collapse is deliberate).
     """
+    _check_on_null("uuid5_col", on_null)
     if isinstance(ns, str):
         ns_sql = f"unhex('{_esc(ns.replace('-', ''))}')"
     else:
@@ -290,16 +319,25 @@ def uuid5_col(ns: Column | str, parts: list) -> Column:
     part_sqls = [_to_bytes_sql(p) for p in parts]
     if ns_sql is not None and all(p is not None for p in part_sqls):
         payload = "concat(" + ", ".join([ns_sql] + part_sqls) + ")"
+        if on_null == "error":
+            payload = (
+                f"coalesce({payload}, "
+                f"CAST(raise_error('{_guard_msg('uuid5_col')}') AS BINARY))"
+            )
         return F.expr(_fmt_uuid_sql(f"sha1({payload})", "5"))
     ns_col = F.lit(ns) if isinstance(ns, str) else ns
     ns_bytes = F.unhex(F.regexp_replace(ns_col, "-", ""))
     payload = F.concat(ns_bytes, *[_to_bytes(p) for p in parts])
+    if on_null == "error":
+        payload = guard_payload(payload, F.lit(_guard_msg("uuid5_col")), cast_type="binary")
     return _fmt_uuid(F.sha1(payload), "5")
 
 
-def uuid3_str_col(ns: Column | str, parts: list) -> Column:
+def uuid3_str_col(ns: Column | str, parts: list, on_null: str = "error") -> Column:
     """md5 string-payload deterministic uuid (oracle-checkable flavor).
-    Same fast-path/fallback split as :func:`uuid5_col`."""
+    Same fast-path/fallback split — and the same default NULL-payload
+    guard (``on_null``) — as :func:`uuid5_col`."""
+    _check_on_null("uuid3_str_col", on_null)
     if isinstance(ns, str):
         ns_sql = f"'{_esc(ns.replace('-', '').lower())}'"
     else:
@@ -308,10 +346,17 @@ def uuid3_str_col(ns: Column | str, parts: list) -> Column:
     part_sqls = [_to_str_sql(p) for p in parts]
     if ns_sql is not None and all(p is not None for p in part_sqls):
         payload = "concat(" + ", ".join([ns_sql] + part_sqls) + ")"
+        if on_null == "error":
+            payload = (
+                f"coalesce({payload}, "
+                f"CAST(raise_error('{_guard_msg('uuid3_str_col')}') AS STRING))"
+            )
         return F.expr(_fmt_uuid_sql(f"md5(CAST({payload} AS BINARY))", "3"))
     ns_col = F.lit(ns) if isinstance(ns, str) else ns
     ns_hex = F.lower(F.regexp_replace(ns_col, "-", ""))
     payload = F.concat(ns_hex, *[_to_str(p) for p in parts])
+    if on_null == "error":
+        payload = guard_payload(payload, F.lit(_guard_msg("uuid3_str_col")), cast_type="string")
     return _fmt_uuid(F.md5(payload.cast("binary")), "3")
 
 

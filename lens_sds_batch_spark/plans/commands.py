@@ -281,7 +281,10 @@ def _level_commands(df, batch_cmd_id, sub, entity, params, out, item_level=False
         cast_type="binary" if flavor == "sha1" else "string",
     )
     cols = [
-        _keyfn(flavor)(batch_ns, [guarded_payload]).alias("cmd_id"),
+        # on_null="empty": guarded_payload above already raises with a
+        # CONTEXTUAL message (entity level + file_oid); the formatter's
+        # default generic guard would be a redundant second coalesce.
+        _keyfn(flavor)(batch_ns, [guarded_payload], on_null="empty").alias("cmd_id"),
         name.alias("name"),
         sub_col.alias("sub"),
     ]

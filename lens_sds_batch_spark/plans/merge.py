@@ -59,6 +59,16 @@ def merge_into(
     - ``order_cols`` are COLUMN NAMES here (not expressions): the Delta
       branch needs them on both merge sides to build the
       lexicographic "source is newer" condition.
+    - TIE-BREAK CONTRACT: ties on the FULL ``order_cols`` chain are
+      resolved differently by the two engines.  The Delta condition is
+      strict "source newer than target", so an exact tie keeps the
+      TARGET row; the parquet fallback's ``row_number`` over a DESC
+      sort picks an ARBITRARY winner among tied rows (target and
+      source are indistinguishable after the union).  Callers that can
+      produce exact order-chain ties and need engine-identical results
+      must append a deterministic tiebreaker column (e.g. a source
+      sequence number) to ``order_cols`` — with a total ordering the
+      two branches agree row-for-row.
     - The Delta branch first collapses ``updates`` to one winner per
       key (MERGE requires unique source keys), then routes
       delete/update/insert with the newer-than condition — a file-level
@@ -156,8 +166,15 @@ def merge_into(
     ):
         raise IOError(f"merge_into: could not move {target_path} aside")
     if not fs.rename(jvm_path(tmp), jvm_path(target_path)):
-        # put the old state back rather than leave the target missing
-        if current is not None:
+        # Put back WHATEVER was moved aside — not only readable parquet
+        # (r7 review): when the pre-existing target was junk/empty
+        # (current is None) it still went to __old above, and skipping
+        # the restore would leave NO path at target for the rest of
+        # this process (next-call crash recovery only fires when __old
+        # exists AND target doesn't — which it would — but in-process
+        # readers meanwhile see a missing table).  Restoring uncondi-
+        # tionally leaves the path exactly in its pre-merge state.
+        if fs.exists(jvm_path(old)):
             fs.rename(jvm_path(old), jvm_path(target_path))
         raise IOError(f"merge_into: could not swap {tmp} -> {target_path}")
     fs.delete(jvm_path(old), True)

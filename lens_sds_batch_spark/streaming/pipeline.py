@@ -299,7 +299,13 @@ def requeue_sink(
     sinks sharing one dict cannot suppress each other on an epoch-id
     collision.  Replay only ever re-runs the most recent epoch, so one
     id per sink bounds the bookkeeping; underscore-prefixed keys are
-    bookkeeping, not counts.  (The
+    bookkeeping, not counts.  The counts are tallied into locals and
+    applied together with the epoch key (plain dict stores, nothing
+    fallible in between), so a count() failure mid-tally followed by
+    replay cannot double-count.  LIMITATION: the dict is in-memory —
+    a DRIVER restart loses it, and the checkpoint-replayed epoch then
+    re-counts once; metrics that must survive restarts belong in a
+    StreamingQueryListener feeding a durable store, not here.  (The
     parquet appends themselves can still duplicate on replay; that is
     the documented at-least-once file-sink contract, made harmless
     downstream by deterministic ids + LWW merge.)
@@ -335,9 +341,15 @@ def requeue_sink(
             if not dead.isEmpty():
                 dead.write.mode("append").parquet(dead_dir)
             if metrics is not None and metrics.get(epoch_key) != epoch_id:
-                metrics["ok"] = metrics.get("ok", 0) + okdf.count()
-                metrics["requeued"] = metrics.get("requeued", 0) + requeue.count()
-                metrics["dead"] = metrics.get("dead", 0) + dead.count()
+                # Tally into locals FIRST, then apply counters + epoch key
+                # as one uninterruptible block of dict stores: if any
+                # count() fails mid-tally, NO counter has moved yet, so
+                # Spark's replay of the same epoch re-counts from the
+                # same base instead of stacking onto half-applied sums.
+                n_ok, n_req, n_dead = okdf.count(), requeue.count(), dead.count()
+                metrics["ok"] = metrics.get("ok", 0) + n_ok
+                metrics["requeued"] = metrics.get("requeued", 0) + n_req
+                metrics["dead"] = metrics.get("dead", 0) + n_dead
                 metrics[epoch_key] = epoch_id
         finally:
             batch_df.unpersist()

@@ -255,15 +255,73 @@ def test_uuid_ns_string_is_escaped_in_fast_path(spark):
 
 def test_uuid5_uuidbytes_quote_value_fast_equals_fallback(spark):
     """r6 review: a quote-bearing UuidBytes value must not parse as SQL
-    concat in the fast path — both paths unhex a non-hex literal to a
-    NULL payload and format identically (the documented empty-string
-    degenerate, guarded at call sites by guard_payload)."""
+    concat in the fast path — both paths unhex the non-hex literal to a
+    NULL payload, which since r7 RAISES under the default guard
+    (escaping bug would instead silently produce a VALID-looking id);
+    under the explicit waiver both paths format the identical
+    empty-string degenerate."""
     from lens_sds_batch_spark.functions.keys import UuidBytes
 
     bad = UuidBytes("a'||'b")
+    for ns in (NIL_UUID, F.concat(F.lit(NIL_UUID), F.lit(""))):  # fast, fallback
+        with pytest.raises(Exception, match="NULL id payload"):
+            spark.range(1).select(uuid5_col(ns, [bad]).alias("u")).first()
     row = spark.range(1).select(
-        uuid5_col(NIL_UUID, [bad]).alias("fast"),
+        uuid5_col(NIL_UUID, [bad], on_null="empty").alias("fast"),
         # force the composed fallback with a bound-expression ns
-        uuid5_col(F.concat(F.lit(NIL_UUID), F.lit("")), [bad]).alias("fb"),
+        uuid5_col(
+            F.concat(F.lit(NIL_UUID), F.lit("")), [bad], on_null="empty"
+        ).alias("fb"),
     ).first()
-    assert row["fast"] == row["fb"]
+    assert row["fast"] == row["fb"] == ""
+
+
+def test_null_payload_raises_by_default_and_waives_explicitly(spark):
+    """VERDICT r6 #5: guard_payload is the DEFAULT formatter path — a
+    NULL part must RAISE at execution (both fast-SQL and composed
+    fallback), never silently collapse to the empty-string degenerate
+    id; on_null="empty" is the explicit waiver that restores the old
+    behavior for pre-guarded callers."""
+    df = spark.createDataFrame([("x",), (None,)], "v string")
+
+    for mk in (
+        lambda d: d.select(uuid3_str_col(NIL_UUID, [F.col("v")]).alias("u")),
+        # non-bare part forces the composed-Column fallback path
+        lambda d: d.select(
+            uuid3_str_col(NIL_UUID, [F.upper(F.col("v"))]).alias("u")
+        ),
+        lambda d: d.select(
+            uuid5_col(NIL_UUID, [F.col("v").cast("binary")]).alias("u")
+        ),
+    ):
+        with pytest.raises(Exception, match="NULL id payload"):
+            mk(df).collect()
+        # guard is short-circuited: non-null rows alone pass unchanged
+        ok = mk(df.where(F.col("v").isNotNull())).collect()
+        assert len(ok) == 1 and len(ok[0]["u"]) == 36
+
+    # explicit waiver: legacy empty-payload collapse, non-nullable out
+    waived = df.select(
+        uuid3_str_col(NIL_UUID, [F.col("v")], on_null="empty").alias("u")
+    ).collect()
+    assert len(waived) == 2  # no raise
+    # the NULL row collapses to the degenerate empty string (concat
+    # null-propagates the payload; concat_ws then skips every NULL
+    # fragment) — exactly the legacy behavior the waiver preserves
+    assert sorted(len(r["u"]) for r in waived) == [0, 36]
+
+    with pytest.raises(ValueError, match="on_null"):
+        uuid3_str_col(NIL_UUID, ["a"], on_null="bogus")
+
+
+def test_null_guard_does_not_change_nullability_or_goldens(spark):
+    """The default guard must not flip the non-nullability contract
+    (test_uuid_columns_are_non_nullable) nor any golden value."""
+    df = spark.createDataFrame([("S1",)], "v string").select(
+        uuid3_str_col(NIL_UUID, [F.col("v")]).alias("u3"),
+        uuid5_col(NIL_UUID, [F.col("v").cast("binary")]).alias("u5"),
+    )
+    assert not df.schema["u3"].nullable and not df.schema["u5"].nullable
+    row = df.collect()[0]
+    assert row["u3"] == uuid3_str_py(NIL_UUID, ["S1"])
+    assert row["u5"] == uuid5_py(NIL_UUID, ["S1"])

@@ -513,3 +513,34 @@ def test_merge_into_recovers_from_crash_between_renames(spark, tmp_path):
     rows = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
     # BOTH the recovered old state and the new batch survive
     assert rows == {("k1", "a"), ("k2", "b")} and res["rows"] == 2
+
+
+def test_merge_into_replaces_empty_target_dir(spark, tmp_path):
+    """r6 review / ADVICE r7: a pre-existing target path that is not
+    readable parquet but still EXISTS (the empty-directory leftover)
+    reads as current=None, yet occupies the rename destination.
+    merge_into must move it aside and install the merged state —
+    renaming onto an existing directory nests on HDFS (silent data
+    loss) or fails on local FS.  (A directory holding actual non-
+    parquet FILES is different: schema inference raises a read error,
+    which merge_into deliberately propagates — failing loudly beats
+    aside-moving data it cannot identify.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lens_sds_batch_spark.plans.merge import merge_into
+
+    target = str(tmp_path / "t")
+    os.makedirs(target)  # empty dir: current=None but path exists
+
+    updates = spark.createDataFrame(
+        [("k1", 1, "a", False)], "k string, pri int, v string, dead boolean"
+    )
+    res = merge_into(
+        spark, target, updates, keys=["k"], order_cols=["pri"], is_delete=F.col("dead")
+    )
+    rows = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert rows == {("k1", "a")} and res["rows"] == 1
+    # the empty dir went aside and was cleaned up afterwards
+    assert not os.path.exists(target + ".__old")
