@@ -49,7 +49,6 @@ HEADLINE = (
     "tfidf_top_terms",
     "embedding_quantize_int8",
     "media_chunks",
-    "rolling_hash",
     "salted_hot_key_agg",
     # added round 2 (keys above are the r1-comparable 28-query suite)
     "stratified_sample",

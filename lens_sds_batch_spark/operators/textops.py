@@ -325,6 +325,19 @@ RH_MOD = 2_147_483_647  # 2^31 - 1
 FH_BUCKETS = 8
 
 
+def _rhash_col():
+    """rolling_hash's fold expression over a ``text`` column — shared
+    by the standalone arm and ``textstats_pack`` (r7 fold), so the two
+    cannot drift."""
+    tokens = _tokens(F.col("text"))
+    v = lambda t: (F.length(t) * 31 + F.ascii(F.substring(t, 1, 1))) % RH_MOD  # noqa: E731
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * RH_BASE + v(t)) % RH_MOD,
+    )
+
+
 def rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-granular polynomial rolling hash:
     h_i = (h_{i-1} * B + v_i) mod M with v = len(token)*31 + ascii(first
@@ -332,14 +345,7 @@ def rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     so shifted/reordered near-dups hash differently, and incremental
     recompute over a sliding token window is O(1) at scale."""
     docs = load_table(spark, sf_dir, "documents")
-    tokens = _tokens(F.col("text"))
-    v = lambda t: (F.length(t) * 31 + F.ascii(F.substring(t, 1, 1))) % RH_MOD  # noqa: E731
-    h = F.aggregate(
-        tokens,
-        F.lit(0).cast("bigint"),
-        lambda acc, t: (acc * RH_BASE + v(t)) % RH_MOD,
-    )
-    return docs.select("doc_id", h.alias("rhash"))
+    return docs.select("doc_id", _rhash_col().alias("rhash"))
 
 
 ROLLING_HASH_SQL = f"""
@@ -783,23 +789,27 @@ DOC_FEATURES_SQL = DOC_FEATURES_SQL.replace("{contam_ctes}", _contam_ctes())
 # ---------------------------------------------------------------------------
 
 def textstats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``text_quality`` + ``token_counts`` as ONE wide zero-shuffle
-    projection (r6 fold; both arms stay independently callable and
-    share the same expression builders, so the pack cannot drift from
-    them).  Both arms are pure per-row projections over the same scan,
-    so a doc-grain join here would have ADDED an exchange neither arm
+    """``text_quality`` + ``token_counts`` + ``rolling_hash`` as ONE
+    wide zero-shuffle projection (r6 fold; rolling_hash folded r7 —
+    same table, same doc grain; all arms stay independently callable
+    and share the same expression builders, so the pack cannot drift
+    from them).  All arms are pure per-row projections over the same
+    scan, so a doc-grain join here would have ADDED an exchange no arm
     has — at 100 TB a doc-grain broadcast is impossible and the join
     would become a sort-merge with two shuffles (r6 review finding);
     the single select keeps the whole pack inside one WholeStageCodegen
     over one FileScan."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", *_quality_cols(), *_token_count_cols())
+    return docs.select(
+        "doc_id", *_quality_cols(), *_token_count_cols(), _rhash_col().alias("rhash")
+    )
 
 
 TEXTSTATS_PACK_SQL = f"""
-SELECT q.*, t.ws_tokens, t.bpe_tokens
+SELECT q.*, t.ws_tokens, t.bpe_tokens, r.rhash
 FROM ({TEXT_QUALITY_SQL.strip().rstrip(';')}) q
 JOIN ({TOKEN_COUNTS_SQL.strip().rstrip(';')}) t ON q.doc_id = t.doc_id
+JOIN ({ROLLING_HASH_SQL.strip().rstrip(';')}) r ON q.doc_id = r.doc_id
 ORDER BY q.doc_id
 """
 
@@ -808,6 +818,5 @@ QUERIES: dict[str, tuple] = {
     "textstats_pack": (textstats_pack, TEXTSTATS_PACK_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "bigram_topk": (bigram_topk, BIGRAM_TOPK_SQL),
-    "rolling_hash": (rolling_hash, ROLLING_HASH_SQL),
     "doc_features_pack": (doc_features_pack, DOC_FEATURES_SQL),
 }

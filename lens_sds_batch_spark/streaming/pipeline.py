@@ -357,6 +357,25 @@ def requeue_sink(
     return sink
 
 
+def ivf_assign_stream(vecs: DataFrame, centers: list[list[float]], vec_col: str = "v") -> DataFrame:
+    """Streaming twin of the IVF index's cell assignment (B11 /
+    VERDICT r6 #8): the coarse quantizer is FIT in batch (bounded-
+    sample KMeans, ``operators.similarity.ivf_knn``), and arriving
+    vectors are ASSIGNED to their inverted-file cell on the stream.
+
+    Because :func:`operators.similarity.assign_cells` is a pure
+    stateless per-row projection (argmin-Euclidean over a K×dim
+    driver-literal center list — no model object, no state), the SAME
+    code path serves batch and streaming; this wrapper exists so the
+    streaming surface is discoverable next to the other B9/B11 twins.
+    No watermark, no foreachBatch, append-mode safe — the cheapest
+    possible streaming operator shape.  Parity is pinned by
+    tests/test_streaming.py::test_ivf_assign_stream_equals_batch."""
+    from ..operators.similarity import assign_cells
+
+    return assign_cells(vecs, centers, vec_col)
+
+
 def session_windows_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -168,7 +168,7 @@ def test_pack_arms_individually_importable(spark):
             "ngram_jaccard_pairs", "dedup_exact", "dedup_fingerprint",
         ],
         "lens_sds_batch_spark.operators.textops": [
-            "text_quality", "token_counts",
+            "text_quality", "token_counts", "rolling_hash",
         ],
         "lens_sds_batch_spark.operators.similarity": [
             "embedding_dup_pairs", "knn_bruteforce", "knn_lsh_bucketed",

@@ -30,3 +30,23 @@ def test_ivf_sampled_fit_branch_recall(spark, monkeypatch):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"sampled-fit IVF recall collapsed: {recall}"
     assert all(qid != vid for qid, vid in approx)
+
+
+def test_assign_cells_matches_kmeans_transform(spark):
+    """r7: ivf_knn assigns through the shared stateless projection
+    instead of model.transform — pin that assign_cells reproduces the
+    ML model's argmin-Euclidean assignment exactly on the smoke
+    embeddings (ties break to the lowest cell index in both)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from lens_sds_batch_spark.operators.similarity import _vecs, assign_cells
+    from .conftest import SF_SMOKE
+
+    vecs = _vecs(spark, SF_SMOKE)
+    ml = vecs.withColumn("features", array_to_vector("v"))
+    model = KMeans(k=8, seed=42, maxIter=8, featuresCol="features", predictionCol="cell").fit(ml)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    want = {(r["vec_id"], r["cell"]) for r in model.transform(ml).select("vec_id", "cell").collect()}
+    got = {(r["vec_id"], r["cell"]) for r in assign_cells(vecs, centers).select("vec_id", "cell").collect()}
+    assert got == want
