@@ -39,7 +39,10 @@ HEADLINE = (
     # its time stands in for the two former entries combined)
     "knn_pack",
     # r6: textstats_pack folds the former text_quality + token_counts
-    # rows (its time stands in for the two combined)
+    # rows; r7 additionally folded rolling_hash into it — its time now
+    # stands in for the THREE combined, and the r1-comparable subset
+    # totals shift accordingly (rolling_hash's former standalone row is
+    # gone; its work rides here)
     "textstats_pack",
     "multimodal_meta",
     "entity_state_subjects",
@@ -50,7 +53,9 @@ HEADLINE = (
     "embedding_quantize_int8",
     "media_chunks",
     "salted_hot_key_agg",
-    # added round 2 (keys above are the r1-comparable 28-query suite)
+    # added round 2 (keys above are the r1-comparable suite — 28 rows
+    # originally; pack folds since then mean subset totals compare only
+    # loosely: each pack row carries its folded arms' work)
     "stratified_sample",
     "pack_sequences",
     # added round 3

@@ -276,8 +276,9 @@ def _to_str_sql(part) -> str | None:
 
 
 def _guard_msg(fn: str) -> str:
-    # NO single quotes in here: the fast path splices it into a
-    # single-quoted SQL literal.
+    # The fast path splices this into a single-quoted SQL literal via
+    # _esc(), so apostrophes are safe — but keep the text quote-free
+    # anyway for readability of the generated SQL.
     return (
         f"{fn}: NULL id payload (NULL part or namespace) would collapse "
         "distinct ids to one degenerate value; fix the source or waive "
@@ -322,7 +323,7 @@ def uuid5_col(ns: Column | str, parts: list, on_null: str = "error") -> Column:
         if on_null == "error":
             payload = (
                 f"coalesce({payload}, "
-                f"CAST(raise_error('{_guard_msg('uuid5_col')}') AS BINARY))"
+                f"CAST(raise_error('{_esc(_guard_msg('uuid5_col'))}') AS BINARY))"
             )
         return F.expr(_fmt_uuid_sql(f"sha1({payload})", "5"))
     ns_col = F.lit(ns) if isinstance(ns, str) else ns
@@ -349,7 +350,7 @@ def uuid3_str_col(ns: Column | str, parts: list, on_null: str = "error") -> Colu
         if on_null == "error":
             payload = (
                 f"coalesce({payload}, "
-                f"CAST(raise_error('{_guard_msg('uuid3_str_col')}') AS STRING))"
+                f"CAST(raise_error('{_esc(_guard_msg('uuid3_str_col'))}') AS STRING))"
             )
         return F.expr(_fmt_uuid_sql(f"md5(CAST({payload} AS BINARY))", "3"))
     ns_col = F.lit(ns) if isinstance(ns, str) else ns

@@ -250,6 +250,15 @@ def assign_cells(df: DataFrame, centers: list[list[float]], vec_col: str = "v") 
     the LOWEST cell index — same as the ML model's first-min rule —
     via lexicographic ``array_max`` over ``struct(score, -k)``.
 
+    Mathematically the same argmin as ``model.transform``, but the
+    fp evaluation order differs from Spark ML's fastSquaredDistance,
+    so vectors lying exactly on a cell boundary can round to a
+    different (equally-near) cell; self-consistent within
+    :func:`ivf_knn`.  A NULL vector or one whose length mismatches
+    the centers' dimension raises at execution (``zip_with`` pads
+    with NULL → every score NULL) instead of silently landing in
+    cell 0 — mirroring the exception ``model.transform`` throws.
+
     Because it is a pure per-row projection (no model object, no
     state), the SAME function assigns on batch AND streaming frames —
     the streaming IVF story (VERDICT r6 #8) is this function applied
@@ -265,7 +274,16 @@ def assign_cells(df: DataFrame, centers: list[list[float]], vec_col: str = "v") 
             F.struct((dot - F.lit(half_sq)).alias("score"), F.lit(-k).alias("negk"))
         )
     best = F.array_max(F.array(*scored))
-    return df.withColumn("cell", (-best["negk"]).cast("int"))
+    dim = len(centers[0]) if centers else 0
+    guarded = F.when(best["score"].isNotNull(), (-best["negk"]).cast("int")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"assign_cells: NULL vector or dimension != {dim} "
+                "(scores all NULL) — would silently assign cell 0"
+            )
+        ).cast("int")
+    )
+    return df.withColumn("cell", guarded)
 
 
 def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -50,3 +50,21 @@ def test_assign_cells_matches_kmeans_transform(spark):
     want = {(r["vec_id"], r["cell"]) for r in model.transform(ml).select("vec_id", "cell").collect()}
     got = {(r["vec_id"], r["cell"]) for r in assign_cells(vecs, centers).select("vec_id", "cell").collect()}
     assert got == want
+
+
+def test_assign_cells_rejects_malformed_vectors(spark):
+    """r8 (ADVICE): a NULL vector or one with the wrong dimension must
+    RAISE (as model.transform would) instead of silently landing in
+    cell 0 via the all-NULL-scores → negk fallthrough."""
+    import pytest
+
+    from lens_sds_batch_spark.operators.similarity import assign_cells
+
+    centers = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    ok = spark.createDataFrame([(1, [0.9, 0.1, 0.0])], "vec_id int, v array<double>")
+    assert assign_cells(ok, centers).collect()[0]["cell"] == 0
+
+    for bad_rows in ([(2, None)], [(3, [1.0, 2.0])]):
+        bad = spark.createDataFrame(bad_rows, "vec_id int, v array<double>")
+        with pytest.raises(Exception, match="assign_cells"):
+            assign_cells(bad, centers).collect()
