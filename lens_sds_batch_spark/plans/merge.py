@@ -59,16 +59,19 @@ def merge_into(
     - ``order_cols`` are COLUMN NAMES here (not expressions): the Delta
       branch needs them on both merge sides to build the
       lexicographic "source is newer" condition.
-    - TIE-BREAK CONTRACT: ties on the FULL ``order_cols`` chain are
-      resolved differently by the two engines.  The Delta condition is
-      strict "source newer than target", so an exact tie keeps the
-      TARGET row; the parquet fallback's ``row_number`` over a DESC
-      sort picks an ARBITRARY winner among tied rows (target and
-      source are indistinguishable after the union).  Callers that can
-      produce exact order-chain ties and need engine-identical results
-      must append a deterministic tiebreaker column (e.g. a source
-      sequence number) to ``order_cols`` — with a total ordering the
-      two branches agree row-for-row.
+    - TIE-BREAK CONTRACT (total since r8): exact ties on the FULL
+      ``order_cols`` chain keep the TARGET row in BOTH branches.  The
+      Delta condition is strict "source newer than target" (tie ⇒ no
+      match fires ⇒ target kept); the parquet fallback appends a
+      target-priority column to the ordering so the union's
+      ``row_number`` agrees instead of picking an arbitrary winner.
+      Ties WITHIN the update batch resolve by ``xxhash64`` over the
+      full row in both branches (the Delta branch's source collapse
+      and the fallback's window share the tiebreak), so the two
+      engines agree row-for-row without the caller supplying a
+      sequence column.  (A 64-bit hash collision between two DISTINCT
+      tied rows would re-open arbitrariness; at that probability the
+      caller's own sequence column is the remedy.)
     - The Delta branch first collapses ``updates`` to one winner per
       key (MERGE requires unique source keys), then routes
       delete/update/insert with the newer-than condition — a file-level
@@ -84,6 +87,9 @@ def merge_into(
     Returns ``{"engine": "delta"|"parquet-swap", "rows": <merged count>}``.
     """
     order_exprs = [F.col(c) for c in order_cols]
+    # deterministic within-batch tiebreak, shared by both branches (see
+    # TIE-BREAK CONTRACT above): hash of the full payload row
+    row_hash = F.xxhash64(*[F.col(c) for c in updates.columns])
     try:
         from delta.tables import DeltaTable  # type: ignore
 
@@ -94,9 +100,9 @@ def merge_into(
     if have_delta:
         from delta.tables import DeltaTable  # type: ignore
 
-        src = apply_lww(updates, keys, order_exprs, is_delete=F.lit(False)).withColumn(
-            "__del", is_delete
-        )
+        src = apply_lww(
+            updates, keys, order_exprs + [row_hash], is_delete=F.lit(False)
+        ).withColumn("__del", is_delete)
         key_cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
         # lexicographic "source strictly newer than target" over order_cols
         newer_terms = []
@@ -144,8 +150,17 @@ def merge_into(
         current = spark.read.parquet(target_path)
     except AnalysisException:  # first batch: no target yet
         current = None
-    unioned = updates if current is None else current.unionByName(updates)
-    merged = apply_lww(unioned, keys, order_exprs, is_delete)
+    # Total ordering (r8): target rows outrank source rows on exact
+    # order-chain ties (Delta's strict-newer semantics), then the shared
+    # row hash resolves within-batch ties deterministically.
+    upd_tagged = updates.withColumn("__tgt_pri", F.lit(0))
+    if current is None:
+        unioned = upd_tagged
+    else:
+        unioned = current.withColumn("__tgt_pri", F.lit(1)).unionByName(upd_tagged)
+    merged = apply_lww(
+        unioned, keys, order_exprs + [F.col("__tgt_pri"), row_hash], is_delete
+    ).drop("__tgt_pri")
     obs = Observation()
     merged = merged.observe(obs, F.count(F.lit(1)).alias("n"))
     merged.write.mode("overwrite").parquet(tmp)

@@ -460,6 +460,60 @@ def test_merge_into_creates_target_on_first_batch(spark, tmp_path):
     assert rows == {("k1", "b")} and res["rows"] == 1
 
 
+def test_merge_tie_break_total_ordering(spark, tmp_path):
+    """VERDICT r7 #4: exact order-chain ties must resolve IDENTICALLY
+    in the two merge engines.  Crafted ties:
+
+    - k1: an update exactly ties the stored target row on the full
+      order chain → Delta's strict source-newer condition keeps the
+      TARGET; the parquet fallback must agree (target-priority
+      tiebreak), not pick an arbitrary union row.
+    - k2: two update rows tie each other (no target row) → both the
+      Delta branch's source collapse and the fallback resolve by the
+      SAME xxhash64 row hash, so the simulated-Delta winner and the
+      fallback winner coincide.
+    """
+    from pyspark.sql import functions as F
+
+    from lens_sds_batch_spark.plans.merge import apply_lww, merge_into
+
+    current = spark.createDataFrame(
+        [("k1", 5, "tgt", False)], "k string, pri int, v string, dead boolean"
+    )
+    updates = spark.createDataFrame(
+        [("k1", 5, "src", False), ("k2", 7, "a", False), ("k2", 7, "b", False)],
+        "k string, pri int, v string, dead boolean",
+    )
+    target = str(tmp_path / "ties")
+    current.write.parquet(target)
+    res = merge_into(
+        spark, target, updates, keys=["k"], order_cols=["pri"], is_delete=F.col("dead")
+    )
+    assert res["engine"] == "parquet-swap"
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+
+    # Delta-branch simulation with the same condition logic: collapse
+    # the source with the shared row-hash tiebreak, then apply the
+    # strict "source newer than target" rule per key.
+    row_hash = F.xxhash64(*[F.col(c) for c in updates.columns])
+    src = {
+        r["k"]: r
+        for r in apply_lww(
+            updates, ["k"], [F.col("pri"), row_hash], is_delete=F.lit(False)
+        ).collect()
+    }
+    expected = set()
+    for r in current.collect():
+        s = src.pop(r["k"], None)
+        if s is not None and s["pri"] > r["pri"]:
+            expected.add((s["k"], s["v"]))  # whenMatchedUpdate
+        else:
+            expected.add((r["k"], r["v"]))  # tie or older: target kept
+    expected |= {(s["k"], s["v"]) for s in src.values()}  # notMatchedInsert
+    assert got == expected
+    assert ("k1", "tgt") in got  # the crafted tie kept the target
+
+
 def test_merge_into_schema_mismatch_raises_loudly(spark, tmp_path):
     """r6 review: a malformed update batch (wrong column name) must
     RAISE, not be silently treated as 'no target yet' — which would
