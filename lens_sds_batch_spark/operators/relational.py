@@ -1258,6 +1258,148 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (r8): CORRELATED SCALAR SUBQUERY —
+    ``l_quantity < 0.2 * (SELECT avg(l_quantity) ... same part)`` —
+    decorrelated the way a distributed engine must run it:
+    aggregate-per-key then join back.  The oracle states the classical
+    correlated form; this side proves the aggregate-then-join-back
+    rewrite is value-identical.
+
+    Two engine-parity traps avoided: (1) the threshold compare is done
+    in EXACT arithmetic (``qty*5*cnt < sum`` in DECIMAL — no
+    float-avg whose last-bit differs between engines and flips
+    boundary rows); (2) the filtered brand's per-part stats are
+    computed from the ALREADY part-pruned lineitems and broadcast back
+    (~80 parts), so at 100 TB the fact table is scanned once, filtered
+    by a broadcast semi-join, and never shuffled."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li_b = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).drop("p_partkey")
+    stats = li_b.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(_dec("l_quantity")).alias("sumq")
+    )
+    small = li_b.join(F.broadcast(stats), "l_partkey").where(
+        _dec("l_quantity") * F.col("cnt") * F.lit(5) < F.col("sumq")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+    )
+
+
+Q17_SQL = """
+SELECT count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#12'
+  AND CAST(l_quantity AS DECIMAL(18,2))
+        * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey) * 5
+      < (SELECT sum(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (r8): HAVING-sum semi-join + top-k — orders
+    whose total quantity exceeds the threshold, joined back to
+    orders/customer, top 100 by volume.  The HAVING aggregate runs at
+    l_orderkey grain (map-side combinable, same key as the join that
+    follows — one co-partitioned shuffle); the customer dim is
+    broadcast.  Deterministic top-k: o_orderkey breaks sum_qty ties."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "c_name", F.col("sum_qty").cast("double").alias("sum_qty"))
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT o_orderkey, c_name, CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (r8, adapted: no l_receiptdate in this testdata
+    so "late" := ``l_returnflag = 'R'``): suppliers whose line was late
+    on a multi-supplier order where NO OTHER supplier was late — the
+    classical EXISTS + NOT-EXISTS double self-join.  The oracle states
+    exactly that correlated form; this side decorrelates both
+    quantifiers into counts at order grain (``n_supp > 1 AND
+    n_late_suppliers = 1``: the late supplier in such an order is
+    unique, so membership follows from the pair being late).  Plan
+    shape: ONE map-combinable distinct-pair aggregate on
+    (l_orderkey, l_suppkey), a window at l_orderkey grain for both
+    quantifier counts (no Expand — two countDistincts in one agg
+    would 2x the rows), then a broadcast supplier-dim join.  Two
+    exchanges total; no self-join of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    late = (F.col("l_returnflag") == "R").cast("int")
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(F.max(late).alias("is_late"))
+    w = Window.partitionBy("l_orderkey")
+    flagged = pairs.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("is_late").over(w).alias("n_late"),
+    )
+    waiting = flagged.where(
+        (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM (
+  SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+  FROM lineitem l1
+  WHERE l1.l_returnflag = 'R'
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_returnflag = 'R')
+) w
+JOIN supplier ON w.l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame: per customer, rolling 30-day spend (range over
     epoch seconds — value-based frames, not row-based)."""
@@ -1766,6 +1908,31 @@ def tpch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_lines").cast("bigint").alias("v1"),
             F.col("revenue").alias("v2"),
         ),
+        # r8 arms: Q17 (correlated scalar subquery, decorrelated as
+        # aggregate-then-join-back), Q18 (HAVING-sum semi-join + top-k),
+        # Q21 (EXISTS + NOT EXISTS double self-join, decorrelated to one
+        # order-grain aggregate)
+        q17_small_quantity_revenue(spark, sf_dir).select(
+            F.lit("q17").alias("kind"),
+            _nl("string", "k1"),
+            _nl("string", "k2"),
+            F.col("n_lines").cast("bigint").alias("v1"),
+            F.col("avg_yearly").alias("v2"),
+        ),
+        q18_large_volume_customers(spark, sf_dir).select(
+            F.lit("q18").alias("kind"),
+            F.col("o_orderkey").cast("string").alias("k1"),
+            F.col("c_name").alias("k2"),
+            _nl("bigint", "v1"),
+            F.col("sum_qty").alias("v2"),
+        ),
+        q21_sole_late_supplier(spark, sf_dir).select(
+            F.lit("q21").alias("kind"),
+            F.col("s_name").alias("k1"),
+            _nl("string", "k2"),
+            F.col("numwait").cast("bigint").alias("v1"),
+            _nl("double", "v2"),
+        ),
     ]
     out = arms[0]
     for a in arms[1:]:
@@ -1787,6 +1954,12 @@ UNION ALL
 {_arm('q14', Q14_SQL, "CAST(NULL AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(NULL AS BIGINT) AS v1, promo_pct AS v2")}
 UNION ALL
 {_arm('q19', Q19_SQL, "CAST(NULL AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(n_lines AS BIGINT) AS v1, revenue AS v2")}
+UNION ALL
+{_arm('q17', Q17_SQL, "CAST(NULL AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(n_lines AS BIGINT) AS v1, avg_yearly AS v2")}
+UNION ALL
+{_arm('q18', Q18_SQL, "CAST(o_orderkey AS VARCHAR) AS k1, c_name AS k2, CAST(NULL AS BIGINT) AS v1, sum_qty AS v2")}
+UNION ALL
+{_arm('q21', Q21_SQL, "s_name AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(numwait AS BIGINT) AS v1, CAST(NULL AS DOUBLE) AS v2")}
 ORDER BY kind, k1
 """
 

@@ -160,6 +160,8 @@ def test_pack_arms_individually_importable(spark):
             "json_funcs_pack", "percentile_exact", "percentile_multi",
             "pivot_status_priority", "unpivot_part",
             "q4_order_priority", "q10_returned_items", "topk_global",
+            "q17_small_quantity_revenue", "q18_large_volume_customers",
+            "q21_sole_late_supplier",
             "events_sliding", "cohort_retention",
         ],
         # r6 folds: dedup_basic_pack + knn_pack + textstats_pack arms
