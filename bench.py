@@ -90,6 +90,10 @@ HEADLINE = (
     "tpch_pack",
     "time_aggs_pack",
     "approx_sketches",
+    # added round 8: the XML ingestion path (render harness + scan +
+    # executor-side parse + dead-letter route); the render write runs in
+    # the builder, the binaryFile scan + parse in the exec phase
+    "odm_xml_ingest",
 )
 
 

@@ -23,9 +23,9 @@ ENTRY_QUERIES = 2  # odm_commands, odm_commands_uuid5 registered by __spark_entr
 
 
 def _modules():
-    from . import cdc, curation, dedup, multimodal, relational, similarity, textops
+    from . import cdc, curation, dedup, multimodal, relational, similarity, textops, xml_ingest
 
-    return [dedup, similarity, textops, curation, multimodal, cdc, relational]
+    return [dedup, similarity, textops, curation, multimodal, cdc, xml_ingest, relational]
 
 
 def all_queries() -> dict[str, tuple]:

@@ -1,0 +1,371 @@
+"""Oracle-gated ODM XML ingestion (reference A2/A3 under the hard gate).
+
+The reference's PRIMARY input is an ODM XML blob parsed per batch
+command (``/root/reference/src/lens/import_clinical_data.clj:303-310``,
+``file_storage.clj:12-17``).  ``sources/odm_xml.py`` implements the
+distributed twin (binaryFile scan → executor-side ``mapInPandas``
+parse) and is pytest-pinned, but until r8 it was the one core
+reference operator with no ``queries()`` entry — the driver's
+hash-compare never exercised the scan→parse→normalize path
+end-to-end.  This module closes that seam:
+
+1. RENDER: derive a deterministic subset of the ODM tree from the sf
+   parquet (same column algebra as ``plans/odm.derive_odm_from_tpch``,
+   restricted to ``c_custkey % SUBSET_MOD == 0``), fan it into
+   ``N_FILES`` single-line XML documents with ``applyInPandas`` (one
+   group = one file = one executor task), and write them through the
+   standard partitioned text sink — plus ONE deliberately malformed
+   document.
+2. INGEST: ``read_odm_xml`` scans the written files as binary blobs,
+   parses each on an executor, and the malformed one must surface as a
+   dead-letter row (A22 routing), NOT an exception.
+3. COMPARE: the returned frame is the full parsed item-grain output
+   (path + per-level tx types + value canon + error flags); the DuckDB
+   oracle derives the same rows STRAIGHT from parquet — so any drift
+   in the renderer, the parser, the tx normalization, or the
+   dead-letter split breaks the hash.
+
+At 100 TB: the unit of parallelism on both sides is the FILE — the
+render groups by file id (a real pipeline keys files at a
+subject-batch grain to bound group size), the scan parallelizes per
+file, and nothing ever collects to the driver.  The render is a test
+HARNESS for the ingest path; production data arrives as XML already.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.odm import ITEM_ATTRS, _form_tx, _se_tx, _subject_tx
+from ..sources.odm_xml import read_odm_xml, route_parsed
+from ..sources.parquet import load_table
+
+# Deterministic subset: custkeys ≡ 0 (mod 29).  29 is coprime with the
+# tx mixers (%10, %7, %5) and the study fan (%3), so every tx verb and
+# NULL-inheritance branch still occurs in the subset (~10k compared
+# rows at the sf0.01 gate — plenty of signal without dominating the
+# bench suite).
+SUBSET_MOD = 29
+N_FILES = 8
+
+_PATH = [
+    "file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid",
+    "item_group_oid", "item_oid",
+]
+_TXS = ["subject_tx", "study_event_tx", "form_tx", "item_group_tx", "item_tx"]
+OUT_COLS = [*_PATH, *_TXS, "data_type", "value_canon"]
+
+
+def _cap(tx: str | None) -> str | None:
+    return tx.capitalize() if tx else None
+
+
+# item elements per form, in stable OID order (document order is
+# irrelevant to the row-set compare but stable files are nicer to diff)
+_RENDER_ATTRS = sorted((oid, dtype) for oid, dtype, _ in ITEM_ATTRS)
+
+
+def _render_file(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One group = one ODM file: nest the FORM-grain rows back into the
+    CDISC element tree, serialized SINGLE-LINE (the text sink writes
+    one row per line).
+
+    Emitted in ONE O(n) pass over the path-sorted rows (open/close
+    tags on key change) — nested pandas groupbys paid ~0.5 ms of
+    setup per form group (~20 s build at sf0.1; this is ~1 s).  Each
+    row carries its five item values as ``v_<OID>`` columns; typed
+    elements for float/date-time and generic ``ItemData Value=`` for
+    string/integer exercise both parser branches in every file.
+    Values are escaped with the stdlib saxutils, and the round-trip
+    is pinned both by the driver hash-compare and the pytest
+    differential, so hand-emission cannot drift from what ``ET``
+    would produce without being caught."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    file_oid = pdf["xml_file"].iloc[0]
+    pdf = pdf.sort_values(
+        ["study_oid", "subject_key", "study_event_oid", "form_oid"],
+        na_position="first",
+    )
+    out = [f"<ODM FileOID={quoteattr(file_oid)}>"]
+    cur_study = cur_subj = cur_se = None
+
+    def close_subject() -> None:
+        nonlocal cur_subj, cur_se
+        if cur_se is not None:
+            out.append("</StudyEventData>")
+            cur_se = None
+        if cur_subj is not None:
+            out.append("</SubjectData>")
+            cur_subj = None
+
+    def tx_attr(tx) -> str:
+        return f" TransactionType={quoteattr(tx.capitalize())}" if tx else ""
+
+    for r in pdf.itertuples():
+        if r.study_oid != cur_study:
+            close_subject()
+            if cur_study is not None:
+                out.append("</ClinicalData>")
+            out.append(f"<ClinicalData StudyOID={quoteattr(r.study_oid)}>")
+            cur_study = r.study_oid
+        if r.subject_key != cur_subj:
+            close_subject()
+            out.append(
+                f"<SubjectData SubjectKey={quoteattr(r.subject_key)}"
+                f"{tx_attr(r.subject_tx)}>"
+            )
+            cur_subj = r.subject_key
+        if r.study_event_oid is None:
+            continue  # childless subject: element stays empty
+        if r.study_event_oid != cur_se:
+            if cur_se is not None:
+                out.append("</StudyEventData>")
+            out.append(
+                f"<StudyEventData StudyEventOID={quoteattr(r.study_event_oid)}"
+                f"{tx_attr(r.study_event_tx)}>"
+            )
+            cur_se = r.study_event_oid
+        out.append(
+            f"<FormData FormOID={quoteattr(r.form_oid)}{tx_attr(r.form_tx)}>"
+            '<ItemGroupData ItemGroupOID="IG1">'
+        )
+        for oid, dtype in _RENDER_ATTRS:
+            v = getattr(r, f"v_{oid}")
+            if dtype == "float":
+                out.append(f'<ItemDataFloat ItemOID="{oid}">{escape(v)}</ItemDataFloat>')
+            elif dtype == "date-time":
+                out.append(
+                    f'<ItemDataDatetime ItemOID="{oid}">{escape(v)}</ItemDataDatetime>'
+                )
+            else:
+                out.append(
+                    f'<ItemData ItemOID="{oid}" DataType="{dtype}" Value={quoteattr(v)}/>'
+                )
+        out.append("</ItemGroupData></FormData>")
+    close_subject()
+    if cur_study is not None:
+        out.append("</ClinicalData>")
+    out.append("</ODM>")
+    xml = "".join(out)
+    ET.fromstring(xml)  # well-formedness self-check before it hits disk
+    return pd.DataFrame({"xml_file": [file_oid], "value": [xml]})
+
+
+def _form_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per FORM (lineitem) of the subset tree, with the five
+    item values as pre-canonicalized ``v_<OID>`` string columns, plus
+    one all-NULL-path row per childless subject.
+
+    This is the render input: shipping form grain instead of the
+    5-way-exploded item grain puts 5x fewer rows through the
+    groupBy-file shuffle + Arrow hop, and the JVM computes every canon
+    cast before anything reaches Python.  The pruned orders side is
+    broadcast (the %SUBSET_MOD filter defeats size estimation, so the
+    planner would otherwise shuffle the full fact table)."""
+    customer = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % SUBSET_MOD == 0
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") % SUBSET_MOD == 0
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    )
+    ck = F.col("o_custkey")
+    li = lineitem.join(
+        F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).withColumn("form_seq", F.row_number().over(w))
+    canons = []
+    for oid, dtype, src in ITEM_ATTRS:
+        if dtype == "float":
+            canon = F.col(src).cast("decimal(18,2)").cast("string")
+        elif dtype == "date-time":
+            canon = F.unix_timestamp(F.col(src)).cast("string")
+        else:
+            canon = F.col(src).cast("string")
+        canons.append(canon.alias(f"v_{oid}"))
+    forms = li.select(
+        F.concat(F.lit("FX"), (ck % N_FILES).cast("string")).alias("xml_file"),
+        F.concat(F.lit("ST"), (ck % 3).cast("string")).alias("study_oid"),
+        F.concat(F.lit("SK"), ck.cast("string")).alias("subject_key"),
+        F.concat(F.lit("SE"), F.col("l_orderkey").cast("string")).alias("study_event_oid"),
+        F.concat(F.lit("FM"), F.col("form_seq").cast("string")).alias("form_oid"),
+        _subject_tx(ck).alias("subject_tx"),
+        _se_tx(F.col("l_orderkey")).alias("study_event_tx"),
+        _form_tx(F.col("l_orderkey"), F.col("l_linenumber")).alias("form_tx"),
+        *canons,
+    )
+    cck = F.col("c_custkey")
+    nulls = [F.lit(None).cast("string").alias(c) for c in (
+        "study_event_oid", "form_oid", "study_event_tx", "form_tx",
+        *(f"v_{oid}" for oid, _, _ in ITEM_ATTRS),
+    )]
+    childless = customer.join(
+        orders.select("o_custkey"), cck == F.col("o_custkey"), "left_anti"
+    ).select(
+        F.concat(F.lit("FX"), (cck % N_FILES).cast("string")).alias("xml_file"),
+        F.concat(F.lit("ST"), (cck % 3).cast("string")).alias("study_oid"),
+        F.concat(F.lit("SK"), cck.cast("string")).alias("subject_key"),
+        _subject_tx(cck).alias("subject_tx"),
+        *nulls,
+    )
+    return forms.unionByName(childless.select(*forms.columns))
+
+
+def _subset_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-grain rows of the subset ODM tree, PARSED-OUTPUT-shaped
+    (ancestor tx types riding on every row; one subject-level row per
+    childless subject) — exactly what ``parse_odm_bytes`` emits for the
+    rendered files.  Used by the pytest differential; the oracle SQL
+    restates the same derivation in DuckDB."""
+    base = _form_grain(spark, sf_dir)
+    attr_structs = [
+        F.struct(
+            F.lit(oid).alias("item_oid"),
+            F.lit(dtype).alias("data_type"),
+            F.col(f"v_{oid}").alias("value_canon"),
+        )
+        for oid, dtype, _ in ITEM_ATTRS
+    ]
+    shared = [
+        "xml_file", "study_oid", "subject_key", "study_event_oid", "form_oid",
+        "subject_tx", "study_event_tx", "form_tx",
+    ]
+    items = base.where(F.col("study_event_oid").isNotNull()).select(
+        *shared, F.inline(F.array(*attr_structs))
+    )
+    childless = base.where(F.col("study_event_oid").isNull()).select(
+        *shared,
+        *(F.lit(None).cast("string").alias(c) for c in ("item_oid", "data_type", "value_canon")),
+    )
+    return items.unionByName(childless)
+
+
+BAD_XML = '<ODM FileOID="BAD"><ClinicalData><unclosed></ODM>'
+
+
+def render_odm_xml(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Render the subset tree into N_FILES single-line XML docs (plus
+    one malformed doc) through the partitioned text sink; returns the
+    glob that matches the written documents."""
+    rows = _form_grain(spark, sf_dir)
+    docs = rows.groupBy("xml_file").applyInPandas(
+        _render_file, "xml_file string, value string"
+    )
+    bad = spark.createDataFrame([("FXBAD", BAD_XML)], "xml_file string, value string")
+    docs.unionByName(bad).write.mode("overwrite").partitionBy("xml_file").text(out_dir)
+    return out_dir + "/xml_file=*/part-*"
+
+
+def odm_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gated query: render → binaryFile scan → mapInPandas parse →
+    3-way route, returning valid rows AND the dead-letter flags so the
+    oracle pins the split, not just the happy path."""
+    import os
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse", "odm_xml_render", sf_name,
+    )
+    glob = render_odm_xml(spark, sf_dir, out_dir)
+    parsed = read_odm_xml(spark, glob)
+    valid, retryable, fatal = route_parsed(parsed)
+    routed = (
+        valid.withColumn("is_error", F.lit(0)).withColumn("is_fatal", F.lit(0))
+        .unionByName(
+            retryable.withColumn("is_error", F.lit(1)).withColumn("is_fatal", F.lit(0))
+        )
+        .unionByName(
+            fatal.withColumn("is_error", F.lit(1)).withColumn("is_fatal", F.lit(1))
+        )
+    )
+    return routed.select(*OUT_COLS, "is_error", "is_fatal")
+
+
+def _oracle_sql() -> str:
+    from ..oracle import _VALUE_CANON, SUBJECT_TX, SE_TX, FORM_TX
+
+    subj_tx_o = SUBJECT_TX.replace("c_custkey", "o_custkey")
+    # the inner subquery exposes l.* + o_custkey only; l_orderkey ==
+    # o_orderkey on the join key
+    se_tx_o = SE_TX.replace("o_orderkey", "l_orderkey")
+    item_selects = []
+    for oid, dtype, src in ITEM_ATTRS:
+        item_selects.append(
+            "SELECT file_oid, study_oid, subject_key, study_event_oid, form_oid,"
+            " 'IG1' AS item_group_oid,"
+            f" '{oid}' AS item_oid, subject_tx, study_event_tx, form_tx,"
+            " CAST(NULL AS VARCHAR) AS item_group_tx, CAST(NULL AS VARCHAR) AS item_tx,"
+            f" '{dtype}' AS data_type, {_VALUE_CANON[dtype](src)} AS value_canon"
+            " FROM li"
+        )
+    items_union = " UNION ALL ".join(item_selects)
+    out = ", ".join(OUT_COLS)
+    return f"""
+WITH ords AS MATERIALIZED (
+  SELECT * FROM orders WHERE o_custkey % {SUBSET_MOD} = 0
+),
+li AS MATERIALIZED (
+  SELECT 'FX' || CAST(o_custkey % {N_FILES} AS VARCHAR) AS file_oid,
+         'ST' || CAST(o_custkey % 3 AS VARCHAR) AS study_oid,
+         'SK' || CAST(o_custkey AS VARCHAR) AS subject_key,
+         'SE' || CAST(l_orderkey AS VARCHAR) AS study_event_oid,
+         'FM' || CAST(form_seq AS VARCHAR) AS form_oid,
+         {subj_tx_o} AS subject_tx,
+         {se_tx_o} AS study_event_tx,
+         {FORM_TX} AS form_tx,
+         l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
+         l_shipdate, l_partkey
+  FROM (
+    SELECT l.*, o.o_custkey,
+           row_number() OVER (
+             PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                      l_extendedprice, l_discount, l_tax, l_returnflag,
+                      l_linestatus, l_shipdate
+           ) AS form_seq
+    FROM lineitem l JOIN ords o ON l.l_orderkey = o.o_orderkey
+  )
+),
+item_rows AS ({items_union}),
+childless AS (
+  SELECT 'FX' || CAST(c_custkey % {N_FILES} AS VARCHAR) AS file_oid,
+         'ST' || CAST(c_custkey % 3 AS VARCHAR) AS study_oid,
+         'SK' || CAST(c_custkey AS VARCHAR) AS subject_key,
+         CAST(NULL AS VARCHAR) AS study_event_oid,
+         CAST(NULL AS VARCHAR) AS form_oid,
+         CAST(NULL AS VARCHAR) AS item_group_oid,
+         CAST(NULL AS VARCHAR) AS item_oid,
+         {SUBJECT_TX} AS subject_tx,
+         CAST(NULL AS VARCHAR) AS study_event_tx,
+         CAST(NULL AS VARCHAR) AS form_tx,
+         CAST(NULL AS VARCHAR) AS item_group_tx,
+         CAST(NULL AS VARCHAR) AS item_tx,
+         CAST(NULL AS VARCHAR) AS data_type,
+         CAST(NULL AS VARCHAR) AS value_canon
+  FROM customer c
+  WHERE c_custkey % {SUBSET_MOD} = 0
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+)
+SELECT {out}, 0 AS is_error, 0 AS is_fatal FROM item_rows
+UNION ALL
+SELECT {out}, 0 AS is_error, 0 AS is_fatal FROM childless
+UNION ALL
+SELECT {", ".join(f"CAST(NULL AS VARCHAR) AS {c}" for c in OUT_COLS)},
+       1 AS is_error, 1 AS is_fatal
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "odm_xml_ingest": (odm_xml_ingest, _oracle_sql()),
+}

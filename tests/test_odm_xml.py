@@ -230,3 +230,36 @@ def test_full_reference_lifecycle_xml_to_entity_state(spark, xml_dir):
     )
     final = {(r["study_oid"], r["subject_key"]) for r in state.collect()}
     assert final == {("S1", "SK01")}  # SK01 inserted; SK02 tombstoned away
+
+
+def test_xml_ingest_round_trip_matches_derivation(spark, tmp_path):
+    """r8 (VERDICT r7 #1): the oracle-gated ingest query's render →
+    binaryFile → mapInPandas parse → route pipeline must reproduce the
+    parquet-derived subset rows EXACTLY (both directions), the
+    malformed doc must dead-letter as one fatal row, and nothing may
+    land on the retryable path."""
+    from lens_sds_batch_spark.operators.xml_ingest import (
+        OUT_COLS,
+        _subset_rows,
+        odm_xml_ingest,
+    )
+
+    from .conftest import SF_SMOKE
+
+    out = odm_xml_ingest(spark, SF_SMOKE)
+    fatal = out.where(F.col("is_fatal") == 1)
+    assert fatal.count() == 1
+    assert fatal.where(F.col("file_oid").isNull()).count() == 1
+    assert out.where((F.col("is_error") == 1) & (F.col("is_fatal") == 0)).isEmpty()
+
+    expected = _subset_rows(spark, SF_SMOKE).select(
+        F.col("xml_file").alias("file_oid"),
+        "study_oid", "subject_key", "study_event_oid", "form_oid",
+        F.when(F.col("item_oid").isNotNull(), F.lit("IG1")).alias("item_group_oid"),
+        "item_oid", "subject_tx", "study_event_tx", "form_tx",
+        F.lit(None).cast("string").alias("item_group_tx"),
+        F.lit(None).cast("string").alias("item_tx"),
+        "data_type", "value_canon",
+    )
+    got = out.where(F.col("is_error") == 0).select(*OUT_COLS)
+    assert got.exceptAll(expected).isEmpty() and expected.exceptAll(got).isEmpty()
