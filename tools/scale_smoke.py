@@ -40,7 +40,12 @@ OPS = ("dedup_basic_pack", "dup_pairs_pack",  # basic pack = former dedup_exact 
        # replicated customer/orders/lineitem/events (offsets preserve
        # join integrity, so these run the REAL pipelines at 10x)
        "odm_commands", "correlate_first_event", "q1_pricing_summary",
-       "asof_join", "tpch_pack")  # tpch: part is NOT replicated (a dim), facts are
+       "asof_join", "tpch_pack",  # tpch: part is NOT replicated (a dim), facts are
+       # r8: XML ingestion path (render+scan+parse+route) and the
+       # stateless IVF cell-assign projection over the full corpus
+       # (the batch side of ivf_assign_stream; fixed deterministic
+       # centers so the smoke times ASSIGNMENT, not the KMeans fit)
+       "odm_xml_ingest", "assign_cells_full")
 
 BASE_TMP = "/tmp/lens_scale_smoke"
 
@@ -108,9 +113,27 @@ def build_scaled(spark, sf_dir: str, k: int) -> str:
 def time_ops(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as em  # includes the flagship queries
 
-    from lens_sds_batch_spark.operators.similarity import knn_lsh_bucketed
+    from lens_sds_batch_spark.operators.similarity import (
+        IVF_K,
+        _vecs,
+        assign_cells,
+        knn_lsh_bucketed,
+    )
 
-    qs = {**em.queries(), "knn_lsh_bucketed": knn_lsh_bucketed}
+    def assign_cells_full(spark, sf_dir):
+        vecs = _vecs(spark, sf_dir)
+        dim = len(vecs.select("v").head()["v"])
+        centers = [
+            [float((7 * i + 3 * j) % 11 - 5) / 5.0 for j in range(dim)]
+            for i in range(IVF_K)
+        ]
+        return assign_cells(vecs, centers)
+
+    qs = {
+        **em.queries(),
+        "knn_lsh_bucketed": knn_lsh_bucketed,
+        "assign_cells_full": assign_cells_full,
+    }
     out = {}
     for name in OPS:
         t0 = time.time()
