@@ -239,6 +239,79 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
+class DurableMetrics:
+    """A dict-compatible metrics store for :func:`requeue_sink` that
+    SURVIVES DRIVER RESTARTS (closes the in-memory-dict limitation
+    documented in the sink): state lives in a JSON file, written
+    atomically (tmp + ``os.replace``) exactly when a
+    ``"_last_epoch:…"`` key is stored.
+
+    Why that trigger makes the persistence transactional: the sink's
+    documented invariant is *counters first, epoch key last, plain
+    stores in between* — so flushing on the epoch-key store captures
+    the fully-applied batch in ONE atomic rename.  Crash before the
+    epoch-key store → the file still holds the pre-batch state and the
+    checkpoint-replayed epoch re-tallies from that base (no double
+    count); crash after → the file holds the post-batch state AND the
+    epoch key, so replay is skipped.  A fresh ``DurableMetrics(path)``
+    after restart reloads whichever of those two consistent states the
+    crash left.
+
+    A StreamingQueryListener was considered and rejected for this:
+    progress events carry source/sink row counts, not this sink's
+    three-way ROUTING split — the counts exist only inside
+    foreachBatch, so durability belongs at the metrics seam, not the
+    listener.  (A listener remains the right EXPORT path to external
+    monitoring; it would read this store.)
+
+    Local paths only (the JSON lives on the driver, like the
+    checkpoint dir's metadata on a real deploy this would be the
+    checkpoint filesystem).
+    """
+
+    def __init__(self, path: str):
+        import json
+        import os
+
+        self._path = path
+        self._d: dict = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                self._d = json.load(f)
+
+    def flush(self) -> None:
+        import json
+        import os
+
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._d, f)
+        os.replace(tmp, self._path)
+
+    def __setitem__(self, key, value) -> None:
+        self._d[key] = value
+        if isinstance(key, str) and key.startswith("_last_epoch:"):
+            self.flush()
+
+    def __getitem__(self, key):
+        return self._d[key]
+
+    def get(self, key, default=None):
+        return self._d.get(key, default)
+
+    def __contains__(self, key) -> bool:
+        return key in self._d
+
+    def __iter__(self):
+        return iter(self._d)
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    def as_dict(self) -> dict:
+        return dict(self._d)
+
+
 def requeue_sink(
     out_dir: str,
     dead_dir: str,
@@ -302,10 +375,12 @@ def requeue_sink(
     bookkeeping, not counts.  The counts are tallied into locals and
     applied together with the epoch key (plain dict stores, nothing
     fallible in between), so a count() failure mid-tally followed by
-    replay cannot double-count.  LIMITATION: the dict is in-memory —
-    a DRIVER restart loses it, and the checkpoint-replayed epoch then
-    re-counts once; metrics that must survive restarts belong in a
-    StreamingQueryListener feeding a durable store, not here.  (The
+    replay cannot double-count.  A plain in-memory dict does NOT
+    survive a DRIVER restart (the checkpoint-replayed epoch then
+    re-counts once); pass a :class:`DurableMetrics` instead — it
+    persists atomically on exactly the epoch-key store, riding the
+    counters-first/epoch-key-last invariant above, so restarts resume
+    from a consistent tally (r8, closes the r7 limitation).  (The
     parquet appends themselves can still duplicate on replay; that is
     the documented at-least-once file-sink contract, made harmless
     downstream by deterministic ids + LWW merge.)
