@@ -135,6 +135,16 @@ def parse_odm_bytes(path: str, blob: bytes) -> list[dict]:
         return [dict(base, file_path=path, error=f"{type(exc).__name__}: {exc}", retryable=True)]
 
 
+def _parse_blob_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel shared by the batch and streaming readers."""
+    cols = [f.split(" ")[0] for f in PARSED_SCHEMA.split(", ")]
+    for pdf in batches:
+        out: list[dict] = []
+        for path, blob in zip(pdf["path"], pdf["content"]):
+            out.extend(parse_odm_bytes(path, bytes(blob)))
+        yield pd.DataFrame(out, columns=cols)
+
+
 def read_odm_xml(spark: SparkSession, path_glob: str) -> DataFrame:
     """Distributed scan+parse: binaryFile source → mapInPandas parse.
     Each file parses independently on an executor; at 100 TB the unit
@@ -144,16 +154,37 @@ def read_odm_xml(spark: SparkSession, path_glob: str) -> DataFrame:
 
     ensure_engine_confs(spark)
     blobs = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    return blobs.mapInPandas(_parse_blob_batches, PARSED_SCHEMA)
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.split(" ")[0] for f in PARSED_SCHEMA.split(", ")]
-        for pdf in batches:
-            out: list[dict] = []
-            for path, blob in zip(pdf["path"], pdf["content"]):
-                out.extend(parse_odm_bytes(path, bytes(blob)))
-            yield pd.DataFrame(out, columns=cols)
 
-    return blobs.mapInPandas(parse, PARSED_SCHEMA)
+# binaryFile exposes no streaming schema inference, so the source
+# schema is pinned (it is fixed by the format, not the data)
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_odm_xml_stream(
+    spark: SparkSession, path_glob: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """STREAMING twin of :func:`read_odm_xml` (reference A4: one ODM
+    file arrives per batch command, ``broker.clj`` consume loop):
+    a binaryFile ``readStream`` delivers newly-landed XML files
+    per trigger and the SAME ``mapInPandas`` kernel parses them —
+    ``maxFilesPerTrigger=1`` reproduces the reference's
+    one-file-per-command cadence exactly, larger values batch the
+    backlog (A25 bounded concurrency).  Route the output with
+    :func:`route_parsed`; the retryable side feeds back through the
+    file source like ``requeue_sink``.  Streaming == batch is pinned
+    by tests/test_odm_xml.py::test_xml_stream_equals_batch."""
+    from .parquet import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    blobs = reader.load(path_glob).select("path", "content")
+    return blobs.mapInPandas(_parse_blob_batches, PARSED_SCHEMA)
 
 
 def split_errors(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -263,3 +263,35 @@ def test_xml_ingest_round_trip_matches_derivation(spark, tmp_path):
     )
     got = out.where(F.col("is_error") == 0).select(*OUT_COLS)
     assert got.exceptAll(expected).isEmpty() and expected.exceptAll(got).isEmpty()
+
+
+def test_xml_stream_equals_batch(spark, tmp_path):
+    """r8: the streaming XML reader (binaryFile readStream, one file
+    per trigger = the reference's one-file-per-batch-command cadence)
+    must produce row-for-row the batch reader's output, including the
+    dead-letter rows, across multiple triggers."""
+    from lens_sds_batch_spark.sources.odm_xml import read_odm_xml, read_odm_xml_stream
+
+    d = tmp_path / "xml"
+    d.mkdir()
+    for name, doc in (("good.xml", GOOD), ("generic.xml", GENERIC), ("bad.xml", BAD_XML)):
+        (d / name).write_text(doc)
+    glob = str(d / "*.xml")
+
+    batch = read_odm_xml(spark, glob)
+    stream = read_odm_xml_stream(spark, glob, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("xml_stream_twin")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM xml_stream_twin")
+    # 3 files -> 3 triggers at maxFilesPerTrigger=1 (availableNow drains all)
+    assert got.select("file_path").distinct().count() == 3
+    b = batch.drop("file_path")
+    g = got.drop("file_path")
+    assert g.exceptAll(b).isEmpty() and b.exceptAll(g).isEmpty()
