@@ -295,3 +295,93 @@ def test_xml_stream_equals_batch(spark, tmp_path):
     b = batch.drop("file_path")
     g = got.drop("file_path")
     assert g.exceptAll(b).isEmpty() and b.exceptAll(g).isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# Property: render→parse round-trip survives HOSTILE strings (escaping)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# XML 1.0 forbids control chars; surrogates/unassigned are undefined —
+# everything else (quotes, <>&, unicode, whitespace) must round-trip
+_XML_CHARS = st.characters(blacklist_categories=("Cs", "Cc", "Cn"))
+_ATTR = st.text(alphabet=_XML_CHARS, min_size=1, max_size=12)
+# typed-element values land in TEXT content, where the parser strips
+# and the XML spec normalizes \r\n -> \n: generate strip-stable text
+_TEXTVAL = _ATTR.filter(lambda s: s == s.strip() and "\r" not in s)
+_TX = st.sampled_from([None, "insert", "update", "upsert", "remove"])
+
+
+@st.composite
+def _odm_tree(draw):
+    """A small consistent ODM tree at form grain + childless subjects."""
+    from lens_sds_batch_spark.plans.odm import ITEM_ATTRS
+
+    rows = []
+    for study in draw(st.lists(_ATTR, min_size=1, max_size=2, unique=True)):
+        for subj in draw(st.lists(_ATTR, min_size=1, max_size=2, unique=True)):
+            stx = draw(_TX)
+            ses = draw(st.lists(_ATTR, min_size=0, max_size=2, unique=True))
+            if not ses:
+                rows.append(dict(study_oid=study, subject_key=subj, subject_tx=stx,
+                                 study_event_oid=None, study_event_tx=None,
+                                 form_oid=None, form_tx=None,
+                                 **{f"v_{o}": None for o, _, _ in ITEM_ATTRS}))
+                continue
+            for se in ses:
+                setx = draw(_TX)
+                for form in draw(st.lists(_ATTR, min_size=1, max_size=2, unique=True)):
+                    vals = {}
+                    for oid, dtype, _ in ITEM_ATTRS:
+                        vals[f"v_{oid}"] = draw(
+                            _TEXTVAL if dtype in ("float", "date-time") else _ATTR
+                        )
+                    rows.append(dict(study_oid=study, subject_key=subj, subject_tx=stx,
+                                     study_event_oid=se, study_event_tx=setx,
+                                     form_oid=form, form_tx=draw(_TX), **vals))
+    return rows
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(file_oid=_ATTR, rows=_odm_tree())
+def test_render_parse_round_trip_hostile_strings(file_oid, rows):
+    """The driver corpus contains only [A-Z0-9.#-] strings, so the
+    renderer's escaping (quoteattr/escape) is otherwise UNEXERCISED —
+    this pins that arbitrary XML-legal OIDs/keys/values (quotes, <>&,
+    unicode, embedded whitespace) survive render→parse byte-for-byte.
+    Pure-Python: no SparkSession, the render kernel and parser are
+    plain functions."""
+    import pandas as pd
+
+    from lens_sds_batch_spark.operators.xml_ingest import _RENDER_ATTRS, _render_file
+    from lens_sds_batch_spark.plans.odm import ITEM_ATTRS
+    from lens_sds_batch_spark.sources.odm_xml import parse_odm_bytes
+
+    pdf = pd.DataFrame([dict(r, xml_file=file_oid) for r in rows])
+    xml = _render_file(pdf)["value"].iloc[0]
+    parsed = parse_odm_bytes("mem", xml.encode())
+    assert all(p["error"] is None for p in parsed), parsed
+
+    dtype_of = {oid: dtype for oid, dtype, _ in ITEM_ATTRS}
+    expected = set()
+    for r in rows:
+        if r["study_event_oid"] is None:
+            expected.add((file_oid, r["study_oid"], r["subject_key"], r["subject_tx"],
+                          None, None, None, None, None, None, None))
+        else:
+            for oid, _ in _RENDER_ATTRS:
+                expected.add((
+                    file_oid, r["study_oid"], r["subject_key"], r["subject_tx"],
+                    r["study_event_oid"], r["study_event_tx"],
+                    r["form_oid"], r["form_tx"],
+                    oid, dtype_of[oid], r[f"v_{oid}"],
+                ))
+    got = {
+        (p["file_oid"], p["study_oid"], p["subject_key"], p["subject_tx"],
+         p["study_event_oid"], p["study_event_tx"], p["form_oid"], p["form_tx"],
+         p["item_oid"], p["data_type"], p["value_canon"])
+        for p in parsed
+    }
+    assert got == expected
