@@ -156,7 +156,7 @@ def _render_file(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"xml_file": [file_oid], "value": [xml]})
 
 
-def _form_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _form_grain(spark: SparkSession, sf_dir: str, n_files: int = N_FILES) -> DataFrame:
     """One row per FORM (lineitem) of the subset tree, with the five
     item values as pre-canonicalized ``v_<OID>`` string columns, plus
     one all-NULL-path row per childless subject.
@@ -166,7 +166,13 @@ def _form_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy-file shuffle + Arrow hop, and the JVM computes every canon
     cast before anything reaches Python.  The pruned orders side is
     broadcast (the %SUBSET_MOD filter defeats size estimation, so the
-    planner would otherwise shuffle the full fact table)."""
+    planner would otherwise shuffle the full fact table).
+
+    ``n_files`` is the scale knob: file count bounds BOTH render
+    parallelism and per-group size, so at corpus scale it grows with
+    the data (subject-batch-grain file keys) instead of staying a
+    constant — the gated query pins 8 for determinism, the knob is
+    exercised at other values by the round-trip pytest."""
     customer = load_table(spark, sf_dir, "customer").where(
         F.col("c_custkey") % SUBSET_MOD == 0
     )
@@ -194,7 +200,7 @@ def _form_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
             canon = F.col(src).cast("string")
         canons.append(canon.alias(f"v_{oid}"))
     forms = li.select(
-        F.concat(F.lit("FX"), (ck % N_FILES).cast("string")).alias("xml_file"),
+        F.concat(F.lit("FX"), (ck % n_files).cast("string")).alias("xml_file"),
         F.concat(F.lit("ST"), (ck % 3).cast("string")).alias("study_oid"),
         F.concat(F.lit("SK"), ck.cast("string")).alias("subject_key"),
         F.concat(F.lit("SE"), F.col("l_orderkey").cast("string")).alias("study_event_oid"),
@@ -212,7 +218,7 @@ def _form_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     childless = customer.join(
         orders.select("o_custkey"), cck == F.col("o_custkey"), "left_anti"
     ).select(
-        F.concat(F.lit("FX"), (cck % N_FILES).cast("string")).alias("xml_file"),
+        F.concat(F.lit("FX"), (cck % n_files).cast("string")).alias("xml_file"),
         F.concat(F.lit("ST"), (cck % 3).cast("string")).alias("study_oid"),
         F.concat(F.lit("SK"), cck.cast("string")).alias("subject_key"),
         _subject_tx(cck).alias("subject_tx"),
@@ -253,11 +259,13 @@ def _subset_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 BAD_XML = '<ODM FileOID="BAD"><ClinicalData><unclosed></ODM>'
 
 
-def render_odm_xml(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
-    """Render the subset tree into N_FILES single-line XML docs (plus
+def render_odm_xml(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = N_FILES
+) -> str:
+    """Render the subset tree into ``n_files`` single-line XML docs (plus
     one malformed doc) through the partitioned text sink; returns the
     glob that matches the written documents."""
-    rows = _form_grain(spark, sf_dir)
+    rows = _form_grain(spark, sf_dir, n_files)
     docs = rows.groupBy("xml_file").applyInPandas(
         _render_file, "xml_file string, value string"
     )

@@ -385,3 +385,20 @@ def test_render_parse_round_trip_hostile_strings(file_oid, rows):
         for p in parsed
     }
     assert got == expected
+
+
+def test_render_n_files_knob_invariant(spark, tmp_path):
+    """r8: file count is the render's scale knob (parallelism and
+    per-group size) — the PARSED ROW SET must be invariant to it, only
+    the file fan changes."""
+    from lens_sds_batch_spark.sources.odm_xml import read_odm_xml
+    from lens_sds_batch_spark.operators.xml_ingest import render_odm_xml
+
+    from .conftest import SF_SMOKE
+
+    g3 = render_odm_xml(spark, SF_SMOKE, str(tmp_path / "n3"), n_files=3)
+    g8 = render_odm_xml(spark, SF_SMOKE, str(tmp_path / "n8"), n_files=8)
+    p3 = read_odm_xml(spark, g3).drop("file_path", "file_oid")
+    p8 = read_odm_xml(spark, g8).drop("file_path", "file_oid")
+    assert read_odm_xml(spark, g3).select("file_oid").distinct().count() == 3 + 1  # +bad
+    assert p3.exceptAll(p8).isEmpty() and p8.exceptAll(p3).isEmpty()
