@@ -1,0 +1,54 @@
+"""A27 HTTP health probe: 200 OK alive, 503 when the context is gone
+(reference handler.clj:4-7 serves the constant; we add real liveness)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+from lens_sds_batch_spark.health import health_snapshot, serve_health
+
+
+def _get(port: int, path: str):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=5) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_health_probe_alive_and_snapshot(spark):
+    server, port = serve_health(spark)
+    try:
+        status, body = _get(port, "/health")
+        assert status == 200 and body.startswith("OK")
+        status, body = _get(port, "/health?full=1")
+        assert status == 200
+        snap = json.loads(body.splitlines()[1])
+        assert snap["status"] == "ok"
+        assert snap["app_id"] and snap["default_parallelism"] >= 1
+        assert snap["active_streams"] == []  # nothing running in this test
+        status, _ = _get(port, "/nope")
+        assert status == 404
+    finally:
+        server.shutdown()
+
+
+def test_health_probe_degrades_to_503():
+    """A dead/stopped session must read as DOWN — the constant-200
+    reference handler can't distinguish; a Spark driver can and
+    should."""
+
+    class DeadSession:  # the shape health_snapshot touches
+        @property
+        def sparkContext(self):
+            raise RuntimeError("SparkContext was shut down")
+
+    assert health_snapshot(DeadSession()) == {"status": "down"}
+    server, port = serve_health(DeadSession())
+    try:
+        status, body = _get(port, "/health")
+        assert status == 503 and body.startswith("DOWN")
+    finally:
+        server.shutdown()
