@@ -186,3 +186,77 @@ def test_apply_lww_matches_python_reference(spark, rows):
     )
     got_set = {(r["k"], r["v"]) for r in got.collect() if r["k"] != "__none__"}
     assert got_set == expected
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    target=st.lists(
+        st.tuples(st.sampled_from(["k1", "k2", "k3", "k4"]),
+                  st.integers(min_value=0, max_value=3),
+                  st.sampled_from(["t1", "t2"])),
+        min_size=0, max_size=4,
+        unique_by=lambda r: r[0],  # stored state is key-unique
+    ),
+    updates=st.lists(
+        st.tuples(st.sampled_from(["k1", "k2", "k3", "k4"]),
+                  st.integers(min_value=0, max_value=3),
+                  st.sampled_from(["s1", "s2"]),
+                  st.booleans()),
+        min_size=1, max_size=8,
+        unique_by=lambda r: (r[0], r[1]),  # no within-batch order ties:
+        # those resolve by the shared xxhash64 (pinned deterministically
+        # in test_merge_tie_break_total_ordering); this property covers
+        # the ORDERING + target-wins-ties contract, which a Python model
+        # can state without replicating Spark's hash
+    ),
+)
+def test_merge_into_matches_delta_semantics_model(spark, target, updates):
+    """Differential property (r8): merge_into's parquet fallback vs a
+    pure-Python model of the Delta MERGE contract — collapse the source
+    to its per-key winner by the order chain, then strict
+    'source newer than target' decides update/keep, exact ties keep
+    the TARGET, tombstone winners delete, unmatched non-tombstones
+    insert.  Target-vs-source order ties occur freely in the generated
+    data, so the r8 total-ordering fix is exercised broadly."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lens_sds_batch_spark.plans.merge import merge_into
+
+    src_best: dict = {}
+    for k, pri, val, dead in updates:
+        cur = src_best.get(k)
+        if cur is None or pri > cur[0]:
+            src_best[k] = (pri, val, dead)
+    expected = set()
+    tgt_keys = set()
+    for k, pri, val in target:
+        tgt_keys.add(k)
+        s = src_best.get(k)
+        if s is not None and s[0] > pri:          # strictly newer source
+            if not s[2]:
+                expected.add((k, s[1]))           # whenMatchedUpdate
+            # else whenMatchedDelete: key disappears
+        else:
+            expected.add((k, val))                # tie or older: target kept
+    for k, (pri, val, dead) in src_best.items():
+        if k not in tgt_keys and not dead:
+            expected.add((k, val))                # whenNotMatchedInsert
+
+    d = tempfile.mkdtemp(prefix="merge_prop_")
+    tgt_path = d + "/state"
+    if target:
+        spark.createDataFrame(
+            [(k, p, v, False) for k, p, v in target],
+            "k string, pri int, v string, dead boolean",
+        ).write.parquet(tgt_path)
+    upd = spark.createDataFrame(updates, "k string, pri int, v string, dead boolean")
+    merge_into(spark, tgt_path, upd, keys=["k"], order_cols=["pri"], is_delete=F.col("dead"))
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(tgt_path).collect()}
+    assert got == expected
