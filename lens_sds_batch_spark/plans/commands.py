@@ -432,3 +432,40 @@ def generate_commands(
         ),
     ]
     return reduce(lambda a, b: a.unionByName(b), out)
+
+
+def dispatch_commands(
+    cmds: DataFrame,
+    handlers: dict,
+    persist: bool = True,
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """The reference's OPEN ``handle-command`` multimethod
+    (``broker.clj:55`` — dispatch on ``:name``, unhandled names error →
+    reject) restated set-at-a-time: each registered name's rows flow
+    through that handler's DataFrame transform, and rows whose name has
+    NO handler come back as the reject side (route them to a
+    dead-letter/requeue sink; silently dropping them would hide exactly
+    the bug the multimethod's no-default error surfaces).
+
+    ``handlers``: ``{command_name: fn(DataFrame) -> DataFrame}`` —
+    the extension point (SURVEY B10): downstream systems register new
+    verbs without touching this engine, the same openness the
+    multimethod gives Clojure consumers.
+
+    ``persist`` localCheckpoints the source once when there are
+    multiple handlers — each handler's lazy result re-executes the
+    upstream plan otherwise (N verbs = N re-derivations of the command
+    frame; the reference pays the dual cost as one bus delivery per
+    command).  Callers embedding this in a larger cached pipeline can
+    pass False.
+
+    Returns ``(handled, unhandled)`` with ``handled[name]`` the
+    handler's output for that verb's rows.
+    """
+    if persist and len(handlers) > 1:
+        cmds = cmds.localCheckpoint(eager=False)
+    handled = {
+        name: fn(cmds.where(F.col("name") == name)) for name, fn in handlers.items()
+    }
+    unhandled = cmds.where(~F.col("name").isin(*handlers) | F.col("name").isNull())
+    return handled, unhandled

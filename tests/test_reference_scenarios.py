@@ -598,3 +598,37 @@ def test_merge_into_replaces_empty_target_dir(spark, tmp_path):
     assert rows == {("k1", "a")} and res["rows"] == 1
     # the empty dir went aside and was cleaned up afterwards
     assert not os.path.exists(target + ".__old")
+
+
+def test_dispatch_commands_open_multimethod(spark):
+    """A21/B10 (r8): the open handle-command multimethod analog —
+    registered verbs route through their handler transform; names with
+    no handler (including NULL) come back on the reject side for the
+    dead-letter path, never silently dropped (broker.clj:55 dispatch,
+    no-default error semantics)."""
+    from pyspark.sql import functions as F
+
+    from lens_sds_batch_spark.plans.commands import dispatch_commands
+
+    cmds = spark.createDataFrame(
+        [
+            ("odm-import/insert-subject", "s1"),
+            ("odm-import/remove-subject", "s2"),
+            ("custom/unregistered-verb", "s3"),
+            (None, "s4"),
+        ],
+        "name string, payload string",
+    )
+    handled, unhandled = dispatch_commands(
+        cmds,
+        {
+            "odm-import/insert-subject": lambda df: df.withColumn("op", F.lit("upsert")),
+            "odm-import/remove-subject": lambda df: df.withColumn("op", F.lit("tombstone")),
+        },
+    )
+    assert {r["payload"] for r in handled["odm-import/insert-subject"].collect()} == {"s1"}
+    assert [(r["payload"], r["op"]) for r in handled["odm-import/remove-subject"].collect()] == [
+        ("s2", "tombstone")
+    ]
+    # reject side is TOTAL: unknown verb AND null name both land there
+    assert {r["payload"] for r in unhandled.collect()} == {"s3", "s4"}
