@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlsplit
 
 
 def health_snapshot(spark) -> dict:
@@ -56,13 +57,16 @@ def serve_health(spark, port: int = 0) -> tuple[ThreadingHTTPServer, int]:
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 — http.server API
-            if self.path.split("?")[0] not in ("/health", "/"):
+            url = urlsplit(self.path)
+            if url.path not in ("/health", "/"):
                 self.send_error(404)
                 return
             snap = health_snapshot(spark)
             ok = snap["status"] == "ok"
             body = "OK\n" if ok else "DOWN\n"
-            if "full=1" in self.path:
+            # parsed, not a substring test: `?notfull=1` must NOT turn
+            # on the verbose body the plain probe contract keeps cheap
+            if parse_qs(url.query).get("full") == ["1"]:
                 body += json.dumps(snap) + "\n"
             payload = body.encode()
             self.send_response(200 if ok else 503)
@@ -74,7 +78,15 @@ def serve_health(spark, port: int = 0) -> tuple[ThreadingHTTPServer, int]:
         def log_message(self, *args):  # quiet: probes fire every few seconds
             pass
 
-    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    class Server(ThreadingHTTPServer):
+        # the documented stop path is shutdown(); without closing the
+        # listening socket too, every start/stop cycle leaks the bound
+        # fd and a fixed port can never be re-bound (r8 review)
+        def shutdown(self):  # noqa: A003 — deliberate override
+            super().shutdown()
+            self.server_close()
+
+    server = Server(("127.0.0.1", port), Handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server, server.server_address[1]

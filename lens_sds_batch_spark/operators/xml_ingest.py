@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.odm import ITEM_ATTRS, _form_tx, _se_tx, _subject_tx
+from ..plans.odm import ITEM_ATTRS, _form_tx, _se_tx, _subject_tx, canon_col
 from ..sources.odm_xml import read_odm_xml, route_parsed
 from ..sources.parquet import load_table
 
@@ -104,7 +104,8 @@ def _render_file(pdf: pd.DataFrame) -> pd.DataFrame:
             cur_subj = None
 
     def tx_attr(tx) -> str:
-        return f" TransactionType={quoteattr(tx.capitalize())}" if tx else ""
+        c = _cap(tx)
+        return f" TransactionType={quoteattr(c)}" if c else ""
 
     for r in pdf.itertuples():
         if r.study_oid != cur_study:
@@ -190,15 +191,7 @@ def _form_grain(spark: SparkSession, sf_dir: str, n_files: int = N_FILES) -> Dat
         F.broadcast(orders.select("o_orderkey", "o_custkey")),
         lineitem.l_orderkey == F.col("o_orderkey"),
     ).withColumn("form_seq", F.row_number().over(w))
-    canons = []
-    for oid, dtype, src in ITEM_ATTRS:
-        if dtype == "float":
-            canon = F.col(src).cast("decimal(18,2)").cast("string")
-        elif dtype == "date-time":
-            canon = F.unix_timestamp(F.col(src)).cast("string")
-        else:
-            canon = F.col(src).cast("string")
-        canons.append(canon.alias(f"v_{oid}"))
+    canons = [canon_col(src, dtype).alias(f"v_{oid}") for oid, dtype, src in ITEM_ATTRS]
     forms = li.select(
         F.concat(F.lit("FX"), (ck % n_files).cast("string")).alias("xml_file"),
         F.concat(F.lit("ST"), (ck % 3).cast("string")).alias("study_oid"),
@@ -277,14 +270,24 @@ def render_odm_xml(
 def odm_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The gated query: render → binaryFile scan → mapInPandas parse →
     3-way route, returning valid rows AND the dead-letter flags so the
-    oracle pins the split, not just the happy path."""
+    oracle pins the split, not just the happy path.
+
+    Render scratch dir (r8 review): keyed by (sf, PID) so CONCURRENT
+    processes on the same sf (a pytest worker racing the bench/driver)
+    never overwrite each other's files mid-scan; within one process
+    re-runs reuse+overwrite the same dir, bounding accumulation.  The
+    base defaults to the repo checkout's gitignored ``spark-warehouse``
+    and is overridable with ``SPARK_GRAFT_RENDER_DIR`` for installed
+    deploys (a site-packages-relative default would write into the
+    install tree)."""
     import os
 
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    out_dir = os.path.join(
+    base = os.environ.get("SPARK_GRAFT_RENDER_DIR") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse", "odm_xml_render", sf_name,
+        "spark-warehouse",
     )
+    out_dir = os.path.join(base, "odm_xml_render", f"{sf_name}-{os.getpid()}")
     glob = render_odm_xml(spark, sf_dir, out_dir)
     parsed = read_odm_xml(spark, glob)
     valid, retryable, fatal = route_parsed(parsed)

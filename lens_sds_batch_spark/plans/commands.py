@@ -452,17 +452,17 @@ def dispatch_commands(
     verbs without touching this engine, the same openness the
     multimethod gives Clojure consumers.
 
-    ``persist`` localCheckpoints the source once when there are
-    multiple handlers — each handler's lazy result re-executes the
-    upstream plan otherwise (N verbs = N re-derivations of the command
-    frame; the reference pays the dual cost as one bus delivery per
-    command).  Callers embedding this in a larger cached pipeline can
-    pass False.
+    ``persist`` localCheckpoints the source once — each consumer's lazy
+    result re-executes the upstream plan otherwise, and the consumer
+    count is ``len(handlers) + 1``: the unhandled reject frame always
+    reads the source too, so even a single-handler dispatch re-derives
+    twice without it (r8 review).  Callers embedding this in a larger
+    cached pipeline can pass False.
 
     Returns ``(handled, unhandled)`` with ``handled[name]`` the
     handler's output for that verb's rows.
     """
-    if persist and len(handlers) > 1:
+    if persist and handlers:
         cmds = cmds.localCheckpoint(eager=False)
     handled = {
         name: fn(cmds.where(F.col("name") == name)) for name, fn in handlers.items()

@@ -69,9 +69,14 @@ def merge_into(
       full row in both branches (the Delta branch's source collapse
       and the fallback's window share the tiebreak), so the two
       engines agree row-for-row without the caller supplying a
-      sequence column.  (A 64-bit hash collision between two DISTINCT
-      tied rows would re-open arbitrariness; at that probability the
-      caller's own sequence column is the remedy.)
+      sequence column.  NULL order values rank as the OLDEST in both
+      branches (the fallback's DESC sort is NULLS LAST; the Delta
+      condition is built null-safe with `<=>` ties and an explicit
+      non-NULL-beats-NULL term — a naive `>` would strand NULL-ordered
+      target rows forever on the Delta path only).  (A 64-bit hash
+      collision between two DISTINCT tied rows would re-open
+      arbitrariness; at that probability the caller's own sequence
+      column is the remedy.)
     - The Delta branch first collapses ``updates`` to one winner per
       key (MERGE requires unique source keys), then routes
       delete/update/insert with the newer-than condition — a file-level
@@ -104,11 +109,22 @@ def merge_into(
             updates, keys, order_exprs + [row_hash], is_delete=F.lit(False)
         ).withColumn("__del", is_delete)
         key_cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
-        # lexicographic "source strictly newer than target" over order_cols
+        # Lexicographic "source strictly newer than target" over
+        # order_cols, NULL-SAFE with NULL = oldest (r8 review): a plain
+        # `s.c > t.c` is NULL when either side is NULL, so the clause
+        # would never fire and a NULL-ordered target could never be
+        # superseded — while the fallback's DESC sort (NULLS LAST =
+        # NULL sorts oldest) would supersede it.  Null-safe equality
+        # (`<=>`) on the tie chain plus an explicit
+        # "non-NULL beats NULL" strict term keeps the two branches on
+        # the SAME total order: NULL is the minimum order value
+        # everywhere.
         newer_terms = []
         for i, c in enumerate(order_cols):
-            ties = " AND ".join(f"s.`{o}` = t.`{o}`" for o in order_cols[:i])
-            term = f"s.`{c}` > t.`{c}`"
+            ties = " AND ".join(f"s.`{o}` <=> t.`{o}`" for o in order_cols[:i])
+            term = (
+                f"(s.`{c}` > t.`{c}` OR (s.`{c}` IS NOT NULL AND t.`{c}` IS NULL))"
+            )
             newer_terms.append(f"({ties} AND {term})" if ties else f"({term})")
         newer = " OR ".join(newer_terms)
         tgt = DeltaTable.forPath(spark, target_path)

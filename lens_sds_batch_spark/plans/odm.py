@@ -45,6 +45,21 @@ ITEM_ATTRS = (
 )
 
 
+def canon_col(src: str, dtype: str):
+    """The cross-engine canonical value string for one EAV attribute —
+    THE hashing contract with the oracle's ``_VALUE_CANON`` (floats as
+    DECIMAL(18,2) strings, timestamps as epoch seconds, ints/strings
+    verbatim).  Single definition (r8 review): three Spark-side copies
+    of this if/elif had accumulated, and a canonicalization change
+    applied to some but not all of them would break the oracle hash
+    only for the stale operators."""
+    if dtype == "float":
+        return F.col(src).cast("decimal(18,2)").cast("string")
+    if dtype == "date-time":
+        return F.unix_timestamp(F.col(src)).cast("string")
+    return F.col(src).cast("string")
+
+
 @dataclass
 class OdmTables:
     """The six normalized levels (SURVEY.md §1.3)."""
@@ -161,21 +176,14 @@ def derive_odm_from_tpch(spark: SparkSession, sf_dir: str) -> OdmTables:
     # re-scan union.  Canonical value string (value_canon) is the
     # cross-engine hashing form: floats as DECIMAL(18,2) strings,
     # timestamps as epoch seconds, ints verbatim.
-    attr_structs = []
-    for oid, dtype, src in ITEM_ATTRS:
-        if dtype == "float":
-            canon = F.col(src).cast("decimal(18,2)").cast("string")
-        elif dtype == "date-time":
-            canon = F.unix_timestamp(F.col(src)).cast("string")
-        else:
-            canon = F.col(src).cast("string")
-        attr_structs.append(
-            F.struct(
-                F.lit(oid).alias("item_oid"),
-                F.lit(dtype).alias("data_type"),
-                canon.alias("value_canon"),
-            )
+    attr_structs = [
+        F.struct(
+            F.lit(oid).alias("item_oid"),
+            F.lit(dtype).alias("data_type"),
+            canon_col(src, dtype).alias("value_canon"),
         )
+        for oid, dtype, src in ITEM_ATTRS
+    ]
     items = li.select(
         *form_cols,
         F.lit("IG1").alias("item_group_oid"),
@@ -357,21 +365,14 @@ def derive_odm_resolved(
         "item_group_id",
     )
 
-    attr_structs = []
-    for oid, dtype, src in ITEM_ATTRS:
-        if dtype == "float":
-            canon = F.col(src).cast("decimal(18,2)").cast("string")
-        elif dtype == "date-time":
-            canon = F.unix_timestamp(F.col(src)).cast("string")
-        else:
-            canon = F.col(src).cast("string")
-        attr_structs.append(
-            F.struct(
-                F.lit(oid).alias("item_oid"),
-                F.lit(dtype).alias("data_type"),
-                canon.alias("value_canon"),
-            )
+    attr_structs = [
+        F.struct(
+            F.lit(oid).alias("item_oid"),
+            F.lit(dtype).alias("data_type"),
+            canon_col(src, dtype).alias("value_canon"),
         )
+        for oid, dtype, src in ITEM_ATTRS
+    ]
     items = (
         li_ig.select(
             *path_cols,

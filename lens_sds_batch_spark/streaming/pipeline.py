@@ -267,13 +267,26 @@ class DurableMetrics:
     Local paths only (the JSON lives on the driver, like the
     checkpoint dir's metadata on a real deploy this would be the
     checkpoint filesystem).
+
+    Thread-safe (r8 review): multiple sinks legitimately SHARE one
+    instance (the namespaced epoch keys exist for exactly that), and
+    each streaming query's foreachBatch runs on its own thread — so
+    every mutation/flush holds one lock.  Without it, sink A's flush
+    could snapshot sink B's counters mid-batch (half-applied counters
+    without B's epoch key = the double-count hole this class closes),
+    and ``json.dump`` over a dict another thread is inserting into
+    raises outright.  NB the lock serializes the two sinks' TALLY
+    blocks only, not their Spark jobs — contention is microseconds
+    per trigger.
     """
 
     def __init__(self, path: str):
         import json
         import os
+        import threading
 
         self._path = path
+        self._lock = threading.RLock()
         self._d: dict = {}
         if os.path.exists(path):
             with open(path) as f:
@@ -283,33 +296,55 @@ class DurableMetrics:
         import json
         import os
 
-        tmp = self._path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._d, f)
-        os.replace(tmp, self._path)
+        with self._lock:
+            tmp = self._path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self._d, f)
+            os.replace(tmp, self._path)
 
-    def __setitem__(self, key, value) -> None:
-        self._d[key] = value
-        if isinstance(key, str) and key.startswith("_last_epoch:"):
+    def add_counts(self, counts: dict, epoch_key: str, epoch_id) -> None:
+        """One sink's whole epoch tally as a single atomic unit:
+        increment the (SHARED, un-namespaced) counters, record the
+        sink's epoch key, flush — all under the lock.  This is the
+        path :func:`requeue_sink` uses; per-key stores from two sinks
+        would interleave (a flush between sink B's counter stores and
+        its epoch-key store snapshots half-applied state, and
+        concurrent read-modify-write on the shared counters drops
+        increments)."""
+        with self._lock:
+            for k, v in counts.items():
+                self._d[k] = self._d.get(k, 0) + v
+            self._d[epoch_key] = epoch_id
             self.flush()
 
+    def __setitem__(self, key, value) -> None:
+        with self._lock:
+            self._d[key] = value
+            if isinstance(key, str) and key.startswith("_last_epoch:"):
+                self.flush()
+
     def __getitem__(self, key):
-        return self._d[key]
+        with self._lock:
+            return self._d[key]
 
     def get(self, key, default=None):
-        return self._d.get(key, default)
+        with self._lock:
+            return self._d.get(key, default)
 
     def __contains__(self, key) -> bool:
-        return key in self._d
+        with self._lock:
+            return key in self._d
 
     def __iter__(self):
-        return iter(self._d)
+        return iter(self.as_dict())
 
     def __len__(self) -> int:
-        return len(self._d)
+        with self._lock:
+            return len(self._d)
 
     def as_dict(self) -> dict:
-        return dict(self._d)
+        with self._lock:
+            return dict(self._d)
 
 
 def requeue_sink(
@@ -417,15 +452,26 @@ def requeue_sink(
                 dead.write.mode("append").parquet(dead_dir)
             if metrics is not None and metrics.get(epoch_key) != epoch_id:
                 # Tally into locals FIRST, then apply counters + epoch key
-                # as one uninterruptible block of dict stores: if any
-                # count() fails mid-tally, NO counter has moved yet, so
-                # Spark's replay of the same epoch re-counts from the
-                # same base instead of stacking onto half-applied sums.
+                # as one uninterruptible block: if any count() fails
+                # mid-tally, NO counter has moved yet, so Spark's replay
+                # of the same epoch re-counts from the same base instead
+                # of stacking onto half-applied sums.  (The epoch check
+                # above is single-writer — the key is namespaced to THIS
+                # sink and only this sink's thread writes it.)
                 n_ok, n_req, n_dead = okdf.count(), requeue.count(), dead.count()
-                metrics["ok"] = metrics.get("ok", 0) + n_ok
-                metrics["requeued"] = metrics.get("requeued", 0) + n_req
-                metrics["dead"] = metrics.get("dead", 0) + n_dead
-                metrics[epoch_key] = epoch_id
+                counts = {"ok": n_ok, "requeued": n_req, "dead": n_dead}
+                add = getattr(metrics, "add_counts", None)
+                if add is not None:
+                    # DurableMetrics: whole tally under one lock+flush —
+                    # safe when several sinks share the instance across
+                    # streaming threads (r8 review)
+                    add(counts, epoch_key, epoch_id)
+                else:
+                    # plain dict: per-op GIL atomicity only; fine for the
+                    # single-sink / same-thread uses it serves
+                    for key, n in counts.items():
+                        metrics[key] = metrics.get(key, 0) + n
+                    metrics[epoch_key] = epoch_id
         finally:
             batch_df.unpersist()
 

@@ -29,6 +29,9 @@ def test_health_probe_alive_and_snapshot(spark):
         assert snap["status"] == "ok"
         assert snap["app_id"] and snap["default_parallelism"] >= 1
         assert snap["active_streams"] == []  # nothing running in this test
+        # parsed query param, not a substring test: ?notfull=1 stays cheap
+        status, body = _get(port, "/health?notfull=1")
+        assert status == 200 and body == "OK\n"
         status, _ = _get(port, "/nope")
         assert status == 404
     finally:

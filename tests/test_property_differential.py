@@ -197,14 +197,14 @@ def test_apply_lww_matches_python_reference(spark, rows):
 @given(
     target=st.lists(
         st.tuples(st.sampled_from(["k1", "k2", "k3", "k4"]),
-                  st.integers(min_value=0, max_value=3),
+                  st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
                   st.sampled_from(["t1", "t2"])),
         min_size=0, max_size=4,
         unique_by=lambda r: r[0],  # stored state is key-unique
     ),
     updates=st.lists(
         st.tuples(st.sampled_from(["k1", "k2", "k3", "k4"]),
-                  st.integers(min_value=0, max_value=3),
+                  st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
                   st.sampled_from(["s1", "s2"]),
                   st.booleans()),
         min_size=1, max_size=8,
@@ -229,17 +229,22 @@ def test_merge_into_matches_delta_semantics_model(spark, target, updates):
 
     from lens_sds_batch_spark.plans.merge import merge_into
 
+    def _newer(a, b):  # null-safe strict "a newer than b", NULL = oldest
+        if a is None:
+            return False
+        return b is None or a > b
+
     src_best: dict = {}
     for k, pri, val, dead in updates:
         cur = src_best.get(k)
-        if cur is None or pri > cur[0]:
+        if cur is None or _newer(pri, cur[0]):
             src_best[k] = (pri, val, dead)
     expected = set()
     tgt_keys = set()
     for k, pri, val in target:
         tgt_keys.add(k)
         s = src_best.get(k)
-        if s is not None and s[0] > pri:          # strictly newer source
+        if s is not None and _newer(s[0], pri):   # strictly newer source
             if not s[2]:
                 expected.add((k, s[1]))           # whenMatchedUpdate
             # else whenMatchedDelete: key disappears

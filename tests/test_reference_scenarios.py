@@ -472,16 +472,22 @@ def test_merge_tie_break_total_ordering(spark, tmp_path):
       Delta branch's source collapse and the fallback resolve by the
       SAME xxhash64 row hash, so the simulated-Delta winner and the
       fallback winner coincide.
+    - k3/k4: NULL order values (r8 review) — NULL ranks OLDEST in both
+      branches, so a non-NULL source supersedes a NULL-ordered target
+      (k3) and a NULL-vs-NULL tie keeps the target (k4); a naive
+      `s.pri > t.pri` Delta condition would strand both.
     """
     from pyspark.sql import functions as F
 
     from lens_sds_batch_spark.plans.merge import apply_lww, merge_into
 
     current = spark.createDataFrame(
-        [("k1", 5, "tgt", False)], "k string, pri int, v string, dead boolean"
+        [("k1", 5, "tgt", False), ("k3", None, "tgt3", False), ("k4", None, "tgt4", False)],
+        "k string, pri int, v string, dead boolean",
     )
     updates = spark.createDataFrame(
-        [("k1", 5, "src", False), ("k2", 7, "a", False), ("k2", 7, "b", False)],
+        [("k1", 5, "src", False), ("k2", 7, "a", False), ("k2", 7, "b", False),
+         ("k3", 1, "src3", False), ("k4", None, "src4", False)],
         "k string, pri int, v string, dead boolean",
     )
     target = str(tmp_path / "ties")
@@ -502,16 +508,23 @@ def test_merge_tie_break_total_ordering(spark, tmp_path):
             updates, ["k"], [F.col("pri"), row_hash], is_delete=F.lit(False)
         ).collect()
     }
+    def newer(s_pri, t_pri):  # null-safe strict "source newer", NULL = oldest
+        if s_pri is None:
+            return False
+        return t_pri is None or s_pri > t_pri
+
     expected = set()
     for r in current.collect():
         s = src.pop(r["k"], None)
-        if s is not None and s["pri"] > r["pri"]:
+        if s is not None and newer(s["pri"], r["pri"]):
             expected.add((s["k"], s["v"]))  # whenMatchedUpdate
         else:
             expected.add((r["k"], r["v"]))  # tie or older: target kept
     expected |= {(s["k"], s["v"]) for s in src.values()}  # notMatchedInsert
     assert got == expected
-    assert ("k1", "tgt") in got  # the crafted tie kept the target
+    assert ("k1", "tgt") in got  # exact tie kept the target
+    assert ("k3", "src3") in got  # non-NULL source supersedes NULL target
+    assert ("k4", "tgt4") in got  # NULL-vs-NULL tie kept the target
 
 
 def test_merge_into_schema_mismatch_raises_loudly(spark, tmp_path):
