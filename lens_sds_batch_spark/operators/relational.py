@@ -1271,8 +1271,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-avg whose last-bit differs between engines and flips
     boundary rows); (2) the filtered brand's per-part stats are
     computed from the ALREADY part-pruned lineitems and broadcast back
-    (~80 parts), so at 100 TB the fact table is scanned once, filtered
-    by a broadcast semi-join, and never shuffled."""
+    (~80 parts).  The brand-pruned slice is lazily localCheckpointed:
+    it feeds BOTH the stats aggregate and the probe side, and without
+    the checkpoint each consumer re-scans the full fact table (the
+    broadcast-pruned slice is ~1/25th of it — materializing that once
+    is the 100 TB play, same pattern as curation_funnel's shared
+    stage)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
@@ -1281,7 +1285,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_brand") == "Brand#12")
         .select("p_partkey")
     )
-    li_b = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).drop("p_partkey")
+    li_b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .drop("p_partkey")
+        .localCheckpoint(eager=False)
+    )
     stats = li_b.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum(_dec("l_quantity")).alias("sumq")
     )
