@@ -289,7 +289,10 @@ def odm_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = os.path.join(base, "odm_xml_render", f"{sf_name}-{os.getpid()}")
     glob = render_odm_xml(spark, sf_dir, out_dir)
-    parsed = read_odm_xml(spark, glob)
+    # the 3-way route filters the SAME parsed frame three ways and the
+    # output unions them — without a shared materialization each branch
+    # re-scans and re-parses every XML file (3x the parse cost)
+    parsed = read_odm_xml(spark, glob).localCheckpoint(eager=False)
     valid, retryable, fatal = route_parsed(parsed)
     routed = (
         valid.withColumn("is_error", F.lit(0)).withColumn("is_fatal", F.lit(0))
