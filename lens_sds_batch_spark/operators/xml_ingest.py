@@ -60,6 +60,27 @@ _TXS = ["subject_tx", "study_event_tx", "form_tx", "item_group_tx", "item_tx"]
 OUT_COLS = [*_PATH, *_TXS, "data_type", "value_canon"]
 
 
+def _ig_tx(orderkey):
+    """IG-level tx mixer: some item groups carry their own verb so the
+    parser's ItemGroupData TransactionType extraction is exercised (and
+    hash-pinned) — an all-NULL column is exactly the vacuous-green
+    shape the oracle-parity guard rejects."""
+    return (
+        F.when(orderkey % 11 == 0, "upsert")
+        .when(orderkey % 11 == 1, "remove")
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def _rflag_tx(orderkey):
+    """Item-level tx mixer (on the RFLAG generic-ItemData element)."""
+    return (
+        F.when(orderkey % 3 == 0, "update")
+        .when(orderkey % 3 == 1, "upsert")
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 def _cap(tx: str | None) -> str | None:
     return tx.capitalize() if tx else None
 
@@ -133,7 +154,7 @@ def _render_file(pdf: pd.DataFrame) -> pd.DataFrame:
             cur_se = r.study_event_oid
         out.append(
             f"<FormData FormOID={quoteattr(r.form_oid)}{tx_attr(r.form_tx)}>"
-            '<ItemGroupData ItemGroupOID="IG1">'
+            f'<ItemGroupData ItemGroupOID="IG1"{tx_attr(r.ig_tx)}>'
         )
         for oid, dtype in _RENDER_ATTRS:
             v = getattr(r, f"v_{oid}")
@@ -144,8 +165,10 @@ def _render_file(pdf: pd.DataFrame) -> pd.DataFrame:
                     f'<ItemDataDatetime ItemOID="{oid}">{escape(v)}</ItemDataDatetime>'
                 )
             else:
+                itx = tx_attr(r.rflag_tx) if oid == "RFLAG" else ""
                 out.append(
-                    f'<ItemData ItemOID="{oid}" DataType="{dtype}" Value={quoteattr(v)}/>'
+                    f'<ItemData ItemOID="{oid}" DataType="{dtype}"'
+                    f" Value={quoteattr(v)}{itx}/>"
                 )
         out.append("</ItemGroupData></FormData>")
     close_subject()
@@ -201,11 +224,14 @@ def _form_grain(spark: SparkSession, sf_dir: str, n_files: int = N_FILES) -> Dat
         _subject_tx(ck).alias("subject_tx"),
         _se_tx(F.col("l_orderkey")).alias("study_event_tx"),
         _form_tx(F.col("l_orderkey"), F.col("l_linenumber")).alias("form_tx"),
+        _ig_tx(F.col("l_orderkey")).alias("ig_tx"),
+        _rflag_tx(F.col("l_orderkey")).alias("rflag_tx"),
         *canons,
     )
     cck = F.col("c_custkey")
     nulls = [F.lit(None).cast("string").alias(c) for c in (
         "study_event_oid", "form_oid", "study_event_tx", "form_tx",
+        "ig_tx", "rflag_tx",
         *(f"v_{oid}" for oid, _, _ in ITEM_ATTRS),
     )]
     childless = customer.join(
@@ -227,9 +253,11 @@ def _subset_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendered files.  Used by the pytest differential; the oracle SQL
     restates the same derivation in DuckDB."""
     base = _form_grain(spark, sf_dir)
+    nstr = F.lit(None).cast("string")
     attr_structs = [
         F.struct(
             F.lit(oid).alias("item_oid"),
+            (F.col("rflag_tx") if oid == "RFLAG" else nstr).alias("item_tx"),
             F.lit(dtype).alias("data_type"),
             F.col(f"v_{oid}").alias("value_canon"),
         )
@@ -240,13 +268,22 @@ def _subset_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "subject_tx", "study_event_tx", "form_tx",
     ]
     items = base.where(F.col("study_event_oid").isNotNull()).select(
-        *shared, F.inline(F.array(*attr_structs))
+        *shared,
+        F.lit("IG1").alias("item_group_oid"),
+        F.col("ig_tx").alias("item_group_tx"),
+        F.inline(F.array(*attr_structs)),
     )
     childless = base.where(F.col("study_event_oid").isNull()).select(
         *shared,
-        *(F.lit(None).cast("string").alias(c) for c in ("item_oid", "data_type", "value_canon")),
+        *(
+            nstr.alias(c)
+            for c in ("item_group_oid", "item_group_tx", "item_oid", "item_tx",
+                      "data_type", "value_canon")
+        ),
     )
-    return items.unionByName(childless)
+    return items.unionByName(childless).select(
+        "xml_file", *[c for c in OUT_COLS if c != "file_oid"]
+    )
 
 
 BAD_XML = '<ODM FileOID="BAD"><ClinicalData><unclosed></ODM>'
@@ -313,13 +350,25 @@ def _oracle_sql() -> str:
     # the inner subquery exposes l.* + o_custkey only; l_orderkey ==
     # o_orderkey on the join key
     se_tx_o = SE_TX.replace("o_orderkey", "l_orderkey")
+    # tx mixers on the IG / RFLAG-item levels — keep in sync with
+    # _ig_tx / _rflag_tx above
+    ig_tx_sql = (
+        "CASE WHEN l_orderkey % 11 = 0 THEN 'upsert'"
+        " WHEN l_orderkey % 11 = 1 THEN 'remove' END"
+    )
     item_selects = []
     for oid, dtype, src in ITEM_ATTRS:
+        item_tx_sql = (
+            "CASE WHEN l_orderkey % 3 = 0 THEN 'update'"
+            " WHEN l_orderkey % 3 = 1 THEN 'upsert' END"
+            if oid == "RFLAG"
+            else "CAST(NULL AS VARCHAR)"
+        )
         item_selects.append(
             "SELECT file_oid, study_oid, subject_key, study_event_oid, form_oid,"
             " 'IG1' AS item_group_oid,"
             f" '{oid}' AS item_oid, subject_tx, study_event_tx, form_tx,"
-            " CAST(NULL AS VARCHAR) AS item_group_tx, CAST(NULL AS VARCHAR) AS item_tx,"
+            f" {ig_tx_sql} AS item_group_tx, {item_tx_sql} AS item_tx,"
             f" '{dtype}' AS data_type, {_VALUE_CANON[dtype](src)} AS value_canon"
             " FROM li"
         )

@@ -252,17 +252,17 @@ def test_xml_ingest_round_trip_matches_derivation(spark, tmp_path):
     assert fatal.where(F.col("file_oid").isNull()).count() == 1
     assert out.where((F.col("is_error") == 1) & (F.col("is_fatal") == 0)).isEmpty()
 
-    expected = _subset_rows(spark, SF_SMOKE).select(
+    sub = _subset_rows(spark, SF_SMOKE)
+    expected = sub.select(
         F.col("xml_file").alias("file_oid"),
-        "study_oid", "subject_key", "study_event_oid", "form_oid",
-        F.when(F.col("item_oid").isNotNull(), F.lit("IG1")).alias("item_group_oid"),
-        "item_oid", "subject_tx", "study_event_tx", "form_tx",
-        F.lit(None).cast("string").alias("item_group_tx"),
-        F.lit(None).cast("string").alias("item_tx"),
-        "data_type", "value_canon",
+        *[c for c in OUT_COLS if c != "file_oid"],
     )
     got = out.where(F.col("is_error") == 0).select(*OUT_COLS)
     assert got.exceptAll(expected).isEmpty() and expected.exceptAll(got).isEmpty()
+    # the ig/item tx mixers must HIT at this SF — an all-NULL column
+    # here would be the vacuous-green shape the parity guard rejects
+    assert got.where(F.col("item_group_tx").isNotNull()).count() > 0
+    assert got.where(F.col("item_tx").isNotNull()).count() > 0
 
 
 def test_xml_stream_equals_batch(spark, tmp_path):
@@ -327,7 +327,7 @@ def _odm_tree(draw):
             if not ses:
                 rows.append(dict(study_oid=study, subject_key=subj, subject_tx=stx,
                                  study_event_oid=None, study_event_tx=None,
-                                 form_oid=None, form_tx=None,
+                                 form_oid=None, form_tx=None, ig_tx=None, rflag_tx=None,
                                  **{f"v_{o}": None for o, _, _ in ITEM_ATTRS}))
                 continue
             for se in ses:
@@ -340,7 +340,8 @@ def _odm_tree(draw):
                         )
                     rows.append(dict(study_oid=study, subject_key=subj, subject_tx=stx,
                                      study_event_oid=se, study_event_tx=setx,
-                                     form_oid=form, form_tx=draw(_TX), **vals))
+                                     form_oid=form, form_tx=draw(_TX),
+                                     ig_tx=draw(_TX), rflag_tx=draw(_TX), **vals))
     return rows
 
 
@@ -369,18 +370,20 @@ def test_render_parse_round_trip_hostile_strings(file_oid, rows):
     for r in rows:
         if r["study_event_oid"] is None:
             expected.add((file_oid, r["study_oid"], r["subject_key"], r["subject_tx"],
-                          None, None, None, None, None, None, None))
+                          None, None, None, None, None, None, None, None, None))
         else:
             for oid, _ in _RENDER_ATTRS:
                 expected.add((
                     file_oid, r["study_oid"], r["subject_key"], r["subject_tx"],
                     r["study_event_oid"], r["study_event_tx"],
                     r["form_oid"], r["form_tx"],
+                    r["ig_tx"], r["rflag_tx"] if oid == "RFLAG" else None,
                     oid, dtype_of[oid], r[f"v_{oid}"],
                 ))
     got = {
         (p["file_oid"], p["study_oid"], p["subject_key"], p["subject_tx"],
          p["study_event_oid"], p["study_event_tx"], p["form_oid"], p["form_tx"],
+         p["item_group_tx"], p["item_tx"],
          p["item_oid"], p["data_type"], p["value_canon"])
         for p in parsed
     }
