@@ -40,7 +40,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.odm import ITEM_ATTRS, _form_tx, _se_tx, _subject_tx, canon_col
+from ..plans.odm import (
+    ITEM_ATTRS,
+    _form_tx,
+    _se_tx,
+    _subject_tx,
+    canon_col,
+    form_oid_col,
+    se_oid_col,
+    study_oid_col,
+    subject_key_col,
+)
 from ..sources.odm_xml import read_odm_xml, route_parsed
 from ..sources.parquet import load_table
 
@@ -217,10 +227,10 @@ def _form_grain(spark: SparkSession, sf_dir: str, n_files: int = N_FILES) -> Dat
     canons = [canon_col(src, dtype).alias(f"v_{oid}") for oid, dtype, src in ITEM_ATTRS]
     forms = li.select(
         F.concat(F.lit("FX"), (ck % n_files).cast("string")).alias("xml_file"),
-        F.concat(F.lit("ST"), (ck % 3).cast("string")).alias("study_oid"),
-        F.concat(F.lit("SK"), ck.cast("string")).alias("subject_key"),
-        F.concat(F.lit("SE"), F.col("l_orderkey").cast("string")).alias("study_event_oid"),
-        F.concat(F.lit("FM"), F.col("form_seq").cast("string")).alias("form_oid"),
+        study_oid_col(ck).alias("study_oid"),
+        subject_key_col(ck).alias("subject_key"),
+        se_oid_col(F.col("l_orderkey")).alias("study_event_oid"),
+        form_oid_col(F.col("form_seq")).alias("form_oid"),
         _subject_tx(ck).alias("subject_tx"),
         _se_tx(F.col("l_orderkey")).alias("study_event_tx"),
         _form_tx(F.col("l_orderkey"), F.col("l_linenumber")).alias("form_tx"),
@@ -238,8 +248,8 @@ def _form_grain(spark: SparkSession, sf_dir: str, n_files: int = N_FILES) -> Dat
         orders.select("o_custkey"), cck == F.col("o_custkey"), "left_anti"
     ).select(
         F.concat(F.lit("FX"), (cck % n_files).cast("string")).alias("xml_file"),
-        F.concat(F.lit("ST"), (cck % 3).cast("string")).alias("study_oid"),
-        F.concat(F.lit("SK"), cck.cast("string")).alias("subject_key"),
+        study_oid_col(cck).alias("study_oid"),
+        subject_key_col(cck).alias("subject_key"),
         _subject_tx(cck).alias("subject_tx"),
         *nulls,
     )

@@ -45,6 +45,26 @@ ITEM_ATTRS = (
 )
 
 
+def study_oid_col(custkey):
+    """Derived-tree OID builders — like :func:`canon_col`, these are
+    cross-engine hash contracts (mirrored literally in the oracle SQL)
+    that had accumulated inline copies across the three derivations
+    (generic, fused, XML-render); one definition each (r8 review)."""
+    return F.concat(F.lit("ST"), (custkey % 3).cast("string"))
+
+
+def subject_key_col(custkey):
+    return F.concat(F.lit("SK"), custkey.cast("string"))
+
+
+def se_oid_col(orderkey):
+    return F.concat(F.lit("SE"), orderkey.cast("string"))
+
+
+def form_oid_col(form_seq):
+    return F.concat(F.lit("FM"), form_seq.cast("string"))
+
+
 def canon_col(src: str, dtype: str):
     """The cross-engine canonical value string for one EAV attribute —
     THE hashing contract with the oracle's ``_VALUE_CANON`` (floats as
@@ -121,16 +141,16 @@ def derive_odm_from_tpch(spark: SparkSession, sf_dir: str) -> OdmTables:
 
     subjects = customer.select(
         F.lit(FILE_OID).alias("file_oid"),
-        F.concat(F.lit("ST"), (F.col("c_custkey") % 3).cast("string")).alias("study_oid"),
-        F.concat(F.lit("SK"), F.col("c_custkey").cast("string")).alias("subject_key"),
+        study_oid_col(F.col("c_custkey")).alias("study_oid"),
+        subject_key_col(F.col("c_custkey")).alias("subject_key"),
         _subject_tx(F.col("c_custkey")).alias("tx_type"),
     )
 
     study_events = orders.select(
         F.lit(FILE_OID).alias("file_oid"),
-        F.concat(F.lit("ST"), (F.col("o_custkey") % 3).cast("string")).alias("study_oid"),
-        F.concat(F.lit("SK"), F.col("o_custkey").cast("string")).alias("subject_key"),
-        F.concat(F.lit("SE"), F.col("o_orderkey").cast("string")).alias("study_event_oid"),
+        study_oid_col(F.col("o_custkey")).alias("study_oid"),
+        subject_key_col(F.col("o_custkey")).alias("subject_key"),
+        se_oid_col(F.col("o_orderkey")).alias("study_event_oid"),
         _se_tx(F.col("o_orderkey")).alias("tx_type"),
     )
 
@@ -155,10 +175,10 @@ def derive_odm_from_tpch(spark: SparkSession, sf_dir: str) -> OdmTables:
     )
     form_cols = [
         F.lit(FILE_OID).alias("file_oid"),
-        F.concat(F.lit("ST"), (F.col("o_custkey") % 3).cast("string")).alias("study_oid"),
-        F.concat(F.lit("SK"), F.col("o_custkey").cast("string")).alias("subject_key"),
-        F.concat(F.lit("SE"), F.col("l_orderkey").cast("string")).alias("study_event_oid"),
-        F.concat(F.lit("FM"), F.col("form_seq").cast("string")).alias("form_oid"),
+        study_oid_col(F.col("o_custkey")).alias("study_oid"),
+        subject_key_col(F.col("o_custkey")).alias("subject_key"),
+        se_oid_col(F.col("l_orderkey")).alias("study_event_oid"),
+        form_oid_col(F.col("form_seq")).alias("form_oid"),
     ]
     forms = li.select(
         *form_cols,
@@ -241,12 +261,6 @@ def derive_odm_resolved(
         "file_oid string, file_type string, batch_cmd_id string, sub string",
     )
 
-    def _study_oid(custkey):
-        return F.concat(F.lit("ST"), (custkey % 3).cast("string"))
-
-    def _subject_key(custkey):
-        return F.concat(F.lit("SK"), custkey.cast("string"))
-
     def _subj_rtx(custkey):
         return F.coalesce(_subject_tx(custkey), F.lit("insert"))
 
@@ -255,8 +269,8 @@ def derive_odm_resolved(
     subjects = (
         customer.select(
             F.lit(FILE_OID).alias("file_oid"),
-            _study_oid(ck).alias("study_oid"),
-            _subject_key(ck).alias("subject_key"),
+            study_oid_col(ck).alias("study_oid"),
+            subject_key_col(ck).alias("subject_key"),
             _subject_tx(ck).alias("tx_type"),
             _subj_rtx(ck).alias("rtx"),
         )
@@ -273,9 +287,9 @@ def derive_odm_resolved(
         orders.select(
             "o_orderkey",
             F.lit(FILE_OID).alias("file_oid"),
-            _study_oid(customerk).alias("study_oid"),
-            _subject_key(customerk).alias("subject_key"),
-            F.concat(F.lit("SE"), ok.cast("string")).alias("study_event_oid"),
+            study_oid_col(customerk).alias("study_oid"),
+            subject_key_col(customerk).alias("subject_key"),
+            se_oid_col(ok).alias("study_event_oid"),
             _se_tx(ok).alias("tx_type"),
             _subj_rtx(customerk).alias("subj_rtx"),
         )
@@ -323,7 +337,7 @@ def derive_odm_resolved(
         li_seq.join(se_keep, li_seq.l_orderkey == se_keep.o_orderkey)
         .withColumn("form_tx", _form_tx(lk, ln))
         .withColumn("form_rtx", F.coalesce(F.col("form_tx"), F.col("se_rtx")))
-        .withColumn("form_oid", F.concat(F.lit("FM"), F.col("form_seq").cast("string")))
+        .withColumn("form_oid", form_oid_col(F.col("form_seq")))
         .withColumn("form_id", key(F.col("study_event_id"), [F.col("form_oid")]))
     )
     path_cols = ["file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid"]
