@@ -405,3 +405,58 @@ def test_render_n_files_knob_invariant(spark, tmp_path):
     p8 = read_odm_xml(spark, g8).drop("file_path", "file_oid")
     assert read_odm_xml(spark, g3).select("file_oid").distinct().count() == 3 + 1  # +bad
     assert p3.exceptAll(p8).isEmpty() and p8.exceptAll(p3).isEmpty()
+
+
+def test_xml_stream_ingestion_loop_end_to_end(spark, tmp_path):
+    """r8: the reference's whole consume loop as ONE running stream —
+    XML files arrive (one per trigger, the per-batch-command cadence),
+    parse executor-side, route 3-way through requeue_sink (ack /
+    requeue / dead-letter), tally into DurableMetrics.  Asserts the
+    ack output equals the batch reader's valid rows, the malformed doc
+    dead-letters with its evidence, nothing requeues, and the durable
+    tally matches — A2+A4+A22+A26 in one integration."""
+    from lens_sds_batch_spark.sources.odm_xml import read_odm_xml, read_odm_xml_stream
+    from lens_sds_batch_spark.streaming.pipeline import DurableMetrics, requeue_sink
+
+    d = tmp_path / "xml"
+    d.mkdir()
+    for name, doc in (("good.xml", GOOD), ("generic.xml", GENERIC), ("bad.xml", BAD_XML)):
+        (d / name).write_text(doc)
+    glob = str(d / "*.xml")
+    out, dead, rq = str(tmp_path / "out"), str(tmp_path / "dead"), str(tmp_path / "rq")
+
+    stream = read_odm_xml_stream(spark, glob, max_files_per_trigger=1).withColumn(
+        "attempts", F.lit(0)
+    )
+    metrics = DurableMetrics(str(tmp_path / "metrics.json"))
+    sink = requeue_sink(
+        out, dead, rq,
+        is_ok=F.col("error").isNull(),
+        is_retryable=F.coalesce(F.col("retryable"), F.lit(False)),
+        metrics=metrics,
+        ok_drop_cols=("error", "retryable", "attempts"),
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    acked = spark.read.parquet(out).drop("file_path")
+    batch_valid = (
+        read_odm_xml(spark, glob).where(F.col("error").isNull())
+        .drop("file_path", "error", "retryable")
+    )
+    assert acked.exceptAll(batch_valid).isEmpty() and batch_valid.exceptAll(acked).isEmpty()
+    dead_rows = spark.read.parquet(dead).collect()
+    assert len(dead_rows) == 1 and dead_rows[0]["retryable"] is False
+    import os
+
+    assert not os.path.exists(rq)  # malformed bytes never requeue
+    n_valid = batch_valid.count()
+    assert (metrics.get("ok"), metrics.get("requeued"), metrics.get("dead")) == (n_valid, 0, 1)
+    # the tally survived to disk (driver-restart contract)
+    assert DurableMetrics(str(tmp_path / "metrics.json")).get("ok") == n_valid
