@@ -55,3 +55,25 @@ def test_health_probe_degrades_to_503():
         assert status == 503 and body.startswith("DOWN")
     finally:
         server.shutdown()
+
+
+def test_health_snapshot_lists_active_streams(spark, tmp_path):
+    """The ops snapshot must surface running streaming queries — the
+    one piece of driver state an operator actually pages on."""
+    q = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .writeStream.format("noop")
+        .queryName("health_probe_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        snap = health_snapshot(spark)
+        assert snap["status"] == "ok"
+        assert any(s["name"] == "health_probe_stream" and s["active"]
+                   for s in snap["active_streams"])
+    finally:
+        q.stop()
+    assert all(
+        s["name"] != "health_probe_stream" for s in health_snapshot(spark)["active_streams"]
+    )
