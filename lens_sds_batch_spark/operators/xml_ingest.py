@@ -54,13 +54,28 @@ from ..plans.odm import (
 from ..sources.odm_xml import read_odm_xml, route_parsed
 from ..sources.parquet import load_table
 
-# Deterministic subset: custkeys ≡ 0 (mod 29).  29 is coprime with the
-# tx mixers (%10, %7, %5) and the study fan (%3), so every tx verb and
-# NULL-inheritance branch still occurs in the subset (~10k compared
-# rows at the sf0.01 gate — plenty of signal without dominating the
-# bench suite).
+# Deterministic subset: custkeys ≡ 0 (mod 29).  29 is coprime with
+# EVERY tx mixer (subject %10, se %7, form %5, ig %11, item %3) and the
+# study fan (%3), so every tx verb and NULL-inheritance branch still
+# occurs in the subset (~10k compared rows at the sf0.01 gate — plenty
+# of signal without dominating the bench suite).  Changing SUBSET_MOD
+# or adding a mixer: re-check coprimality against the FULL list, or a
+# mixer branch goes vacuous (the all-NULL shape the parity guard
+# rejects).
 SUBSET_MOD = 29
 N_FILES = 8
+
+
+def _file_oid_col(key, n_files: int):
+    """FX file-oid (Spark side) — single-sourced: the render grouping
+    key and the childless branch must derive the SAME file id, and
+    :func:`_file_oid_sql` must mirror it, or the oracle hash breaks."""
+    return F.concat(F.lit("FX"), (key % n_files).cast("string"))
+
+
+def _file_oid_sql(key: str, n_files: int) -> str:
+    """DuckDB twin of :func:`_file_oid_col`."""
+    return f"'FX' || CAST({key} % {n_files} AS VARCHAR)"
 
 _PATH = [
     "file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid",
@@ -82,6 +97,14 @@ def _ig_tx(orderkey):
     )
 
 
+# DuckDB twin of _ig_tx — defined HERE so the pair can only drift by
+# editing adjacent lines
+_IG_TX_SQL = (
+    "CASE WHEN l_orderkey % 11 = 0 THEN 'upsert'"
+    " WHEN l_orderkey % 11 = 1 THEN 'remove' END"
+)
+
+
 def _rflag_tx(orderkey):
     """Item-level tx mixer (on the RFLAG generic-ItemData element)."""
     return (
@@ -89,6 +112,13 @@ def _rflag_tx(orderkey):
         .when(orderkey % 3 == 1, "upsert")
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+# DuckDB twin of _rflag_tx
+_RFLAG_TX_SQL = (
+    "CASE WHEN l_orderkey % 3 = 0 THEN 'update'"
+    " WHEN l_orderkey % 3 = 1 THEN 'upsert' END"
+)
 
 
 def _cap(tx: str | None) -> str | None:
@@ -226,7 +256,7 @@ def _form_grain(spark: SparkSession, sf_dir: str, n_files: int = N_FILES) -> Dat
     ).withColumn("form_seq", F.row_number().over(w))
     canons = [canon_col(src, dtype).alias(f"v_{oid}") for oid, dtype, src in ITEM_ATTRS]
     forms = li.select(
-        F.concat(F.lit("FX"), (ck % n_files).cast("string")).alias("xml_file"),
+        _file_oid_col(ck, n_files).alias("xml_file"),
         study_oid_col(ck).alias("study_oid"),
         subject_key_col(ck).alias("subject_key"),
         se_oid_col(F.col("l_orderkey")).alias("study_event_oid"),
@@ -247,7 +277,7 @@ def _form_grain(spark: SparkSession, sf_dir: str, n_files: int = N_FILES) -> Dat
     childless = customer.join(
         orders.select("o_custkey"), cck == F.col("o_custkey"), "left_anti"
     ).select(
-        F.concat(F.lit("FX"), (cck % n_files).cast("string")).alias("xml_file"),
+        _file_oid_col(cck, n_files).alias("xml_file"),
         study_oid_col(cck).alias("study_oid"),
         subject_key_col(cck).alias("subject_key"),
         _subject_tx(cck).alias("subject_tx"),
@@ -314,6 +344,32 @@ def render_odm_xml(
     return out_dir + "/xml_file=*/part-*"
 
 
+def _gc_stale_render_dirs(render_root: str) -> None:
+    """Best-effort removal of ``<sf>-<pid>`` scratch dirs whose owning
+    process is gone — without this every pytest/bench/driver invocation
+    leaves one rendered XML corpus behind forever (disk grows without
+    bound across runs).  A LIVE pid's dir is never touched, so
+    concurrent processes stay isolated; races/permission errors are
+    ignored (the next run retries)."""
+    import os
+    import shutil
+
+    try:
+        entries = os.listdir(render_root)
+    except OSError:
+        return
+    for name in entries:
+        pid_s = name.rsplit("-", 1)[-1]
+        if not pid_s.isdigit() or int(pid_s) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_s), 0)  # 0 = liveness probe only, no signal sent
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(render_root, name), ignore_errors=True)
+        except OSError:
+            pass  # e.g. EPERM: pid exists under another uid — leave it
+
+
 def odm_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The gated query: render → binaryFile scan → mapInPandas parse →
     3-way route, returning valid rows AND the dead-letter flags so the
@@ -322,8 +378,10 @@ def odm_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Render scratch dir (r8 review): keyed by (sf, PID) so CONCURRENT
     processes on the same sf (a pytest worker racing the bench/driver)
     never overwrite each other's files mid-scan; within one process
-    re-runs reuse+overwrite the same dir, bounding accumulation.  The
-    base defaults to the repo checkout's gitignored ``spark-warehouse``
+    re-runs reuse+overwrite the same dir, bounding accumulation, and
+    dead processes' leftovers are GC'd below so repeated runs don't
+    grow the disk one rendered corpus per invocation.  The base
+    defaults to the repo checkout's gitignored ``spark-warehouse``
     and is overridable with ``SPARK_GRAFT_RENDER_DIR`` for installed
     deploys (a site-packages-relative default would write into the
     install tree)."""
@@ -334,7 +392,9 @@ def odm_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "spark-warehouse",
     )
-    out_dir = os.path.join(base, "odm_xml_render", f"{sf_name}-{os.getpid()}")
+    render_root = os.path.join(base, "odm_xml_render")
+    _gc_stale_render_dirs(render_root)
+    out_dir = os.path.join(render_root, f"{sf_name}-{os.getpid()}")
     glob = render_odm_xml(spark, sf_dir, out_dir)
     # the 3-way route filters the SAME parsed frame three ways and the
     # output unions them — without a shared materialization each branch
@@ -354,42 +414,28 @@ def odm_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_sql() -> str:
-    from ..oracle import _VALUE_CANON, SUBJECT_TX, SE_TX, FORM_TX
+    from ..oracle import _items_union, SUBJECT_TX, SE_TX, FORM_TX
 
     subj_tx_o = SUBJECT_TX.replace("c_custkey", "o_custkey")
     # the inner subquery exposes l.* + o_custkey only; l_orderkey ==
     # o_orderkey on the join key
     se_tx_o = SE_TX.replace("o_orderkey", "l_orderkey")
-    # tx mixers on the IG / RFLAG-item levels — keep in sync with
-    # _ig_tx / _rflag_tx above
-    ig_tx_sql = (
-        "CASE WHEN l_orderkey % 11 = 0 THEN 'upsert'"
-        " WHEN l_orderkey % 11 = 1 THEN 'remove' END"
-    )
-    item_selects = []
-    for oid, dtype, src in ITEM_ATTRS:
-        item_tx_sql = (
-            "CASE WHEN l_orderkey % 3 = 0 THEN 'update'"
-            " WHEN l_orderkey % 3 = 1 THEN 'upsert' END"
-            if oid == "RFLAG"
-            else "CAST(NULL AS VARCHAR)"
+
+    def tx_sql(oid: str) -> str:
+        item_tx = _RFLAG_TX_SQL if oid == "RFLAG" else "CAST(NULL AS VARCHAR)"
+        return (
+            "subject_tx, study_event_tx, form_tx,"
+            f" {_IG_TX_SQL} AS item_group_tx, {item_tx} AS item_tx"
         )
-        item_selects.append(
-            "SELECT file_oid, study_oid, subject_key, study_event_oid, form_oid,"
-            " 'IG1' AS item_group_oid,"
-            f" '{oid}' AS item_oid, subject_tx, study_event_tx, form_tx,"
-            f" {ig_tx_sql} AS item_group_tx, {item_tx_sql} AS item_tx,"
-            f" '{dtype}' AS data_type, {_VALUE_CANON[dtype](src)} AS value_canon"
-            " FROM li"
-        )
-    items_union = " UNION ALL ".join(item_selects)
+
+    items_union = _items_union(tx_sql)
     out = ", ".join(OUT_COLS)
     return f"""
 WITH ords AS MATERIALIZED (
   SELECT * FROM orders WHERE o_custkey % {SUBSET_MOD} = 0
 ),
 li AS MATERIALIZED (
-  SELECT 'FX' || CAST(o_custkey % {N_FILES} AS VARCHAR) AS file_oid,
+  SELECT {_file_oid_sql("o_custkey", N_FILES)} AS file_oid,
          'ST' || CAST(o_custkey % 3 AS VARCHAR) AS study_oid,
          'SK' || CAST(o_custkey AS VARCHAR) AS subject_key,
          'SE' || CAST(l_orderkey AS VARCHAR) AS study_event_oid,
@@ -412,7 +458,7 @@ li AS MATERIALIZED (
 ),
 item_rows AS ({items_union}),
 childless AS (
-  SELECT 'FX' || CAST(c_custkey % {N_FILES} AS VARCHAR) AS file_oid,
+  SELECT {_file_oid_sql("c_custkey", N_FILES)} AS file_oid,
          'ST' || CAST(c_custkey % 3 AS VARCHAR) AS study_oid,
          'SK' || CAST(c_custkey AS VARCHAR) AS subject_key,
          CAST(NULL AS VARCHAR) AS study_event_oid,

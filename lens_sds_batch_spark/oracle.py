@@ -69,13 +69,20 @@ _VALUE_CANON = {
 }
 
 
-def _items_union() -> str:
+def _items_union(tx_sql=None) -> str:
+    """Per-ITEM_ATTRS SELECT union over the ``li`` CTE — the ONE copy of
+    the item-row shape (path columns, 'IG1' group, typed value canon).
+    ``tx_sql(oid)`` supplies the tx column fragment spliced between
+    item_oid and data_type; the default is the single NULL ``tx_type``
+    of the derived-tree oracle, ``operators/xml_ingest`` passes the
+    full per-level tx set with its mixers."""
+    tx_sql = tx_sql or (lambda oid: "CAST(NULL AS VARCHAR) AS tx_type")
     selects = []
     for oid, dtype, src in ITEM_ATTRS:
         selects.append(
             "SELECT file_oid, study_oid, subject_key, study_event_oid, form_oid,"
             " 'IG1' AS item_group_oid,"
-            f" '{oid}' AS item_oid, CAST(NULL AS VARCHAR) AS tx_type,"
+            f" '{oid}' AS item_oid, {tx_sql(oid)},"
             f" '{dtype}' AS data_type, {_VALUE_CANON[dtype](src)} AS value_canon"
             " FROM li"
         )

@@ -51,6 +51,32 @@ def _tx(el) -> str | None:
     return t.lower() if t else None
 
 
+_ITEM_TAGS = {"ItemData", "ItemDataString", "ItemDataInteger", "ItemDataFloat", "ItemDataDatetime"}
+
+
+def _data_children(el, expected: set[str]) -> list:
+    """The hierarchy children of ``el``, tag-dispatched.
+
+    CDISC ODM legitimately interleaves non-hierarchy elements at every
+    level (SiteRef / InvestigatorRef / AuditRecord(s) / Annotation(s) /
+    Signature(s), …) — those are SKIPPED, not misparsed as the next
+    hierarchy level (a SiteRef under SubjectData must not become a
+    bogus StudyEventData row) and not dead-lettered.  A *misplaced*
+    hierarchy element (FormData directly under SubjectData, an
+    ItemData* outside ItemGroupData, or an unsupported ItemData* type)
+    IS a structure error: silently dropping it would lose data, so the
+    file dead-letters."""
+    kids = []
+    for ch in el:
+        tag = _strip(ch.tag)
+        if tag in expected:
+            kids.append(ch)
+        elif tag.endswith("Data") or tag.startswith("ItemData"):
+            raise ValueError(f"unexpected <{tag}> under <{_strip(el.tag)}>")
+        # else: legal non-hierarchy ODM child — irrelevant to the data model
+    return kids
+
+
 def parse_odm_bytes(path: str, blob: bytes) -> list[dict]:
     """One ODM file -> normalized item-level rows (or one error row)."""
     base = dict.fromkeys(
@@ -67,29 +93,37 @@ def parse_odm_bytes(path: str, blob: bytes) -> list[dict]:
         if not file_oid:
             raise ValueError("missing FileOID")
         for cd in root:
+            # ODM's top level legitimately carries Study / AdminData /
+            # ReferenceData / Association siblings — only ClinicalData
+            # holds the subject hierarchy
             if _strip(cd.tag) != "ClinicalData":
                 continue
             study_oid = cd.get("StudyOID")
-            for subj in cd:
+            for subj in _data_children(cd, {"SubjectData"}):
                 s = dict(base, file_path=path, file_oid=file_oid, study_oid=study_oid,
                          subject_key=subj.get("SubjectKey"), subject_tx=_tx(subj), error=None)
-                if len(subj) == 0:
+                ses = _data_children(subj, {"StudyEventData"})
+                if not ses:
                     rows.append(s)  # childless subtree terminates here
-                for se in subj:
+                for se in ses:
                     e = dict(s, study_event_oid=se.get("StudyEventOID"), study_event_tx=_tx(se))
-                    if len(se) == 0:
+                    forms = _data_children(se, {"FormData"})
+                    if not forms:
                         rows.append(e)
-                    for form in se:
+                    for form in forms:
                         f = dict(e, form_oid=form.get("FormOID"), form_tx=_tx(form))
-                        if len(form) == 0:
+                        igs = _data_children(form, {"ItemGroupData"})
+                        if not igs:
                             rows.append(f)
-                        for ig in form:
+                        for ig in igs:
                             g = dict(f, item_group_oid=ig.get("ItemGroupOID"), item_group_tx=_tx(ig))
-                            if len(ig) == 0:
+                            items = _data_children(ig, _ITEM_TAGS)
+                            if not items:
                                 rows.append(g)
-                            for item in ig:
+                            for item in items:
                                 tag = _strip(item.tag)
                                 # typed form: ItemDataString / ItemDataInteger / ...
+                                # (_data_children guarantees tag ∈ _ITEM_TAGS)
                                 dtype = {
                                     "ItemDataString": "string",
                                     "ItemDataInteger": "integer",
@@ -97,8 +131,13 @@ def parse_odm_bytes(path: str, blob: bytes) -> list[dict]:
                                     "ItemDataDatetime": "date-time",
                                 }.get(tag)
                                 if dtype is not None:
-                                    value = (item.text or "").strip() or None
-                                elif tag == "ItemData":
+                                    # strip() tolerates pretty-printed input
+                                    # (indentation around element text); an
+                                    # empty element stays '' — NULL means
+                                    # ABSENT (generic form with no Value=),
+                                    # never present-but-empty
+                                    value = (item.text or "").strip()
+                                else:
                                     # generic CDISC form: <ItemData ItemOID=…
                                     # Value=… [DataType=…]> — also valid ODM;
                                     # the reference's lens-odm-parser consumes
@@ -112,8 +151,6 @@ def parse_odm_bytes(path: str, blob: bytes) -> list[dict]:
                                         )
                                     dtype = "date-time" if dtype == "datetime" else dtype
                                     value = item.get("Value")
-                                else:
-                                    raise ValueError(f"unknown item element <{tag}>")
                                 rows.append(
                                     dict(
                                         g,
@@ -206,7 +243,13 @@ def route_parsed(parsed: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
 
     valid = parsed.where(F.col("error").isNull())
     errs = parsed.where(F.col("error").isNotNull())
-    return valid, errs.where(F.col("retryable")), errs.where(~F.col("retryable"))
+    # NULL retryable (a sink round-trip that defaulted the column, or a
+    # future error path that forgot to set it) must not vanish from both
+    # sides — (retryable) and (~retryable) each exclude NULL, so the
+    # split would silently LOSE the record.  NULL ranks as fatal: the
+    # 3-way split stays a partition of the input.
+    r = F.coalesce(F.col("retryable"), F.lit(False))
+    return valid, errs.where(r), errs.where(~r)
 
 
 def odm_tables_from_xml(parsed: DataFrame, file_oid_meta: DataFrame):

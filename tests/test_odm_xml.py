@@ -95,18 +95,20 @@ def test_generic_itemdata_form(spark, tmp_path):
 
 
 def test_null_item_value_hashes_deterministically(spark, tmp_path):
-    """An EMPTY item value (None value_canon) must still yield a real,
-    unique cmd_id — F.concat would otherwise null the payload and every
-    null-valued command would collapse onto a degenerate id (ADVICE
-    round 1; both engines coalesce to the ':nil' sentinel)."""
+    """An ABSENT item value (None value_canon — generic ItemData with no
+    Value= attribute) must still yield a real, unique cmd_id — F.concat
+    would otherwise null the payload and every null-valued command would
+    collapse onto a degenerate id (ADVICE round 1; both engines coalesce
+    to the ':nil' sentinel).  NB an EMPTY typed element is '' since the
+    r8 review fix, not NULL — absent is the only NULL source."""
     xml = """<ODM FileOID="F-N1">
       <ClinicalData StudyOID="S1">
         <SubjectData SubjectKey="SK01" TransactionType="Insert">
           <StudyEventData StudyEventOID="SE1">
             <FormData FormOID="FM1">
               <ItemGroupData ItemGroupOID="IG1">
-                <ItemDataString ItemOID="I1"></ItemDataString>
-                <ItemDataString ItemOID="I2"></ItemDataString>
+                <ItemData ItemOID="I1" DataType="string"/>
+                <ItemData ItemOID="I2" DataType="string"/>
                 <ItemDataString ItemOID="I3">x</ItemDataString>
               </ItemGroupData>
             </FormData>
@@ -460,3 +462,132 @@ def test_xml_stream_ingestion_loop_end_to_end(spark, tmp_path):
     assert (metrics.get("ok"), metrics.get("requeued"), metrics.get("dead")) == (n_valid, 0, 1)
     # the tally survived to disk (driver-restart contract)
     assert DurableMetrics(str(tmp_path / "metrics.json")).get("ok") == n_valid
+
+
+# ---------------------------------------------------------------------------
+# r8 review fixes: tag-dispatched traversal, empty-vs-absent values,
+# NULL-retryable routing (pure-Python parser tests run without Spark)
+# ---------------------------------------------------------------------------
+
+from lens_sds_batch_spark.sources.odm_xml import parse_odm_bytes, route_parsed
+
+
+def test_non_hierarchy_odm_children_are_skipped():
+    """CDISC ODM interleaves SiteRef / AuditRecord / Annotation /
+    Signature at every level — they must neither become bogus hierarchy
+    rows nor dead-letter the file (r8 review: a SiteRef under
+    SubjectData used to parse as a StudyEventData with a NULL OID)."""
+    noisy = """<ODM FileOID="F-M1">
+      <Study OID="S1"><GlobalVariables/></Study>
+      <ClinicalData StudyOID="S1">
+        <SubjectData SubjectKey="SK01" TransactionType="Insert">
+          <SiteRef LocationOID="L1"/>
+          <StudyEventData StudyEventOID="SE1">
+            <AuditRecord><UserRef UserOID="U1"/></AuditRecord>
+            <FormData FormOID="FM1">
+              <Annotation SeqNum="1"><Comment>n</Comment></Annotation>
+              <ItemGroupData ItemGroupOID="IG1">
+                <Signature><UserRef UserOID="U1"/></Signature>
+                <ItemDataString ItemOID="I1">hello</ItemDataString>
+              </ItemGroupData>
+            </FormData>
+          </StudyEventData>
+        </SubjectData>
+        <SubjectData SubjectKey="SK02" TransactionType="Remove">
+          <SiteRef LocationOID="L1"/>
+        </SubjectData>
+      </ClinicalData>
+    </ODM>"""
+    clean = """<ODM FileOID="F-M1">
+      <ClinicalData StudyOID="S1">
+        <SubjectData SubjectKey="SK01" TransactionType="Insert">
+          <StudyEventData StudyEventOID="SE1">
+            <FormData FormOID="FM1">
+              <ItemGroupData ItemGroupOID="IG1">
+                <ItemDataString ItemOID="I1">hello</ItemDataString>
+              </ItemGroupData>
+            </FormData>
+          </StudyEventData>
+        </SubjectData>
+        <SubjectData SubjectKey="SK02" TransactionType="Remove"/>
+      </ClinicalData>
+    </ODM>"""
+    got = parse_odm_bytes("p", noisy.encode())
+    want = parse_odm_bytes("p", clean.encode())
+    assert [r["error"] for r in got] == [None, None]
+    # identical rows: SK02's only child is a SiteRef -> still childless
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "snippet",
+    [
+        # hierarchy element at the wrong level
+        '<SubjectData SubjectKey="SK01"><FormData FormOID="FM1"/></SubjectData>',
+        # ItemData* outside ItemGroupData
+        '<SubjectData SubjectKey="SK01"><ItemDataString ItemOID="I1">x</ItemDataString></SubjectData>',
+        # unsupported typed variant
+        '<SubjectData SubjectKey="SK01"><StudyEventData StudyEventOID="SE1">'
+        '<FormData FormOID="FM1"><ItemGroupData ItemGroupOID="IG1">'
+        "<ItemDataBoolean ItemOID=\"I1\">1</ItemDataBoolean>"
+        "</ItemGroupData></FormData></StudyEventData></SubjectData>",
+    ],
+)
+def test_misplaced_hierarchy_element_dead_letters(snippet):
+    """Dropping a misplaced *Data element would silently LOSE data, so
+    the whole file dead-letters (fatal, not retryable)."""
+    xml = f'<ODM FileOID="F-M2"><ClinicalData StudyOID="S1">{snippet}</ClinicalData></ODM>'
+    rows = parse_odm_bytes("p", xml.encode())
+    assert len(rows) == 1
+    assert rows[0]["error"] and "unexpected <" in rows[0]["error"]
+    assert rows[0]["retryable"] is False
+
+
+def test_empty_vs_absent_item_value():
+    """Empty and absent are distinct: a present-but-empty typed element
+    is '' (the old coercion folded it to NULL, conflating it with the
+    absent generic Value=), an absent Value= is NULL, and strip only
+    tolerates pretty-print padding around typed text."""
+    xml = """<ODM FileOID="F-M3">
+      <ClinicalData StudyOID="S1">
+        <SubjectData SubjectKey="SK01">
+          <StudyEventData StudyEventOID="SE1">
+            <FormData FormOID="FM1">
+              <ItemGroupData ItemGroupOID="IG1">
+                <ItemDataString ItemOID="EMPTY"></ItemDataString>
+                <ItemData ItemOID="ABSENT" DataType="string"/>
+                <ItemDataString ItemOID="PAD">
+                  padded
+                </ItemDataString>
+                <ItemData ItemOID="EMPTYATTR" Value=""/>
+              </ItemGroupData>
+            </FormData>
+          </StudyEventData>
+        </SubjectData>
+      </ClinicalData>
+    </ODM>"""
+    vals = {r["item_oid"]: r["value_canon"] for r in parse_odm_bytes("p", xml.encode())}
+    assert vals == {"EMPTY": "", "ABSENT": None, "PAD": "padded", "EMPTYATTR": ""}
+
+
+def test_route_parsed_null_retryable_is_fatal(spark):
+    """route_parsed must PARTITION its input: an error row whose
+    retryable flag is NULL used to match neither (retryable) nor
+    (~retryable) and vanish from both outputs (r8 review)."""
+    from lens_sds_batch_spark.sources.odm_xml import PARSED_SCHEMA
+
+    nulls = {c.split(" ")[0]: None for c in PARSED_SCHEMA.split(", ")}
+    rows = [
+        dict(nulls, file_path="ok", file_oid="F1"),
+        dict(nulls, file_path="rq", error="IOError: flaky", retryable=True),
+        dict(nulls, file_path="dl", error="ValueError: bad", retryable=False),
+        dict(nulls, file_path="nn", error="Unknown: lost-flag", retryable=None),
+    ]
+    parsed = spark.createDataFrame(
+        [tuple(r[c.split(" ")[0]] for c in PARSED_SCHEMA.split(", ")) for r in rows],
+        PARSED_SCHEMA,
+    )
+    valid, retryable, fatal = route_parsed(parsed)
+    assert {r["file_path"] for r in valid.collect()} == {"ok"}
+    assert {r["file_path"] for r in retryable.collect()} == {"rq"}
+    assert {r["file_path"] for r in fatal.collect()} == {"dl", "nn"}
