@@ -1408,6 +1408,127 @@ GROUP BY s_name
 """
 
 
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp table in this testdata, so
+    the correlated availqty threshold becomes a correlated SHARE
+    threshold): nations' suppliers who shipped >30% of a 'ring' part's
+    total 1996 volume — the classical nested-IN chain
+    ``s_suppkey IN (… GROUP BY HAVING <correlated agg>)`` with the
+    inner part-IN.  Decorrelated the distributed way: ONE scan of the
+    part-pruned fact slice aggregated to (suppkey, partkey) grain, the
+    per-part total derived by RE-aggregating that result (never a
+    second fact scan), joined back on partkey, then a semi-join into
+    the supplier dim.  The share compare is exact DECIMAL
+    (``sq*10 > tq*3``) — a float ratio's last bit can flip boundary
+    suppliers between engines.  ``sp`` feeds two consumers (the
+    re-agg and the join probe) → lazily localCheckpointed, else each
+    re-executes the fact scan.  At 100 TB: part subset broadcasts,
+    fact scanned once, everything after lives at supplier×part grain."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%ring%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    sp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sq"))
+        .localCheckpoint(eager=False)
+    )
+    totals = sp.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    qual = (
+        sp.join(totals, "l_partkey")
+        .where(F.col("sq") * F.lit(10) > F.col("tq") * F.lit(3))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(qual, supp.s_suppkey == qual.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+
+
+Q20_SQL = """
+SELECT n_name, count(*) AS n_supp
+FROM supplier s JOIN nation n ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%ring%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) * 10 >
+         (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+          WHERE l2.l_partkey = lineitem.l_partkey
+            AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l2.l_shipdate < TIMESTAMP '1997-01-01'
+            AND l2.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%ring%')) * 3
+)
+GROUP BY n_name
+"""
+
+
+def q22_dormant_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: no c_phone in this testdata, so
+    c_nationkey plays the country code; every customer has SOME order,
+    so "never ordered" becomes "no order since 1999" to keep the
+    anti-join non-vacuous): customers in selected countries whose
+    balance beats the positive-balance average of that population and
+    who placed no recent order — an UNCORRELATED scalar subquery
+    threshold + NOT-EXISTS anti-join + group-count rollup.
+
+    The scalar (cnt, tot) aggregate is a 1-row broadcast crossJoin —
+    never a driver-side collect; the threshold compare is exact
+    DECIMAL (``bal*cnt > tot``, same Q17 discipline).  The anti-join's
+    right side is pre-filtered and projected to DISTINCT custkeys so
+    the shuffle carries keys, not order rows."""
+    sel = load_table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    thresh = sel.where(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(_dec("c_acctbal")).alias("tot")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        sel.crossJoin(F.broadcast(thresh))
+        .where(_dec("c_acctbal") * F.col("cnt") > F.col("tot"))
+        .join(recent, sel.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+WITH sel AS (SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+a AS (SELECT count(*) AS cnt, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot
+      FROM sel WHERE c_acctbal > 0)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM sel, a
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > tot
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = sel.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey
+"""
+
+
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame: per customer, rolling 30-day spend (range over
     epoch seconds — value-based frames, not row-based)."""
@@ -1860,8 +1981,11 @@ ORDER BY kind, key, attr
 
 def tpch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H shapes pack: Q4 (EXISTS + count), Q10 (returned-item
-    revenue top-20), global top-k (q4_order_priority +
-    q10_returned_items + topk_global merged)."""
+    revenue top-20), global top-k, Q6/Q12/Q14 (r6), Q19 (disjunctive
+    join predicate), Q17/Q18/Q21 (r8: correlated scalar subquery,
+    HAVING-sum semi-join, EXISTS+NOT-EXISTS), Q20/Q22 (r8 cont.:
+    nested-IN + correlated-total HAVING, scalar-threshold +
+    anti-join)."""
     arms = [
         q4_order_priority(spark, sf_dir).select(
             F.lit("q4").alias("kind"),
@@ -1941,6 +2065,23 @@ def tpch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("numwait").cast("bigint").alias("v1"),
             _nl("double", "v2"),
         ),
+        # r8 continuation arms: Q20 (nested-IN + grouped HAVING against a
+        # correlated total), Q22 (uncorrelated scalar threshold +
+        # NOT-EXISTS anti-join)
+        q20_part_promotion_suppliers(spark, sf_dir).select(
+            F.lit("q20").alias("kind"),
+            F.col("n_name").alias("k1"),
+            _nl("string", "k2"),
+            F.col("n_supp").cast("bigint").alias("v1"),
+            _nl("double", "v2"),
+        ),
+        q22_dormant_balance_customers(spark, sf_dir).select(
+            F.lit("q22").alias("kind"),
+            F.col("c_nationkey").cast("string").alias("k1"),
+            _nl("string", "k2"),
+            F.col("numcust").cast("bigint").alias("v1"),
+            F.col("totacctbal").alias("v2"),
+        ),
     ]
     out = arms[0]
     for a in arms[1:]:
@@ -1968,6 +2109,10 @@ UNION ALL
 {_arm('q18', Q18_SQL, "CAST(o_orderkey AS VARCHAR) AS k1, c_name AS k2, CAST(NULL AS BIGINT) AS v1, sum_qty AS v2")}
 UNION ALL
 {_arm('q21', Q21_SQL, "s_name AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(numwait AS BIGINT) AS v1, CAST(NULL AS DOUBLE) AS v2")}
+UNION ALL
+{_arm('q20', Q20_SQL, "n_name AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(n_supp AS BIGINT) AS v1, CAST(NULL AS DOUBLE) AS v2")}
+UNION ALL
+{_arm('q22', Q22_SQL, "CAST(c_nationkey AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(numcust AS BIGINT) AS v1, totacctbal AS v2")}
 ORDER BY kind, k1
 """
 

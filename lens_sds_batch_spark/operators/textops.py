@@ -788,9 +788,104 @@ DOC_FEATURES_SQL = DOC_FEATURES_SQL.replace("{contam_ctes}", _contam_ctes())
 # (see COVERAGE.md).
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# PII scrub (r8 continuation) — the redaction pass every training-data
+# pipeline runs before anything else.  The synthetic corpus contains no
+# PII (0 docs match '@'), so the raw arm would be vacuously green; the
+# harness INJECTS deterministic doc_id-derived PII (email / phone /
+# SSN-like id) identically in both engines — same pattern as the XML
+# renderer: build the hostile input inside the query, then prove the
+# operator (match counts + the md5 of the redacted text) agrees.
+# Patterns are deliberately anchored-shape (no nested alternation) so
+# Java-regex (Spark) and RE2 (DuckDB) cannot disagree on match extents.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+[0-9] \([0-9]{3}\) [0-9]{3}-[0-9]{4}"
+PII_ID = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def _pii_aug_col():
+    """Deterministic PII injection: doc_id%3 picks email/phone/none,
+    doc_id%5 adds an SSN-like id (3 and 5 keep the mix independent)."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@mail.example.com now")),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit(" call +1 (555) 010-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+                F.lit(" ok"),
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" id 987-65-4321")).otherwise(F.lit("")),
+    )
+
+
+def _pii_cols():
+    """Counts + redacted-text md5 over the augmented text.  Everything
+    is a zero-shuffle per-row projection (regexp_count / regexp_replace
+    are JVM built-ins); the md5 pins the actual redaction output —
+    counts alone could be right while the replacement mangled text.
+    Replacement order (email → phone → id) matters only if patterns
+    overlapped; these cannot (id needs 3-2-4 digit groups, the phone
+    has 3-4)."""
+    aug = _pii_aug_col()
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ),
+        PII_ID,
+        "<ID>",
+    )
+    return [
+        F.regexp_count(aug, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(aug, F.lit(PII_ID)).cast("long").alias("n_ids"),
+        F.md5(redacted.cast("binary")).alias("scrub_md5"),
+    ]
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone PII-redaction arm (independently callable per the
+    registry-headroom contract; gated inside ``textstats_pack``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *_pii_cols())
+
+
+_PII_AUG_SQL = (
+    "text || CASE WHEN doc_id % 3 = 0"
+    " THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'"
+    " WHEN doc_id % 3 = 1"
+    " THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ok'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' id 987-65-4321' ELSE '' END"
+)
+
+PII_SCRUB_SQL = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{PII_ID}')) AS BIGINT) AS n_ids,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g'),
+           '{PII_ID}', '<ID>', 'g')) AS scrub_md5
+FROM aug ORDER BY doc_id
+"""
+
+
 def textstats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``text_quality`` + ``token_counts`` + ``rolling_hash`` as ONE
-    wide zero-shuffle projection (r6 fold; rolling_hash folded r7 —
+    """``text_quality`` + ``token_counts`` + ``rolling_hash`` +
+    ``pii_scrub`` as ONE wide zero-shuffle projection (r6 fold;
+    rolling_hash folded r7, pii_scrub r8 —
     same table, same doc grain; all arms stay independently callable
     and share the same expression builders, so the pack cannot drift
     from them).  All arms are pure per-row projections over the same
@@ -801,15 +896,18 @@ def textstats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     over one FileScan."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", *_quality_cols(), *_token_count_cols(), _rhash_col().alias("rhash")
+        "doc_id", *_quality_cols(), *_token_count_cols(), _rhash_col().alias("rhash"),
+        *_pii_cols(),
     )
 
 
 TEXTSTATS_PACK_SQL = f"""
-SELECT q.*, t.ws_tokens, t.bpe_tokens, r.rhash
+SELECT q.*, t.ws_tokens, t.bpe_tokens, r.rhash,
+       p.n_emails, p.n_phones, p.n_ids, p.scrub_md5
 FROM ({TEXT_QUALITY_SQL.strip().rstrip(';')}) q
 JOIN ({TOKEN_COUNTS_SQL.strip().rstrip(';')}) t ON q.doc_id = t.doc_id
 JOIN ({ROLLING_HASH_SQL.strip().rstrip(';')}) r ON q.doc_id = r.doc_id
+JOIN ({PII_SCRUB_SQL.strip().rstrip(';')}) p ON q.doc_id = p.doc_id
 ORDER BY q.doc_id
 """
 

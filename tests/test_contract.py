@@ -161,7 +161,8 @@ def test_pack_arms_individually_importable(spark):
             "pivot_status_priority", "unpivot_part",
             "q4_order_priority", "q10_returned_items", "topk_global",
             "q17_small_quantity_revenue", "q18_large_volume_customers",
-            "q21_sole_late_supplier",
+            "q21_sole_late_supplier", "q20_part_promotion_suppliers",
+            "q22_dormant_balance_customers",
             "events_sliding", "cohort_retention",
         ],
         # r6 folds: dedup_basic_pack + knn_pack + textstats_pack arms
@@ -170,7 +171,7 @@ def test_pack_arms_individually_importable(spark):
             "ngram_jaccard_pairs", "dedup_exact", "dedup_fingerprint",
         ],
         "lens_sds_batch_spark.operators.textops": [
-            "text_quality", "token_counts", "rolling_hash",
+            "text_quality", "token_counts", "rolling_hash", "pii_scrub",
         ],
         "lens_sds_batch_spark.operators.similarity": [
             "embedding_dup_pairs", "knn_bruteforce", "knn_lsh_bucketed",
