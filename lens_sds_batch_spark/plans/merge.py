@@ -52,9 +52,22 @@ def merge_into(
     """Apply an update batch to a stored table: ``MERGE INTO`` when the
     target is a Delta table and delta-spark is importable, else the
     portable parquet path (read target → union → apply_lww → write-swap).
-    Both paths implement the SAME contract as :func:`apply_lww` over
-    ``target ∪ updates``: latest row per key wins by the ``order_cols``
-    DESC chain, keys whose winner satisfies ``is_delete`` disappear.
+    Both paths implement the SAME contract: latest row per key wins by
+    the ``order_cols`` DESC chain; a key disappears when its winner is
+    an UPDATE row satisfying ``is_delete``.
+
+    - TOMBSTONE CONTRACT (r8 continuation review): ``is_delete`` is
+      evaluated on UPDATE rows ONLY, with NULL normalized to False —
+      MERGE semantics, where only a newer matching source row can
+      delete a stored key.  Stored target rows are never re-evaluated
+      as tombstones (Delta's ``whenMatched*`` clauses physically
+      cannot delete a target row without a matching newer source row,
+      so a fallback that re-applied ``is_delete`` to target winners
+      would destroy data the Delta path preserves; and a NULL
+      ``__del`` would make BOTH matched clauses no-fire on Delta while
+      the fallback's ``where(~NULL)`` dropped the key).  This differs
+      deliberately from bare :func:`apply_lww`, whose single-frame
+      contract keeps its documented NULL-drops semantics.
 
     - ``order_cols`` are COLUMN NAMES here (not expressions): the Delta
       branch needs them on both merge sides to build the
@@ -89,7 +102,12 @@ def merge_into(
       HDFS/S3A the same as local) — never ``mode("overwrite")`` onto
       the path being read, which deletes input files mid-scan.
 
-    Returns ``{"engine": "delta"|"parquet-swap", "rows": <merged count>}``.
+    Returns ``{"engine": "parquet-swap", "rows": <merged count>}`` (the
+    count rides the write via ``Observation`` — free) or ``{"engine":
+    "delta", "rows": None, "metrics": <operationMetrics>}`` — the Delta
+    path deliberately does NOT count the merged table (a full scan per
+    micro-batch at 100 TB); the commit's operationMetrics carry the
+    touched-row counts instead.
     """
     order_exprs = [F.col(c) for c in order_cols]
     # deterministic within-batch tiebreak, shared by both branches (see
@@ -107,7 +125,7 @@ def merge_into(
 
         src = apply_lww(
             updates, keys, order_exprs + [row_hash], is_delete=F.lit(False)
-        ).withColumn("__del", is_delete)
+        ).withColumn("__del", F.coalesce(is_delete.cast("boolean"), F.lit(False)))
         key_cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
         # Lexicographic "source strictly newer than target" over
         # order_cols, NULL-SAFE with NULL = oldest (r8 review): a plain
@@ -141,8 +159,19 @@ def merge_into(
             )
             .execute()
         )
-        n = spark.read.format("delta").load(target_path).count()
-        return {"engine": "delta", "rows": n}
+        # NO full-table count here (r8 continuation review): re-scanning
+        # the whole Delta table per micro-batch would dwarf the
+        # file-level merge it follows at 100 TB.  The merge's own
+        # operationMetrics (rows inserted/updated/deleted) come free
+        # from the commit history; total table rows stay None.
+        metrics: dict = {}
+        try:
+            hist = tgt.history(1).select("operationMetrics").collect()
+            if hist:
+                metrics = dict(hist[0]["operationMetrics"] or {})
+        except Exception:  # history API unavailable: metrics stay empty
+            pass
+        return {"engine": "delta", "rows": None, "metrics": metrics}
 
     from pyspark.sql import Observation
     from pyspark.sql.utils import AnalysisException
@@ -169,14 +198,24 @@ def merge_into(
     # Total ordering (r8): target rows outrank source rows on exact
     # order-chain ties (Delta's strict-newer semantics), then the shared
     # row hash resolves within-batch ties deterministically.
-    upd_tagged = updates.withColumn("__tgt_pri", F.lit(0))
+    # TOMBSTONE CONTRACT (see docstring): __del is computed on the
+    # UPDATE rows only, NULL-normalized; target rows carry False so a
+    # stored key can only disappear when a newer update row deletes it —
+    # exactly what Delta's whenMatchedDelete can and cannot do.
+    upd_tagged = updates.withColumn("__tgt_pri", F.lit(0)).withColumn(
+        "__del", F.coalesce(is_delete.cast("boolean"), F.lit(False))
+    )
     if current is None:
         unioned = upd_tagged
     else:
-        unioned = current.withColumn("__tgt_pri", F.lit(1)).unionByName(upd_tagged)
+        unioned = (
+            current.withColumn("__tgt_pri", F.lit(1))
+            .withColumn("__del", F.lit(False))
+            .unionByName(upd_tagged)
+        )
     merged = apply_lww(
-        unioned, keys, order_exprs + [F.col("__tgt_pri"), row_hash], is_delete
-    ).drop("__tgt_pri")
+        unioned, keys, order_exprs + [F.col("__tgt_pri"), row_hash], F.col("__del")
+    ).drop("__tgt_pri", "__del")
     obs = Observation()
     merged = merged.observe(obs, F.count(F.lit(1)).alias("n"))
     merged.write.mode("overwrite").parquet(tmp)

@@ -119,6 +119,22 @@ def read_event_stream(
                 file=_sys.stderr,
             )
             at_rest = EVENTS_SCHEMA
+        # The requeue feedback edge (requeue_sink pointed at this
+        # stream's OWN source dir) appends rows carrying an ``attempts``
+        # column.  A file stream pins ONE schema for its whole life —
+        # if the at-rest seed data lacks ``attempts``, the probed schema
+        # would silently DROP the column from every redelivered file,
+        # resetting attempts to 0 on each redelivery so ``max_attempts``
+        # never binds (infinite requeue livelock; r8 continuation
+        # review).  Declaring it up front costs nothing: files without
+        # the column read it as NULL, which requeue_sink already
+        # coalesces to 0.
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        if isinstance(at_rest, StructType) and "attempts" not in at_rest.fieldNames():
+            at_rest = StructType(
+                list(at_rest.fields) + [StructField("attempts", IntegerType(), True)]
+            )
         reader = spark.readStream.schema(at_rest).option(
             "maxFilesPerTrigger", 1 if max_files_per_trigger is None else max_files_per_trigger
         )
@@ -126,11 +142,16 @@ def read_event_stream(
         # and basePath must be a DIRECTORY — so a single at-rest file
         # (the driver's events.parquet) needs glob-ifying: `{name}` is a
         # one-member glob, which keeps the override off and anchors the
-        # implied basePath at the parent directory instead.
+        # implied basePath at the parent directory instead.  Glob
+        # metachars in the basename are backslash-escaped first, or a
+        # name like ``events[v2].parquet`` silently becomes a character
+        # class matching nothing (an empty stream, no error).
         import os
+        import re as _re
 
         if os.path.isfile(path):
-            path = f"{os.path.dirname(path)}/{{{os.path.basename(path)}}}"
+            escaped = _re.sub(r"([\\*?\[\]{},])", r"\\\1", os.path.basename(path))
+            path = f"{os.path.dirname(path)}/{{{escaped}}}"
         return _canonicalize_event_ts(reader.parquet(path))
     if source_format == "kafka":
         if max_files_per_trigger is not None:
@@ -369,7 +390,12 @@ def requeue_sink(
     - fatal, or retry budget exhausted    → ``dead_dir``
 
     ``is_ok`` / ``is_retryable`` are Column predicates and may read the
-    ``attempts`` column (rows must carry ``attempts``; seed with 0).
+    ``attempts`` column (rows must carry ``attempts``; seed with 0 —
+    when composing with :func:`read_event_stream`'s feedback edge, seed
+    with ``coalesce(attempts, 0)`` rather than a plain ``lit(0)``: the
+    source schema carries ``attempts`` (NULL for never-requeued files),
+    and an unconditional overwrite would reset every redelivery's count
+    back to 0, so ``max_attempts`` never binds).
     NULL predicate results (e.g. a predicate over a nullable column)
     are normalized to False, and NULL ``attempts`` to 0, so every row
     lands in EXACTLY one of the three outputs — ``where(p)`` and
@@ -434,7 +460,12 @@ def requeue_sink(
         batch_df.persist()
         try:
             okdf = batch_df.where(ok).drop(*ok_drop_cols)
-            okdf.write.mode("append").parquet(out_dir)
+            # same empty-append reasoning as the requeue path below: an
+            # all-failure trigger (e.g. during an outage) must not leave
+            # a zero-row part file in the ack dir every few seconds —
+            # thousands of empties slow every downstream listing
+            if not okdf.isEmpty():
+                okdf.write.mode("append").parquet(out_dir)
             failed = batch_df.where(~ok)
             requeue = failed.where(retryable & (att + 1 < max_attempts)).withColumn(
                 "attempts", att + 1
@@ -580,10 +611,12 @@ def correlate_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     cid, resolved by the FIRST event whose ``:cid`` matches, published
     on the cid topic at ``:161``).
 
-    Out-of-order safe: "first" is by EVENT order ``(ts, seq)``, not
-    arrival order — per-cid state holds the running minimum
-    ``(ts, seq, name)``, so an event that arrives late but happened
-    earlier overwrites the provisional winner.  Each micro-batch emits
+    Out-of-order safe: "first" is by EVENT order ``(ts, seq, name)`` —
+    the FULL batch tiebreak (``min(struct(ts, seq, name))``), not
+    arrival order — per-cid state holds the running minimum, so an
+    event that arrives late but happened earlier overwrites the
+    provisional winner, and exact ``(ts, seq)`` ties resolve by name
+    in both engines instead of arrival order.  Each micro-batch emits
     the current winner for every cid it touched (update mode); the last
     emit per cid therefore equals the batch
     ``correlate.first_event_name_agg`` answer (pinned by
@@ -597,6 +630,19 @@ def correlate_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     no state here at all; their 'timeout' status is produced by the
     downstream left-join (``plans.correlate.correlate``), same as
     batch.
+
+    CORRELATION-EPOCH CONTRACT (the price of bounded state): eviction
+    forgets that a cid was ever resolved, so an event for the SAME cid
+    arriving after eviction opens a NEW correlation epoch and emits its
+    own winner — batch over the full log would still report the
+    original first event.  This mirrors the reference exactly
+    (``broker.clj`` removes the promise from its registry on delivery;
+    a later event for that cid finds nothing waiting), and is the same
+    horizon trade-off ``dropDuplicatesWithinWatermark`` makes.  The
+    batch-equality claim above therefore holds for events within the
+    watermark horizon of the winner; keep cids unique per command (the
+    reference's UUIDs are) or widen the watermark to cover the longest
+    event spread.
 
     Input schema: ``cid string, ts timestamp, seq bigint, name string``
     with ``ts`` watermarked by the caller or here.
@@ -613,9 +659,12 @@ def correlate_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            pdf = pdf.sort_values(["ts", "seq"]).iloc[0]
+            # FULL (ts, seq, name) ordering, matching the batch twin's
+            # min(struct(ts, seq, name)) — a 2-tuple compare would leave
+            # exact (ts, seq) ties to arrival order (nondeterministic)
+            pdf = pdf.sort_values(["ts", "seq", "name"]).iloc[0]
             cand = (int(pd.Timestamp(pdf["ts"]).value), int(pdf["seq"]), str(pdf["name"]))
-            if best is None or cand[:2] < tuple(best[:2]):
+            if best is None or cand < tuple(best):
                 best = cand
         if best is None:
             return
@@ -655,13 +704,14 @@ def correlate_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
-_DURATION_RE = re.compile(
-    r"^\s*(\d+(?:\.\d+)?)\s*"
-    r"(days?|d|hours?|hrs?|h|minutes?|mins?|m|seconds?|secs?|s|milliseconds?|millis?|ms)\s*$",
+_DURATION_TERM_RE = re.compile(
+    r"\s*(\d+(?:\.\d+)?)\s*"
+    r"(weeks?|w|days?|d|hours?|hrs?|h|minutes?|mins?|m|seconds?|secs?|s|milliseconds?|millis?|ms)\s*",
     re.IGNORECASE,
 )
 
 _DURATION_UNIT_MS = {
+    "w": 604_800_000, "week": 604_800_000,
     "d": 86_400_000, "day": 86_400_000,
     "h": 3_600_000, "hr": 3_600_000, "hour": 3_600_000,
     "m": 60_000, "min": 60_000, "minute": 60_000,
@@ -672,33 +722,66 @@ _DURATION_UNIT_MS = {
 
 def _duration_ms(spec: str) -> int:
     """Parse a Spark interval string ('1 hour', '30s', '1.5 hours',
-    '2 days', '250 ms') to milliseconds.  Accepts the units Spark's
-    watermark grammar does (day/hour/minute/second/millisecond, long or
-    abbreviated, optional plural, fractional amounts); anything else
-    raises ValueError with the offending spec named."""
-    m = _DURATION_RE.match(spec)
-    if not m:
+    '2 days', '250 ms', '1 hour 30 minutes') to milliseconds.  Accepts
+    what Spark's watermark/interval grammar does — week through
+    millisecond units, long or abbreviated, optional plural, fractional
+    amounts, COMPOUND multi-unit specs (r8 continuation review: a
+    single-term regex rejected '1 hour 30 minutes', which
+    ``withWatermark`` itself accepts); anything else raises ValueError
+    with the offending spec named."""
+    total = 0.0
+    pos = 0
+    n_terms = 0
+    while pos < len(spec):
+        m = _DURATION_TERM_RE.match(spec, pos)
+        if not m:
+            break
+        amount, unit = m.groups()
+        unit = unit.lower()
+        key = unit if unit in _DURATION_UNIT_MS else unit.rstrip("s")
+        total += float(amount) * _DURATION_UNIT_MS[key]
+        n_terms += 1
+        pos = m.end()
+    if n_terms == 0 or spec[pos:].strip():
         raise ValueError(
-            f"unsupported duration {spec!r}: expected '<number> "
-            "<day|hour|minute|second|millisecond>' (abbreviations ok, e.g. '30s')"
+            f"unsupported duration {spec!r}: expected one or more '<number> "
+            "<week|day|hour|minute|second|millisecond>' terms "
+            "(abbreviations ok, e.g. '30s', '1 hour 30 minutes')"
         )
-    amount, unit = m.groups()
-    unit = unit.lower()
-    key = unit if unit in _DURATION_UNIT_MS else unit.rstrip("s")
-    return int(float(amount) * _DURATION_UNIT_MS[key])
+    return int(total)
 
 
-def stateful_user_counts(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+def stateful_user_counts(events: DataFrame, idle_timeout: str | None = None) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: a running
     per-user event counter + last-seen timestamp (the streaming analog
     of the reference's per-cid correlation state, A20/B9).
 
     State is one (count, last_ts) pair per user — bounded by user
-    cardinality, the same state-size reasoning the reference applies to
-    its per-cid pub-sub registry."""
+    cardinality; pass ``idle_timeout`` (a duration spec, e.g.
+    ``"30 minutes"``) to ALSO evict users idle that long in processing
+    time, bounding state by ACTIVE users instead.  (r8 continuation
+    review: the old ``timeout=`` parameter forwarded a timeoutConf
+    string without ever arming a timer or handling ``hasTimedOut`` —
+    per Spark semantics no key ever times out unless the function arms
+    one per invocation, so any non-NoTimeout value was a silent no-op.)
+    An evicted user's counter restarts at 0 on their next event — the
+    documented idle-session semantics, same re-open trade-off as
+    :func:`correlate_stream`'s correlation epochs.
+
+    HARNESS NOTE: a query with an armed processing-time timer never
+    goes idle — the engine keeps scheduling timer batches while any
+    timer is pending, so ``processAllAvailable`` never returns, and
+    (measured in this sandbox) even ``trigger(availableNow=True)`` does
+    not terminate after the data drain.  Drive such a query by polling
+    the sink for the expected result and then ``stop()``-ing it."""
     import pandas as pd  # noqa: F401
 
+    timeout_ms = None if idle_timeout is None else _duration_ms(idle_timeout)
+
     def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
         n = 0
         last = 0
         if state.exists:
@@ -708,6 +791,10 @@ def stateful_user_counts(events: DataFrame, timeout: str = "NoTimeout") -> DataF
             if len(pdf):
                 last = max(last, int(pdf["ts"].astype("int64").max()))
         state.update((n, last))
+        if timeout_ms is not None:
+            # re-armed on every batch that touches the key: the timer
+            # measures IDLE time, not lifetime
+            state.setTimeoutDuration(timeout_ms)
         import pandas as pd
 
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "last_ts_us": [last // 1000]})
@@ -719,6 +806,6 @@ def stateful_user_counts(events: DataFrame, timeout: str = "NoTimeout") -> DataF
             outputStructType="user_id bigint, n_events bigint, last_ts_us bigint",
             stateStructType="n bigint, last bigint",
             outputMode="update",
-            timeoutConf=timeout,
+            timeoutConf="NoTimeout" if timeout_ms is None else "ProcessingTimeTimeout",
         )
     )

@@ -206,7 +206,11 @@ def test_apply_lww_matches_python_reference(spark, rows):
         st.tuples(st.sampled_from(["k1", "k2", "k3", "k4"]),
                   st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
                   st.sampled_from(["s1", "s2"]),
-                  st.booleans()),
+                  # None exercises the NULL-tombstone normalization: the
+                  # merge contract coalesces NULL -> False (keep), which
+                  # the model's `not dead` / `not s[2]` truthiness already
+                  # states (r8 continuation review)
+                  st.one_of(st.none(), st.booleans())),
         min_size=1, max_size=8,
         unique_by=lambda r: (r[0], r[1]),  # no within-batch order ties:
         # those resolve by the shared xxhash64 (pinned deterministically

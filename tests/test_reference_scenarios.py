@@ -527,6 +527,40 @@ def test_merge_tie_break_total_ordering(spark, tmp_path):
     assert ("k4", "tgt4") in got  # NULL-vs-NULL tie kept the target
 
 
+def test_merge_tombstone_contract_source_only_null_safe(spark, tmp_path):
+    """r8 continuation review: the two merge engines must agree on (a) a
+    NULL is_delete on the winning update row — Delta's matched clauses
+    both no-fire on NULL (row kept/updated per coalesce-False), while a
+    naive fallback's where(~NULL) would DROP the key; and (b) a stored
+    row that happens to satisfy is_delete — Delta physically cannot
+    delete a target row without a newer matching source row, so the
+    fallback must not re-evaluate the tombstone predicate on target
+    winners.  Both shapes here would have diverged before the fix."""
+    from pyspark.sql import functions as F
+
+    from lens_sds_batch_spark.plans.merge import merge_into
+
+    target = str(tmp_path / "state")
+    # stored state: k1 normal; k2 PHYSICALLY carries dead=True (written
+    # by another tool / a prior schema era) — a target-side tombstone
+    spark.createDataFrame(
+        [("k1", 1, "a", False), ("k2", 5, "x", True)],
+        "k string, pri int, v string, dead boolean",
+    ).write.parquet(target)
+    updates = spark.createDataFrame(
+        [
+            ("k1", 2, "b", None),   # strictly newer, NULL dead -> UPDATE, not delete
+            ("k2", 1, "y", False),  # OLDER than stored k2 -> target row kept
+        ],
+        "k string, pri int, v string, dead boolean",
+    )
+    merge_into(spark, target, updates, keys=["k"], order_cols=["pri"], is_delete=F.col("dead"))
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    # k1 updated (NULL coalesced to keep); k2's stored row survives even
+    # though its own dead flag is True — only a newer source row deletes
+    assert got == {("k1", "b"), ("k2", "x")}
+
+
 def test_merge_into_schema_mismatch_raises_loudly(spark, tmp_path):
     """r6 review: a malformed update batch (wrong column name) must
     RAISE, not be silently treated as 'no target yet' — which would

@@ -203,8 +203,13 @@ def test_correlate_stream_equals_batch(spark, tmp_path):
     schema = "cid string, ts timestamp, seq bigint, name string"
     # arrives FIRST: the in-event-time LATER events (provisional winners)
     b1 = [(f"C{i}", base + dt.timedelta(minutes=30 + i), 2, "updated") for i in range(8)]
+    # ... plus an exact-(ts, seq) tie delivered LOSER-first: the winner
+    # must come from the full (ts, seq, name) ordering, matching batch
+    # min(struct(ts, seq, name)) — not arrival order (r8 review)
+    b1.append(("CT", base + dt.timedelta(minutes=5), 5, "b_second_by_name"))
     # arrives SECOND: earlier event-times for the even cids -> must overwrite
     b2 = [(f"C{i}", base + dt.timedelta(minutes=i), 1, "created") for i in range(0, 8, 2)]
+    b2.append(("CT", base + dt.timedelta(minutes=5), 5, "a_first_by_name"))
     d = str(tmp_path / "corr_src")
     spark.createDataFrame(b1, schema).coalesce(1).write.parquet(d)
     spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(d)
@@ -225,6 +230,8 @@ def test_correlate_stream_equals_batch(spark, tmp_path):
         assert got == want
         # and the overwrite really exercised the out-of-order path
         assert got["C0"] == "created" and got["C1"] == "updated"
+        # exact-tie resolved by name in event order, not arrival order
+        assert got["CT"] == "a_first_by_name"
     finally:
         q.stop()
 
@@ -998,3 +1005,94 @@ def test_ivf_assign_stream_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_duration_ms_compound_and_units():
+    """r8 continuation review: the duration parser must accept what
+    Spark's own interval grammar does — compound multi-unit specs and
+    weeks — and still reject garbage loudly."""
+    from lens_sds_batch_spark.streaming.pipeline import _duration_ms
+
+    assert _duration_ms("1 hour 30 minutes") == 5_400_000
+    assert _duration_ms("2 weeks") == 1_209_600_000
+    assert _duration_ms("1 day 2 hours 3 minutes 4 seconds") == 93_784_000
+    assert _duration_ms("30s") == 30_000
+    assert _duration_ms("1.5 hours") == 5_400_000
+    with pytest.raises(ValueError):
+        _duration_ms("soon")
+    with pytest.raises(ValueError):
+        _duration_ms("1 hour bananas")
+    with pytest.raises(ValueError):
+        _duration_ms("")
+
+
+def test_read_event_stream_glob_metachar_filename(spark, tmp_path):
+    """A single-file source whose NAME contains glob metacharacters must
+    still stream its rows — un-escaped, `[v2]` becomes a character
+    class matching nothing and the stream is silently empty (r8
+    continuation review)."""
+    import os
+
+    from lens_sds_batch_spark.sources.parquet import load_events
+
+    src = (
+        load_events(spark, SF_SMOKE)
+        .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .limit(25)
+    )
+    d = tmp_path / "onefile"
+    src.coalesce(1).write.parquet(str(d))
+    part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+    hostile = tmp_path / "events[v2],{x}.parquet"
+    os.rename(d / part, hostile)
+    stream = read_event_stream(spark, str(hostile))
+    q = run_to_memory(stream, "globbed")
+    try:
+        assert spark.table("globbed").count() == 25
+    finally:
+        q.stop()
+
+
+def test_stateful_user_counts_idle_timeout_runs(spark, stream_dir):
+    """The idle_timeout knob arms a real ProcessingTimeTimeout (the old
+    timeout= parameter was a silent no-op).  Deterministically asserting
+    an eviction needs wall-clock idling between triggers, so this pins
+    the wiring: the query runs, emits, and counts accumulate across
+    batches exactly as with NoTimeout.
+
+    NB poll-then-stop, NOT processAllAvailable / availableNow +
+    awaitTermination: an armed processing-time timer keeps the engine
+    scheduling timer batches while any timer is pending, so
+    processAllAvailable never returns — and (measured in this sandbox)
+    even trigger(availableNow) does NOT terminate, the pending timers
+    hold the query open past the data drain.  Polling the sink for the
+    expected total is the only shutdown that doesn't depend on timer
+    scheduling internals."""
+    import time
+
+    from lens_sds_batch_spark.streaming.pipeline import stateful_user_counts
+
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        stateful_user_counts(stream, idle_timeout="30 minutes")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ustate_t")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        rows = []
+        while time.monotonic() < deadline:
+            rows = spark.sql(
+                "SELECT user_id, max(n_events) AS n FROM ustate_t GROUP BY user_id"
+            ).collect()
+            if sum(r["n"] for r in rows) == 250:
+                break
+            time.sleep(1.0)
+        assert rows and all(r["n"] >= 1 for r in rows)
+        total = sum(r["n"] for r in rows)
+        assert total == 250  # 150 + 100 rows across both files, all counted
+    finally:
+        q.stop()
