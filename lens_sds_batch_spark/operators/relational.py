@@ -1529,6 +1529,195 @@ GROUP BY c_nationkey
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (r8 cont.): volume shipping between two nations —
+    the classical ROLE-PLAYING dimension pattern (nation joined twice,
+    once through supplier and once through customer) with a
+    DISJUNCTIVE pair predicate that spans both roles, grouped by
+    (supp_nation, cust_nation, year).
+
+    Distributed strategy: the nation-pair filter is pushed into EACH
+    dimension independently (supplier and customer each shrink to the
+    2 selected nations' members ≈ 2/25 of the dim) BEFORE the fact
+    joins, so both reduced dims broadcast; the only shuffle left is
+    lineitem ⋈ orders on orderkey — fact-to-fact, co-partitioned.
+    The residual disjunction (excluding the (1,1)/(2,2) pairs) is
+    evaluated post-join on two tiny tag columns.  At 100 TB this is
+    exactly the plan you want: never shuffle a fact table on a
+    dimension key, semi-reduce dims first.  Revenue sums in DECIMAL,
+    cast to DOUBLE after (engine-exact, Q14 discipline)."""
+    pair = ("NATION_1", "NATION_2")
+    nat = load_table(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    one = F.lit(1).cast("decimal(18,2)")
+    vol = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(extract(year FROM l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (r8 cont., adapted: p_type plays the product
+    filter): one nation's market share of a region's STANDARD-part
+    order volume per year — the deepest classical join tree (part,
+    lineitem, orders, customer, supplier, nation×2, region) feeding a
+    conditional-sum ratio.
+
+    The customer side reduces through nation⋈region (AMERICA) before
+    touching facts; part filters to one p_type; both broadcast.  The
+    supplier side is NOT filtered (every supplier's nation tags the
+    numerator), but the supplier dim itself is broadcast-sized after
+    projection to (s_suppkey, supp_nation).  Remaining shuffle:
+    lineitem ⋈ orders on orderkey, same co-partitioned fact join as
+    Q7.  Numerator and denominator sum in DECIMAL and divide in
+    DOUBLE in one expression order (bit-identical across engines)."""
+    nat = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    cust_nat = nat.join(
+        F.broadcast(region), nat.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    vol = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero))
+            .cast("double")
+            .alias("nation_vol"),
+            F.sum(vol).cast("double").alias("total_vol"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_vol") / F.col("total_vol")).alias("mkt_share"),
+        )
+    )
+
+
+Q8_SQL = """
+SELECT o_year, nation_vol / total_vol AS mkt_share
+FROM (
+  SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_vol,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_vol
+  FROM part, lineitem, supplier, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+    AND s_nationkey = n2.n_nationkey AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY o_year
+)
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (r8 cont., adapted: o_orderpriority plays
+    o_comment's exclusion filter): the customer order-count
+    DISTRIBUTION — a LEFT OUTER join whose extra predicate lives in
+    the ON clause (so non-matching customers survive with count 0,
+    which a WHERE would destroy), then aggregation OVER an
+    aggregation (count orders per customer, then count customers per
+    order-count).
+
+    Shuffle shape: orders pre-filters and projects to o_custkey (keys
+    only cross the wire), ONE shuffle joins customer⋈orders on
+    custkey, the per-customer count reuses that partitioning
+    (map-side combinable), and the second groupBy is over ≤ a few
+    hundred distinct counts — trivially small.  count(o_custkey)
+    counts non-NULL only, preserving the zero bucket."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_custkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame: per customer, rolling 30-day spend (range over
     epoch seconds — value-based frames, not row-based)."""
@@ -1985,7 +2174,9 @@ def tpch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     join predicate), Q17/Q18/Q21 (r8: correlated scalar subquery,
     HAVING-sum semi-join, EXISTS+NOT-EXISTS), Q20/Q22 (r8 cont.:
     nested-IN + correlated-total HAVING, scalar-threshold +
-    anti-join)."""
+    anti-join), Q7/Q8/Q13 (r8 cont.: role-playing dims + disjunctive
+    pair predicate, deep-tree conditional-share ratio, outer-join
+    ON-predicate + aggregation-over-aggregation)."""
     arms = [
         q4_order_priority(spark, sf_dir).select(
             F.lit("q4").alias("kind"),
@@ -2082,6 +2273,31 @@ def tpch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("numcust").cast("bigint").alias("v1"),
             F.col("totacctbal").alias("v2"),
         ),
+        # r8 continuation arms: Q7 (role-playing nation dims +
+        # disjunctive pair predicate), Q8 (deep join tree +
+        # conditional-share ratio), Q13 (outer-join ON-predicate +
+        # aggregation over aggregation)
+        q7_volume_shipping(spark, sf_dir).select(
+            F.lit("q7").alias("kind"),
+            F.col("supp_nation").alias("k1"),
+            F.col("cust_nation").alias("k2"),
+            F.col("l_year").cast("bigint").alias("v1"),
+            F.col("revenue").alias("v2"),
+        ),
+        q8_market_share(spark, sf_dir).select(
+            F.lit("q8").alias("kind"),
+            _nl("string", "k1"),
+            _nl("string", "k2"),
+            F.col("o_year").cast("bigint").alias("v1"),
+            F.col("mkt_share").alias("v2"),
+        ),
+        q13_customer_distribution(spark, sf_dir).select(
+            F.lit("q13").alias("kind"),
+            _nl("string", "k1"),
+            _nl("string", "k2"),
+            F.col("c_count").cast("bigint").alias("v1"),
+            F.col("custdist").cast("double").alias("v2"),
+        ),
     ]
     out = arms[0]
     for a in arms[1:]:
@@ -2113,6 +2329,12 @@ UNION ALL
 {_arm('q20', Q20_SQL, "n_name AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(n_supp AS BIGINT) AS v1, CAST(NULL AS DOUBLE) AS v2")}
 UNION ALL
 {_arm('q22', Q22_SQL, "CAST(c_nationkey AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(numcust AS BIGINT) AS v1, totacctbal AS v2")}
+UNION ALL
+{_arm('q7', Q7_SQL, "supp_nation AS k1, cust_nation AS k2, CAST(l_year AS BIGINT) AS v1, revenue AS v2")}
+UNION ALL
+{_arm('q8', Q8_SQL, "CAST(NULL AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(o_year AS BIGINT) AS v1, mkt_share AS v2")}
+UNION ALL
+{_arm('q13', Q13_SQL, "CAST(NULL AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(c_count AS BIGINT) AS v1, CAST(custdist AS DOUBLE) AS v2")}
 ORDER BY kind, k1
 """
 
