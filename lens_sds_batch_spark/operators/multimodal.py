@@ -110,9 +110,17 @@ def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int, str]:
     container has none, so we derive fake-but-stable dimensions from
     the payload bytes.  The Spark plumbing around it (Arrow batches,
     schema, partitioning) is the real deliverable.
+
+    A NULL payload returns the DEGRADED row ``(None, None, None,
+    "missing-payload")`` instead of raising (r8 null sweep): at 100 TB
+    a decode stage meets missing blobs every hour — one of them must
+    mark its row, not kill the job.  The marker format string keeps
+    failed rows routable downstream (``where(format ==
+    'missing-payload')`` is the dead-letter filter), the same
+    split-don't-crash policy as the CSV/JSON corrupt-record path.
     """
     if payload is None:
-        raise NotImplementedError("media decode requires a payload")
+        return (None, None, None, "missing-payload")
     n = len(payload)
     kind = media_type.split("/")[0]
     if kind == "image":
@@ -164,6 +172,9 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             rows = []
             for p, m in zip(pdf["payload"], pdf["media_type"]):
                 w, h, nf, fmt = _fake_decode(p, m)
+                if p is None:  # degraded marker row, same policy as decode
+                    rows.append((w, h, nf, fmt, [], []))
+                    continue
                 buf = np.frombuffer(p, dtype=np.uint8)
                 blocks = np.array_split(buf, N_FEATURES)
                 feats = [float(b.mean()) if len(b) else 0.0 for b in blocks]

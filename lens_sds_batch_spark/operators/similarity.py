@@ -296,7 +296,17 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    vecs = _vecs(spark, sf_dir)
+    # Invalid embeddings (NULL array, NULL element, empty) are EXCLUDED
+    # from fit, assignment, and candidate sets — the FAISS behavior: an
+    # index is built over valid vectors, a corrupt row doesn't kill the
+    # build.  RAGGED dimensions still raise (in the ML fit / the
+    # assign_cells guard): inconsistent dims are structural corruption,
+    # not a row-level data gap.  No-op on a clean corpus.
+    vecs = _vecs(spark, sf_dir).where(
+        F.col("v").isNotNull()
+        & (F.size("v") > 0)
+        & ~F.exists("v", lambda x: x.isNull())
+    )
     ml = vecs.withColumn("features", array_to_vector("v"))
     # maxIter=8 (r6): the default 20 costs 3.9s of builder wall-clock at
     # sf0.1 for a 0.25% training-cost difference (1851.9 vs 1847.3 —

@@ -198,6 +198,12 @@ def _render_file(pdf: pd.DataFrame) -> pd.DataFrame:
         )
         for oid, dtype in _RENDER_ATTRS:
             v = getattr(r, f"v_{oid}")
+            if v is None or (isinstance(v, float) and v != v):
+                # NULL source value → the item element is ABSENT, which
+                # is how real ODM represents "no value" (the parser's
+                # absent-item path, test_empty_vs_absent_item_value) —
+                # emitting escape(None) would crash the render instead
+                continue
             if dtype == "float":
                 out.append(f'<ItemDataFloat ItemOID="{oid}">{escape(v)}</ItemDataFloat>')
             elif dtype == "date-time":
