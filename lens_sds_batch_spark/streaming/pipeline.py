@@ -131,7 +131,15 @@ def read_event_stream(
         # coalesces to 0.
         from pyspark.sql.types import IntegerType, StructField, StructType
 
-        if isinstance(at_rest, StructType) and "attempts" not in at_rest.fieldNames():
+        if isinstance(at_rest, str):
+            # The schema-probe fallback leaves a DDL STRING (empty/missing
+            # dir — the 'seeded later' case, which is exactly the natural
+            # requeue-loop setup).  An isinstance(StructType) guard alone
+            # would skip the injection there and reinstate the livelock
+            # (r8 advisor finding): parse the DDL first so both paths get
+            # the column.
+            at_rest = StructType.fromDDL(at_rest)
+        if "attempts" not in at_rest.fieldNames():
             at_rest = StructType(
                 list(at_rest.fields) + [StructField("attempts", IntegerType(), True)]
             )
@@ -704,9 +712,18 @@ def correlate_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+# Millisecond forms are listed BEFORE minute forms and every unit is
+# followed by a (?![A-Za-z]) guard: without both, '250 ms' matched the
+# bare 'm' (minutes) alternative first and the leftover 's' failed the
+# trailing-text check, so every ms-unit spec raised ValueError (r8
+# advisor finding — watermark/eviction/idle_timeout callers crashed on
+# '250ms').  The guard also makes the alternation order-insensitive
+# going forward: a prefix alternative can no longer swallow part of a
+# longer unit word.
 _DURATION_TERM_RE = re.compile(
     r"\s*(\d+(?:\.\d+)?)\s*"
-    r"(weeks?|w|days?|d|hours?|hrs?|h|minutes?|mins?|m|seconds?|secs?|s|milliseconds?|millis?|ms)\s*",
+    r"(milliseconds?|millis?|ms|weeks?|w|days?|d|hours?|hrs?|h"
+    r"|minutes?|mins?|m|seconds?|secs?|s)(?![A-Za-z])\s*",
     re.IGNORECASE,
 )
 

@@ -1018,12 +1018,47 @@ def test_duration_ms_compound_and_units():
     assert _duration_ms("1 day 2 hours 3 minutes 4 seconds") == 93_784_000
     assert _duration_ms("30s") == 30_000
     assert _duration_ms("1.5 hours") == 5_400_000
+    # ms-unit specs (r8 advisor regression: the bare-'m' alternative
+    # swallowed the 'm' of 'ms' and every millisecond spec raised)
+    assert _duration_ms("250 ms") == 250
+    assert _duration_ms("250ms") == 250
+    assert _duration_ms("5 milliseconds") == 5
+    assert _duration_ms("30 millis") == 30
+    assert _duration_ms("1 second 250 ms") == 1_250
     with pytest.raises(ValueError):
         _duration_ms("soon")
     with pytest.raises(ValueError):
         _duration_ms("1 hour bananas")
     with pytest.raises(ValueError):
         _duration_ms("")
+
+
+def test_read_event_stream_empty_dir_keeps_attempts_column(spark, tmp_path):
+    """The schema-probe fallback (empty/missing dir — a stream seeded
+    later, the natural requeue-loop setup) leaves a DDL string, and the
+    attempts-column injection must fire on THAT path too — otherwise
+    redelivered files lose the column, attempts resets to 0 each loop,
+    and max_attempts never binds (r8 advisor finding)."""
+    d = tmp_path / "seeded_later"
+    d.mkdir()
+    stream = read_event_stream(spark, str(d))
+    assert "attempts" in stream.schema.fieldNames()
+    # and the non-fallback (probed StructType) path still injects it
+    src = (
+        spark.range(3)
+        .selectExpr(
+            "id AS event_id",
+            "timestamp_micros(id) AS ts",
+            "id AS user_id",
+            "'x' AS event_type",
+            "cast(id as double) AS value",
+            "'{}' AS props",
+        )
+    )
+    d2 = tmp_path / "seeded_now"
+    src.write.parquet(str(d2))
+    stream2 = read_event_stream(spark, str(d2))
+    assert "attempts" in stream2.schema.fieldNames()
 
 
 def test_read_event_stream_glob_metachar_filename(spark, tmp_path):
