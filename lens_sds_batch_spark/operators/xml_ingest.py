@@ -12,10 +12,10 @@ end-to-end.  This module closes that seam:
 1. RENDER: derive a deterministic subset of the ODM tree from the sf
    parquet (same column algebra as ``plans/odm.derive_odm_from_tpch``,
    restricted to ``c_custkey % SUBSET_MOD == 0``), fan it into
-   ``N_FILES`` single-line XML documents with ``applyInPandas`` (one
-   group = one file = one executor task), and write them through the
-   standard partitioned text sink — plus ONE deliberately malformed
-   document.
+   ``ceil(n_subjects / SUBJECTS_PER_FILE)`` single-line XML documents
+   with ``applyInPandas`` (one group = one file = one executor task),
+   and write them through the standard partitioned text sink — plus
+   ONE deliberately malformed document.
 2. INGEST: ``read_odm_xml`` scans the written files as binary blobs,
    parses each on an executor, and the malformed one must surface as a
    dead-letter row (A22 routing), NOT an exception.
@@ -26,10 +26,12 @@ end-to-end.  This module closes that seam:
    dead-letter split breaks the hash.
 
 At 100 TB: the unit of parallelism on both sides is the FILE — the
-render groups by file id (a real pipeline keys files at a
-subject-batch grain to bound group size), the scan parallelizes per
-file, and nothing ever collects to the driver.  The render is a test
-HARNESS for the ingest path; production data arrives as XML already.
+render keys files at SUBJECT-BATCH grain (file count grows with the
+corpus, each ``applyInPandas`` group holds ~SUBJECTS_PER_FILE subjects
+regardless of scale; r9, replacing the fixed 8-file fan whose group
+size was linear in the corpus), the scan parallelizes per file, and
+nothing ever collects to the driver.  The render is a test HARNESS
+for the ingest path; production data arrives as XML already.
 """
 
 from __future__ import annotations
@@ -63,18 +65,62 @@ from ..sources.parquet import load_table
 # mixer branch goes vacuous (the all-NULL shape the parity guard
 # rejects).
 SUBSET_MOD = 29
-N_FILES = 8
+
+# File keying is SUBJECT-BATCH grain (r8 verdict): the file count grows
+# with the corpus (ceil(n_subjects / SUBJECTS_PER_FILE), subjects =
+# subset customers) so each applyInPandas render group holds O(batch)
+# subjects no matter the scale — a fixed file count meant 10x data =
+# 10x rows per group, and a single group would eventually exhaust one
+# executor.  The count is computed INSIDE the plan (1-row aggregate,
+# broadcast crossJoin — the Q22 scalar pattern, never a driver
+# collect) and mirrored verbatim in the oracle's ``nf`` CTE.  If the
+# derived count lands on a multiple of SUBSET_MOD it is bumped by one:
+# every subset custkey is ≡ 0 (mod 29), so ``29k % 29m`` would collapse
+# the residues to multiples of 29 — with n_files == 29 that is ONE
+# file holding the whole corpus (skew, and the exact unbounded group
+# this keying exists to prevent).
+SUBJECTS_PER_FILE = 8
 
 
-def _file_oid_col(key, n_files: int):
+def _n_files_frame(customer_subset: DataFrame) -> DataFrame:
+    """1-row frame with the derived file count (Spark side of the
+    ``nf`` oracle CTE).  ``customer_subset`` must already carry the
+    %SUBSET_MOD filter."""
+    return customer_subset.agg(F.count(F.lit(1)).alias("n_sub")).select(
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.col("n_sub") / SUBJECTS_PER_FILE),
+        ).alias("raw")
+    ).select(
+        F.when(F.col("raw") % SUBSET_MOD == 0, F.col("raw") + 1)
+        .otherwise(F.col("raw"))
+        .alias("n_files")
+    )
+
+
+def _n_files_sql() -> str:
+    """DuckDB twin of :func:`_n_files_frame` (defined adjacent so the
+    pair can only drift by editing adjacent lines)."""
+    return (
+        "SELECT CASE WHEN raw % "
+        f"{SUBSET_MOD} = 0 THEN raw + 1 ELSE raw END AS n_files FROM ("
+        f"SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {SUBJECTS_PER_FILE}.0) AS BIGINT)) AS raw"
+        f" FROM customer WHERE c_custkey % {SUBSET_MOD} = 0)"
+    )
+
+
+def _file_oid_col(key, n_files):
     """FX file-oid (Spark side) — single-sourced: the render grouping
     key and the childless branch must derive the SAME file id, and
-    :func:`_file_oid_sql` must mirror it, or the oracle hash breaks."""
+    :func:`_file_oid_sql` must mirror it, or the oracle hash breaks.
+    ``n_files`` is an int (test knob) or the derived ``n_files``
+    Column."""
     return F.concat(F.lit("FX"), (key % n_files).cast("string"))
 
 
-def _file_oid_sql(key: str, n_files: int) -> str:
-    """DuckDB twin of :func:`_file_oid_col`."""
+def _file_oid_sql(key: str, n_files) -> str:
+    """DuckDB twin of :func:`_file_oid_col`; ``n_files`` is an int or a
+    column reference (the cross-joined ``nf.n_files``)."""
     return f"'FX' || CAST({key} % {n_files} AS VARCHAR)"
 
 _PATH = [
@@ -226,7 +272,7 @@ def _render_file(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"xml_file": [file_oid], "value": [xml]})
 
 
-def _form_grain(spark: SparkSession, sf_dir: str, n_files: int = N_FILES) -> DataFrame:
+def _form_grain(spark: SparkSession, sf_dir: str, n_files: int | None = None) -> DataFrame:
     """One row per FORM (lineitem) of the subset tree, with the five
     item values as pre-canonicalized ``v_<OID>`` string columns, plus
     one all-NULL-path row per childless subject.
@@ -239,10 +285,13 @@ def _form_grain(spark: SparkSession, sf_dir: str, n_files: int = N_FILES) -> Dat
     planner would otherwise shuffle the full fact table).
 
     ``n_files`` is the scale knob: file count bounds BOTH render
-    parallelism and per-group size, so at corpus scale it grows with
-    the data (subject-batch-grain file keys) instead of staying a
-    constant — the gated query pins 8 for determinism, the knob is
-    exercised at other values by the round-trip pytest."""
+    parallelism and per-group size.  The default (None) derives it
+    from the corpus at SUBJECT-BATCH grain — ceil(n_subjects /
+    SUBJECTS_PER_FILE) via a 1-row broadcast scalar — so each render
+    group holds ~SUBJECTS_PER_FILE subjects at ANY scale (r9: the
+    fixed N_FILES=8 it replaces made group size linear in the corpus).
+    Passing an int pins the fan explicitly (the round-trip pytest
+    exercises the knob at several values)."""
     customer = load_table(spark, sf_dir, "customer").where(
         F.col("c_custkey") % SUBSET_MOD == 0
     )
@@ -255,14 +304,22 @@ def _form_grain(spark: SparkSession, sf_dir: str, n_files: int = N_FILES) -> Dat
         "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
         "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
     )
+    if n_files is None:
+        nf = F.broadcast(_n_files_frame(customer))
+        file_n = F.col("n_files")
+    else:
+        nf = None
+        file_n = F.lit(n_files)
     ck = F.col("o_custkey")
     li = lineitem.join(
         F.broadcast(orders.select("o_orderkey", "o_custkey")),
         lineitem.l_orderkey == F.col("o_orderkey"),
     ).withColumn("form_seq", F.row_number().over(w))
+    if nf is not None:
+        li = li.crossJoin(nf)
     canons = [canon_col(src, dtype).alias(f"v_{oid}") for oid, dtype, src in ITEM_ATTRS]
     forms = li.select(
-        _file_oid_col(ck, n_files).alias("xml_file"),
+        _file_oid_col(ck, file_n).alias("xml_file"),
         study_oid_col(ck).alias("study_oid"),
         subject_key_col(ck).alias("subject_key"),
         se_oid_col(F.col("l_orderkey")).alias("study_event_oid"),
@@ -282,8 +339,11 @@ def _form_grain(spark: SparkSession, sf_dir: str, n_files: int = N_FILES) -> Dat
     )]
     childless = customer.join(
         orders.select("o_custkey"), cck == F.col("o_custkey"), "left_anti"
-    ).select(
-        _file_oid_col(cck, n_files).alias("xml_file"),
+    )
+    if nf is not None:
+        childless = childless.crossJoin(nf)
+    childless = childless.select(
+        _file_oid_col(cck, file_n).alias("xml_file"),
         study_oid_col(cck).alias("study_oid"),
         subject_key_col(cck).alias("subject_key"),
         _subject_tx(cck).alias("subject_tx"),
@@ -336,11 +396,13 @@ BAD_XML = '<ODM FileOID="BAD"><ClinicalData><unclosed></ODM>'
 
 
 def render_odm_xml(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = N_FILES
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int | None = None
 ) -> str:
-    """Render the subset tree into ``n_files`` single-line XML docs (plus
-    one malformed doc) through the partitioned text sink; returns the
-    glob that matches the written documents."""
+    """Render the subset tree into single-line XML docs (plus one
+    malformed doc) through the partitioned text sink; returns the glob
+    that matches the written documents.  File count defaults to the
+    subject-batch-grain derivation (see :func:`_form_grain`); pass an
+    int to pin the fan explicitly."""
     rows = _form_grain(spark, sf_dir, n_files)
     docs = rows.groupBy("xml_file").applyInPandas(
         _render_file, "xml_file string, value string"
@@ -437,11 +499,14 @@ def _oracle_sql() -> str:
     items_union = _items_union(tx_sql)
     out = ", ".join(OUT_COLS)
     return f"""
-WITH ords AS MATERIALIZED (
+WITH nf AS MATERIALIZED (
+  {_n_files_sql()}
+),
+ords AS MATERIALIZED (
   SELECT * FROM orders WHERE o_custkey % {SUBSET_MOD} = 0
 ),
 li AS MATERIALIZED (
-  SELECT {_file_oid_sql("o_custkey", N_FILES)} AS file_oid,
+  SELECT {_file_oid_sql("o_custkey", "n_files")} AS file_oid,
          'ST' || CAST(o_custkey % 3 AS VARCHAR) AS study_oid,
          'SK' || CAST(o_custkey AS VARCHAR) AS subject_key,
          'SE' || CAST(l_orderkey AS VARCHAR) AS study_event_oid,
@@ -460,11 +525,11 @@ li AS MATERIALIZED (
                       l_linestatus, l_shipdate
            ) AS form_seq
     FROM lineitem l JOIN ords o ON l.l_orderkey = o.o_orderkey
-  )
+  ) CROSS JOIN nf
 ),
 item_rows AS ({items_union}),
 childless AS (
-  SELECT {_file_oid_sql("c_custkey", N_FILES)} AS file_oid,
+  SELECT {_file_oid_sql("c_custkey", "n_files")} AS file_oid,
          'ST' || CAST(c_custkey % 3 AS VARCHAR) AS study_oid,
          'SK' || CAST(c_custkey AS VARCHAR) AS subject_key,
          CAST(NULL AS VARCHAR) AS study_event_oid,
@@ -478,7 +543,7 @@ childless AS (
          CAST(NULL AS VARCHAR) AS item_tx,
          CAST(NULL AS VARCHAR) AS data_type,
          CAST(NULL AS VARCHAR) AS value_canon
-  FROM customer c
+  FROM customer c CROSS JOIN nf
   WHERE c_custkey % {SUBSET_MOD} = 0
     AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 )
