@@ -275,7 +275,17 @@ def assign_cells(df: DataFrame, centers: list[list[float]], vec_col: str = "v") 
         )
     best = F.array_max(F.array(*scored))
     dim = len(centers[0]) if centers else 0
-    guarded = F.when(best["score"].isNotNull(), (-best["negk"]).cast("int")).otherwise(
+    # TWO projections, not one (r9 A/B finding): referencing `best`
+    # from inside a CaseWhen branch defeats codegen subexpression
+    # elimination (conditional branches are excluded from CSE, the
+    # same class as the HOF-lambda gotcha in NOTES.md), so the r8
+    # one-projection guard evaluated the whole K-centroid scoring
+    # TWICE per row — measured 1.5-2x on a 200k-row frame and the
+    # dominant share of ivf_knn's r7→r8 1.29x exec drift.  A separate
+    # withColumn keeps one evaluation: CollapseProject refuses to
+    # inline a non-cheap alias referenced more than once.
+    b = F.col("__assign_best")
+    guarded = F.when(b["score"].isNotNull(), (-b["negk"]).cast("int")).otherwise(
         F.raise_error(
             F.lit(
                 f"assign_cells: NULL vector or dimension != {dim} "
@@ -283,7 +293,11 @@ def assign_cells(df: DataFrame, centers: list[list[float]], vec_col: str = "v") 
             )
         ).cast("int")
     )
-    return df.withColumn("cell", guarded)
+    return (
+        df.withColumn("__assign_best", best)
+        .withColumn("cell", guarded)
+        .drop("__assign_best")
+    )
 
 
 def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,10 +316,15 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build.  RAGGED dimensions still raise (in the ML fit / the
     # assign_cells guard): inconsistent dims are structural corruption,
     # not a row-level data gap.  No-op on a clean corpus.
+    # Validity RIDES THE NORM (r9): `_vecs` already computes
+    # norm = sqrt(aggregate(v·v)), and that aggregate propagates NULL
+    # for a NULL array or any NULL element — so norm.isNotNull() is
+    # the same predicate the r8 `~F.exists(v, isNull)` computed with a
+    # SECOND array traversal per row per scan (vecs feeds the fit, the
+    # assignment, and the candidate join).  Empty arrays aggregate to
+    # 0.0 (non-NULL), hence the size check.
     vecs = _vecs(spark, sf_dir).where(
-        F.col("v").isNotNull()
-        & (F.size("v") > 0)
-        & ~F.exists("v", lambda x: x.isNull())
+        F.col("norm").isNotNull() & (F.size("v") > 0)
     )
     ml = vecs.withColumn("features", array_to_vector("v"))
     # maxIter=8 (r6): the default 20 costs 3.9s of builder wall-clock at

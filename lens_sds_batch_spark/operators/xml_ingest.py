@@ -412,15 +412,29 @@ def render_odm_xml(
     return out_dir + "/xml_file=*/part-*"
 
 
+_GC_MTIME_FLOOR_SEC = 3600.0
+
+
 def _gc_stale_render_dirs(render_root: str) -> None:
     """Best-effort removal of ``<sf>-<pid>`` scratch dirs whose owning
     process is gone — without this every pytest/bench/driver invocation
     leaves one rendered XML corpus behind forever (disk grows without
     bound across runs).  A LIVE pid's dir is never touched, so
     concurrent processes stay isolated; races/permission errors are
-    ignored (the next run retries)."""
+    ignored (the next run retries).
+
+    EPERM means the pid EXISTS but under another uid — almost always
+    pid reuse by an unrelated process, since our render dirs are
+    created and consumed by same-uid Spark drivers.  Unconditionally
+    keeping such dirs leaks them forever (r8 verdict #4: pid space
+    recycles, the squatter can live for months).  The mtime floor
+    breaks the tie: a render dir is written and scanned within one
+    query run (minutes), so one untouched for an hour whose pid we
+    can't even signal is stale — GC it; a FRESH dir under EPERM is
+    still left alone in case it really is a cross-uid concurrent run."""
     import os
     import shutil
+    import time
 
     try:
         entries = os.listdir(render_root)
@@ -430,12 +444,18 @@ def _gc_stale_render_dirs(render_root: str) -> None:
         pid_s = name.rsplit("-", 1)[-1]
         if not pid_s.isdigit() or int(pid_s) == os.getpid():
             continue
+        path = os.path.join(render_root, name)
         try:
             os.kill(int(pid_s), 0)  # 0 = liveness probe only, no signal sent
         except ProcessLookupError:
-            shutil.rmtree(os.path.join(render_root, name), ignore_errors=True)
+            shutil.rmtree(path, ignore_errors=True)
         except OSError:
-            pass  # e.g. EPERM: pid exists under another uid — leave it
+            try:
+                stale = time.time() - os.stat(path).st_mtime > _GC_MTIME_FLOOR_SEC
+            except OSError:
+                continue  # raced away / unstatable: next run retries
+            if stale:
+                shutil.rmtree(path, ignore_errors=True)
 
 
 def odm_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,109 @@
+"""Delta MERGE fast-path execution probe (VERDICT r8 #4).
+
+``plans/merge.py::merge_into`` has two branches under ONE contract: the
+Delta ``MERGE INTO`` fast path and the portable parquet write-swap.
+The sandbox ships no delta-spark, so the Delta branch is otherwise only
+condition-simulated (pytest monkeypatching + the r8 null-safe/total-
+ordering proofs).  This test flips it to EXECUTED the moment the
+dependency appears: it probes for ``delta``, and when present runs the
+real branch in a SUBPROCESS (a Delta session needs
+``spark.sql.extensions`` + catalog configs at session-creation time,
+which the shared test fixture doesn't carry — in-process the existing
+SparkContext would win and the extension silently wouldn't load) and
+differentials it against the parquet fallback on the same inputs:
+tombstones, exact order ties (target must win), NULL order values
+(oldest in both branches), fresh inserts, and delete-of-absent-key.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+
+_CHILD = r"""
+import json, sys
+from delta import configure_spark_with_delta_pip
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from lens_sds_batch_spark.plans.merge import merge_into
+
+tmp = sys.argv[1]
+builder = (
+    SparkSession.builder.master("local[4]")
+    .appName("delta-merge-probe")
+    .config("spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension")
+    .config(
+        "spark.sql.catalog.spark_catalog",
+        "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+    )
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+)
+spark = configure_spark_with_delta_pip(builder).getOrCreate()
+
+# target: k1 pri=5 (tie case), k2 pri=NULL (NULL-oldest case), k3 pri=2
+# (tombstone case), k5 pri=9 (stale-update case)
+target_rows = [("k1", 5, "t1"), ("k2", None, "t2"), ("k3", 2, "t3"), ("k5", 9, "t5")]
+schema = "k string, pri int, payload string"
+tgt_delta = f"{tmp}/tgt_delta"
+tgt_parquet = f"{tmp}/tgt_parquet"
+cur = spark.createDataFrame(target_rows, schema).withColumn("dead", F.lit(False))
+cur.write.format("delta").save(tgt_delta)
+cur.write.parquet(tgt_parquet)
+
+# updates: tie on k1 (pri=5 -> target kept), non-NULL beats NULL on k2,
+# tombstone k3 (pri=7 > 2 -> key gone), insert k4, stale update k5
+# (pri=1 < 9 -> ignored), delete-of-absent k6 (insert suppressed),
+# NULL-pri update on k1 (older than anything -> ignored)
+upd_rows = [
+    ("k1", 5, "u1-tie", False),
+    ("k1", None, "u1-null", False),
+    ("k2", 3, "u2", False),
+    ("k3", 7, "u3", True),
+    ("k4", 1, "u4", False),
+    ("k5", 1, "u5-stale", False),
+    ("k6", 8, "u6", True),
+]
+upd = spark.createDataFrame(upd_rows, schema + ", dead boolean")
+
+res_d = merge_into(spark, tgt_delta, upd, keys=["k"], order_cols=["pri"],
+                   is_delete=F.col("dead"))
+res_p = merge_into(spark, tgt_parquet, upd, keys=["k"], order_cols=["pri"],
+                   is_delete=F.col("dead"))
+assert res_d["engine"] == "delta", res_d
+assert res_p["engine"] == "parquet-swap", res_p
+
+got_d = sorted(map(tuple, spark.read.format("delta").load(tgt_delta)
+                   .select("k", "pri", "payload").collect()))
+got_p = sorted(map(tuple, spark.read.parquet(tgt_parquet)
+                   .select("k", "pri", "payload").collect()))
+expect = sorted([
+    ("k1", 5, "t1"),      # exact tie: target wins in both branches
+    ("k2", 3, "u2"),      # non-NULL supersedes NULL-ordered target
+    ("k4", 1, "u4"),      # fresh insert
+    ("k5", 9, "t5"),      # stale update ignored
+    # k3 tombstoned; k6 delete-of-absent never inserts
+])
+assert got_d == expect, f"delta branch state: {got_d}"
+assert got_p == expect, f"parquet branch state: {got_p}"
+print("DELTA_MERGE_OK " + json.dumps({"delta": got_d, "parquet": got_p}))
+"""
+
+
+def test_merge_into_delta_branch_executes(tmp_path):
+    pytest.importorskip(
+        "delta",
+        reason="delta-spark is not installed in this environment; the Delta "
+        "MERGE INTO fast path in plans/merge.py::merge_into runs for real "
+        "the moment `pip install delta-spark` succeeds (until then the "
+        "parquet write-swap branch carries the tested contract)",
+    )
+    p = subprocess.run(
+        [sys.executable, "-c", _CHILD, str(tmp_path)],
+        capture_output=True, text=True, check=False, timeout=600,
+    )
+    assert p.returncode == 0, f"stdout:\n{p.stdout[-2000:]}\nstderr:\n{p.stderr[-2000:]}"
+    assert "DELTA_MERGE_OK" in p.stdout

@@ -392,6 +392,39 @@ def test_render_parse_round_trip_hostile_strings(file_oid, rows):
     assert got == expected
 
 
+def test_gc_stale_render_dirs_pid_reuse_mtime_floor(tmp_path, monkeypatch):
+    """r9 (VERDICT r8 #6): an EPERM liveness probe (pid exists under
+    another uid — pid reuse) must not preserve a stale render corpus
+    forever: dirs past the mtime floor are GC'd, fresh ones kept; a
+    dead pid's dir goes immediately; our own dir is never touched."""
+    import os
+    import time
+
+    from lens_sds_batch_spark.operators import xml_ingest as xi
+
+    root = tmp_path / "render"
+    root.mkdir()
+    old, fresh, dead = root / "sf-424242", root / "sf-424243", root / "sf-424244"
+    mine = root / f"sf-{os.getpid()}"
+    for d in (old, fresh, dead, mine):
+        d.mkdir()
+    past = time.time() - 2 * xi._GC_MTIME_FLOOR_SEC
+    os.utime(old, (past, past))
+
+    def fake_kill(pid, sig):
+        assert sig == 0
+        if pid == 424244:
+            raise ProcessLookupError(pid)
+        raise PermissionError(1, "Operation not permitted")
+
+    monkeypatch.setattr(os, "kill", fake_kill)
+    xi._gc_stale_render_dirs(str(root))
+    assert not old.exists(), "EPERM + past the mtime floor -> GC'd"
+    assert fresh.exists(), "EPERM + fresh -> kept (may be a live cross-uid run)"
+    assert not dead.exists(), "dead pid -> GC'd immediately"
+    assert mine.exists(), "own dir never probed or touched"
+
+
 def test_render_default_fan_is_subject_batch_grain(spark, tmp_path):
     """r9 (VERDICT r8 #1): the DEFAULT file count derives from the
     corpus — ceil(n_subjects / SUBJECTS_PER_FILE) — so the
