@@ -94,6 +94,10 @@ HEADLINE = (
     # executor-side parse + dead-letter route); the render write runs in
     # the builder, the binaryFile scan + parse in the exec phase
     "odm_xml_ingest",
+    # added round 9: the requeue loop driven to fixpoint in batch — the
+    # sink epochs (route + append + feedback rename) run in the builder,
+    # the final routed read in the exec phase
+    "requeue_routing",
 )
 
 

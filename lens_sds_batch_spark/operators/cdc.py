@@ -416,3 +416,145 @@ QUERIES.update(
         "session_window_agg": (session_window_agg, SESSION_WINDOW_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# requeue_routing: the A22 nack+requeue loop's retry-budget arithmetic
+# under the hard oracle gate (r9, VERDICT r8 #5 — previously pytest-only)
+
+_RQ_MAX_ATTEMPTS = 3
+_RQ_SUBSET_MOD = 11  # event_id % 11 == 0 -> ~9% of events ride the loop
+_RQ_FAIL_MOD = 5     # fail_n = event_id % 5 failed deliveries before success
+_RQ_FATAL_MOD = 7    # event_id % 7 == 0 -> failure is fatal (not retryable)
+
+
+def requeue_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`streaming.pipeline.requeue_sink` (reference
+    ``broker.clj:87-95``): drives the REAL sink closure to its fixpoint
+    over a deterministic failure model, so the retry-budget arithmetic
+    (attempts seeding, +1 on requeue, ``attempts + 1 >= max_attempts``
+    dead-lettering, fatal short-circuit, metrics tally) sits under the
+    driver's hash gate instead of pytest alone.
+
+    Failure model (all event-derived, so the oracle can replay it in
+    closed form): a row succeeds on its ``fail_n = event_id % 5``-th
+    delivery; a failing row is retryable unless ``event_id % 7 == 0``.
+    With ``max_attempts = 3`` the loop terminates in at most 3
+    deliveries per row: attempts strictly increase and requeue requires
+    ``attempts + 1 < max_attempts``.  Each iteration feeds the sink's
+    OWN requeue output back as the next batch — exactly the file-source
+    feedback edge the streaming deploy uses, minus the trigger loop
+    (deterministic, so the gate can hash it).
+
+    Output: per-row final route + attempts, plus the DurableMetrics-
+    shape totals as constant columns — ``m_requeued`` must equal the
+    sum of final attempts (every requeue increments exactly one row's
+    count once), which the oracle states in closed form; any drift in
+    the sink's routing arithmetic breaks the hash.
+
+    At 100 TB: the loop body is the production sink unchanged — each
+    epoch is one bounded scan/route/append; nothing collects to the
+    driver (the feedback hand-off is a directory RENAME, not a
+    materialization).  The fixpoint driver itself is a test harness;
+    production runs the same sink under a streaming trigger.
+    """
+    import os
+    import shutil
+
+    from ..streaming.pipeline import requeue_sink
+    from .xml_ingest import _gc_stale_render_dirs
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.environ.get("SPARK_GRAFT_RENDER_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )
+    root = os.path.join(base, "requeue_batch")
+    _gc_stale_render_dirs(root)  # same <sf>-<pid> scratch contract as the XML render
+    scratch = os.path.join(root, f"{sf_name}-{os.getpid()}")
+    shutil.rmtree(scratch, ignore_errors=True)
+    out_dir, dead_dir, rq_dir = (os.path.join(scratch, d) for d in ("ok", "dead", "rq"))
+
+    seed = (
+        load_events(spark, sf_dir)
+        .where(F.col("event_id") % _RQ_SUBSET_MOD == 0)
+        .select("event_id", F.lit(0).alias("attempts"))
+    )
+    att = F.coalesce(F.col("attempts"), F.lit(0))
+    is_ok = att >= F.col("event_id") % _RQ_FAIL_MOD
+    is_retryable = F.col("event_id") % _RQ_FATAL_MOD != 0
+    metrics: dict = {}
+    sink = requeue_sink(
+        out_dir, dead_dir, rq_dir, is_ok, is_retryable,
+        max_attempts=_RQ_MAX_ATTEMPTS, metrics=metrics,
+    )
+    batch = seed
+    for epoch in range(_RQ_MAX_ATTEMPTS + 1):
+        sink(batch, epoch)
+        if not os.path.isdir(rq_dir):
+            break
+        # hand the requeue output back as the next delivery via RENAME
+        # (never a collect): the sink appends fresh files per epoch, so
+        # moving the dir aside is what "only the new files" means here
+        staged = os.path.join(scratch, f"rq_epoch{epoch}")
+        os.rename(rq_dir, staged)
+        batch = spark.read.parquet(staged)
+    else:  # pragma: no cover - the arithmetic bounds the loop at max_attempts
+        raise RuntimeError(
+            "requeue_routing: requeue output survived past max_attempts "
+            "deliveries — the sink's retry-budget arithmetic is broken"
+        )
+
+    def _read(path: str, route: str) -> DataFrame:
+        if not os.path.isdir(path):  # e.g. empty subset: sink wrote nothing
+            return spark.createDataFrame([], "event_id bigint, attempts int").withColumn(
+                "route", F.lit(route)
+            )
+        return spark.read.parquet(path).withColumn("route", F.lit(route))
+
+    routed = _read(out_dir, "ok").unionByName(_read(dead_dir, "dead"))
+    return routed.select(
+        "event_id",
+        "route",
+        F.coalesce(F.col("attempts"), F.lit(0)).cast("long").alias("final_attempts"),
+        F.lit(metrics.get("ok", 0)).cast("long").alias("m_ok"),
+        F.lit(metrics.get("requeued", 0)).cast("long").alias("m_requeued"),
+        F.lit(metrics.get("dead", 0)).cast("long").alias("m_dead"),
+    )
+
+
+# Closed form of the loop above (max_attempts = 3): a row reaches
+# attempts a only via a requeues, and requeue requires a+1 < 3, so
+# reachable attempts are 0..2.  ok iff it succeeds at some reachable
+# attempts (fail_n <= 2) — immediately (fail_n = 0) or after retries
+# (needs retryable); otherwise dead at attempts 0 (fatal) or 2 (budget
+# exhausted).  m_requeued = SUM(final_attempts): each requeue
+# increments exactly one row's attempts by one.
+REQUEUE_ROUTING_SQL = f"""
+WITH sub AS (
+  SELECT event_id,
+         event_id % {_RQ_FAIL_MOD} AS fail_n,
+         (event_id % {_RQ_FATAL_MOD}) <> 0 AS retryable
+  FROM events WHERE event_id % {_RQ_SUBSET_MOD} = 0
+),
+routed AS (
+  SELECT event_id,
+         CASE WHEN fail_n = 0 OR (retryable AND fail_n <= {_RQ_MAX_ATTEMPTS - 1})
+              THEN 'ok' ELSE 'dead' END AS route,
+         CAST(CASE WHEN fail_n = 0 OR NOT retryable THEN 0
+                   ELSE LEAST(fail_n, {_RQ_MAX_ATTEMPTS - 1}) END AS BIGINT)
+           AS final_attempts
+  FROM sub
+),
+m AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN route = 'ok' THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_ok,
+         CAST(COALESCE(SUM(final_attempts), 0) AS BIGINT) AS m_requeued,
+         CAST(COALESCE(SUM(CASE WHEN route = 'dead' THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_dead
+  FROM routed
+)
+SELECT event_id, route, final_attempts, m_ok, m_requeued, m_dead
+FROM routed CROSS JOIN m
+ORDER BY event_id
+"""
+
+QUERIES.update({"requeue_routing": (requeue_routing, REQUEUE_ROUTING_SQL)})
