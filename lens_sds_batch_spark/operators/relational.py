@@ -1718,6 +1718,111 @@ GROUP BY c_count
 """
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (r9): the revenue "view" — per-supplier revenue
+    over a 3-month shipdate window — consumed TWICE, once as the group
+    rows and once reduced to its global max, keeping the supplier(s)
+    AT the max (ties preserved, per the spec's view semantics).
+
+    Distributed strategy: revenue is ONE map-side-combinable shuffle
+    at supplier grain; the max is a 1-row aggregate broadcast-
+    crossJoined (the Q22 scalar discipline — NOT a global window,
+    which would funnel every supplier row through a single partition
+    at scale); the shared view frame is localCheckpointed so its two
+    consumers don't re-scan lineitem (the q17/odm_xml_ingest lesson).
+    The max-equality compare runs on the EXACT DECIMAL sums — casting
+    to DOUBLE first could make two engines disagree on which supplier
+    is "the" max when sums differ below float precision.  Supplier
+    names ride a broadcast dim join AFTER the reduction (one row)."""
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("total_rev"))
+        .localCheckpoint(eager=False)
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_name, CAST(total_rev AS DOUBLE) AS total_rev
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (r9, adapted: no partsupp table in this
+    testdata, so part VALUE = lineitem revenue from the selected
+    nations' suppliers): group totals kept only when they beat a
+    SCALED GLOBAL SCALAR of the same aggregate — the classical
+    "HAVING sum(...) > (SELECT sum(...) * f FROM same-filter)" form.
+
+    Distributed strategy: the nation filter semi-reduces supplier to
+    a broadcast BEFORE the fact scan (lineitem shrinks first, exactly
+    the Q7 dim-reduction discipline), part-grain value is one
+    map-side-combinable shuffle, the global total derives from that
+    SAME part-grain frame (localCheckpointed — never a second
+    lineitem scan) as a 1-row broadcast, and the threshold compare is
+    exact-DECIMAL ``value * K > total`` (integer multiplier; a
+    fractional ``total * 0.000x`` would compare in DOUBLE and two
+    engines could disagree at the boundary)."""
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey").isin(4, 7, 11))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    value = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("value"))
+        .localCheckpoint(eager=False)
+    )
+    total = value.agg(F.sum("value").alias("total"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .where(F.col("value") * F.lit(1500) > F.col("total"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+Q11_SQL = """
+WITH v AS MATERIALIZED (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey IN (4, 7, 11)
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value AS DOUBLE) AS value
+FROM v, (SELECT sum(value) AS total FROM v) t
+WHERE value * 1500 > total
+"""
+
+
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame: per customer, rolling 30-day spend (range over
     epoch seconds — value-based frames, not row-based)."""
@@ -2176,7 +2281,8 @@ def tpch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-IN + correlated-total HAVING, scalar-threshold +
     anti-join), Q7/Q8/Q13 (r8 cont.: role-playing dims + disjunctive
     pair predicate, deep-tree conditional-share ratio, outer-join
-    ON-predicate + aggregation-over-aggregation)."""
+    ON-predicate + aggregation-over-aggregation), Q15/Q11 (r9:
+    max-over-aggregate view, group HAVING vs scaled global scalar)."""
     arms = [
         q4_order_priority(spark, sf_dir).select(
             F.lit("q4").alias("kind"),
@@ -2298,6 +2404,22 @@ def tpch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_count").cast("bigint").alias("v1"),
             F.col("custdist").cast("double").alias("v2"),
         ),
+        # r9 arms: Q15 (max-over-aggregate "view" consumed twice),
+        # Q11 (group HAVING vs a scaled global scalar of the same agg)
+        q15_top_supplier(spark, sf_dir).select(
+            F.lit("q15").alias("kind"),
+            F.col("s_name").alias("k1"),
+            _nl("string", "k2"),
+            _nl("bigint", "v1"),
+            F.col("total_rev").alias("v2"),
+        ),
+        q11_important_parts(spark, sf_dir).select(
+            F.lit("q11").alias("kind"),
+            F.col("l_partkey").cast("string").alias("k1"),
+            _nl("string", "k2"),
+            _nl("bigint", "v1"),
+            F.col("value").alias("v2"),
+        ),
     ]
     out = arms[0]
     for a in arms[1:]:
@@ -2335,6 +2457,10 @@ UNION ALL
 {_arm('q8', Q8_SQL, "CAST(NULL AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(o_year AS BIGINT) AS v1, mkt_share AS v2")}
 UNION ALL
 {_arm('q13', Q13_SQL, "CAST(NULL AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(c_count AS BIGINT) AS v1, CAST(custdist AS DOUBLE) AS v2")}
+UNION ALL
+{_arm('q15', Q15_SQL, "s_name AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(NULL AS BIGINT) AS v1, total_rev AS v2")}
+UNION ALL
+{_arm('q11', Q11_SQL, "CAST(l_partkey AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(NULL AS BIGINT) AS v1, value AS v2")}
 ORDER BY kind, k1
 """
 
