@@ -687,13 +687,19 @@ def doc_features_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(toks)
     ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double")
     sw_ratio = _hits(toks, LANG_STOPWORDS["en"]).cast("double") / n_tok.cast("double")
-    grams2 = _ngrams(toks, 2)
+    # grams2 is bound in its own projection (r9): referencing the
+    # bigram transform from inside a CaseWhen branch would re-evaluate
+    # it per reference — conditional branch values are excluded from
+    # codegen subexpression elimination (the ivf_knn guard lesson,
+    # NOTES.md r9); CollapseProject keeps a non-cheap alias that is
+    # referenced more than once.
+    g2 = F.col("__grams2")
     rep = F.when(
-        F.size(grams2) > 0,
+        F.size(g2) > 0,
         F.lit(1.0)
-        - F.size(F.array_distinct(grams2)).cast("double") / F.size(grams2).cast("double"),
+        - F.size(F.array_distinct(g2)).cast("double") / F.size(g2).cast("double"),
     ).otherwise(F.lit(0.0))
-    gate = docs.select(
+    gate = docs.withColumn("__grams2", _ngrams(toks, 2)).select(
         "doc_id",
         (
             (n_tok >= 20) & (n_tok <= 1000) & (ttr >= 0.3) & (sw_ratio <= 0.2)
