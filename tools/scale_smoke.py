@@ -45,7 +45,11 @@ OPS = ("dedup_basic_pack", "dup_pairs_pack",  # basic pack = former dedup_exact 
        # stateless IVF cell-assign projection over the full corpus
        # (the batch side of ivf_assign_stream; fixed deterministic
        # centers so the smoke times ASSIGNMENT, not the KMeans fit)
-       "odm_xml_ingest", "assign_cells_full")
+       "odm_xml_ingest", "assign_cells_full",
+       # r9: the requeue fixpoint loop (bounded epochs; scales in rows
+       # routed per epoch — event replication keeps the failure model
+       # covering since it is event_id-modulus-derived)
+       "requeue_routing")
 
 BASE_TMP = "/tmp/lens_scale_smoke"
 
