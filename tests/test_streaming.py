@@ -187,6 +187,59 @@ def test_requeue_feedback_loop(spark, tmp_path):
     assert dd.count() == 20 and dd.where(F.col("kind") != "fatal").count() == 0
 
 
+def test_requeue_routing_batch_equals_stream(spark, tmp_path):
+    """r9: the gated batch twin (`operators.cdc.requeue_routing`)
+    claims to BE the streaming requeue loop run to fixpoint — pin it
+    against the LIVE loop: same subset, same failure model, same sink,
+    real readStream with the feedback edge pointed at its own source
+    dir, drained to quiescence.  Every (event_id, route, attempts)
+    triple must match."""
+    from lens_sds_batch_spark.operators.cdc import (
+        _RQ_FAIL_MOD,
+        _RQ_FATAL_MOD,
+        _RQ_MAX_ATTEMPTS,
+        _RQ_SUBSET_MOD,
+        requeue_routing,
+    )
+    from lens_sds_batch_spark.sources.parquet import load_events
+    from lens_sds_batch_spark.streaming.pipeline import requeue_sink
+
+    from .conftest import SF_SMOKE
+
+    src, out, dead = (str(tmp_path / d) for d in ("src", "out", "dead"))
+    (
+        load_events(spark, SF_SMOKE)
+        .where(F.col("event_id") % _RQ_SUBSET_MOD == 0)
+        .select("event_id", F.lit(0).alias("attempts"))
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    att = F.coalesce(F.col("attempts"), F.lit(0))
+    is_ok = att >= F.col("event_id") % _RQ_FAIL_MOD
+    is_retryable = F.col("event_id") % _RQ_FATAL_MOD != 0
+    sink = requeue_sink(out, dead, src, is_ok, is_retryable, max_attempts=_RQ_MAX_ATTEMPTS)
+    q = (
+        spark.readStream.schema("event_id bigint, attempts int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()  # drains the feedback redeliveries too
+    q.stop()
+
+    def final(path: str, route: str) -> set:
+        df = spark.read.parquet(path)
+        return {(r["event_id"], route, int(r["attempts"] or 0)) for r in df.collect()}
+
+    streamed = final(out, "ok") | final(dead, "dead")
+    batch = {
+        (r["event_id"], r["route"], int(r["final_attempts"]))
+        for r in requeue_routing(spark, SF_SMOKE).collect()
+    }
+    assert len(batch) > 0 and streamed == batch
+
+
 def test_correlate_stream_equals_batch(spark, tmp_path):
     """A20 streaming flavor: per-cid first-event-wins under OUT-OF-ORDER
     delivery (reference broker.clj:102-117 — the promise per cid takes
@@ -1031,6 +1084,32 @@ def test_duration_ms_compound_and_units():
         _duration_ms("1 hour bananas")
     with pytest.raises(ValueError):
         _duration_ms("")
+
+
+def test_duration_ms_every_spelling_every_spacing():
+    """Exhaustive spelling x spacing sweep (r9): the advisor's ms bug
+    was an alternation-order interaction invisible to spot checks —
+    every accepted unit spelling must parse at the right magnitude
+    with and without whitespace, singular and plural."""
+    from lens_sds_batch_spark.streaming.pipeline import _duration_ms
+
+    spellings = {
+        1: ["ms", "milli", "millis", "millisecond", "milliseconds"],
+        1_000: ["s", "sec", "secs", "second", "seconds"],
+        60_000: ["m", "min", "mins", "minute", "minutes"],
+        3_600_000: ["h", "hr", "hrs", "hour", "hours"],
+        86_400_000: ["d", "day", "days"],
+        604_800_000: ["w", "week", "weeks"],
+    }
+    for ms, names in spellings.items():
+        for name in names:
+            for fmt in ("3{u}", "3 {u}", "  3  {u}  ", "3 {U}"):
+                spec = fmt.format(u=name, U=name.upper())
+                assert _duration_ms(spec) == 3 * ms, spec
+    # compound across every magnitude at once
+    assert _duration_ms("1w 1d 1h 1m 1s 1ms") == (
+        604_800_000 + 86_400_000 + 3_600_000 + 60_000 + 1_000 + 1
+    )
 
 
 def test_read_event_stream_empty_dir_keeps_attempts_column(spark, tmp_path):
