@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import local_ckpt
 from ..sources.parquet import load_table
 
 # per-language mixture rates (upsample quality-rich en, downsample the
@@ -302,18 +303,18 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a leak for a builder that returns before the result is consumed —
     # while localCheckpointed RDD storage is released by the
     # ContextCleaner once the returned plan is garbage-collected.
-    s1 = corpus_filter(spark, sf_dir).select("doc_id").localCheckpoint()
+    s1 = local_ckpt(corpus_filter(spark, sf_dir).select("doc_id"))
     en = lang_id(spark, sf_dir).where(F.col("predicted_lang") == "en").select("doc_id")
-    s2 = s1.join(en, "doc_id").localCheckpoint()
+    s2 = local_ckpt(s1.join(en, "doc_id"))
     fp = docs.join(s2, "doc_id").select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
     )
-    s3 = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id").localCheckpoint()
+    s3 = local_ckpt(fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     drop = pairs.join(s3.withColumnRenamed("doc_id", "doc_a"), "doc_a").select("doc_b")
     # s4 feeds three consumers (its count, the semantic drop set, s5) —
     # checkpoint so the minhash pipeline doesn't re-execute per branch
-    s4 = s3.join(drop, s3.doc_id == drop.doc_b, "left_anti").localCheckpoint()
+    s4 = local_ckpt(s3.join(drop, s3.doc_id == drop.doc_b, "left_anti"))
     epairs = embedding_dup_pairs(spark, sf_dir, threshold=SEM_COS_TAU).select("vec_a", "vec_b")
     drop_sem = epairs.join(s4.withColumnRenamed("doc_id", "vec_a"), "vec_a").select("vec_b")
     s5 = s4.join(drop_sem, s4.doc_id == drop_sem.vec_b, "left_anti")

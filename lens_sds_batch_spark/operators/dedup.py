@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import local_ckpt
 from ..sources.parquet import load_table
 
 # MinHash parameters: K hashes in B bands of R rows (K = B*R).
@@ -566,7 +567,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the checkpoint each branch re-executes the whole minhash pipeline
     # (measured: ~2.8s of the build was the second execution, r6).
     pair_df = (
-        dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+        local_ckpt(dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"))
     )
     edges = (
         pair_df.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -606,12 +607,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Observation
 
     obs = Observation()
-    labels = (
+    labels = local_ckpt(
         edges_c.groupBy(F.col("src").alias("doc_id"))
         .agg(F.least(F.min("dst"), F.col("src")).alias("label"))
         .coalesce(p)
         .observe(obs, F.sum("label").alias("s"))
-        .localCheckpoint()
     )
     prev_sum = obs.get["s"]
     converged = False
@@ -624,14 +624,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
         ).select("doc_id", F.col("label2").alias("label"))
         obs = Observation()
-        labels = (
+        labels = local_ckpt(
             labels.unionByName(nbr)
             .unionByName(jump)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
             .coalesce(p)
             .observe(obs, F.sum("label").alias("s"))
-            .localCheckpoint()
         )
         new_sum = obs.get["s"]
         if new_sum == prev_sum:

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import local_ckpt
 from ..sources.parquet import load_events, load_table
 
 
@@ -1285,10 +1286,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_brand") == "Brand#12")
         .select("p_partkey")
     )
-    li_b = (
+    li_b = local_ckpt(
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .drop("p_partkey")
-        .localCheckpoint(eager=False)
+        .drop("p_partkey"),
+        eager=False,
     )
     stats = li_b.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum(_dec("l_quantity")).alias("sumq")
@@ -1433,11 +1434,11 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    sp = (
+    sp = local_ckpt(
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(_dec("l_quantity")).alias("sq"))
-        .localCheckpoint(eager=False)
+        .agg(F.sum(_dec("l_quantity")).alias("sq")),
+        eager=False,
     )
     totals = sp.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
     qual = (
@@ -1735,15 +1736,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     is "the" max when sums differ below float precision.  Supplier
     names ride a broadcast dim join AFTER the reduction (one row)."""
     one = F.lit(1).cast("decimal(18,2)")
-    rev = (
+    rev = local_ckpt(
         load_table(spark, sf_dir, "lineitem")
         .where(
             (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("total_rev"))
-        .localCheckpoint(eager=False)
+        .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("total_rev")),
+        eager=False,
     )
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -1795,10 +1796,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
     )
     one = F.lit(1).cast("decimal(18,2)")
-    value = (
+    value = local_ckpt(
         li.groupBy("l_partkey")
-        .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("value"))
-        .localCheckpoint(eager=False)
+        .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("value")),
+        eager=False,
     )
     total = value.agg(F.sum("value").alias("total"))
     return (

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import local_ckpt
 from ..sources.parquet import load_table
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -673,10 +674,9 @@ def doc_features_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     limits); the arms remain separate plans joined on doc_id, only the
     scan+tokenize is shared, and checkpointed storage is
     ContextCleaner-released once the returned plan is dropped."""
-    shared = (
+    shared = local_ckpt(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text", "lang", _tokens(F.col("text")).alias("toks"))
-        .localCheckpoint()
     )
     base = (
         lang_id(spark, sf_dir, base=shared)

@@ -53,6 +53,7 @@ from ..plans.odm import (
     study_oid_col,
     subject_key_col,
 )
+from ..session import local_ckpt
 from ..sources.odm_xml import read_odm_xml, route_parsed
 from ..sources.parquet import load_table
 
@@ -487,7 +488,7 @@ def odm_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 3-way route filters the SAME parsed frame three ways and the
     # output unions them — without a shared materialization each branch
     # re-scans and re-parses every XML file (3x the parse cost)
-    parsed = read_odm_xml(spark, glob).localCheckpoint(eager=False)
+    parsed = local_ckpt(read_odm_xml(spark, glob), eager=False)
     valid, retryable, fatal = route_parsed(parsed)
     routed = (
         valid.withColumn("is_error", F.lit(0)).withColumn("is_fatal", F.lit(0))

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.keys import NIL_UUID, guard_payload, uuid3_str_col, uuid5_col
+from ..session import local_ckpt
 from .odm import OdmTables
 
 
@@ -463,7 +464,7 @@ def dispatch_commands(
     handler's output for that verb's rows.
     """
     if persist and handlers:
-        cmds = cmds.localCheckpoint(eager=False)
+        cmds = local_ckpt(cmds, eager=False)
     handled = {
         name: fn(cmds.where(F.col("name") == name)) for name, fn in handlers.items()
     }

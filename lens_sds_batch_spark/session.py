@@ -50,3 +50,48 @@ def get_spark(app_name: str = "lens-sds-batch-spark", cpus: int | None = None) -
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+# ---------------------------------------------------------------------------
+# localCheckpoint seam — audit-visible lineage
+#
+# localCheckpoint truncates lineage, which is exactly right in production
+# (plan-dedupe for shared scans, bounded plans in iterative algorithms) but
+# blinds tools/plan_audit.py: a checkpointed frame reports 0 scans and 0
+# pushed filters precisely where the shared-scan optimizations live.  All
+# package call sites go through local_ckpt(); plan_audit flips audit mode on:
+#
+# - lazy checkpoints (eager=False) are pure plan-caching — audit mode skips
+#   them so the final plan shows the real scans/pruning/pushdown;
+# - eager checkpoints materialize state the build depends on (convergence
+#   loops block on Observation.get; funnel stages feed counts) — audit mode
+#   keeps them but records the pre-checkpoint executed plan into a buffer
+#   that the audit folds into the query's counted plan text.
+# ---------------------------------------------------------------------------
+
+_AUDIT_PLANS: list | None = None  # None = production mode
+
+
+def audit_checkpoints(on: bool = True) -> None:
+    """Enable/disable audit mode for local_ckpt (tools/plan_audit.py)."""
+    global _AUDIT_PLANS
+    _AUDIT_PLANS = [] if on else None
+
+
+def drain_audit_plans() -> list:
+    """Return and clear origin plans recorded since the last drain."""
+    global _AUDIT_PLANS
+    if _AUDIT_PLANS is None:
+        return []
+    out, _AUDIT_PLANS = _AUDIT_PLANS, []
+    return out
+
+
+def local_ckpt(df, eager: bool = True):
+    """df.localCheckpoint(eager) with an audit-mode escape hatch."""
+    if _AUDIT_PLANS is None:
+        return df.localCheckpoint(eager=eager)
+    if not eager:
+        return df
+    _AUDIT_PLANS.append(df._jdf.queryExecution().executedPlan().toString())
+    return df.localCheckpoint(eager=True)
