@@ -1786,7 +1786,18 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem scan) as a 1-row broadcast, and the threshold compare is
     exact-DECIMAL ``value * K > total`` (integer multiplier; a
     fractional ``total * 0.000x`` would compare in DOUBLE and two
-    engines could disagree at the boundary)."""
+    engines could disagree at the boundary).
+
+    Precision discipline (r10, advisor finding): ``value`` accumulates
+    as decimal(38,4), and a (38,4) x multiplier product exceeds
+    precision 38 — Spark would silently NULL the row under
+    allowPrecisionLoss while DuckDB falls back to DOUBLE, so the two
+    engines could disagree exactly at the threshold.  Both operands are
+    therefore narrowed explicitly: value -> decimal(33,4) (29 integral
+    digits — a single part's revenue passes 10^29 on no conceivable
+    dataset; ~10^13 at 100 TB), multiplier -> decimal(4,0), so the
+    product is decimal(38,4) on Spark and decimal(37,4) on DuckDB —
+    EXACT on both, mirrored casts in Q11_SQL."""
     supp = (
         load_table(spark, sf_dir, "supplier")
         .where(F.col("s_nationkey").isin(4, 7, 11))
@@ -1804,7 +1815,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = value.agg(F.sum("value").alias("total"))
     return (
         value.crossJoin(F.broadcast(total))
-        .where(F.col("value") * F.lit(1500) > F.col("total"))
+        .where(
+            F.col("value").cast("decimal(33,4)")
+            * F.lit(1500).cast("decimal(4,0)")
+            > F.col("total")
+        )
         .select("l_partkey", F.col("value").cast("double").alias("value"))
     )
 
@@ -1820,7 +1835,7 @@ WITH v AS MATERIALIZED (
 )
 SELECT l_partkey, CAST(value AS DOUBLE) AS value
 FROM v, (SELECT sum(value) AS total FROM v) t
-WHERE value * 1500 > total
+WHERE CAST(value AS DECIMAL(33,4)) * CAST(1500 AS DECIMAL(4,0)) > total
 """
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.cols import temp_col_name
 from ..sources.parquet import load_table
 
 TOP_K = 10
@@ -284,7 +285,8 @@ def assign_cells(df: DataFrame, centers: list[list[float]], vec_col: str = "v") 
     # dominant share of ivf_knn's r7→r8 1.29x exec drift.  A separate
     # withColumn keeps one evaluation: CollapseProject refuses to
     # inline a non-cheap alias referenced more than once.
-    b = F.col("__assign_best")
+    tmp = temp_col_name(df, "__assign_best")
+    b = F.col(tmp)
     guarded = F.when(b["score"].isNotNull(), (-b["negk"]).cast("int")).otherwise(
         F.raise_error(
             F.lit(
@@ -294,9 +296,9 @@ def assign_cells(df: DataFrame, centers: list[list[float]], vec_col: str = "v") 
         ).cast("int")
     )
     return (
-        df.withColumn("__assign_best", best)
+        df.withColumn(tmp, best)
         .withColumn("cell", guarded)
-        .drop("__assign_best")
+        .drop(tmp)
     )
 
 

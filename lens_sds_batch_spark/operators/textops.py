@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import local_ckpt
+from ..functions.cols import temp_col_name
 from ..sources.parquet import load_table
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -693,13 +694,14 @@ def doc_features_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen subexpression elimination (the ivf_knn guard lesson,
     # NOTES.md r9); CollapseProject keeps a non-cheap alias that is
     # referenced more than once.
-    g2 = F.col("__grams2")
+    g2c = temp_col_name(docs, "__grams2")
+    g2 = F.col(g2c)
     rep = F.when(
         F.size(g2) > 0,
         F.lit(1.0)
         - F.size(F.array_distinct(g2)).cast("double") / F.size(g2).cast("double"),
     ).otherwise(F.lit(0.0))
-    gate = docs.withColumn("__grams2", _ngrams(toks, 2)).select(
+    gate = docs.withColumn(g2c, _ngrams(toks, 2)).select(
         "doc_id",
         (
             (n_tok >= 20) & (n_tok <= 1000) & (ttr >= 0.3) & (sw_ratio <= 0.2)

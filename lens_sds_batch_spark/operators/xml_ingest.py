@@ -451,8 +451,18 @@ def _gc_stale_render_dirs(render_root: str) -> None:
         except ProcessLookupError:
             shutil.rmtree(path, ignore_errors=True)
         except OSError:
+            # Freshness = max mtime over the dir AND its immediate
+            # children (advisor r9): appends inside subdirectories do
+            # not bump the parent's mtime, so stat'ing only the top
+            # level would classify an actively-written cross-uid corpus
+            # as stale after an hour.  One-level scan is enough — the
+            # render layout is flat files plus per-subject dirs whose
+            # own mtimes change on every file append.
             try:
-                stale = time.time() - os.stat(path).st_mtime > _GC_MTIME_FLOOR_SEC
+                mtimes = [os.stat(path).st_mtime]
+                with os.scandir(path) as it:
+                    mtimes.extend(e.stat(follow_symlinks=False).st_mtime for e in it)
+                stale = time.time() - max(mtimes) > _GC_MTIME_FLOOR_SEC
             except OSError:
                 continue  # raced away / unstatable: next run retries
             if stale:

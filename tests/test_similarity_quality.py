@@ -68,3 +68,18 @@ def test_assign_cells_rejects_malformed_vectors(spark):
         bad = spark.createDataFrame(bad_rows, "vec_id int, v array<double>")
         with pytest.raises(Exception, match="assign_cells"):
             assign_cells(bad, centers).collect()
+
+
+def test_assign_cells_preserves_caller_temp_column(spark):
+    """A caller column named like the operator's scratch column must
+    survive untouched (advisor r9: the fixed name was silently
+    clobbered and dropped from the output)."""
+    from lens_sds_batch_spark.operators.similarity import assign_cells
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.1], "keep-me")], "vec_id int, v array<double>, __assign_best string"
+    )
+    out = assign_cells(df, [[0.0, 0.0], [1.0, 1.0]])
+    row = out.collect()[0]
+    assert row["__assign_best"] == "keep-me"
+    assert row["cell"] == 0

@@ -76,9 +76,19 @@ def main() -> None:
     res: dict[str, dict[str, list[float]]] = {
         q: {"a": [], "b": []} for q in args.queries
     }
+    failures = []
     for i in range(args.runs):
         for tag, repo in (("a", args.a), ("b", args.b)):
-            got = _run_once(repo, args.queries, args.sf_dir)
+            # One transient child failure (OOM, JVM hiccup) must not
+            # discard the timings already collected across earlier
+            # runs/variants (advisor r9): record it and degrade the
+            # session from 3x to 2x instead of aborting.
+            try:
+                got = _run_once(repo, args.queries, args.sf_dir)
+            except RuntimeError as exc:
+                failures.append(f"run {i + 1} {tag}")
+                print(f"run {i + 1} {tag}={repo}: FAILED — {exc}", file=sys.stderr)
+                continue
             for q, t in got.items():
                 res[q][tag].append(t["exec"])
             print(f"run {i + 1} {tag}={repo}: "
@@ -88,9 +98,18 @@ def main() -> None:
     print(f"{'query':<24} {'A mean':>8} {'B mean':>8} {'B/A':>6}  runs(A) / runs(B)")
     for q in args.queries:
         a, b = res[q]["a"], res[q]["b"]
+        if not a or not b:
+            print(f"{q:<24} {'-':>8} {'-':>8} {'-':>6}  "
+                  f"{[round(x, 2) for x in a]} / {[round(x, 2) for x in b]}")
+            continue
         ma, mb = statistics.mean(a), statistics.mean(b)
         print(f"{q:<24} {ma:>8.2f} {mb:>8.2f} {mb / ma:>6.2f}  "
               f"{[round(x, 2) for x in a]} / {[round(x, 2) for x in b]}")
+    if failures:
+        print(f"WARNING: {len(failures)} failed child run(s): {failures} — "
+              "means above use the surviving runs only", file=sys.stderr)
+        if all(not res[q]["a"] or not res[q]["b"] for q in args.queries):
+            sys.exit(1)  # nothing comparable survived
 
 
 if __name__ == "__main__":
