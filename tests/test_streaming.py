@@ -1210,3 +1210,140 @@ def test_stateful_user_counts_idle_timeout_runs(spark, stream_dir):
         assert total == 250  # 150 + 100 rows across both files, all counted
     finally:
         q.stop()
+
+
+def test_requeue_loop_recovers_from_crash_before_epoch_effects(spark, tmp_path):
+    """Kill-mid-epoch recovery, crash point A (r9 verdict #6): the
+    driver dies on the FIRST trigger before the sink applied any
+    effect.  A restarted query — fresh sink closure, fresh
+    DurableMetrics(path), SAME checkpoint — must replay the
+    uncommitted epoch and drain the full feedback loop to the same
+    (event_id, route, attempts) triples as the gated batch fixpoint,
+    with EXACT metrics: each event acks or dead-letters exactly once,
+    and requeue routings equal sum(final_attempts)."""
+    from lens_sds_batch_spark.operators.cdc import (
+        _RQ_FAIL_MOD,
+        _RQ_FATAL_MOD,
+        _RQ_MAX_ATTEMPTS,
+        _RQ_SUBSET_MOD,
+        requeue_routing,
+    )
+    from lens_sds_batch_spark.sources.parquet import load_events
+    from lens_sds_batch_spark.streaming.pipeline import DurableMetrics, requeue_sink
+
+    src, out, dead, cp = (str(tmp_path / d) for d in ("src", "out", "dead", "cp"))
+    mpath = str(tmp_path / "metrics.json")
+    (
+        load_events(spark, SF_SMOKE)
+        .where(F.col("event_id") % _RQ_SUBSET_MOD == 0)
+        .select("event_id", F.lit(0).alias("attempts"))
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    att = F.coalesce(F.col("attempts"), F.lit(0))
+    is_ok = att >= F.col("event_id") % _RQ_FAIL_MOD
+    is_retryable = F.col("event_id") % _RQ_FATAL_MOD != 0
+
+    def read():
+        return (
+            spark.readStream.schema("event_id bigint, attempts int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    # --- run 1: crash before the sink touches anything ---------------
+    def crash(batch_df, epoch_id):
+        raise RuntimeError("injected crash before epoch effects")
+
+    q = read().writeStream.option("checkpointLocation", cp).foreachBatch(crash).start()
+    with pytest.raises(Exception, match="injected crash"):
+        q.processAllAvailable()
+    q.stop()
+
+    # --- run 2: recovered driver — fresh closures, same checkpoint ---
+    metrics = DurableMetrics(mpath)  # reloads whatever the crash left (nothing)
+    sink = requeue_sink(
+        out, dead, src, is_ok, is_retryable,
+        max_attempts=_RQ_MAX_ATTEMPTS, metrics=metrics,
+    )
+    q = read().writeStream.option("checkpointLocation", cp).foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+
+    def final(path: str, route: str) -> set:
+        return {
+            (r["event_id"], route, int(r["attempts"] or 0))
+            for r in spark.read.parquet(path).collect()
+        }
+
+    streamed = final(out, "ok") | final(dead, "dead")
+    batch = {
+        (r["event_id"], r["route"], int(r["final_attempts"]))
+        for r in requeue_routing(spark, SF_SMOKE).collect()
+    }
+    assert len(batch) > 0 and streamed == batch
+    n_ok = sum(1 for (_, route, _) in batch if route == "ok")
+    n_dead = sum(1 for (_, route, _) in batch if route == "dead")
+    n_requeues = sum(a for (_, _, a) in batch)
+    assert metrics.get("ok") == n_ok
+    assert metrics.get("dead") == n_dead
+    assert metrics.get("requeued") == n_requeues
+
+
+def test_requeue_loop_replayed_epoch_counts_once(spark, tmp_path):
+    """Kill-mid-epoch recovery, crash point B: the sink fully applied
+    epoch 0 (files appended, metrics tallied + flushed) and the driver
+    died BEFORE the epoch committed.  The restart replays epoch 0:
+    the at-least-once file appends duplicate (documented contract,
+    harmless under set semantics / downstream LWW), but the reloaded
+    DurableMetrics must recognize the epoch key and count the replay
+    ZERO times.  Failure model is retry-free (nothing retryable) so the
+    replayed epoch's duplicate appends cannot re-arm the feedback edge
+    and the expected tally is exact."""
+    from lens_sds_batch_spark.streaming.pipeline import DurableMetrics, requeue_sink
+
+    src, out, dead, cp = (str(tmp_path / d) for d in ("src", "out", "dead", "cp"))
+    mpath = str(tmp_path / "metrics.json")
+    rows = [(i, 0) for i in range(40)]
+    spark.createDataFrame(rows, "event_id bigint, attempts int").coalesce(1).write.parquet(src)
+    is_ok = F.col("event_id") % 4 == 0  # 10 ok / 30 dead, all on first touch
+    is_retryable = F.lit(False)
+
+    def read():
+        return (
+            spark.readStream.schema("event_id bigint, attempts int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    # --- run 1: sink applies fully, then the "process" dies ----------
+    metrics1 = DurableMetrics(mpath)
+    real = requeue_sink(out, dead, src, is_ok, is_retryable, metrics=metrics1)
+
+    def crash_after(batch_df, epoch_id):
+        real(batch_df, epoch_id)
+        raise RuntimeError("injected crash after epoch effects")
+
+    q = read().writeStream.option("checkpointLocation", cp).foreachBatch(crash_after).start()
+    with pytest.raises(Exception, match="injected crash"):
+        q.processAllAvailable()
+    q.stop()
+
+    # --- run 2: recovery — reloaded metrics, fresh sink closure ------
+    metrics = DurableMetrics(mpath)
+    sink = requeue_sink(out, dead, src, is_ok, is_retryable, metrics=metrics)
+    q = read().writeStream.option("checkpointLocation", cp).foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+
+    out_rows = spark.read.parquet(out).collect()
+    dead_rows = spark.read.parquet(dead).collect()
+    # The replay REALLY re-appended (proves the recovery path ran) ...
+    assert len(out_rows) == 20 and len(dead_rows) == 60
+    # ... the logical result is the clean one ...
+    assert {(r["event_id"], "ok") for r in out_rows} == {(i, "ok") for i in range(0, 40, 4)}
+    assert len({r["event_id"] for r in dead_rows}) == 30
+    # ... and the replayed epoch was counted exactly once.
+    assert metrics.get("ok") == 10
+    assert metrics.get("dead") == 30
+    assert metrics.get("requeued", 0) == 0
