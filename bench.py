@@ -49,7 +49,9 @@ HEADLINE = (
     "scd2_history",
     "session_window_agg",
     "simhash_dup_pairs",
-    "tfidf_top_terms",
+    # r10: term_stats_pack folds the former tfidf_top_terms +
+    # bigram_topk rows (its time stands in for the two combined)
+    "term_stats_pack",
     "embedding_quantize_int8",
     "media_chunks",
     "salted_hot_key_agg",
@@ -78,7 +80,6 @@ HEADLINE = (
     # regression).  Totals are r1/r4-comparable on the key subsets
     # above only; per-query rows are the real record.
     "odm_commands_uuid5",
-    "bigram_topk",
     "media_decode_stub",
     "window_pack",
     "agg_multi_pack",
@@ -98,6 +99,9 @@ HEADLINE = (
     # sink epochs (route + append + feedback rename) run in the builder,
     # the final routed read in the exec phase
     "requeue_routing",
+    # added round 10: the skew-stressed salted JOIN (banked slot from
+    # the term_stats_pack fold)
+    "skew_salted_join",
 )
 
 

@@ -961,6 +961,85 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
+
+SKEW_JOIN_SALT = 16   # hot-key fan-out: replicas of the build side
+SKEW_JOIN_DIM_MOD = 997  # prime so derived dim keys spread
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew mitigation, JOIN flavor (r9 verdict #4 — the one SURVEY §4
+    physical pattern without a gated query; ``salted_hot_key_agg``
+    covers only the aggregation side): a fact table whose join key is
+    zipfian — 3/4 of all lineitems share ONE derived hot key — joined
+    to a dimension that at 100 TB is too big to broadcast.
+
+    A plain shuffle join hashes on the key alone, so the hot key's
+    entire fact volume lands on ONE reducer (the straggler that
+    dominates the stage).  The salted form: the probe side gets a
+    deterministic salt in [0, S), the build side is replicated S ways
+    (a bounded crossJoin with a literal 16-element array — NOT a
+    cartesian over data), and the join runs on (key, salt) — spreading
+    the hot key over S reducers.  The trailing per-key re-aggregation
+    merges the salt shards; the oracle runs the UNSALTED join+group,
+    proving the rewrite is semantics-preserving.
+
+    The salted join is hinted ``merge`` (SortMergeJoin): at these test
+    scale factors Spark would broadcast the replicated dim and there
+    would BE no shuffle to de-skew — the hint pins the plan shape the
+    pattern exists for (pytest asserts SMJ + no BHJ on this join).
+    AQE's skewJoin handles the same case adaptively when splits
+    suffice; explicit salting is the deterministic form that also
+    works where AQE can't split (e.g. under a required child
+    distribution), and the gate pins its arithmetic.
+
+    The hot key is 1, not 0: derived dim keys are ``s_suppkey %
+    997`` and supplier keys start at 1, so key 1 exists at every
+    scale factor while 0 would inner-join away the entire hot side."""
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy((F.col("s_suppkey") % SKEW_JOIN_DIM_MOD).alias("dk"))
+        .agg(F.min("s_name").alias("dim_tag"))
+    )
+    dim_rep = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SKEW_JOIN_SALT - 1)))
+    )
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(1).cast("bigint"))
+        .otherwise(F.col("l_orderkey") % SKEW_JOIN_DIM_MOD)
+        .alias("hk"),
+        (F.col("l_orderkey") % SKEW_JOIN_SALT).cast("int").alias("salt"),
+        _dec("l_quantity").alias("q"),
+    )
+    joined = fact.join(
+        dim_rep.hint("merge"),
+        (fact.hk == dim_rep.dk) & (fact.salt == dim_rep.salt),
+    )
+    return (
+        joined.groupBy("dk", "dim_tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("q").cast("double").alias("total_qty"),
+        )
+    )
+
+
+SKEW_SALTED_JOIN_SQL = f"""
+WITH dim AS (
+  SELECT s_suppkey % {SKEW_JOIN_DIM_MOD} AS dk, min(s_name) AS dim_tag
+  FROM supplier GROUP BY 1
+),
+fact AS (
+  SELECT CASE WHEN l_orderkey % 4 <> 0 THEN CAST(1 AS BIGINT)
+              ELSE l_orderkey % {SKEW_JOIN_DIM_MOD} END AS hk,
+         CAST(l_quantity AS DECIMAL(18,2)) AS q
+  FROM lineitem
+)
+SELECT dk, dim_tag, count(*) AS n_rows, CAST(sum(q) AS DOUBLE) AS total_qty
+FROM fact JOIN dim ON hk = dk
+GROUP BY dk, dim_tag
+ORDER BY dk
+"""
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS ((segment), (status), ()) — the general
     form behind rollup/cube."""
@@ -2528,6 +2607,8 @@ QUERIES: dict[str, tuple] = {
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "asof_join": (asof_join, ASOF_JOIN_SQL),
     "salted_hot_key_agg": (salted_hot_key_agg, SALTED_AGG_SQL),
+    # r10: the slot banked by the term_stats_pack fold (textops)
+    "skew_salted_join": (skew_salted_join, SKEW_SALTED_JOIN_SQL),
     "joins_pack": (joins_pack, JOINS_PACK_SQL),
     "window_pack": (window_pack, WINDOW_PACK_SQL),
     "agg_multi_pack": (agg_multi_pack, AGG_MULTI_SQL),

@@ -281,6 +281,44 @@ GROUP BY bigram ORDER BY n DESC, bigram LIMIT {BIGRAM_TOP}
 """
 
 
+def term_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 fold of ``tfidf_top_terms`` + ``bigram_topk`` (COVERAGE.md's
+    named candidate — same table, different grain) into one registry
+    slot, banking a slot for the skew-join query.  Both arms stay
+    independently callable and BYTE-UNCHANGED; this pack only unions
+    them under a NULL-padded common schema (the agg_multi_pack
+    discipline): per-doc tf-idf rows carry (doc_id, tfidf, rk), the
+    global bigram rows carry (n); each arm NULLs the other's columns."""
+    tfidf = tfidf_top_terms(spark, sf_dir).select(
+        F.lit("tfidf").alias("kind"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("term"),
+        F.col("tfidf"),
+        F.col("rk").cast("int").alias("rk"),
+        F.lit(None).cast("bigint").alias("n"),
+    )
+    bigram = bigram_topk(spark, sf_dir).select(
+        F.lit("bigram").alias("kind"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.col("bigram").alias("term"),
+        F.lit(None).cast("double").alias("tfidf"),
+        F.lit(None).cast("int").alias("rk"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    return tfidf.unionByName(bigram)
+
+
+TERM_STATS_PACK_SQL = f"""
+SELECT 'tfidf' AS kind, CAST(doc_id AS BIGINT) AS doc_id, term,
+       tfidf, CAST(rk AS INT) AS rk, CAST(NULL AS BIGINT) AS n
+FROM ({TFIDF_SQL})
+UNION ALL
+SELECT 'bigram' AS kind, CAST(NULL AS BIGINT) AS doc_id, bigram AS term,
+       CAST(NULL AS DOUBLE) AS tfidf, CAST(NULL AS INT) AS rk, CAST(n AS BIGINT) AS n
+FROM ({BIGRAM_TOPK_SQL})
+"""
+
+
 def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A realistic training-data quality gate: token-count band + TTR
     floor + stopword-ratio ceiling, emitting kept docs with metrics —
@@ -922,7 +960,8 @@ ORDER BY q.doc_id
 
 QUERIES: dict[str, tuple] = {
     "textstats_pack": (textstats_pack, TEXTSTATS_PACK_SQL),
-    "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
-    "bigram_topk": (bigram_topk, BIGRAM_TOPK_SQL),
+    # r10: tfidf_top_terms + bigram_topk folded into term_stats_pack
+    # (slot banked for skew_salted_join); arms unchanged + callable.
+    "term_stats_pack": (term_stats_pack, TERM_STATS_PACK_SQL),
     "doc_features_pack": (doc_features_pack, DOC_FEATURES_SQL),
 }

@@ -262,3 +262,47 @@ def test_zorder_layout_write_and_pruning(spark, tmp_path):
         for (_, hi_a), (lo_b, _) in zip(intervals, intervals[1:]):
             assert hi_a <= lo_b, "overlapping per-file zkey ranges in one bucket"
     assert multi >= 1  # the multi-file case is actually exercised
+
+
+def test_skew_salted_join_plan_and_equivalence(spark):
+    """skew_salted_join (r10): the salted join must actually take the
+    shuffle path it exists to de-skew — SortMergeJoin on (key, salt),
+    NOT a broadcast (which would dodge the pattern at test scale) —
+    and must produce exactly the plain unsalted join's result."""
+    from lens_sds_batch_spark.operators.relational import (
+        SKEW_JOIN_DIM_MOD,
+        skew_salted_join,
+    )
+    from lens_sds_batch_spark.sources.parquet import load_table
+
+    salted = skew_salted_join(spark, SF_SMOKE)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    dim = (
+        load_table(spark, SF_SMOKE, "supplier")
+        .groupBy((F.col("s_suppkey") % SKEW_JOIN_DIM_MOD).alias("dk"))
+        .agg(F.min("s_name").alias("dim_tag"))
+    )
+    fact = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(1).cast("bigint"))
+        .otherwise(F.col("l_orderkey") % SKEW_JOIN_DIM_MOD)
+        .alias("hk"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+    )
+    plain = (
+        fact.join(dim, fact.hk == dim.dk)
+        .groupBy("dk", "dim_tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("q").cast("double").alias("total_qty"),
+        )
+    )
+    got = {tuple(r) for r in salted.collect()}
+    want = {tuple(r) for r in plain.collect()}
+    assert len(want) > 0 and got == want
+    # the hot key really is hot: it must dominate the fact volume
+    hot = {r[0]: r[2] for r in got}[1]
+    assert hot > sum(n for _, _, n, _ in got) * 0.7

@@ -49,7 +49,11 @@ OPS = ("dedup_basic_pack", "dup_pairs_pack",  # basic pack = former dedup_exact 
        # r9: the requeue fixpoint loop (bounded epochs; scales in rows
        # routed per epoch — event replication keeps the failure model
        # covering since it is event_id-modulus-derived)
-       "requeue_routing")
+       "requeue_routing",
+       # r10: the skew-stressed salted join — scaling replicates the
+       # fact (lineitem) only, so the hot key's share grows linearly
+       # while the dim stays fixed: exactly the 100 TB shape
+       "skew_salted_join")
 
 BASE_TMP = "/tmp/lens_scale_smoke"
 
