@@ -1918,6 +1918,222 @@ WHERE CAST(value AS DECIMAL(33,4)) * CAST(1500 AS DECIMAL(4,0)) > total
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (r10, adapted: no partsupp table in this
+    testdata, so the supply catalog derives from lineitem at
+    (partkey, suppkey) grain with cost := min extendedprice): for each
+    small STANDARD part, the EUROPE supplier(s) achieving the REGIONAL
+    MINIMUM cost — the classical correlated min-subquery whose scope is
+    re-tied to the outer row's part (the oracle states exactly that
+    correlated form over the same catalog CTE).
+
+    Distributed strategy: part and region-reduced supplier prune the
+    fact scan as broadcasts BEFORE the catalog aggregate (the Q7/Q11
+    dim-reduction discipline); the per-part regional min RE-aggregates
+    the catalog, never a second fact scan (`eu` is lazily
+    localCheckpointed for its two consumers — the min agg and the
+    winner join-back); the winner compare is exact DECIMAL cost
+    equality.  Top-100 by balance under a unique
+    (s_acctbal, partkey, suppkey) total order compiles to
+    TakeOrderedAndProject — no global sort, no single-partition
+    funnel.  At 100 TB the catalog lives at part x supplier grain
+    (orders of magnitude below fact grain) and everything after is
+    dimension-sized."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    eu = local_ckpt(
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice")).alias("cost")),
+        eager=False,
+    )
+    mins = eu.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    winners = (
+        eu.join(mins, "l_partkey")
+        .where(F.col("cost") == F.col("min_cost"))
+        .select("l_partkey", "l_suppkey", "cost")
+    )
+    return (
+        winners.join(F.broadcast(supp), winners.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), winners.l_partkey == part.p_partkey)
+        .orderBy(F.desc("s_acctbal"), "l_partkey", "l_suppkey")
+        .limit(100)
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            (F.col("cost") * F.lit(100)).cast("bigint").alias("cost_cents"),
+        )
+    )
+
+
+Q2_SQL = """
+WITH eu AS MATERIALIZED (
+  SELECT l_partkey, l_suppkey, s_name, s_acctbal, n_name,
+         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+    AND l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_size <= 15 AND p_type = 'STANDARD')
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(cost * 100 AS BIGINT) AS cost_cents
+FROM eu
+JOIN part ON p_partkey = l_partkey
+WHERE cost = (SELECT min(e2.cost) FROM eu e2 WHERE e2.l_partkey = eu.l_partkey)
+ORDER BY s_acctbal DESC, l_partkey, l_suppkey
+LIMIT 100
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (r10, adapted: no partsupp, so supply cost :=
+    p_retailprice * 0.6, a deterministic per-part unit cost standing in
+    for ps_supplycost; the part-name token is 'gear' — this corpus has
+    no color words): profit per supplier nation per order year over
+    the full five-table tree lineitem x part x supplier x nation x
+    orders.
+
+    Distributed strategy: the part filter prunes the fact first
+    (broadcast), supplier carries its nation name pre-joined
+    (broadcast), and the only real shuffle is the co-partitioned
+    fact-fact lineitem x orders join — the Q7/Q8 discipline.
+
+    Precision discipline: every operand is cast to the NARROWEST
+    decimal that holds its domain (ext (12,2) — max ~1.05e5; retail
+    (8,2) — max 999.9; qty (4,1) — max 50; disc (4,2)) so the product
+    chain tops out at decimal(19,4) on Spark and never approaches the
+    38-digit ceiling where Spark's allowPrecisionLoss and DuckDB's
+    DOUBLE-fallback would diverge (the Q11 advisor lesson).  Mirrored
+    casts in Q9_SQL; sums stay DECIMAL and only the final value casts
+    to DOUBLE."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%gear%"))
+        .select(
+            "p_partkey",
+            (
+                F.col("p_retailprice").cast("decimal(8,2)")
+                * F.lit(0.6).cast("decimal(2,1)")
+            ).alias("unit_cost"),
+        )
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(4,2)")
+    amount = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        one - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.col("unit_cost") * F.col("l_quantity").cast("decimal(4,1)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name", "o_year")
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name, CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+         - CAST(p_retailprice AS DECIMAL(8,2)) * CAST(0.6 AS DECIMAL(2,1))
+           * CAST(l_quantity AS DECIMAL(4,1)) AS amount
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE p_name LIKE '%gear%'
+) profit
+GROUP BY n_name, o_year
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (r10, adapted: the supplier-part catalog is the
+    DISTINCT (l_partkey, l_suppkey) set from lineitem — no partsupp —
+    and the excluded 'complaint' suppliers are the deterministic
+    ``s_suppkey % 13 = 0`` set, non-empty at every SF (1/8/77 suppliers
+    at sf0.001/0.01/0.1; this testdata has no s_comment)): distinct
+    supplier counts per (brand, type, size) for the non-excluded
+    attribute slices — the classical NOT-IN anti-join feeding a
+    count-distinct rollup.
+
+    Distributed strategy: ONE distinct shuffle collapses the fact to
+    pair grain, then both the exclusion (left_anti) and the part
+    attributes are broadcast joins; the final count-distinct re-shuffles
+    only pair-grain rows on a 3-col key.  A single distinct aggregate —
+    never two in one agg, which would Expand 2x (the Q21 lesson)."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 13 == 0)
+        .select("s_suppkey")
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#4")
+        & (~F.col("p_type").like("PROMO%"))
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#4' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0)
+GROUP BY 1, 2, 3
+"""
+
+
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame: per customer, rolling 30-day spend (range over
     epoch seconds — value-based frames, not row-based)."""
@@ -2377,7 +2593,10 @@ def tpch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join), Q7/Q8/Q13 (r8 cont.: role-playing dims + disjunctive
     pair predicate, deep-tree conditional-share ratio, outer-join
     ON-predicate + aggregation-over-aggregation), Q15/Q11 (r9:
-    max-over-aggregate view, group HAVING vs scaled global scalar)."""
+    max-over-aggregate view, group HAVING vs scaled global scalar),
+    Q2/Q9/Q16 (r10: correlated min-subquery winner pick, five-table
+    profit tree, NOT-IN + count-distinct rollup — completing all 22
+    TPC-H query shapes across this pack + the standalone q1/q3/q5)."""
     arms = [
         q4_order_priority(spark, sf_dir).select(
             F.lit("q4").alias("kind"),
@@ -2515,6 +2734,29 @@ def tpch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             _nl("bigint", "v1"),
             F.col("value").alias("v2"),
         ),
+        # r10 arms: Q2 (correlated min-subquery winner pick), Q9
+        # (five-table profit tree), Q16 (NOT-IN + count-distinct rollup)
+        q2_min_cost_supplier(spark, sf_dir).select(
+            F.lit("q2").alias("kind"),
+            F.col("p_partkey").cast("string").alias("k1"),
+            F.concat_ws("|", "s_name", "n_name").alias("k2"),
+            F.col("cost_cents").alias("v1"),
+            F.col("s_acctbal").alias("v2"),
+        ),
+        q9_product_type_profit(spark, sf_dir).select(
+            F.lit("q9").alias("kind"),
+            F.col("n_name").alias("k1"),
+            _nl("string", "k2"),
+            F.col("o_year").cast("bigint").alias("v1"),
+            F.col("sum_profit").alias("v2"),
+        ),
+        q16_supplier_part_counts(spark, sf_dir).select(
+            F.lit("q16").alias("kind"),
+            F.col("p_brand").alias("k1"),
+            F.concat_ws("|", "p_type", F.col("p_size").cast("string")).alias("k2"),
+            F.col("supplier_cnt").alias("v1"),
+            _nl("double", "v2"),
+        ),
     ]
     out = arms[0]
     for a in arms[1:]:
@@ -2556,6 +2798,12 @@ UNION ALL
 {_arm('q15', Q15_SQL, "s_name AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(NULL AS BIGINT) AS v1, total_rev AS v2")}
 UNION ALL
 {_arm('q11', Q11_SQL, "CAST(l_partkey AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(NULL AS BIGINT) AS v1, value AS v2")}
+UNION ALL
+{_arm('q2', Q2_SQL, "CAST(p_partkey AS VARCHAR) AS k1, s_name || '|' || n_name AS k2, cost_cents AS v1, s_acctbal AS v2")}
+UNION ALL
+{_arm('q9', Q9_SQL, "n_name AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(o_year AS BIGINT) AS v1, sum_profit AS v2")}
+UNION ALL
+{_arm('q16', Q16_SQL, "p_brand AS k1, p_type || '|' || CAST(p_size AS VARCHAR) AS k2, supplier_cnt AS v1, CAST(NULL AS DOUBLE) AS v2")}
 ORDER BY kind, k1
 """
 

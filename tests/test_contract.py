@@ -163,6 +163,8 @@ def test_pack_arms_individually_importable(spark):
             "q17_small_quantity_revenue", "q18_large_volume_customers",
             "q21_sole_late_supplier", "q20_part_promotion_suppliers",
             "q22_dormant_balance_customers",
+            "q2_min_cost_supplier", "q9_product_type_profit",
+            "q16_supplier_part_counts",
             "events_sliding", "cohort_retention",
         ],
         # r6 folds: dedup_basic_pack + knn_pack + textstats_pack arms

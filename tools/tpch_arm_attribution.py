@@ -1,7 +1,8 @@
 """Per-arm 1x/100x attribution for tpch_pack (r9 verdict #3).
 
 The pack's 100x smoke ratio (7.7, the largest in the table) is a sum
-over 17 arms — a single super-linear arm could hide inside it.  This
+over its arms (20 since r10) — a single super-linear arm could hide
+inside it.  This
 tool reuses scale_smoke's replicated corpus and times each arm
 INDIVIDUALLY (noop sink, same measurement window as the smoke), then
 prints per-arm base/scaled seconds and ratios, worst first.
@@ -41,6 +42,9 @@ ARMS = {
     "q13": R.q13_customer_distribution,
     "q15": R.q15_top_supplier,
     "q11": R.q11_important_parts,
+    "q2": R.q2_min_cost_supplier,
+    "q9": R.q9_product_type_profit,
+    "q16": R.q16_supplier_part_counts,
 }
 
 
