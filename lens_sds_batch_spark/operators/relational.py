@@ -2584,6 +2584,34 @@ ORDER BY kind, key, attr
 """
 
 
+# Single source of truth for the pack's arm inventory: tpch_pack's union
+# below, tools/tpch_arm_attribution.py, and the arm-completeness pytest all
+# consume THIS dict, so adding an arm in one place and forgetting another is
+# a test failure, not a silent attribution gap.
+TPCH_ARMS = {
+    "q4": q4_order_priority,
+    "q10": q10_returned_items,
+    "topk_part": topk_global,
+    "q6": q6_forecast_revenue,
+    "q12": q12_late_priority_counts,
+    "q14": q14_promo_revenue,
+    "q19": q19_disjunctive_revenue,
+    "q17": q17_small_quantity_revenue,
+    "q18": q18_large_volume_customers,
+    "q21": q21_sole_late_supplier,
+    "q20": q20_part_promotion_suppliers,
+    "q22": q22_dormant_balance_customers,
+    "q7": q7_volume_shipping,
+    "q8": q8_market_share,
+    "q13": q13_customer_distribution,
+    "q15": q15_top_supplier,
+    "q11": q11_important_parts,
+    "q2": q2_min_cost_supplier,
+    "q9": q9_product_type_profit,
+    "q16": q16_supplier_part_counts,
+}
+
+
 def tpch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H shapes pack: Q4 (EXISTS + count), Q10 (returned-item
     revenue top-20), global top-k, Q6/Q12/Q14 (r6), Q19 (disjunctive

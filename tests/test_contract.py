@@ -139,6 +139,25 @@ def test_load_events_integral_fastpath_equivalence(spark, tmp_path):
     assert got_b == want
 
 
+def test_tpch_arm_registry_matches_pack(spark):
+    """TPCH_ARMS is the single source the attribution tool measures; a
+    pack arm missing from it would be silently invisible to the
+    super-linear-arm audit (and vice versa, a registry entry the pack
+    dropped would record a stale arm).  Pin kinds == registry keys."""
+    from lens_sds_batch_spark.operators.relational import TPCH_ARMS, tpch_pack
+
+    from .conftest import SF_SMOKE
+
+    kinds = {r["kind"] for r in tpch_pack(spark, SF_SMOKE).select("kind").distinct().collect()}
+    # q7 (disjunctive nation-pair predicate) and q11 (value > total/1500
+    # threshold) are legitimately EMPTY at sf0.001 — both arms are
+    # non-empty and hash-green at the sf0.01 driver gate — so their
+    # kinds can be absent here, but nothing else may be, and no kind
+    # may exist outside the registry.
+    assert kinds <= set(TPCH_ARMS)
+    assert set(TPCH_ARMS) - kinds <= {"q7", "q11"}
+
+
 def test_pack_arms_individually_importable(spark):
     """Registry-headroom contract (COVERAGE.md): every operator folded
     into a pack stays a NAMED, importable, independently callable

@@ -23,7 +23,6 @@ import statistics
 import subprocess
 import sys
 
-sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 
 from ab_bench import _run_once  # noqa: E402
@@ -36,6 +35,11 @@ def main() -> None:
     ap.add_argument("--repo", default="/root/repo")
     args = ap.parse_args()
 
+    # The query-name list must come from the SAME repo the children run
+    # in (--repo may be a worktree of the recorded revision, whose
+    # registry can differ from HEAD's — a HEAD-only name would KeyError
+    # every child there).
+    sys.path.insert(0, args.repo)
     import __spark_entry__ as entry
 
     names = list(entry.queries())
@@ -76,6 +80,10 @@ def main() -> None:
     print(f"| **suite total (medians)** | **{tot_e:.2f}** | **{tot_b:.2f}** | |")
     if failed:
         print(f"WARNING: {failed} failed run(s)", file=sys.stderr)
+    if failed == args.runs:
+        # No data at all — don't let a scripted `rebaseline.py > t.md`
+        # land an all-dashes table as a "baseline".
+        sys.exit(1)
 
 
 if __name__ == "__main__":

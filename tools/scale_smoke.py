@@ -58,9 +58,15 @@ OPS = ("dedup_basic_pack", "dup_pairs_pack",  # basic pack = former dedup_exact 
 BASE_TMP = "/tmp/lens_scale_smoke"
 
 
-def build_scaled(spark, sf_dir: str, k: int) -> str:
+def build_scaled(spark, sf_dir: str, k: int, tables: set | None = None) -> str:
     """Replicate documents + embeddings k times with offset ids; each
-    copy's text gets a copy-marker token so replicas are near-dups."""
+    copy's text gets a copy-marker token so replicas are near-dups.
+
+    `tables` optionally restricts which fact tables are replicated
+    (dims are always copied — they're KB-sized): a caller timing only
+    relational ops skips the documents/embeddings replication, the most
+    expensive part of the build at k=100."""
+    want = (lambda t: tables is None or t in tables)
     shutil.rmtree(BASE_TMP, ignore_errors=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
@@ -77,15 +83,17 @@ def build_scaled(spark, sf_dir: str, k: int) -> str:
             "n_chars",
         )
     )
-    scaled.repartition(32).write.parquet(f"{BASE_TMP}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    m = emb.agg(F.max("vec_id")).collect()[0][0] + 1
-    (
-        emb.crossJoin(F.broadcast(copies))
-        .select((F.col("vec_id") + F.col("copy") * m).alias("vec_id"), "embedding", "label")
-        .repartition(32)
-        .write.parquet(f"{BASE_TMP}/embeddings.parquet")
-    )
+    if want("documents"):
+        scaled.repartition(32).write.parquet(f"{BASE_TMP}/documents.parquet")
+    if want("embeddings"):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        m = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+        (
+            emb.crossJoin(F.broadcast(copies))
+            .select((F.col("vec_id") + F.col("copy") * m).alias("vec_id"), "embedding", "label")
+            .repartition(32)
+            .write.parquet(f"{BASE_TMP}/embeddings.parquet")
+        )
 
     # relational side, key-consistent: every key column is offset by the
     # SAME per-table stride in every referencing table, so joins (o_custkey
@@ -107,10 +115,14 @@ def build_scaled(spark, sf_dir: str, k: int) -> str:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ne = ev.agg(F.max("event_id")).collect()[0][0] + 1
     nu = ev.agg(F.max("user_id")).collect()[0][0] + 1
-    replicate(cust, {"c_custkey": nc}, "customer")
-    replicate(orders, {"o_orderkey": no, "o_custkey": nc}, "orders")
-    replicate(li, {"l_orderkey": no}, "lineitem")
-    replicate(ev, {"event_id": ne, "user_id": nu}, "events")
+    if want("customer"):
+        replicate(cust, {"c_custkey": nc}, "customer")
+    if want("orders"):
+        replicate(orders, {"o_orderkey": no, "o_custkey": nc}, "orders")
+    if want("lineitem"):
+        replicate(li, {"l_orderkey": no}, "lineitem")
+    if want("events"):
+        replicate(ev, {"event_id": ne, "user_id": nu}, "events")
     # dimension tables stay UNscaled (the realistic shape: facts grow,
     # dims don't) — copied so dim-joining queries (tpch_pack) resolve
     for dim in ("part", "supplier", "region", "nation"):

@@ -21,31 +21,12 @@ sys.path.insert(0, "/root/repo/tools")
 
 from scale_smoke import build_scaled  # noqa: E402
 
-from lens_sds_batch_spark.operators import relational as R  # noqa: E402
+from lens_sds_batch_spark.operators.relational import TPCH_ARMS as ARMS  # noqa: E402
 from lens_sds_batch_spark.session import get_spark  # noqa: E402
 
-ARMS = {
-    "q4": R.q4_order_priority,
-    "q10": R.q10_returned_items,
-    "topk_part": R.topk_global,
-    "q6": R.q6_forecast_revenue,
-    "q12": R.q12_late_priority_counts,
-    "q14": R.q14_promo_revenue,
-    "q19": R.q19_disjunctive_revenue,
-    "q17": R.q17_small_quantity_revenue,
-    "q18": R.q18_large_volume_customers,
-    "q21": R.q21_sole_late_supplier,
-    "q20": R.q20_part_promotion_suppliers,
-    "q22": R.q22_dormant_balance_customers,
-    "q7": R.q7_volume_shipping,
-    "q8": R.q8_market_share,
-    "q13": R.q13_customer_distribution,
-    "q15": R.q15_top_supplier,
-    "q11": R.q11_important_parts,
-    "q2": R.q2_min_cost_supplier,
-    "q9": R.q9_product_type_profit,
-    "q16": R.q16_supplier_part_counts,
-}
+# Only the tables tpch arms actually read; build_scaled skips the (large,
+# irrelevant) documents/embeddings replication and the events table.
+TPCH_TABLES = {"customer", "orders", "lineitem"}
 
 
 def time_arms(spark, sf_dir: str, arms) -> dict[str, float]:
@@ -62,10 +43,13 @@ def main():
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     arms = list(ARMS)
     if len(sys.argv) > 3:
-        arms = [a for a in sys.argv[3].split(",") if a in ARMS]
+        arms = sys.argv[3].split(",")
+        unknown = [a for a in arms if a not in ARMS]
+        if unknown:
+            raise SystemExit(f"unknown arms: {unknown}; known: {sorted(ARMS)}")
     spark = get_spark("tpch-arm-attribution")
     spark.sparkContext.setLogLevel("ERROR")
-    scaled_dir = build_scaled(spark, sf_dir, k)
+    scaled_dir = build_scaled(spark, sf_dir, k, tables=TPCH_TABLES)
     time_arms(spark, sf_dir, arms)  # warm JVM/codegen before measuring
     base = time_arms(spark, sf_dir, arms)
     spark.catalog.clearCache()
@@ -85,6 +69,9 @@ def main():
         print(f"{a:<12} {b:>7.2f} {s:>8.2f} {r:>6.1f}")
     print(json.dumps({"k": k, "base": base, "scaled": scaled}))
     spark.stop()
+    import shutil
+
+    shutil.rmtree(scaled_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
