@@ -97,3 +97,63 @@ def test_pack_sequences_fills_multiple_bins(spark, tmp_path):
         acc += 300
     assert got == want
     assert len(got) >= 3  # the multi-bin path is actually exercised
+
+
+def test_q2_min_cost_ties_emit_all_winners(spark, tmp_path):
+    """The synthetic corpus has ZERO per-part min-cost ties at any SF
+    (degeneracy check, r10), so the gate never proves q2 keeps ALL
+    suppliers achieving the regional minimum — and never proves the
+    region filter beats a cheaper out-of-region supplier.  Craft both
+    shapes: two EUROPE suppliers tied at the min must BOTH emit; an
+    ASIA supplier with a strictly lower cost must NOT win; filtered
+    parts (size, type) must not appear."""
+    from lens_sds_batch_spark.operators.relational import q2_min_cost_supplier
+
+    d = str(tmp_path)
+
+    def w(name, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{name}.parquet")
+
+    w("region", [(0, "EUROPE"), (1, "ASIA")], "r_regionkey int, r_name string")
+    w(
+        "nation",
+        [(0, "NATION_EU", 0), (1, "NATION_AS", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    w(
+        "supplier",
+        [(1, "S1", 0, 100.0), (2, "S2", 0, 50.0), (3, "S3", 1, 999.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    w(
+        "part",
+        [
+            (10, "crafted gadget", "Brand#1", "STANDARD", 5, 900.0),
+            (11, "too big", "Brand#1", "STANDARD", 50, 900.0),
+            (12, "wrong type", "Brand#1", "PROMO", 5, 900.0),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    w(
+        "lineitem",
+        [
+            (10, 1, 7.00),  # S1 also sold higher -- min() must pick 5.00
+            (10, 1, 5.00),
+            (10, 2, 5.00),  # S2 TIES S1 at the regional min
+            (10, 3, 1.00),  # ASIA supplier strictly cheaper -- region-excluded
+            (11, 1, 2.00),  # size-filtered part
+            (12, 1, 2.00),  # type-filtered part
+        ],
+        "l_partkey long, l_suppkey long, l_extendedprice double",
+    )
+    got = sorted(
+        (r["p_partkey"], r["s_name"], r["n_name"], r["cost_cents"], r["s_acctbal"])
+        for r in q2_min_cost_supplier(spark, d).collect()
+    )
+    assert got == [
+        (10, "S1", "NATION_EU", 500, 100.0),
+        (10, "S2", "NATION_EU", 500, 50.0),
+    ]
