@@ -306,3 +306,63 @@ def test_skew_salted_join_plan_and_equivalence(spark):
     # the hot key really is hot: it must dominate the fact volume
     hot = {r[0]: r[2] for r in got}[1]
     assert hot > sum(n for _, _, n, _ in got) * 0.7
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime bloom-filter join pruning — the 100 TB path of the
+    fact-fact SortMergeJoin arms (tpch_pack q9/q21/q4-group): when the
+    dim side carries a selective filter and neither side broadcasts,
+    Spark injects a bloom_filter_agg on the creation side and a
+    might_contain predicate on the fact scan, cutting shuffle volume
+    before the SMJ.  At test SFs this never fires on its own because
+    the application-side scan is far below the 10 GiB
+    applicationSideScanSizeThreshold — exactly the scan size where it
+    starts paying off on a cluster — so this test scales the
+    threshold to local data and pins (a) the feature is ON by default
+    in our session (no action needed at scale), (b) the filter
+    actually injects on our join shape, (c) results are identical
+    with and without it."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+
+    def q():
+        return (
+            li.join(
+                orders.where(F.col("o_orderpriority") == "1-URGENT"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("s"))
+        )
+
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    thresh_key = (
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    old_thresh = spark.conf.get(thresh_key)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.conf.set(thresh_key, "0")
+        j = q()
+        with_bloom = {tuple(r) for r in j.collect()}
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "might_contain" in plan  # fact side is bloom-pruned
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt  # creation side builds it
+
+        spark.conf.set(thresh_key, old_thresh)
+        j2 = q()
+        without = {tuple(r) for r in j2.collect()}
+        assert "might_contain" not in (
+            j2._jdf.queryExecution().executedPlan().toString()
+        )
+        assert with_bloom == without and with_bloom
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        spark.conf.set(thresh_key, old_thresh)
