@@ -2,7 +2,13 @@
 at sf0.01 — same verdicts as the full driver simulation (it delegates
 to tools/drive_driver.compare_one, so the two can never drift).
 
-Usage: python tools/check_query.py name1 [name2 ...]
+Usage: python tools/check_query.py [--sf /root/testdata/sf0.1] name1 [name2 ...]
+
+--sf overrides the gate scale factor (default sf0.01, the driver's).
+Running the whole registry at sf0.1 is the scale-divergence sweep:
+value-level bugs that only appear 10x past the driver's gate
+(decimal-precision boundaries, tie-break instability under more ties,
+overflow) show up here first.
 """
 import sys
 
@@ -15,9 +21,16 @@ from tools.drive_driver import SF_GATE, TABLES, compare_one
 
 
 def main():
-    names = sys.argv[1:]
+    args = sys.argv[1:]
+    sf_dir = SF_GATE
+    if args and args[0] == "--sf":
+        if len(args) < 2:
+            raise SystemExit("--sf requires a directory argument")
+        sf_dir = args[1]
+        args = args[2:]
+    names = args
     if not names:
-        raise SystemExit("usage: check_query.py name1 [name2 ...]")
+        raise SystemExit("usage: check_query.py [--sf DIR] name1 [name2 ...]")
     spark = get_spark("check-query")
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as em
@@ -28,8 +41,12 @@ def main():
         raise SystemExit(f"unknown queries: {unknown}")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_GATE}/{t}.parquet'")
-    bad = [n for n in names if not compare_one(con, spark, n, qs[n], oracles.get(n))]
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    bad = [
+        n
+        for n in names
+        if not compare_one(con, spark, n, qs[n], oracles.get(n), sf_dir=sf_dir)
+    ]
     sys.exit(1 if bad else 0)
 
 
