@@ -366,3 +366,55 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
         spark.conf.set(thresh_key, old_thresh)
+
+
+def test_dynamic_partition_pruning_via_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning — the star-schema 100 TB layout: a
+    fact table partitioned by its routing key, joined to a broadcast
+    dim whose FILTER (not a literal on the fact) decides which
+    partitions matter.  Static pruning (test_partitioned_sink_and_
+    pruning) needs the literal on the fact scan; DPP injects the dim
+    subquery into the scan's PartitionFilters at runtime, so only the
+    matching partition directories are listed and read.  The plan must
+    carry the real IN-subquery form — Spark silently degrades to
+    dynamicpruningexpression(true) (scan everything) when the
+    broadcast isn't reused, which is exactly the regression this test
+    exists to catch."""
+    import re
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    out = str(tmp_path / "orders_by_prio")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    prios = [r[0] for r in orders.select("o_orderpriority").distinct().collect()]
+    assert len(prios) == 5
+    dim = spark.createDataFrame(
+        [(p, "urgent" if p[0] in "12" else "normal") for p in prios],
+        "prio string, cls string",
+    )
+    j = (
+        fact.join(
+            F.broadcast(dim),
+            (F.col("o_orderpriority") == F.col("prio"))
+            & (F.col("cls") == "urgent"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {tuple(r) for r in j.collect()}
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"dynamicpruningexpression\([^)]*\)", plan)
+    assert m and "IN dynamicpruning#" in m.group(0), (
+        m.group(0) if m else "no dynamicpruningexpression in plan"
+    )
+    # equivalence with the statically-filtered fact
+    expected = {
+        tuple(r)
+        for r in (
+            orders.where(F.col("o_orderpriority").substr(1, 1).isin("1", "2"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    assert got == expected and got
