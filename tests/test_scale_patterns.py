@@ -418,3 +418,27 @@ def test_dynamic_partition_pruning_via_dim_filter(spark, tmp_path):
         )
     }
     assert got == expected and got
+
+
+def test_aqe_coalesces_overprovisioned_shuffle(spark):
+    """AQE partition coalescing — the other half of the session
+    factory's at-scale contract (session.py: 'shuffle partitions ...
+    on a real cluster AQE coalesces from a deliberately high initial
+    number instead').  Over-provision the shuffle 200-wide on a small
+    aggregation and pin that the runtime actually collapses it: the
+    final plan carries an 'AQEShuffleRead coalesced' node and the
+    output partition count lands far below the static setting, so a
+    plan tuned for 100 TB doesn't strand a thousand near-empty
+    reducers at lower volume."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        j = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+        got = {tuple(r) for r in j.collect()}
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead coalesced" in plan
+        assert j.rdd.getNumPartitions() < 200
+        assert len(got) == 3  # A/N/R — the aggregation actually ran
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
