@@ -380,8 +380,6 @@ def test_dynamic_partition_pruning_via_dim_filter(spark, tmp_path):
     dynamicpruningexpression(true) (scan everything) when the
     broadcast isn't reused, which is exactly the regression this test
     exists to catch."""
-    import re
-
     orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
     out = str(tmp_path / "orders_by_prio")
     orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
@@ -403,10 +401,11 @@ def test_dynamic_partition_pruning_via_dim_filter(spark, tmp_path):
     )
     got = {tuple(r) for r in j.collect()}
     plan = j._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"dynamicpruningexpression\([^)]*\)", plan)
-    assert m and "IN dynamicpruning#" in m.group(0), (
-        m.group(0) if m else "no dynamicpruningexpression in plan"
-    )
+    # the IN-subquery form renders as "IN dynamicpruning#NN" standalone
+    # or "IN dynamicpruning..." when the plan printer inlines the
+    # subquery; the degenerate no-pruning form is the literal true
+    assert "IN dynamicpruning" in plan
+    assert "dynamicpruningexpression(true)" not in plan
     # equivalence with the statically-filtered fact
     expected = {
         tuple(r)
