@@ -157,3 +157,83 @@ def test_q2_min_cost_ties_emit_all_winners(spark, tmp_path):
         (10, "S1", "NATION_EU", 500, 100.0),
         (10, "S2", "NATION_EU", 500, 50.0),
     ]
+
+
+def test_q13_zero_bucket_preserved(spark, tmp_path):
+    """The corpus has NO customer with c_count == 0 at any gate SF
+    (predicate-power probe, r10: every customer owns at least one
+    non-'4-NOT SPECIFIED' order), so the hash gate never proves the
+    LEFT OUTER's defining behavior — the zero bucket.  Craft both ways
+    a customer can land there: no orders at all (outer preserve), and
+    ONLY excluded-priority orders (the exclusion must act as an
+    ON-clause/pre-join filter; a post-join WHERE would destroy both
+    rows via NULL comparison)."""
+    from lens_sds_batch_spark.operators.relational import q13_customer_distribution
+
+    d = str(tmp_path)
+
+    def w(name, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{name}.parquet")
+
+    w("customer", [(1,), (2,), (3,), (4,)], "c_custkey long")
+    w(
+        "orders",
+        [
+            (1, "1-URGENT"),
+            (1, "5-LOW"),
+            (2, "4-NOT SPECIFIED"),  # only excluded orders -> zero bucket
+            # customer 3: no orders at all -> zero bucket
+            (4, "3-MEDIUM"),
+        ],
+        "o_custkey long, o_orderpriority string",
+    )
+    got = {
+        r["c_count"]: r["custdist"]
+        for r in q13_customer_distribution(spark, d).collect()
+    }
+    assert got == {0: 2, 1: 1, 2: 1}
+
+
+def test_q15_revenue_ties_emit_all_suppliers(spark, tmp_path):
+    """The corpus has exactly ONE supplier at the max window revenue at
+    the gate SF (predicate-power probe, r10), so the gate never proves
+    q15's tie semantics: every supplier whose exact-DECIMAL revenue
+    equals the max must emit.  Craft a tie reached through DIFFERENT
+    line splits and discounts (so the equality is on the aggregated
+    decimal, not on identical inputs), a near-miss 1 cent below, and
+    an out-of-window line big enough to win if the window leaked."""
+    import datetime
+
+    from lens_sds_batch_spark.operators.relational import q15_top_supplier
+
+    d = str(tmp_path)
+    ts = lambda s: datetime.datetime.fromisoformat(s)
+
+    def w(name, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{name}.parquet")
+
+    w(
+        "lineitem",
+        [
+            (1, 100.00, 0.00, ts("1998-02-01")),            # S1: 100.00
+            (2, 60.00, 0.00, ts("1998-01-15")),             # S2: 60
+            (2, 50.00, 0.20, ts("1998-03-31")),             # S2: +40 -> ties at 100.00
+            (3, 99.99, 0.00, ts("1998-02-10")),             # S3: 1 cent short
+            (4, 1000.00, 0.00, ts("1998-04-01")),           # window-excluded
+        ],
+        "l_suppkey long, l_extendedprice double, l_discount double, "
+        "l_shipdate timestamp",
+    )
+    w(
+        "supplier",
+        [(1, "S1"), (2, "S2"), (3, "S3"), (4, "S4")],
+        "s_suppkey long, s_name string",
+    )
+    got = sorted(
+        (r["s_name"], r["total_rev"]) for r in q15_top_supplier(spark, d).collect()
+    )
+    assert got == [("S1", 100.0), ("S2", 100.0)]
