@@ -237,3 +237,29 @@ def test_q15_revenue_ties_emit_all_suppliers(spark, tmp_path):
         (r["s_name"], r["total_rev"]) for r in q15_top_supplier(spark, d).collect()
     )
     assert got == [("S1", 100.0), ("S2", 100.0)]
+
+
+def test_full_outer_extends_both_sides(spark, tmp_path):
+    """At the sf0.01 gate every nation has BOTH customers and
+    suppliers, and suppliers-without-customers never occurs at ANY SF
+    (predicate-power probe, r10) — so the hash gate never proves the
+    full outer's defining behavior despite the arm docstring's claim.
+    Craft all three shapes: customer-only nation (right-NULL → n_supp
+    0), supplier-only nation (left-NULL → n_cust 0), and a matched
+    nation carrying real counts on both sides."""
+    from lens_sds_batch_spark.operators.relational import join_full_outer
+
+    d = str(tmp_path)
+
+    def w(name, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{name}.parquet")
+
+    w("customer", [(10,), (10,), (10,), (20,)], "c_nationkey int")
+    w("supplier", [(10,), (30,), (30,)], "s_nationkey int")
+    got = sorted(
+        (r["nationkey"], r["n_cust"], r["n_supp"])
+        for r in join_full_outer(spark, d).collect()
+    )
+    assert got == [(10, 3, 1), (20, 1, 0), (30, 0, 2)]

@@ -33,6 +33,47 @@ WHITELIST = {
         "means only the no-tie case is gated; >1 is MORE power, fine)",
     "q2 per-part min-cost tie":
         "test_q2_min_cost_ties_emit_all_winners",
+    "full_outer unmatched sides (cust-only, supp-only nations)":
+        "test_full_outer_extends_both_sides (supp-only never occurs at "
+        "any SF; cust-only occurs at sf0.001 but not the gate)",
+}
+
+# probes over MATERIALIZED oracle outputs (oracle_sql()[key] run as-is),
+# for paths easier to read off the result than to re-derive: each entry
+# is (oracle key, probe SQL over table `t`) returning (a, b) with the
+# same power rule.
+ORACLE_PROBES = {
+    "asof backward NULL vs present": (
+        "asof_join",
+        "SELECT sum(CASE WHEN last_event_epoch IS NULL THEN 1 ELSE 0 END),"
+        "       sum(CASE WHEN last_event_epoch IS NULL THEN 0 ELSE 1 END) FROM t"),
+    "asof forward NULL vs present": (
+        "asof_join",
+        "SELECT sum(CASE WHEN next_event_epoch IS NULL THEN 1 ELSE 0 END),"
+        "       sum(CASE WHEN next_event_epoch IS NULL THEN 0 ELSE 1 END) FROM t"),
+    "asof nearest direction (forward wins, backward wins)": (
+        "asof_join",
+        """SELECT sum(CASE WHEN nearest_event_epoch = next_event_epoch
+                AND (last_event_epoch IS NULL
+                     OR nearest_event_epoch <> last_event_epoch) THEN 1 ELSE 0 END),
+              sum(CASE WHEN nearest_event_epoch = last_event_epoch
+                AND (next_event_epoch IS NULL
+                     OR nearest_event_epoch <> next_event_epoch) THEN 1 ELSE 0 END)
+        FROM t"""),
+    "asof tolerance (excludes an existing backward, keeps one)": (
+        "asof_join",
+        """SELECT sum(CASE WHEN last_event_epoch IS NOT NULL
+                        AND last_event_epoch_within_tol IS NULL THEN 1 ELSE 0 END),
+              sum(CASE WHEN last_event_epoch_within_tol IS NOT NULL THEN 1 ELSE 0 END)
+        FROM t"""),
+    "scd2 versions (closed, open)": (
+        "scd2_history",
+        "SELECT sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END),"
+        "       sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) FROM t"),
+    "session windows (singleton, multi-event)": (
+        "session_window_agg",
+        "SELECT sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END),"
+        "       sum(CASE WHEN n_events > 1 THEN 1 ELSE 0 END) FROM t"),
 }
 
 PROBES = {
@@ -197,17 +238,37 @@ PROBES = {
                        AND l_discount >= 0.05 AND l_discount <= 0.07
                        AND l_quantity < 24 THEN 0 ELSE 1 END)
       FROM lineitem""",
+    "except_all bag paths (partial cancel, full cancel)": """
+      WITH a AS (SELECT o_custkey, count(*) AS ca FROM orders
+                 WHERE o_orderstatus <> 'F' GROUP BY 1),
+           b AS (SELECT o_custkey, count(*) AS cb FROM orders
+                 WHERE o_orderstatus = 'O' GROUP BY 1)
+      SELECT sum(CASE WHEN ca - coalesce(cb,0) > 0 AND coalesce(cb,0) > 0
+                       AND ca > 1 THEN 1 ELSE 0 END),
+             sum(CASE WHEN ca - coalesce(cb,0) <= 0 AND coalesce(cb,0) > 0
+                 THEN 1 ELSE 0 END)
+      FROM a LEFT JOIN b USING (o_custkey)""",
+    "full_outer unmatched sides (cust-only, supp-only nations)": """
+      WITH c AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+           s AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+      SELECT (SELECT count(*) FROM c WHERE k NOT IN (SELECT k FROM s)),
+             (SELECT count(*) FROM s WHERE k NOT IN (SELECT k FROM c))""",
 }
 
 
 def main():
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"]:
+              "orders", "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
     new_vacuous = []
-    for name, sql in PROBES.items():
-        a, b = con.execute(sql).fetchone()
+
+    def judge(name, a, b):
         has_power = (a or 0) > 0 and (b is None or (b or 0) > 0)
         if has_power:
             print(f"{name}: ok {a, b}")
@@ -216,6 +277,17 @@ def main():
         else:
             print(f"{name}: VACUOUS {a, b}  <<< NEW")
             new_vacuous.append(name)
+
+    for name, sql in PROBES.items():
+        a, b = con.execute(sql).fetchone()
+        judge(name, a, b)
+    materialized = set()
+    for name, (key, sql) in ORACLE_PROBES.items():
+        if key not in materialized:
+            con.execute(f"CREATE TABLE oracle_{key} AS ({oracles[key]})")
+            materialized.add(key)
+        a, b = con.execute(sql.replace("FROM t", f"FROM oracle_{key}")).fetchone()
+        judge(name, a, b)
     print(f"\n=== new vacuous paths: {len(new_vacuous)}; "
           f"whitelisted: {len(WHITELIST)}")
     sys.exit(1 if new_vacuous else 0)
