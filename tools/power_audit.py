@@ -253,6 +253,25 @@ PROBES = {
            s AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
       SELECT (SELECT count(*) FROM c WHERE k NOT IN (SELECT k FROM s)),
              (SELECT count(*) FROM s WHERE k NOT IN (SELECT k FROM c))""",
+    "range frame peers (same-day same-customer groups)": """
+      SELECT (SELECT count(*) FROM (SELECT o_custkey, o_orderdate FROM orders
+              GROUP BY 1,2 HAVING count(*)>1)), NULL""",
+    "range frame width (multi-row frames, singleton frames)": """
+      WITH t AS (SELECT o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS e
+                 FROM orders)
+      SELECT sum(CASE WHEN n>1 THEN 1 ELSE 0 END),
+             sum(CASE WHEN n=1 THEN 1 ELSE 0 END) FROM (
+        SELECT count(*) OVER (PARTITION BY o_custkey ORDER BY e
+          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n FROM t)""",
+    "range frame trims older-than-30d rows": """
+      WITH t AS (SELECT
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY CAST(epoch(o_orderdate) AS BIGINT)) AS rn,
+          count(*) OVER (PARTITION BY o_custkey
+            ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+            RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS nf
+        FROM orders)
+      SELECT (SELECT count(*) FROM t WHERE rn > nf), NULL""",
 }
 
 
