@@ -263,6 +263,16 @@ PROBES = {
              sum(CASE WHEN n=1 THEN 1 ELSE 0 END) FROM (
         SELECT count(*) OVER (PARTITION BY o_custkey ORDER BY e
           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n FROM t)""",
+    "semi join (customers kept, excluded)": """
+      SELECT sum(CASE WHEN e THEN 1 ELSE 0 END),
+             sum(CASE WHEN e THEN 0 ELSE 1 END) FROM (
+        SELECT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey
+                         AND o_orderstatus='O') AS e FROM customer)""",
+    "anti join (orders without lineitems, with)": """
+      SELECT sum(CASE WHEN e THEN 0 ELSE 1 END),
+             sum(CASE WHEN e THEN 1 ELSE 0 END) FROM (
+        SELECT EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey=o_orderkey) AS e FROM orders)""",
     "range frame trims older-than-30d rows": """
       WITH t AS (SELECT
           row_number() OVER (PARTITION BY o_custkey
