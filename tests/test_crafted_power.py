@@ -263,3 +263,64 @@ def test_full_outer_extends_both_sides(spark, tmp_path):
         for r in join_full_outer(spark, d).collect()
     )
     assert got == [(10, 3, 1), (20, 1, 0), (30, 0, 2)]
+
+
+def test_curation_funnel_every_stage_cuts(spark, tmp_path):
+    """On the real corpus the funnel's lang_en and exact_dedup stages
+    remove NOTHING (power probe, r10: 449 -> 449 -> 449), so the hash
+    gate never proves their wiring inside the composition — a funnel
+    that skipped the lang join or deduped on the wrong column would
+    still match.  Craft one casualty per stage and assert the exact
+    survivor counts: low-quality doc (stage 1), Spanish doc that
+    PASSES the quality gate (its en-stopword ratio is 0, under the 0.2
+    ceiling; stage 2), exact duplicate (stage 3), same-word-set
+    near-dup — identical minhash signatures, different md5 (stage 4),
+    and a same-sign-bucket embedding pair above SEM_COS_TAU
+    (stage 5)."""
+    from lens_sds_batch_spark.operators.curation import curation_funnel
+
+    d = str(tmp_path)
+
+    def words(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    doc1 = words("a", 24)
+    doc5 = words("b", 24)
+    rows = [
+        (1, doc1, "en", "s0"),                       # survives everything
+        (2, "too short", "en", "s0"),                # stage 1: < 20 tokens
+        (3, "el " + words("s", 20) + " la de y", "es", "s0"),  # stage 2: es
+        (4, doc1, "en", "s1"),                       # stage 3: exact dup of 1
+        (5, doc5, "en", "s0"),                       # survives (smaller id)
+        (6, " ".join(reversed(doc5.split())), "en", "s0"),  # stage 4: same
+        # word set as 5 -> identical minhash signature, different md5
+        (7, words("c", 24), "en", "s0"),             # survives (smaller id)
+        (8, words("d", 24), "en", "s0"),             # stage 5: embedding dup of 7
+    ]
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    embs = [
+        (1, [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0], 0),  # own bucket
+        (5, [-1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0], 0),  # own bucket
+        (7, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0], 0),
+        (8, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.9], 0),   # cos(7,8) ~ 1
+    ]
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    got = {
+        r["stage_idx"]: (r["stage"], r["n_docs"])
+        for r in curation_funnel(spark, d).collect()
+    }
+    assert got == {
+        0: ("raw", 8),
+        1: ("quality_gate", 7),
+        2: ("lang_en", 6),
+        3: ("exact_dedup", 5),
+        4: ("near_dup_pruned", 4),
+        5: ("semantic_dedup", 3),
+    }

@@ -36,6 +36,10 @@ WHITELIST = {
     "full_outer unmatched sides (cust-only, supp-only nations)":
         "test_full_outer_extends_both_sides (supp-only never occurs at "
         "any SF; cust-only occurs at sf0.001 but not the gate)",
+    "funnel lang_en stage cuts": "test_curation_funnel_every_stage_cuts "
+        "(the corpus is all-English past the quality gate)",
+    "funnel exact_dedup stage cuts": "test_curation_funnel_every_stage_cuts "
+        "(the corpus has zero exact-duplicate texts)",
 }
 
 # probes over MATERIALIZED oracle outputs (oracle_sql()[key] run as-is),
@@ -74,6 +78,26 @@ ORACLE_PROBES = {
         "session_window_agg",
         "SELECT sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END),"
         "       sum(CASE WHEN n_events > 1 THEN 1 ELSE 0 END) FROM t"),
+    "funnel quality_gate stage cuts": (
+        "curation_funnel",
+        """SELECT (SELECT n_docs FROM t WHERE stage_idx=0)
+                - (SELECT n_docs FROM t WHERE stage_idx=1), NULL"""),
+    "funnel lang_en stage cuts": (
+        "curation_funnel",
+        """SELECT (SELECT n_docs FROM t WHERE stage_idx=1)
+                - (SELECT n_docs FROM t WHERE stage_idx=2), NULL"""),
+    "funnel exact_dedup stage cuts": (
+        "curation_funnel",
+        """SELECT (SELECT n_docs FROM t WHERE stage_idx=2)
+                - (SELECT n_docs FROM t WHERE stage_idx=3), NULL"""),
+    "funnel near_dup stage cuts": (
+        "curation_funnel",
+        """SELECT (SELECT n_docs FROM t WHERE stage_idx=3)
+                - (SELECT n_docs FROM t WHERE stage_idx=4), NULL"""),
+    "funnel semantic stage cuts": (
+        "curation_funnel",
+        """SELECT (SELECT n_docs FROM t WHERE stage_idx=4)
+                - (SELECT n_docs FROM t WHERE stage_idx=5), NULL"""),
 }
 
 PROBES = {
