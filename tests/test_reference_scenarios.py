@@ -679,3 +679,55 @@ def test_dispatch_commands_open_multimethod(spark):
     ]
     # reject side is TOTAL: unknown verb AND null name both land there
     assert {r["payload"] for r in unhandled.collect()} == {"s3", "s4"}
+
+
+def test_remove_at_leaf_levels(spark):
+    """Reference ``import_clinical_data.clj:51-52`` (remove-item-group
+    carries {form-id, item-group-oid}), ``:68-69`` (remove-item carries
+    {item-group-id, item-oid}), dispatched from ``:145-147`` and
+    ``:116-118``.  Neither constructor fires on the gate corpus (the
+    synthetic tx mixers never put an explicit remove at ig/item level —
+    power audit r10), so pin them here: an ig-level remove emits its
+    command and PRUNES its items (A14 at depth); an item-level remove
+    emits remove-item with the value/data-type columns NULLed and no
+    item-id (that param is update-only)."""
+    odm = build_odm(
+        spark,
+        [(FILE, "S1", "SK01", "insert")],
+        ses=[(FILE, "S1", "SK01", "SE1", None)],
+        forms=[(FILE, "S1", "SK01", "SE1", "FM1", None)],
+        igs=[
+            (FILE, "S1", "SK01", "SE1", "FM1", "IG1", "remove"),
+            (FILE, "S1", "SK01", "SE1", "FM1", "IG2", None),
+        ],
+        items=[
+            # under the removed IG1: must be pruned, any tx
+            (FILE, "S1", "SK01", "SE1", "FM1", "IG1", "I1", None, "string", "x"),
+            # explicit leaf remove under the surviving IG2
+            (FILE, "S1", "SK01", "SE1", "FM1", "IG2", "I2", "remove", "string", "y"),
+            # sibling insert proves IG2's subtree otherwise lives
+            (FILE, "S1", "SK01", "SE1", "FM1", "IG2", "I3", None, "integer", "7"),
+        ],
+    )
+    cmds = generate_commands(odm, BATCH, SUB, persist=False)
+    assert cmd_names(cmds) == [
+        "odm-import/insert-form",
+        "odm-import/insert-item",
+        "odm-import/insert-item-group",
+        "odm-import/insert-study-event",
+        "odm-import/insert-subject",
+        "odm-import/remove-item",
+        "odm-import/remove-item-group",
+    ]
+    rows = {r["name"]: r for r in cmds.collect() if "remove" in r["name"]}
+    rig = rows["odm-import/remove-item-group"]
+    assert rig["item_group_oid"] == "IG1" and rig["item_oid"] is None
+    ri = rows["odm-import/remove-item"]
+    assert ri["item_oid"] == "I2" and ri["item_group_oid"] == "IG2"
+    # remove-item payload is {item-group-id, item-oid, file-oid}: the
+    # value/type columns are NULLed and item-id is update-only
+    assert ri["value_canon"] is None
+    assert ri["data_type"] is None
+    assert ri["item_id"] is None
+    # I1 under the removed ig emitted nothing
+    assert cmds.where(F.col("item_oid") == "I1").count() == 0

@@ -40,6 +40,10 @@ WHITELIST = {
         "(the corpus is all-English past the quality gate)",
     "funnel exact_dedup stage cuts": "test_curation_funnel_every_stage_cuts "
         "(the corpus has zero exact-duplicate texts)",
+    "odm leaf-level remove constructors fire":
+        "test_remove_at_leaf_levels (the synthetic tx mixers never put "
+        "an explicit remove at ig/item level; the reference's "
+        "remove-item-group/remove-item shapes are pinned there)",
 }
 
 # probes over MATERIALIZED oracle outputs (oracle_sql()[key] run as-is),
@@ -98,6 +102,14 @@ ORACLE_PROBES = {
         "curation_funnel",
         """SELECT (SELECT n_docs FROM t WHERE stage_idx=4)
                 - (SELECT n_docs FROM t WHERE stage_idx=5), NULL"""),
+    "odm constructor mix (distinct names beyond 13)": (
+        "odm_commands",
+        "SELECT count(DISTINCT name) - 13, NULL FROM t"),
+    "odm leaf-level remove constructors fire": (
+        "odm_commands",
+        """SELECT count(*), NULL FROM t
+           WHERE name IN ('odm-import/remove-item-group',
+                          'odm-import/remove-item')"""),
 }
 
 PROBES = {
