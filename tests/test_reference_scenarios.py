@@ -731,3 +731,31 @@ def test_remove_at_leaf_levels(spark):
     assert ri["item_id"] is None
     # I1 under the removed ig emitted nothing
     assert cmds.where(F.col("item_oid") == "I1").count() == 0
+
+
+def test_first_event_wins_breaks_ts_ties(spark):
+    """A20 tie path (power audit r10): at the gate the first order
+    column (line number / ts) is unique per cid, so the later tiebreak
+    fields of BOTH first-event forms — the window's order_cols tail and
+    min(struct)'s lexicographic walk past field one — never decide
+    anything.  Craft a genuine tie: two events at the identical t whose
+    winner only the second column can pick, plus a decoy where t alone
+    decides.  Both forms must agree on the tied winner."""
+    from lens_sds_batch_spark.plans.correlate import first_event_name_agg
+
+    events = spark.createDataFrame(
+        [
+            ("e9", "c1", "late", 7, 9),
+            ("e2", "c1", "loser", 1, 5),   # t ties with e1 ...
+            ("e1", "c1", "winner", 1, 3),  # ... second col 3 < 5 decides
+            ("e3", "c2", "first", 2, 9),   # decoy: t alone decides
+            ("e4", "c2", "second", 3, 0),
+        ],
+        "id string, cid string, name string, t int, seq int",
+    )
+    w = first_event_per_cid(events, [F.col("t"), F.col("seq")])
+    got_window = {r["cid"]: r["name"] for r in w.collect()}
+    agg = first_event_name_agg(events, ["t", "seq"])
+    got_agg = {r["cid"]: r["name"] for r in agg.collect()}
+    assert got_window == {"c1": "winner", "c2": "first"}
+    assert got_agg == got_window
