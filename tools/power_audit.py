@@ -110,6 +110,16 @@ ORACLE_PROBES = {
         """SELECT count(*), NULL FROM t
            WHERE name IN ('odm-import/remove-item-group',
                           'odm-import/remove-item')"""),
+    "requeue dead routes (fatal-immediate, budget-exhausted)": (
+        "requeue_routing",
+        """SELECT sum(CASE WHEN route='dead' AND final_attempts=0 THEN 1 ELSE 0 END),
+              sum(CASE WHEN route='dead' AND final_attempts>0 THEN 1 ELSE 0 END)
+        FROM t"""),
+    "requeue ok routes (first-try, recovered-after-retry)": (
+        "requeue_routing",
+        """SELECT sum(CASE WHEN route='ok' AND final_attempts=0 THEN 1 ELSE 0 END),
+              sum(CASE WHEN route='ok' AND final_attempts>0 THEN 1 ELSE 0 END)
+        FROM t"""),
 }
 
 # corpus probes that need raw tables but mirror a query's internal
