@@ -324,3 +324,50 @@ def test_curation_funnel_every_stage_cuts(spark, tmp_path):
         4: ("near_dup_pruned", 4),
         5: ("semantic_dedup", 3),
     }
+
+
+def test_unicode_text_oracle_parity(spark, tmp_path):
+    """The synthetic corpus is pure ASCII (power probe, r10: zero docs
+    match [^\\x00-\\x7F] at any SF), so the hash gate never proves the
+    two engines agree on MULTI-BYTE text — md5 fingerprints hash UTF-8
+    bytes on both sides, length()/len() both count codepoints, split
+    tokenization and the rolling hashes see the same units.  Drive the
+    four documents-only packs through the REAL gate comparator
+    (drive_driver.compare_one: schema + type families + value
+    multiset) over accented Latin, CJK, astral-plane emoji, and
+    sharp-s/umlaut text."""
+    import duckdb
+
+    from tools.drive_driver import compare_one
+    import __spark_entry__ as em
+
+    d = str(tmp_path)
+    texts = [
+        "the café résumé naïve façade " * 5,
+        "日本語 テスト 文字列 " * 8,
+        "emoji \U0001F600 \U0001F680 mixed ascii words here " * 4,
+        "combining á é marks ö ü words " * 5,
+        "plain ascii control group with many distinct words " * 4,
+        "zürich über straße größe maß " * 6,
+    ]
+    rows = [
+        (i, t.strip(), "en", f"s{i % 2}", len(t.strip()))
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    qs, oracles = em.queries(), em.oracle_sql()
+    con = duckdb.connect()
+    # spark writes a parquet DIRECTORY; glob it for duckdb
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for name in [
+        "dedup_basic_pack",
+        "textstats_pack",
+        "term_stats_pack",
+        "doc_features_pack",
+    ]:
+        assert compare_one(con, spark, name, qs[name], oracles[name], sf_dir=d), name
