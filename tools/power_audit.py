@@ -124,6 +124,13 @@ ORACLE_PROBES = {
         """SELECT sum(CASE WHEN route='ok' AND final_attempts=0 THEN 1 ELSE 0 END),
               sum(CASE WHEN route='ok' AND final_attempts>0 THEN 1 ELSE 0 END)
         FROM t"""),
+    "sliding windows overlap (events double-counted beyond 1x)": (
+        "time_aggs_pack",
+        """SELECT (SELECT sum(v1) FROM t WHERE kind='sliding')
+                - (SELECT count(*) FROM events), NULL"""),
+    "cohort retention beyond day 0": (
+        "time_aggs_pack",
+        "SELECT count(*), NULL FROM t WHERE kind='cohort' AND k2 > 0"),
 }
 
 # corpus probes that need raw tables but mirror a query's internal
