@@ -138,9 +138,12 @@ ORACLE_PROBES = {
 # re-derive a query intermediate rather than reading its output)
 DERIVED_PROBES = {
     "correlate first-event ties at min t": """
+      WITH mins AS (SELECT l_orderkey, min(l_linenumber) AS mn
+                    FROM lineitem GROUP BY l_orderkey)
       SELECT count(*), NULL FROM (
-        SELECT l_orderkey FROM lineitem
-        GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)""",
+        SELECT li.l_orderkey FROM lineitem li JOIN mins
+          ON li.l_orderkey = mins.l_orderkey AND li.l_linenumber = mins.mn
+        GROUP BY li.l_orderkey HAVING count(*) > 1)""",
     "documents contain non-ASCII text": r"""
       SELECT count(*), NULL FROM documents WHERE text ~ '[^\x00-\x7F]'""",
 }
