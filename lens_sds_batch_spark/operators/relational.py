@@ -1003,11 +1003,17 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_rep = dim.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(SKEW_JOIN_SALT - 1)))
     )
+    # Salt must be independent of the hot-key predicate: l_orderkey % 16
+    # would be correlated with l_orderkey % 4 != 0 (hot rows could never
+    # take salts 0/4/8/12, wasting 4 of 16 build replicas), so hash the
+    # full (orderkey, linenumber) pair instead — uniform over [0, S).
     fact = load_table(spark, sf_dir, "lineitem").select(
         F.when(F.col("l_orderkey") % 4 != 0, F.lit(1).cast("bigint"))
         .otherwise(F.col("l_orderkey") % SKEW_JOIN_DIM_MOD)
         .alias("hk"),
-        (F.col("l_orderkey") % SKEW_JOIN_SALT).cast("int").alias("salt"),
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SKEW_JOIN_SALT))
+        .cast("int")
+        .alias("salt"),
         _dec("l_quantity").alias("q"),
     )
     joined = fact.join(

@@ -307,6 +307,26 @@ def test_skew_salted_join_plan_and_equivalence(spark):
     hot = {r[0]: r[2] for r in got}[1]
     assert hot > sum(n for _, _, n, _ in got) * 0.7
 
+    # salt independence (r11 advice fix): the salt must be uncorrelated
+    # with the hot-key predicate — an l_orderkey-mod salt would leave
+    # hot rows unable to take salts 0/4/8/12 (4 of 16 build replicas
+    # dead).  Recompute the operator's salt expression on the hot rows
+    # and require every salt value to actually receive work.
+    from lens_sds_batch_spark.operators.relational import SKEW_JOIN_SALT
+
+    hot_salts = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .where(F.col("l_orderkey") % 4 != 0)
+        .select(
+            F.pmod(
+                F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SKEW_JOIN_SALT)
+            ).alias("salt")
+        )
+        .distinct()
+        .count()
+    )
+    assert hot_salts == SKEW_JOIN_SALT
+
 
 def test_runtime_bloom_filter_prunes_fact_side(spark):
     """Runtime bloom-filter join pruning — the 100 TB path of the
