@@ -441,6 +441,230 @@ def test_merge_into_fallback_equals_apply_lww(spark, tmp_path):
     assert got2.exceptAll(expected).isEmpty() and expected.exceptAll(got2).isEmpty()
 
 
+def test_merge_into_bucketed_prunes_untouched_buckets(spark, tmp_path):
+    """VERDICT r10 #1: the portable merge's 100 TB path — a key-hash-
+    bucketed target layout where a batch rewrites ONLY the buckets it
+    touches.  Pins, in order: (a) first materialization lays out
+    __bucket= partition dirs + the _bucket_spec sidecar; (b) a later
+    batch auto-detects the layout (no num_buckets re-passed), reports
+    exactly the touched buckets, and produces the same table apply_lww
+    would; (c) every file in every UNTOUCHED bucket is byte- and
+    mtime-identical after the merge — the scale claim itself; (d) a
+    bucket whose keys are all deleted disappears; (e) replaying the
+    same batch is a no-op on table state and still leaves untouched
+    buckets alone; (f) the touched-bucket read is partition-pruned at
+    the scan (PartitionFilters)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lens_sds_batch_spark.plans.merge import (
+        BUCKET_COL,
+        apply_lww,
+        bucket_expr,
+        merge_into,
+    )
+
+    N = 8
+    target = str(tmp_path / "bucketed_state")
+    current = spark.createDataFrame(
+        [(f"k{i}", 0, "v0", False) for i in range(200)],
+        "k string, pri int, v string, dead boolean",
+    )
+    res0 = merge_into(
+        spark, target, current, keys=["k"], order_cols=["pri"],
+        is_delete=F.col("dead"), num_buckets=N,
+    )
+    assert res0["engine"] == "parquet-swap" and res0["num_buckets"] == N
+    layout = {d for d in os.listdir(target) if d.startswith(BUCKET_COL + "=")}
+    assert layout and os.path.isdir(os.path.join(target, "_bucket_spec"))
+
+    # derive each key's bucket with the SAME expression the merge uses
+    bucket_of = {
+        r["k"]: r["b"]
+        for r in current.select("k", bucket_expr(["k"], N).alias("b")).collect()
+    }
+    present = sorted(set(bucket_of.values()))
+    assert len(present) >= 4  # 200 keys over 8 buckets: all should exist
+    b_upd, b_kill = present[0], present[1]
+    upd_keys = [k for k, b in bucket_of.items() if b == b_upd][:5]
+    kill_keys = [k for k, b in bucket_of.items() if b == b_kill]  # ALL of them
+    # a brand-new key that hashes into the update bucket (search)
+    new_key = next(
+        r["k"]
+        for r in spark.createDataFrame(
+            [(f"n{i}",) for i in range(500)], "k string"
+        ).select("k", bucket_expr(["k"], N).alias("b")).collect()
+        if r["b"] == b_upd
+    )
+    updates = spark.createDataFrame(
+        [(k, 1, "v1", False) for k in upd_keys]
+        + [(k, 1, "gone", True) for k in kill_keys]
+        + [(new_key, 1, "new", False)],
+        "k string, pri int, v string, dead boolean",
+    )
+
+    def file_state():
+        out = {}
+        for root, _dirs, files in os.walk(target):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, target)] = (
+                    st.st_mtime_ns,
+                    st.st_size,
+                    hashlib.sha256(open(p, "rb").read()).hexdigest(),
+                )
+        return out
+
+    before = file_state()
+    res = merge_into(
+        spark, target, updates, keys=["k"], order_cols=["pri"],
+        is_delete=F.col("dead"),  # num_buckets NOT passed: spec auto-detects
+    )
+    assert res["engine"] == "parquet-bucketed"
+    assert res["touched_buckets"] == sorted({b_upd, b_kill})
+    assert res["num_buckets"] == N and res["rows"] is None
+
+    expected = apply_lww(
+        current.unionByName(updates),
+        keys=["k"],
+        order_cols=[F.col("pri")],
+        is_delete=F.col("dead"),
+    ).select("k", "pri", "v")
+    got = spark.read.parquet(target).select("k", "pri", "v")
+    assert got.exceptAll(expected).isEmpty() and expected.exceptAll(got).isEmpty()
+    # touched_rows = ALL survivors in the touched buckets: every key
+    # already living in b_upd plus the new one; b_kill fully emptied.
+    n_b_upd = sum(1 for b in bucket_of.values() if b == b_upd)
+    assert res["touched_rows"] == n_b_upd + 1
+
+    after = file_state()
+    touched_prefixes = tuple(
+        f"{BUCKET_COL}={b}{os.sep}" for b in (b_upd, b_kill)
+    )
+    untouched_before = {
+        p: s for p, s in before.items()
+        if p.startswith(BUCKET_COL + "=") and not p.startswith(touched_prefixes)
+    }
+    untouched_after = {
+        p: s for p, s in after.items()
+        if p.startswith(BUCKET_COL + "=") and not p.startswith(touched_prefixes)
+    }
+    assert untouched_before and untouched_before == untouched_after  # (c)
+    assert not os.path.isdir(os.path.join(target, f"{BUCKET_COL}={b_kill}"))  # (d)
+    assert not os.path.exists(target + ".__old") and not os.path.exists(
+        target + ".__tmp"
+    )
+
+    # (e) replay: no state change, untouched buckets still byte-identical
+    res2 = merge_into(
+        spark, target, updates, keys=["k"], order_cols=["pri"],
+        is_delete=F.col("dead"),
+    )
+    assert res2["touched_buckets"] == res["touched_buckets"]
+    got2 = spark.read.parquet(target).select("k", "pri", "v")
+    assert got2.exceptAll(expected).isEmpty() and expected.exceptAll(got2).isEmpty()
+    replay_after = file_state()
+    assert {
+        p: s for p, s in replay_after.items()
+        if p.startswith(BUCKET_COL + "=") and not p.startswith(touched_prefixes)
+    } == untouched_before
+
+    # (f) the touched-bucket read prunes at the scan
+    plan = (
+        spark.read.parquet(target)
+        .where(F.col(BUCKET_COL).isin([b_upd]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and BUCKET_COL in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+
+
+def test_merge_into_bucketed_migration_and_crash_recovery(spark, tmp_path):
+    """Companions to the bucketed-pruning pin: (a) passing num_buckets
+    on an EXISTING unbucketed target is a one-time migration — the
+    merged result lands bucketed + spec'd and the next batch takes the
+    pruned path; (b) the per-bucket crash protocol: an aside bucket
+    whose target slot is empty (crash between the two renames) is
+    restored by the next merge's recovery pass, an aside whose slot is
+    occupied (crash after the tmp rename) is dropped as stale; (c) a
+    key-set mismatch against the spec raises instead of mis-bucketing."""
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lens_sds_batch_spark.plans.merge import BUCKET_COL, merge_into
+
+    target = str(tmp_path / "mig_state")
+    current = spark.createDataFrame(
+        [(f"k{i}", 0, "v0", False) for i in range(60)],
+        "k string, pri int, v string, dead boolean",
+    )
+    current.write.parquet(target)  # plain, unbucketed table
+
+    upd1 = spark.createDataFrame(
+        [("k1", 1, "v1", False)], "k string, pri int, v string, dead boolean"
+    )
+    res1 = merge_into(
+        spark, target, upd1, keys=["k"], order_cols=["pri"],
+        is_delete=F.col("dead"), num_buckets=4,
+    )
+    assert res1["engine"] == "parquet-swap" and res1["num_buckets"] == 4  # migration
+    assert os.path.isdir(os.path.join(target, "_bucket_spec"))
+    assert {d for d in os.listdir(target) if d.startswith(BUCKET_COL + "=")}
+
+    upd2 = spark.createDataFrame(
+        [("k2", 1, "v2", False)], "k string, pri int, v string, dead boolean"
+    )
+    res2 = merge_into(
+        spark, target, upd2, keys=["k"], order_cols=["pri"], is_delete=F.col("dead")
+    )
+    assert res2["engine"] == "parquet-bucketed"  # post-migration: pruned path
+    assert spark.read.parquet(target).where("k = 'k2'").count() == 1
+
+    # (b) crash simulation — restore case: move one bucket to the aside
+    # dir exactly as a death between the two renames would leave it.
+    some_bucket = next(
+        d for d in os.listdir(target) if d.startswith(BUCKET_COL + "=")
+    )
+    old_dir = target + ".__old"
+    os.makedirs(old_dir)
+    shutil.move(os.path.join(target, some_bucket), os.path.join(old_dir, some_bucket))
+    total = spark.read.parquet(target).count()  # some rows now missing
+    res3 = merge_into(  # recovery pass runs before the merge proper
+        spark, target, upd2, keys=["k"], order_cols=["pri"], is_delete=F.col("dead")
+    )
+    assert res3["engine"] == "parquet-bucketed"
+    assert not os.path.exists(old_dir)
+    assert spark.read.parquet(target).count() > total  # bucket restored
+
+    # stale case: aside exists AND the target slot is occupied
+    os.makedirs(old_dir)
+    shutil.copytree(
+        os.path.join(target, some_bucket), os.path.join(old_dir, some_bucket)
+    )
+    n_before = spark.read.parquet(target).count()
+    merge_into(
+        spark, target, upd2, keys=["k"], order_cols=["pri"], is_delete=F.col("dead")
+    )
+    assert not os.path.exists(old_dir)  # stale aside dropped, not restored
+    assert spark.read.parquet(target).count() == n_before
+
+    # (c) key mismatch against the pinned spec must refuse loudly
+    with pytest.raises(ValueError, match="bucketed on keys"):
+        merge_into(
+            spark, target, upd2.withColumnRenamed("k", "kk"),
+            keys=["kk"], order_cols=["pri"], is_delete=F.col("dead"),
+        )
+
+
 def test_merge_into_creates_target_on_first_batch(spark, tmp_path):
     """merge_into on a missing target = first materialization: only
     non-tombstone winners land."""
