@@ -89,61 +89,21 @@ def _items_union(tx_sql=None) -> str:
     return " UNION ALL ".join(selects)
 
 
-def odm_ctes(ids: bool = True) -> str:
-    """The WITH-clause body: derivation + tx resolution (+ id chains
-    when ``ids``).  ``ids=False`` stops at the *_r CTEs — DuckDB
-    executes MATERIALIZED CTEs even when unreferenced, so the
-    hash-free uuid5 oracle must not emit the md5-chain CTEs at
-    all (they are appended as a separate tail only when ``ids``)."""
-    form_path = (
-        f"'{FILE_OID}' AS file_oid,"
-        " 'ST' || CAST(o_custkey % 3 AS VARCHAR) AS study_oid,"
-        " 'SK' || CAST(o_custkey AS VARCHAR) AS subject_key,"
-        " 'SE' || CAST(l_orderkey AS VARCHAR) AS study_event_oid,"
-        " 'FM' || CAST(form_seq AS VARCHAR) AS form_oid"
-    )
+def odm_resolution_ctes(ids: bool = True) -> str:
+    """Tx resolution (+ id chains when ``ids``) as a WITH-clause body
+    fragment, reading from relations named ``subjects / study_events /
+    forms / item_groups / items`` — either the derivation CTEs of
+    :func:`odm_ctes` or externally registered views (the crafted-input
+    tests drive multi-byte OID trees through exactly this SQL, so the
+    resolution/id/command algebra under test is byte-identical to the
+    gate's)."""
     body = f"""
-subjects AS (
-  SELECT '{FILE_OID}' AS file_oid,
-         'ST' || CAST(c_custkey % 3 AS VARCHAR) AS study_oid,
-         'SK' || CAST(c_custkey AS VARCHAR) AS subject_key,
-         {SUBJECT_TX} AS tx_type
-  FROM customer
-),
 subjects_r AS MATERIALIZED (SELECT *, coalesce(tx_type, 'insert') AS rtx FROM subjects),
-study_events AS (
-  SELECT '{FILE_OID}' AS file_oid,
-         'ST' || CAST(o_custkey % 3 AS VARCHAR) AS study_oid,
-         'SK' || CAST(o_custkey AS VARCHAR) AS subject_key,
-         'SE' || CAST(o_orderkey AS VARCHAR) AS study_event_oid,
-         {SE_TX} AS tx_type
-  FROM orders
-),
 se_r AS MATERIALIZED (
   SELECT c.*, coalesce(c.tx_type, p.rtx) AS rtx
   FROM study_events c
   JOIN subjects_r p USING (file_oid, study_oid, subject_key)
   WHERE p.rtx <> 'remove'
-),
-li AS MATERIALIZED (
-  SELECT {form_path},
-         l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
-         l_shipdate, l_partkey
-  FROM (
-    SELECT l.*, o.o_custkey,
-           row_number() OVER (
-             PARTITION BY l_orderkey
-             ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
-                      l_extendedprice, l_discount, l_tax, l_returnflag,
-                      l_linestatus, l_shipdate
-           ) AS form_seq
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  )
-),
-forms AS (
-  SELECT file_oid, study_oid, subject_key, study_event_oid, form_oid,
-         {FORM_TX} AS tx_type
-  FROM li
 ),
 forms_r AS MATERIALIZED (
   SELECT c.*, coalesce(c.tx_type, p.rtx) AS rtx
@@ -151,18 +111,12 @@ forms_r AS MATERIALIZED (
   JOIN se_r p USING (file_oid, study_oid, subject_key, study_event_oid)
   WHERE p.rtx <> 'remove'
 ),
-item_groups AS (
-  SELECT file_oid, study_oid, subject_key, study_event_oid, form_oid,
-         'IG1' AS item_group_oid, CAST(NULL AS VARCHAR) AS tx_type
-  FROM li
-),
 igs_r AS MATERIALIZED (
   SELECT c.*, coalesce(c.tx_type, p.rtx) AS rtx
   FROM item_groups c
   JOIN forms_r p USING (file_oid, study_oid, subject_key, study_event_oid, form_oid)
   WHERE p.rtx <> 'remove'
 ),
-items AS ({_items_union()}),
 items_r AS MATERIALIZED (
   SELECT c.*, coalesce(c.tx_type, p.rtx) AS rtx
   FROM items c
@@ -201,6 +155,64 @@ item_ids AS MATERIALIZED (
   FROM items_r c
   JOIN ig_ids p USING (file_oid, study_oid, subject_key, study_event_oid, form_oid, item_group_oid)
 )"""
+
+
+def odm_ctes(ids: bool = True) -> str:
+    """The WITH-clause body: derivation + tx resolution (+ id chains
+    when ``ids``).  ``ids=False`` stops at the *_r CTEs — DuckDB
+    executes MATERIALIZED CTEs even when unreferenced, so the
+    hash-free uuid5 oracle must not emit the md5-chain CTEs at
+    all (they are appended as a separate tail only when ``ids``)."""
+    form_path = (
+        f"'{FILE_OID}' AS file_oid,"
+        " 'ST' || CAST(o_custkey % 3 AS VARCHAR) AS study_oid,"
+        " 'SK' || CAST(o_custkey AS VARCHAR) AS subject_key,"
+        " 'SE' || CAST(l_orderkey AS VARCHAR) AS study_event_oid,"
+        " 'FM' || CAST(form_seq AS VARCHAR) AS form_oid"
+    )
+    body = f"""
+subjects AS (
+  SELECT '{FILE_OID}' AS file_oid,
+         'ST' || CAST(c_custkey % 3 AS VARCHAR) AS study_oid,
+         'SK' || CAST(c_custkey AS VARCHAR) AS subject_key,
+         {SUBJECT_TX} AS tx_type
+  FROM customer
+),
+study_events AS (
+  SELECT '{FILE_OID}' AS file_oid,
+         'ST' || CAST(o_custkey % 3 AS VARCHAR) AS study_oid,
+         'SK' || CAST(o_custkey AS VARCHAR) AS subject_key,
+         'SE' || CAST(o_orderkey AS VARCHAR) AS study_event_oid,
+         {SE_TX} AS tx_type
+  FROM orders
+),
+li AS MATERIALIZED (
+  SELECT {form_path},
+         l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
+         l_shipdate, l_partkey
+  FROM (
+    SELECT l.*, o.o_custkey,
+           row_number() OVER (
+             PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                      l_extendedprice, l_discount, l_tax, l_returnflag,
+                      l_linestatus, l_shipdate
+           ) AS form_seq
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  )
+),
+forms AS (
+  SELECT file_oid, study_oid, subject_key, study_event_oid, form_oid,
+         {FORM_TX} AS tx_type
+  FROM li
+),
+item_groups AS (
+  SELECT file_oid, study_oid, subject_key, study_event_oid, form_oid,
+         'IG1' AS item_group_oid, CAST(NULL AS VARCHAR) AS tx_type
+  FROM li
+),
+items AS ({_items_union()}),"""
+    return body + odm_resolution_ctes(ids)
 
 
 
@@ -278,7 +290,10 @@ def odm_commands_nohash_sql() -> str:
     return "WITH " + odm_ctes(ids=False) + "\n" + "\nUNION ALL\n".join(selects)
 
 
-def odm_commands_sql() -> str:
+def command_selects() -> list[str]:
+    """The per-level×verb command SELECTs (reading the *_ids CTEs) —
+    shared by the gate oracle and the crafted-input (multi-byte OID)
+    parity tests so both run the identical command algebra."""
     sub_params = {"study-id": "study_id", "subject-key": "subject_key"}
     sub_out = {"file_oid": "file_oid", "study_oid": "study_oid", "subject_key": "subject_key", "parent_id": "study_id"}
     se_params = {"subject-id": "subject_id", "study-event-oid": "study_event_oid"}
@@ -310,5 +325,8 @@ def odm_commands_sql() -> str:
         )
     )
     selects.append(_cmd_select("item_ids", "remove", "remove-item", {"item-group-id": "item_group_id", "item-oid": "item_oid"}, it_out))
+    return selects
 
-    return "WITH " + odm_ctes() + "\n" + "\nUNION ALL\n".join(selects)
+
+def odm_commands_sql() -> str:
+    return "WITH " + odm_ctes() + "\n" + "\nUNION ALL\n".join(command_selects())
