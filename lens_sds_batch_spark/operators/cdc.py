@@ -558,3 +558,46 @@ ORDER BY event_id
 """
 
 QUERIES.update({"requeue_routing": (requeue_routing, REQUEUE_ROUTING_SQL)})
+
+
+# Predicate-power probes (see registry.all_probes / dedup.PROBES header)
+PROBES: dict[str, tuple] = {
+    "lww merge collapses multi-version keys": (
+        "merge_lww", "oracle",
+        "SELECT (SELECT count(*) FROM events) - (SELECT count(*) FROM t),"
+        " (SELECT count(*) FROM t)"),
+    "correlate first-event ties at min t": (
+        "correlate_first_event", "corpus",
+        """WITH mins AS (SELECT l_orderkey, min(l_linenumber) AS mn
+                         FROM lineitem GROUP BY l_orderkey)
+           SELECT count(*), NULL FROM (
+             SELECT li.l_orderkey FROM lineitem li JOIN mins
+               ON li.l_orderkey = mins.l_orderkey AND li.l_linenumber = mins.mn
+             GROUP BY li.l_orderkey HAVING count(*) > 1)"""),
+    "cdc guard routes cascades and dead letters": (
+        "cdc_guard_pack", "oracle",
+        "SELECT sum(CASE WHEN kind='dead_letter' THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN kind='cascade' THEN 1 ELSE 0 END) FROM t"),
+    "entity state mixes updated and untouched subjects": (
+        "entity_state_subjects", "oracle",
+        "SELECT sum(CASE WHEN version='v1' THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN version='v0' THEN 1 ELSE 0 END) FROM t"),
+    "scd2 versions (closed, open)": (
+        "scd2_history", "oracle",
+        "SELECT sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) FROM t"),
+    "session windows (singleton, multi-event)": (
+        "session_window_agg", "oracle",
+        "SELECT sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN n_events > 1 THEN 1 ELSE 0 END) FROM t"),
+    "requeue dead routes (fatal-immediate, budget-exhausted)": (
+        "requeue_routing", "oracle",
+        """SELECT sum(CASE WHEN route='dead' AND final_attempts=0 THEN 1 ELSE 0 END),
+              sum(CASE WHEN route='dead' AND final_attempts>0 THEN 1 ELSE 0 END)
+        FROM t"""),
+    "requeue ok routes (first-try, recovered-after-retry)": (
+        "requeue_routing", "oracle",
+        """SELECT sum(CASE WHEN route='ok' AND final_attempts=0 THEN 1 ELSE 0 END),
+              sum(CASE WHEN route='ok' AND final_attempts>0 THEN 1 ELSE 0 END)
+        FROM t"""),
+}

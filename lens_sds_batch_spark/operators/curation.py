@@ -369,3 +369,47 @@ ORDER BY stage_idx
 
 
 QUERIES.update({"curation_funnel": (curation_funnel, _curation_funnel_sql())})
+
+
+# Predicate-power probes (see registry.all_probes / dedup.PROBES header)
+PROBES: dict[str, tuple] = {
+    "stratified sample cuts and keeps": (
+        "stratified_sample", "oracle",
+        "SELECT (SELECT count(*) FROM documents) - (SELECT count(*) FROM t),"
+        " (SELECT count(*) FROM t)"),
+    "packing fills multi-doc bins and overflows to new bins": (
+        "pack_sequences", "oracle",
+        "SELECT (SELECT count(*) FROM t WHERE n_docs > 1),"
+        " (SELECT count(*) FROM (SELECT lang, source FROM t"
+        "   GROUP BY 1, 2 HAVING count(DISTINCT bin) > 1))"),
+    "shuffle-split emits train and holdout": (
+        "corpus_shuffle_split", "oracle",
+        "SELECT sum(CASE WHEN split='train' THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN split<>'train' THEN 1 ELSE 0 END) FROM t"),
+    "shuffle-split spreads shards": (
+        "corpus_shuffle_split", "oracle",
+        "SELECT count(DISTINCT shard) - 1, NULL FROM t"),
+    "z-order buckets spread": (
+        "layout_zorder", "oracle",
+        "SELECT count(DISTINCT zbucket) - 1, NULL FROM t"),
+    "funnel quality_gate stage cuts": (
+        "curation_funnel", "oracle",
+        """SELECT (SELECT n_docs FROM t WHERE stage_idx=0)
+                - (SELECT n_docs FROM t WHERE stage_idx=1), NULL"""),
+    "funnel lang_en stage cuts": (
+        "curation_funnel", "oracle",
+        """SELECT (SELECT n_docs FROM t WHERE stage_idx=1)
+                - (SELECT n_docs FROM t WHERE stage_idx=2), NULL"""),
+    "funnel exact_dedup stage cuts": (
+        "curation_funnel", "oracle",
+        """SELECT (SELECT n_docs FROM t WHERE stage_idx=2)
+                - (SELECT n_docs FROM t WHERE stage_idx=3), NULL"""),
+    "funnel near_dup stage cuts": (
+        "curation_funnel", "oracle",
+        """SELECT (SELECT n_docs FROM t WHERE stage_idx=3)
+                - (SELECT n_docs FROM t WHERE stage_idx=4), NULL"""),
+    "funnel semantic stage cuts": (
+        "curation_funnel", "oracle",
+        """SELECT (SELECT n_docs FROM t WHERE stage_idx=4)
+                - (SELECT n_docs FROM t WHERE stage_idx=5), NULL"""),
+}

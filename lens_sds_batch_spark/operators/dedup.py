@@ -742,3 +742,44 @@ ORDER BY kind, id_a, id_b
 
 QUERIES.update({"dedup_clusters": (dedup_clusters, _duck_clusters_sql())})
 QUERIES.update({"dup_pairs_pack": (dup_pairs_pack, _dup_pairs_pack_sql())})
+
+
+# ---------------------------------------------------------------------------
+# Predicate-power probes (registry.all_probes contract: every query in
+# QUERIES needs >= 1 entry here; kind "oracle" runs over `t` = this
+# query's materialized oracle output, kind "corpus" over the raw views;
+# power = a > 0 and (b is None or b > 0))
+# ---------------------------------------------------------------------------
+
+PROBES: dict[str, tuple] = {
+    "dedup exact arm collapses duplicates": (
+        "dedup_basic_pack", "oracle",
+        "SELECT sum(CASE WHEN arm='exact' AND n_copies>1 THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN arm='exact' AND n_copies=1 THEN 1 ELSE 0 END) FROM t"),
+    "dedup fingerprint normalization collapses variants": (
+        "dedup_basic_pack", "oracle",
+        "SELECT sum(CASE WHEN arm='fingerprint' AND n_copies>1 THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN arm='fingerprint' AND n_copies=1 THEN 1 ELSE 0 END) FROM t"),
+    "minhash pairs near-but-not-identical, not all-pairs": (
+        "dedup_minhash_pairs", "oracle",
+        "SELECT (SELECT count(*) FROM t WHERE jaccard < 1),"
+        " (SELECT count(*) FROM documents) - (SELECT count(*) FROM"
+        "   (SELECT doc_a AS id FROM t UNION SELECT doc_b FROM t))"),
+    "simhash pairs within hamming budget, not all-pairs": (
+        "simhash_dup_pairs", "oracle",
+        "SELECT (SELECT count(*) FROM t WHERE hamming > 0),"
+        " (SELECT count(*) FROM documents) - (SELECT count(*) FROM"
+        "   (SELECT doc_a AS id FROM t UNION SELECT doc_b FROM t))"),
+    "dup clusters pick one canonical among members": (
+        "dedup_clusters", "oracle",
+        "SELECT sum(CASE WHEN is_canonical=1 THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN is_canonical=0 THEN 1 ELSE 0 END) FROM t"),
+    "dup clusters exclude unclustered docs": (
+        "dedup_clusters", "oracle",
+        "SELECT (SELECT count(*) FROM documents) - (SELECT count(*) FROM t),"
+        " NULL"),
+    "dup_pairs arms both populated, scores spread": (
+        "dup_pairs_pack", "oracle",
+        "SELECT (SELECT count(DISTINCT kind) - 1 FROM t),"
+        " (SELECT CASE WHEN min(score) < max(score) THEN 1 ELSE 0 END FROM t)"),
+}

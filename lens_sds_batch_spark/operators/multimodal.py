@@ -341,3 +341,25 @@ ORDER BY doc_id, chunk_idx
 """
 
 QUERIES.update({"media_chunks": (media_chunks, MEDIA_CHUNKS_SQL)})
+
+
+# Predicate-power probes (see registry.all_probes / dedup.PROBES header)
+PROBES: dict[str, tuple] = {
+    "all three modalities present, multi-chunk payloads exist": (
+        "multimodal_meta", "oracle",
+        "SELECT (SELECT count(DISTINCT media_type) - 2 FROM t),"
+        " (SELECT count(*) FROM t WHERE n_chunks > 1)"),
+    "decode splits by modality (dims for images, frames for time media)": (
+        "media_decode_stub", "oracle",
+        "SELECT sum(CASE WHEN width > 0 AND n_frames = 1 THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN n_frames > 1 THEN 1 ELSE 0 END) FROM t"),
+    "video frame sampling fires (sampled, not-applicable)": (
+        "media_decode_stub", "oracle",
+        "SELECT sum(CASE WHEN sampled_frames_csv <> '' THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN sampled_frames_csv = '' THEN 1 ELSE 0 END) FROM t"),
+    "chunking emits continuation chunks and single-chunk docs": (
+        "media_chunks", "oracle",
+        "SELECT (SELECT count(*) FROM t WHERE chunk_idx > 0),"
+        " (SELECT count(*) FROM (SELECT doc_id FROM t"
+        "   GROUP BY doc_id HAVING count(*) = 1))"),
+}

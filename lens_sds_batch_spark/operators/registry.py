@@ -50,3 +50,62 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_queries() -> dict[str, str]:
     return {name: sql for name, (_, sql) in all_queries().items() if sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# Predicate-power probes (r10 verdict #6): each operator module carries a
+# PROBES dict NEXT TO its QUERIES; this aggregator enforces that every
+# registered query has at least one probe, so a new query cannot ship
+# probe-less (tools/power_audit.py iterates all_probes()).
+#
+# Probe spec: name -> (query, kind, sql)
+#   kind "corpus": DuckDB SQL over the raw testdata views, returns (a, b)
+#   kind "oracle": DuckDB SQL over `t` = the materialized oracle output
+#                  of `query` (may also reference the raw views)
+# A path has power when a > 0 and (b is None or b > 0); known-vacuous
+# paths are whitelisted IN THE TOOL with their crafted-input test.
+# ---------------------------------------------------------------------------
+
+# the two flagship queries live in __spark_entry__, outside the module
+# registry — their probes live here so the coverage invariant stays total
+ENTRY_PROBES: dict[str, tuple] = {
+    "odm constructor mix (distinct names beyond 13)": (
+        "odm_commands", "oracle",
+        "SELECT count(DISTINCT name) - 13, NULL FROM t"),
+    "odm leaf-level remove constructors fire": (
+        "odm_commands", "oracle",
+        """SELECT count(*), NULL FROM t
+           WHERE name IN ('odm-import/remove-item-group',
+                          'odm-import/remove-item')"""),
+    "odm uuid5 flavor (constructor mix, ids well-formed)": (
+        "odm_commands_uuid5", "oracle",
+        "SELECT (SELECT count(DISTINCT name) - 13 FROM t),"
+        " (SELECT min(ids_wellformed) FROM t)"),
+}
+
+
+def all_probes() -> dict[str, tuple]:
+    """Aggregate module PROBES + ENTRY_PROBES, enforcing total coverage:
+    every query (registry + the two flagships) has >= 1 probe, every
+    probe targets a real query, no duplicate probe names."""
+    queries = set(all_queries()) | {"odm_commands", "odm_commands_uuid5"}
+    out: dict[str, tuple] = dict(ENTRY_PROBES)
+    for m in _modules():
+        for name, spec in getattr(m, "PROBES", {}).items():
+            if name in out:
+                raise ValueError(f"duplicate probe name: {name}")
+            out[name] = spec
+    targeted = set()
+    for name, (query, kind, _sql) in out.items():
+        if query not in queries:
+            raise ValueError(f"probe {name!r} targets unknown query {query!r}")
+        if kind not in ("corpus", "oracle"):
+            raise ValueError(f"probe {name!r} has unknown kind {kind!r}")
+        targeted.add(query)
+    missing = sorted(queries - targeted)
+    if missing:
+        raise ValueError(
+            f"{len(missing)} registered queries have NO power probe "
+            f"(add one to the module's PROBES next to QUERIES): {missing}"
+        )
+    return out

@@ -2903,3 +2903,377 @@ QUERIES: dict[str, tuple] = {
     "time_aggs_pack": (time_aggs_pack, TIME_AGGS_SQL),
     "approx_sketches": (approx_sketches, APPROX_SKETCHES_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Predicate-power probes (see registry.all_probes / dedup.PROBES header).
+# The tpch_pack corpus probes were hand-curated in tools/power_audit.py
+# r10; colocated here (r11) so a new arm/query cannot ship probe-less —
+# registry.all_probes() fails loudly on any QUERIES entry without one.
+# ---------------------------------------------------------------------------
+
+PROBES: dict[str, tuple] = {
+    # --- standalone TPC-H shapes ---
+    "q1 filter (passing, rejected)": (
+        "q1_pricing_summary", "corpus",
+        """SELECT sum(CASE WHEN l_shipdate <= TIMESTAMP '1998-09-01' THEN 1 ELSE 0 END),
+               sum(CASE WHEN l_shipdate <= TIMESTAMP '1998-09-01' THEN 0 ELSE 1 END)
+           FROM lineitem"""),
+    "q1 groups beyond one": (
+        "q1_pricing_summary", "oracle",
+        "SELECT (SELECT count(*) - 1 FROM t), (SELECT min(count_order) FROM t)"),
+    "q3 limit power and segment filter": (
+        "q3_shipping_priority", "corpus",
+        """SELECT (SELECT count(*) FROM (
+             SELECT o_orderkey FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             WHERE c_mktsegment = 'BUILDING'
+               AND o_orderdate < TIMESTAMP '1998-01-01'
+               AND l_shipdate > TIMESTAMP '1996-01-01'
+             GROUP BY o_orderkey)) - 10,
+           (SELECT count(*) FROM customer WHERE c_mktsegment <> 'BUILDING')"""),
+    "q5 date window (orders inside, outside)": (
+        "q5_nation_revenue", "corpus",
+        """SELECT sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                            AND o_orderdate < TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END),
+               sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                            AND o_orderdate < TIMESTAMP '1999-01-01' THEN 0 ELSE 1 END)
+           FROM orders"""),
+    "q5 region filter (ASIA nations, others)": (
+        "q5_nation_revenue", "corpus",
+        """SELECT (SELECT count(*) FROM nation JOIN region ON n_regionkey = r_regionkey
+                   WHERE r_name = 'ASIA'),
+               (SELECT count(*) FROM nation JOIN region ON n_regionkey = r_regionkey
+                   WHERE r_name <> 'ASIA')"""),
+    # --- windows / aggregation shapes ---
+    "topk rank filter cuts groups, ranks spread": (
+        "window_topk_per_group", "oracle",
+        """SELECT (SELECT count(*) FROM (
+             SELECT o_custkey FROM orders GROUP BY o_custkey
+             HAVING count(*) > (SELECT max(rk) FROM t))),
+           (SELECT max(rk) - 1 FROM t)"""),
+    "rollup emits grand total and leaf rows": (
+        "agg_rollup", "oracle",
+        "SELECT sum(CASE WHEN r_name IS NULL AND n_name IS NULL THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN r_name IS NOT NULL AND n_name IS NOT NULL THEN 1 ELSE 0 END)"
+        " FROM t"),
+    "tumbling windows span buckets and aggregate >1 event": (
+        "events_tumbling", "oracle",
+        "SELECT (SELECT count(DISTINCT window_start) - 1 FROM t),"
+        " (SELECT count(*) FROM t WHERE n > 1)"),
+    "sessionize gap splits fire, sessions aggregate": (
+        "sessionize", "oracle",
+        "SELECT (SELECT count(*) FROM t WHERE n_sessions > 1),"
+        " (SELECT count(*) FROM t WHERE n_events > n_sessions)"),
+    "asof backward NULL vs present": (
+        "asof_join", "oracle",
+        "SELECT sum(CASE WHEN last_event_epoch IS NULL THEN 1 ELSE 0 END),"
+        "       sum(CASE WHEN last_event_epoch IS NULL THEN 0 ELSE 1 END) FROM t"),
+    "asof forward NULL vs present": (
+        "asof_join", "oracle",
+        "SELECT sum(CASE WHEN next_event_epoch IS NULL THEN 1 ELSE 0 END),"
+        "       sum(CASE WHEN next_event_epoch IS NULL THEN 0 ELSE 1 END) FROM t"),
+    "asof nearest direction (forward wins, backward wins)": (
+        "asof_join", "oracle",
+        """SELECT sum(CASE WHEN nearest_event_epoch = next_event_epoch
+                AND (last_event_epoch IS NULL
+                     OR nearest_event_epoch <> last_event_epoch) THEN 1 ELSE 0 END),
+              sum(CASE WHEN nearest_event_epoch = last_event_epoch
+                AND (next_event_epoch IS NULL
+                     OR nearest_event_epoch <> next_event_epoch) THEN 1 ELSE 0 END)
+        FROM t"""),
+    "asof tolerance (excludes an existing backward, keeps one)": (
+        "asof_join", "oracle",
+        """SELECT sum(CASE WHEN last_event_epoch IS NOT NULL
+                        AND last_event_epoch_within_tol IS NULL THEN 1 ELSE 0 END),
+              sum(CASE WHEN last_event_epoch_within_tol IS NOT NULL THEN 1 ELSE 0 END)
+        FROM t"""),
+    "agg-skew hot group exceeds uniform share": (
+        "salted_hot_key_agg", "corpus",
+        """SELECT (SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM lineitem
+                   GROUP BY l_returnflag))
+                - (SELECT count(*) FROM lineitem) / 10,
+           (SELECT count(DISTINCT l_returnflag) - 1 FROM lineitem)"""),
+    "join-skew hot key dominates, cold side nonzero": (
+        "skew_salted_join", "corpus",
+        """SELECT (SELECT count(*) FROM lineitem WHERE l_orderkey % 4 <> 0)
+                - (SELECT count(*) FROM lineitem) / 2,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey % 4 = 0)"""),
+    # --- packs ---
+    "joins_pack all six arms populated": (
+        "joins_pack", "oracle",
+        "SELECT count(DISTINCT kind) - 5, NULL FROM t"),
+    "semi join (customers kept, excluded)": (
+        "joins_pack", "corpus",
+        """SELECT sum(CASE WHEN e THEN 1 ELSE 0 END),
+             sum(CASE WHEN e THEN 0 ELSE 1 END) FROM (
+        SELECT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey
+                         AND o_orderstatus='O') AS e FROM customer)"""),
+    "anti join (orders without lineitems, with)": (
+        "joins_pack", "corpus",
+        """SELECT sum(CASE WHEN e THEN 0 ELSE 1 END),
+             sum(CASE WHEN e THEN 1 ELSE 0 END) FROM (
+        SELECT EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey=o_orderkey) AS e FROM orders)"""),
+    "full_outer unmatched sides (cust-only, supp-only nations)": (
+        "joins_pack", "corpus",
+        """WITH c AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+           s AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+      SELECT (SELECT count(*) FROM c WHERE k NOT IN (SELECT k FROM s)),
+             (SELECT count(*) FROM s WHERE k NOT IN (SELECT k FROM c))"""),
+    "range frame peers (same-day same-customer groups)": (
+        "window_pack", "corpus",
+        """SELECT (SELECT count(*) FROM (SELECT o_custkey, o_orderdate FROM orders
+              GROUP BY 1,2 HAVING count(*)>1)), NULL"""),
+    "range frame width (multi-row frames, singleton frames)": (
+        "window_pack", "corpus",
+        """WITH t AS (SELECT o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS e
+                 FROM orders)
+      SELECT sum(CASE WHEN n>1 THEN 1 ELSE 0 END),
+             sum(CASE WHEN n=1 THEN 1 ELSE 0 END) FROM (
+        SELECT count(*) OVER (PARTITION BY o_custkey ORDER BY e
+          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n FROM t)"""),
+    "range frame trims older-than-30d rows": (
+        "window_pack", "corpus",
+        """WITH t AS (SELECT
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY CAST(epoch(o_orderdate) AS BIGINT)) AS rn,
+          count(*) OVER (PARTITION BY o_custkey
+            ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+            RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS nf
+        FROM orders)
+      SELECT (SELECT count(*) FROM t WHERE rn > nf), NULL"""),
+    "agg_multi arms populated, cube emits subtotal rows": (
+        "agg_multi_pack", "oracle",
+        "SELECT (SELECT count(DISTINCT kind) - 2 FROM t),"
+        " (SELECT count(*) FROM t WHERE kind='cube'"
+        "   AND (k1 IS NULL OR k2 IS NULL))"),
+    "set_ops arms populated": (
+        "set_ops_pack", "oracle",
+        "SELECT count(DISTINCT kind) - 2, NULL FROM t"),
+    "except_all bag paths (partial cancel, full cancel)": (
+        "set_ops_pack", "corpus",
+        """WITH a AS (SELECT o_custkey, count(*) AS ca FROM orders
+                 WHERE o_orderstatus <> 'F' GROUP BY 1),
+           b AS (SELECT o_custkey, count(*) AS cb FROM orders
+                 WHERE o_orderstatus = 'O' GROUP BY 1)
+      SELECT sum(CASE WHEN ca - coalesce(cb,0) > 0 AND coalesce(cb,0) > 0
+                       AND ca > 1 THEN 1 ELSE 0 END),
+             sum(CASE WHEN ca - coalesce(cb,0) <= 0 AND coalesce(cb,0) > 0
+                 THEN 1 ELSE 0 END)
+      FROM a LEFT JOIN b USING (o_custkey)"""),
+    "row funcs cover all quarters and weekdays": (
+        "row_funcs_pack", "oracle",
+        "SELECT (SELECT count(DISTINCT q) - 3 FROM t),"
+        " (SELECT count(DISTINCT dow) - 6 FROM t)"),
+    "scalar arms populated, values spread": (
+        "scalar_pack", "oracle",
+        "SELECT (SELECT count(DISTINCT kind) - 2 FROM t),"
+        " (SELECT CASE WHEN min(v1) < max(v1) THEN 1 ELSE 0 END FROM t)"),
+    "percentiles strictly ordered where defined": (
+        "percentile_pack", "oracle",
+        "SELECT (SELECT count(*) FROM t WHERE p25 IS NOT NULL"
+        "   AND p25 < p50 AND p50 < p75),"
+        " (SELECT count(*) FROM t WHERE p25 IS NULL)"),
+    "reshape pivots and unpivots": (
+        "reshape_pack", "oracle",
+        "SELECT sum(CASE WHEN kind='pivot' THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN kind='unpivot' THEN 1 ELSE 0 END) FROM t"),
+    "sliding windows overlap (events double-counted beyond 1x)": (
+        "time_aggs_pack", "oracle",
+        """SELECT (SELECT sum(v1) FROM t WHERE kind='sliding')
+                - (SELECT count(*) FROM events), NULL"""),
+    "cohort retention beyond day 0": (
+        "time_aggs_pack", "oracle",
+        "SELECT count(*), NULL FROM t WHERE kind='cohort' AND k2 > 0"),
+    "sketches dedupe (distinct below rows) and land in band": (
+        "approx_sketches", "oracle",
+        "SELECT (SELECT min(n_rows) - min(n_parts_exact) FROM t),"
+        " (SELECT min(hll_within_20pct) + min(median_within_rank_band) FROM t)"),
+    # --- tpch_pack arm probes (hand-curated r10 set, moved from the tool) ---
+    "tpch all twenty arms populated": (
+        "tpch_pack", "oracle",
+        "SELECT count(DISTINCT kind) - 19, NULL FROM t"),
+    "q4 EXISTS split (orders passing, failing)": (
+        "tpch_pack", "corpus",
+        """SELECT sum(CASE WHEN e THEN 1 ELSE 0 END),
+             sum(CASE WHEN e THEN 0 ELSE 1 END) FROM (
+        SELECT EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey=o_orderkey AND l_shipdate>o_orderdate) AS e
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                      AND o_orderdate < TIMESTAMP '1997-01-01')"""),
+    "q12 CASE branches (high, low)": (
+        "tpch_pack", "corpus",
+        """SELECT sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END),
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+      FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY"""),
+    "q17 threshold (lines passing, failing)": (
+        "tpch_pack", "corpus",
+        """SELECT sum(CASE WHEN ok THEN 1 ELSE 0 END),
+             sum(CASE WHEN ok THEN 0 ELSE 1 END) FROM (
+        SELECT CAST(l_quantity AS DECIMAL(18,2))
+                 * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey=l.l_partkey) * 5
+               < (SELECT sum(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+                  WHERE l2.l_partkey=l.l_partkey) AS ok
+        FROM lineitem l JOIN part ON p_partkey=l_partkey WHERE p_brand='Brand#12')"""),
+    "q18 limit power (pre-limit rows, vs 100)": (
+        "tpch_pack", "corpus",
+        """SELECT count(*), count(*) - 100 FROM (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)"""),
+    "q21 exclusions (kept, cut by NOT EXISTS)": (
+        "tpch_pack", "corpus",
+        """WITH l1 AS (SELECT DISTINCT l_suppkey, l_orderkey FROM lineitem
+                  WHERE l_returnflag='R')
+      SELECT sum(CASE WHEN hasother AND NOT otherR THEN 1 ELSE 0 END),
+             sum(CASE WHEN hasother AND otherR THEN 1 ELSE 0 END)
+      FROM (SELECT
+          EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey=l1.l_orderkey
+                    AND l2.l_suppkey<>l1.l_suppkey) AS hasother,
+          EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey=l1.l_orderkey
+                    AND l3.l_suppkey<>l1.l_suppkey AND l3.l_returnflag='R') AS otherR
+        FROM l1)"""),
+    "q21 single-supplier orders (cut by EXISTS)": (
+        "tpch_pack", "corpus",
+        """WITH l1 AS (SELECT DISTINCT l_suppkey, l_orderkey FROM lineitem
+                  WHERE l_returnflag='R')
+      SELECT sum(CASE WHEN NOT EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey=l1.l_orderkey
+                      AND l2.l_suppkey<>l1.l_suppkey) THEN 1 ELSE 0 END), NULL
+      FROM l1"""),
+    "q20 HAVING (groups passing, failing)": (
+        "tpch_pack", "corpus",
+        """WITH g AS (
+        SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+          (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+           WHERE l2.l_partkey=lineitem.l_partkey
+             AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l2.l_shipdate < TIMESTAMP '1997-01-01') AS tot
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%ring%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey)
+      SELECT sum(CASE WHEN sq*10 > tot*3 THEN 1 ELSE 0 END),
+             sum(CASE WHEN sq*10 > tot*3 THEN 0 ELSE 1 END) FROM g"""),
+    "q22 dormancy (kept, cut by NOT EXISTS)": (
+        "tpch_pack", "corpus",
+        """WITH sel AS (SELECT * FROM customer WHERE c_nationkey IN (1,3,5,7,9,11,13)),
+      a AS (SELECT count(*) AS cnt, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot
+            FROM sel WHERE c_acctbal > 0)
+      SELECT sum(CASE WHEN dormant THEN 1 ELSE 0 END),
+             sum(CASE WHEN dormant THEN 0 ELSE 1 END) FROM (
+        SELECT NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey=sel.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '1999-01-01') AS dormant
+        FROM sel, a WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > tot)"""),
+    "q13 zero bucket (customers with no qualifying orders)": (
+        "tpch_pack", "corpus",
+        """SELECT (SELECT count(*) FROM (
+          SELECT c_custkey, count(o_custkey) AS c_count FROM customer
+          LEFT OUTER JOIN orders ON c_custkey=o_custkey
+            AND o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c_custkey) WHERE c_count=0),
+        (SELECT count(*) FROM orders WHERE o_orderpriority = '4-NOT SPECIFIED')"""),
+    "q15 max-revenue tie (suppliers at max)": (
+        "tpch_pack", "corpus",
+        """WITH revenue AS (SELECT l_suppkey,
+          sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                        AND l_shipdate < TIMESTAMP '1998-04-01'
+        GROUP BY l_suppkey)
+      SELECT (SELECT count(*) FROM revenue
+              WHERE total_rev = (SELECT max(total_rev) FROM revenue)) - 1, NULL"""),
+    "q2 per-part min-cost tie": (
+        "tpch_pack", "corpus",
+        """WITH eu AS (SELECT s_suppkey FROM supplier
+                  JOIN nation ON s_nationkey=n_nationkey
+                  JOIN region ON n_regionkey=r_regionkey WHERE r_name='EUROPE'),
+      cat AS (SELECT l_partkey, l_suppkey,
+                     min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+              FROM lineitem JOIN eu ON l_suppkey=s_suppkey
+              GROUP BY l_partkey, l_suppkey),
+      mins AS (SELECT l_partkey, min(cost) AS mc FROM cat GROUP BY l_partkey)
+      SELECT (SELECT count(*) FROM (
+          SELECT cat.l_partkey FROM cat JOIN mins
+            ON cat.l_partkey=mins.l_partkey AND cat.cost=mins.mc
+          GROUP BY cat.l_partkey HAVING count(*) > 1)), NULL"""),
+    "q7 pair directions (1->2, 2->1)": (
+        "tpch_pack", "corpus",
+        """SELECT sum(CASE WHEN n1.n_name='NATION_1' THEN 1 ELSE 0 END),
+             sum(CASE WHEN n1.n_name='NATION_2' THEN 1 ELSE 0 END)
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey=l_suppkey AND o_orderkey=l_orderkey AND c_custkey=o_custkey
+        AND s_nationkey=n1.n_nationkey AND c_nationkey=n2.n_nationkey
+        AND ((n1.n_name='NATION_1' AND n2.n_name='NATION_2')
+          OR (n1.n_name='NATION_2' AND n2.n_name='NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'"""),
+    "q8 share branches (nation3 rows, other rows)": (
+        "tpch_pack", "corpus",
+        """SELECT sum(CASE WHEN n2.n_name='NATION_3' THEN 1 ELSE 0 END),
+             sum(CASE WHEN n2.n_name='NATION_3' THEN 0 ELSE 1 END)
+      FROM part, lineitem, supplier, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey=l_partkey AND s_suppkey=l_suppkey AND l_orderkey=o_orderkey
+        AND o_custkey=c_custkey AND c_nationkey=n1.n_nationkey
+        AND n1.n_regionkey=r_regionkey AND r_name='AMERICA'
+        AND s_nationkey=n2.n_nationkey AND p_type='STANDARD'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'"""),
+    "q14 CASE branches (promo, non-promo)": (
+        "tpch_pack", "corpus",
+        """SELECT sum(CASE WHEN p_type='PROMO' THEN 1 ELSE 0 END),
+             sum(CASE WHEN p_type='PROMO' THEN 0 ELSE 1 END)
+      FROM lineitem JOIN part ON l_partkey=p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-07-01'"""),
+    "q19 OR branches 1+2": (
+        "tpch_pack", "corpus",
+        """SELECT sum(CASE WHEN p_brand='Brand#1' AND p_size BETWEEN 1 AND 15
+                       AND l_quantity BETWEEN 1 AND 20 THEN 1 ELSE 0 END),
+             sum(CASE WHEN p_brand='Brand#2' AND p_size BETWEEN 16 AND 35
+                       AND l_quantity BETWEEN 10 AND 35 THEN 1 ELSE 0 END)
+      FROM lineitem JOIN part ON l_partkey=p_partkey"""),
+    "q19 OR branch 3": (
+        "tpch_pack", "corpus",
+        """SELECT sum(CASE WHEN p_type='ECONOMY' AND p_size BETWEEN 36 AND 50
+                       AND l_quantity BETWEEN 20 AND 50 THEN 1 ELSE 0 END), NULL
+      FROM lineitem JOIN part ON l_partkey=p_partkey"""),
+    "q11 HAVING (groups passing, failing)": (
+        "tpch_pack", "corpus",
+        """WITH v AS MATERIALIZED (SELECT l_partkey,
+          sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS value
+        FROM lineitem JOIN supplier ON l_suppkey=s_suppkey
+        WHERE s_nationkey IN (4,7,11) GROUP BY l_partkey)
+      SELECT sum(CASE WHEN CAST(value AS DECIMAL(33,4))*1500 > total THEN 1 ELSE 0 END),
+             sum(CASE WHEN CAST(value AS DECIMAL(33,4))*1500 > total THEN 0 ELSE 1 END)
+      FROM v, (SELECT sum(value) AS total FROM v) t"""),
+    "q9 profit sign mix (negative, positive)": (
+        "tpch_pack", "corpus",
+        """SELECT sum(CASE WHEN amt < 0 THEN 1 ELSE 0 END),
+             sum(CASE WHEN amt >= 0 THEN 1 ELSE 0 END) FROM (
+        SELECT CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))
+               - CAST(p_retailprice AS DECIMAL(8,2)) * 0.6
+                 * CAST(l_quantity AS DECIMAL(4,1)) AS amt
+        FROM lineitem JOIN part ON l_partkey=p_partkey
+        WHERE p_name LIKE '%gear%')"""),
+    "q16 complaint exclusion (cut, kept)": (
+        "tpch_pack", "corpus",
+        """SELECT (SELECT count(*) FROM supplier WHERE s_suppkey % 13 = 0),
+             (SELECT count(*) FROM supplier WHERE s_suppkey % 13 <> 0)"""),
+    "q6 filter (passing, rejected)": (
+        "tpch_pack", "corpus",
+        """SELECT sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate < TIMESTAMP '1997-01-01'
+                       AND l_discount >= 0.05 AND l_discount <= 0.07
+                       AND l_quantity < 24 THEN 1 ELSE 0 END),
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate < TIMESTAMP '1997-01-01'
+                       AND l_discount >= 0.05 AND l_discount <= 0.07
+                       AND l_quantity < 24 THEN 0 ELSE 1 END)
+      FROM lineitem"""),
+}

@@ -483,3 +483,23 @@ ORDER BY vec_id
 """
 
 QUERIES.update({"embedding_quantize_int8": (embedding_quantize_int8, QUANTIZE_SQL)})
+
+
+# Predicate-power probes (see registry.all_probes / dedup.PROBES header)
+PROBES: dict[str, tuple] = {
+    "knn arms both populated, ranks beyond 1": (
+        "knn_pack", "oracle",
+        "SELECT (SELECT count(DISTINCT kind) - 1 FROM t),"
+        " (SELECT max(rk) - 1 FROM t)"),
+    "ivf recall floor holds over real queries": (
+        "ivf_knn", "oracle",
+        "SELECT n_queries, recall_above_floor FROM t"),
+    "int8 quantization sees both signs": (
+        "embedding_quantize_int8", "oracle",
+        "SELECT sum(CASE WHEN q0 < 0 OR q1 < 0 THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN q0 > 0 OR q1 > 0 THEN 1 ELSE 0 END) FROM t"),
+    "int8 quantization error nonzero but half-ulp bounded": (
+        "embedding_quantize_int8", "oracle",
+        "SELECT sum(CASE WHEN max_err_in_scale_units > 0 THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN max_err_in_scale_units <= 0.5 THEN 1 ELSE 0 END) FROM t"),
+}

@@ -965,3 +965,35 @@ QUERIES: dict[str, tuple] = {
     "term_stats_pack": (term_stats_pack, TERM_STATS_PACK_SQL),
     "doc_features_pack": (doc_features_pack, DOC_FEATURES_SQL),
 }
+
+
+# Predicate-power probes (see registry.all_probes / dedup.PROBES header)
+PROBES: dict[str, tuple] = {
+    "documents contain non-ASCII text": (
+        "textstats_pack", "corpus",
+        r"SELECT count(*), NULL FROM documents WHERE text ~ '[^\x00-\x7F]'"),
+    "pii scrubbing fires (docs with hits, without)": (
+        "textstats_pack", "oracle",
+        "SELECT sum(CASE WHEN n_emails + n_phones + n_ids > 0 THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN n_emails + n_phones + n_ids = 0 THEN 1 ELSE 0 END) FROM t"),
+    "term stats arms populated, tfidf ranks beyond 1": (
+        "term_stats_pack", "oracle",
+        "SELECT (SELECT count(DISTINCT kind) - 1 FROM t),"
+        " (SELECT count(*) FROM t WHERE kind='tfidf' AND rk > 1)"),
+    "decontamination hits eval ngrams (hit docs, clean docs)": (
+        "doc_features_pack", "oracle",
+        "SELECT sum(CASE WHEN is_eval=0 AND eval_ngram_hits > 0 THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN is_eval=0 AND eval_ngram_hits = 0 THEN 1 ELSE 0 END) FROM t"),
+    "span dedup cuts spans for some docs only": (
+        "doc_features_pack", "oracle",
+        "SELECT sum(CASE WHEN spans_kept < spans_total THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN spans_kept = spans_total THEN 1 ELSE 0 END) FROM t"),
+    "quality gate keeps and rejects": (
+        "doc_features_pack", "oracle",
+        "SELECT sum(CASE WHEN kept=0 THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN kept=1 THEN 1 ELSE 0 END) FROM t"),
+    "lang-id agrees and disagrees with labels": (
+        "doc_features_pack", "oracle",
+        "SELECT sum(CASE WHEN label_match=0 THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN label_match=1 THEN 1 ELSE 0 END) FROM t"),
+}

@@ -590,3 +590,15 @@ SELECT {", ".join(f"CAST(NULL AS VARCHAR) AS {c}" for c in OUT_COLS)},
 QUERIES: dict[str, tuple] = {
     "odm_xml_ingest": (odm_xml_ingest, _oracle_sql()),
 }
+
+
+# Predicate-power probes (see registry.all_probes / dedup.PROBES header)
+PROBES: dict[str, tuple] = {
+    "xml ingest splits parsed rows and dead letters": (
+        "odm_xml_ingest", "oracle",
+        "SELECT sum(is_error), sum(1 - is_error) FROM t"),
+    "xml dead letters split fatal vs requeue-able": (
+        "odm_xml_ingest", "oracle",
+        "SELECT sum(CASE WHEN is_error=1 AND is_fatal=1 THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN is_error=1 AND is_fatal=0 THEN 1 ELSE 0 END) FROM t"),
+}

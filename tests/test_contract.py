@@ -207,3 +207,28 @@ def test_pack_arms_individually_importable(spark):
             df = fn(spark, SF_SMOKE)
             assert df.columns, f"{fn_name} produced no schema"
             df.explain(mode="simple")  # analyzes the plan without executing
+
+
+def test_probe_coverage_is_total_and_enforced(monkeypatch):
+    """r10 verdict #6: power probes are colocated with each module's
+    QUERIES and aggregated by registry.all_probes(), which must (a)
+    cover every registered query plus the two flagships, and (b) FAIL
+    LOUDLY if a query ships probe-less — simulated here by blanking one
+    module's PROBES."""
+    import pytest
+
+    from lens_sds_batch_spark.operators import dedup, registry
+
+    probes = registry.all_probes()
+    covered = {q for (q, _, _) in probes.values()}
+    expected = set(registry.all_queries()) | {"odm_commands", "odm_commands_uuid5"}
+    assert covered == expected
+    # every probe is well-formed SQL-bearing spec
+    for name, (query, kind, sql) in probes.items():
+        assert kind in ("corpus", "oracle") and "SELECT" in sql.upper(), name
+        if kind == "oracle":
+            assert "FROM t" in sql, f"{name}: oracle probe must read FROM t"
+
+    monkeypatch.setattr(dedup, "PROBES", {})
+    with pytest.raises(ValueError, match="NO power probe"):
+        registry.all_probes()
