@@ -76,6 +76,20 @@ res_p = merge_into(spark, tgt_parquet, upd, keys=["k"], order_cols=["pri"],
 assert res_d["engine"] == "delta", res_d
 assert res_p["engine"] == "parquet-swap", res_p
 
+# r11: the bucketed portable layout must land on the same Delta-contract
+# state as real MERGE INTO (the bucketed path is the portable mirror of
+# Delta's file-level rewrite — differential it the moment delta exists)
+tgt_bucketed = f"{tmp}/tgt_bucketed"
+cur.write.parquet(tgt_bucketed)
+res_b = merge_into(spark, tgt_bucketed, upd, keys=["k"], order_cols=["pri"],
+                   is_delete=F.col("dead"), num_buckets=4)
+assert res_b["engine"] == "parquet-swap" and res_b["num_buckets"] == 4, res_b
+res_b2 = merge_into(spark, tgt_bucketed, upd, keys=["k"], order_cols=["pri"],
+                    is_delete=F.col("dead"))
+assert res_b2["engine"] == "parquet-bucketed", res_b2
+got_b = sorted(map(tuple, spark.read.parquet(tgt_bucketed)
+                   .select("k", "pri", "payload").collect()))
+
 got_d = sorted(map(tuple, spark.read.format("delta").load(tgt_delta)
                    .select("k", "pri", "payload").collect()))
 got_p = sorted(map(tuple, spark.read.parquet(tgt_parquet)
@@ -89,6 +103,7 @@ expect = sorted([
 ])
 assert got_d == expect, f"delta branch state: {got_d}"
 assert got_p == expect, f"parquet branch state: {got_p}"
+assert got_b == expect, f"bucketed branch state: {got_b}"
 print("DELTA_MERGE_OK " + json.dumps({"delta": got_d, "parquet": got_p}))
 """
 

@@ -53,7 +53,22 @@ OPS = ("dedup_basic_pack", "dup_pairs_pack",  # basic pack = former dedup_exact 
        # r10: the skew-stressed salted join — scaling replicates the
        # fact (lineitem) only, so the hot key's share grows linearly
        # while the dim stays fixed: exactly the 100 TB shape
-       "skew_salted_join")
+       "skew_salted_join",
+       # r11 (verdict #4): the FULL registry — every remaining query now
+       # has a recorded 10x ratio.  The one exclusion: knn_pack, whose
+       # brute arm is the labeled-quadratic baseline by design (the
+       # scale path is knn_lsh_bucketed above; ivf_knn is the other
+       # sub-quadratic ANN and IS timed, KMeans fit included since its
+       # sample size is fixed).
+       "odm_commands_uuid5", "ivf_knn", "embedding_quantize_int8",
+       "term_stats_pack", "corpus_shuffle_split", "multimodal_meta",
+       "media_decode_stub", "media_chunks", "merge_lww", "cdc_guard_pack",
+       "entity_state_subjects", "scd2_history", "session_window_agg",
+       "q3_shipping_priority", "q5_nation_revenue", "window_topk_per_group",
+       "agg_rollup", "events_tumbling", "sessionize", "salted_hot_key_agg",
+       "joins_pack", "window_pack", "agg_multi_pack", "set_ops_pack",
+       "row_funcs_pack", "scalar_pack", "percentile_pack", "reshape_pack",
+       "time_aggs_pack", "approx_sketches")
 
 BASE_TMP = "/tmp/lens_scale_smoke"
 

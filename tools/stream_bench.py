@@ -1,0 +1,192 @@
+"""Streaming throughput / per-trigger latency bench (r10 verdict #5).
+
+Streaming has correctness parity (stream ≡ batch pinned for every
+stateful operator in tests/test_streaming.py) but had no recorded
+performance point.  This tool measures the three executing streaming
+paths at sf0.1 event volume (~100k events) on the sandbox's
+file-stream transport:
+
+- ``correlate_stream``: per-cid first-event-wins stateful correlation
+  (applyInPandasWithState) through a noop sink.
+- ``lww_sink``: the foreachBatch LWW merge sink (apply_lww per
+  micro-batch, parquet append) — the command-sink path.
+- ``requeue_loop``: the nack+requeue fixpoint (requeue_sink pointed at
+  the stream's own source dir), drained to quiescence — throughput
+  includes the feedback redeliveries.
+
+Each bench reports rows in, wall-clock of processAllAvailable, rows/s,
+trigger count, and median per-trigger latency (durationMs.
+triggerExecution from the query progress log).  Prints ONE JSON line.
+
+Measurement discipline (BASELINE.md): single readings drift ±30% on
+this host — record the MEDIAN of 3 fresh-process runs, same as the
+batch table.
+
+Usage: python tools/stream_bench.py [sf_dir] [files_per_trigger]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lens_sds_batch_spark.session import get_spark  # noqa: E402
+
+BASE_TMP = "/tmp/lens_stream_bench"
+N_SRC_FILES = 16
+
+
+def _progress_stats(q) -> tuple[int, float]:
+    """(triggers, median triggerExecution ms) over data-bearing triggers."""
+    durs = [
+        p.durationMs["triggerExecution"]
+        for p in q.recentProgress  # StreamingQueryProgress, dict-like
+        if (p.numInputRows or 0) > 0
+    ]
+    return len(durs), (statistics.median(durs) if durs else 0.0)
+
+
+def bench_correlate(spark, sf_dir: str, fpt: int) -> dict:
+    from lens_sds_batch_spark.streaming.pipeline import correlate_stream
+
+    src = f"{BASE_TMP}/corr_src"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = (
+        ev.select(
+            F.concat(F.lit("C"), F.col("user_id").cast("string")).alias("cid"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_id").cast("bigint").alias("seq"),
+            F.col("event_type").alias("name"),
+        )
+        .repartition(N_SRC_FILES)
+        .write.mode("overwrite")
+        .parquet(src)
+        or spark.read.parquet(src).count()
+    )
+    stream = (
+        spark.readStream.schema("cid string, ts timestamp, seq bigint, name string")
+        .option("maxFilesPerTrigger", fpt)
+        .parquet(src)
+    )
+    q = (
+        correlate_stream(stream, watermark="2 hours")
+        .writeStream.format("noop")
+        .outputMode("update")
+        .start()
+    )
+    t0 = time.time()
+    q.processAllAvailable()
+    wall = time.time() - t0
+    triggers, med = _progress_stats(q)
+    q.stop()
+    return {"rows": n, "wall_sec": round(wall, 2),
+            "rows_per_sec": round(n / wall), "triggers": triggers,
+            "median_trigger_ms": med}
+
+
+def bench_lww_sink(spark, sf_dir: str, fpt: int) -> dict:
+    from lens_sds_batch_spark.plans.merge import apply_lww
+    from lens_sds_batch_spark.streaming.pipeline import read_event_stream
+
+    src = f"{BASE_TMP}/lww_src"
+    out = f"{BASE_TMP}/lww_state"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = (
+        ev.repartition(N_SRC_FILES).write.mode("overwrite").parquet(src)
+        or spark.read.parquet(src).count()
+    )
+    stream = read_event_stream(spark, src, max_files_per_trigger=fpt)
+
+    def merge_batch(batch_df, _epoch):
+        apply_lww(
+            batch_df,
+            keys=["user_id"],
+            order_cols=[F.col("ts"), F.col("event_id")],
+            is_delete=F.lit(False),
+        ).write.mode("append").parquet(out)
+
+    q = stream.writeStream.foreachBatch(merge_batch).start()
+    t0 = time.time()
+    q.processAllAvailable()
+    wall = time.time() - t0
+    triggers, med = _progress_stats(q)
+    q.stop()
+    return {"rows": n, "wall_sec": round(wall, 2),
+            "rows_per_sec": round(n / wall), "triggers": triggers,
+            "median_trigger_ms": med}
+
+
+def bench_requeue(spark, sf_dir: str, fpt: int) -> dict:
+    from lens_sds_batch_spark.operators.cdc import (
+        _RQ_FAIL_MOD,
+        _RQ_FATAL_MOD,
+        _RQ_MAX_ATTEMPTS,
+    )
+    from lens_sds_batch_spark.sources.parquet import load_events
+    from lens_sds_batch_spark.streaming.pipeline import requeue_sink
+
+    src, out, dead = (f"{BASE_TMP}/rq_{d}" for d in ("src", "out", "dead"))
+    # full sf0.1 event volume (the batch query's _RQ_SUBSET_MOD exists
+    # only to keep the DuckDB oracle's fixpoint CTE tractable)
+    n = (
+        load_events(spark, sf_dir)
+        .select("event_id", F.lit(0).alias("attempts"))
+        .repartition(N_SRC_FILES)
+        .write.mode("overwrite")
+        .parquet(src)
+        or spark.read.parquet(src).count()
+    )
+    att = F.coalesce(F.col("attempts"), F.lit(0))
+    sink = requeue_sink(
+        out, dead, src,
+        is_ok=att >= F.col("event_id") % _RQ_FAIL_MOD,
+        is_retryable=F.col("event_id") % _RQ_FATAL_MOD != 0,
+        max_attempts=_RQ_MAX_ATTEMPTS,
+    )
+    q = (
+        spark.readStream.schema("event_id bigint, attempts int")
+        .option("maxFilesPerTrigger", fpt)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .start()
+    )
+    t0 = time.time()
+    q.processAllAvailable()  # drains feedback redeliveries to fixpoint
+    wall = time.time() - t0
+    triggers, med = _progress_stats(q)
+    q.stop()
+    routed = spark.read.parquet(out).count() + spark.read.parquet(dead).count()
+    return {"rows": n, "rows_routed": routed, "wall_sec": round(wall, 2),
+            "rows_per_sec": round(n / wall), "triggers": triggers,
+            "median_trigger_ms": med}
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    fpt = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    shutil.rmtree(BASE_TMP, ignore_errors=True)
+    spark = get_spark("stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    benches = {
+        "correlate_stream": bench_correlate(spark, sf_dir, fpt),
+        "lww_sink": bench_lww_sink(spark, sf_dir, fpt),
+        "requeue_loop": bench_requeue(spark, sf_dir, fpt),
+    }
+    print(json.dumps({
+        "metric": "streaming rows/sec + per-trigger latency",
+        "files_per_trigger": fpt,
+        "benches": benches,
+        "sf_dir": sf_dir,
+    }))
+    shutil.rmtree(BASE_TMP, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
