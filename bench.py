@@ -38,20 +38,16 @@ HEADLINE = (
     # rows (one pack = both arms executed, so for subset comparability
     # its time stands in for the two former entries combined)
     "knn_pack",
-    # r6: textstats_pack folds the former text_quality + token_counts
-    # rows; r7 additionally folded rolling_hash into it — its time now
-    # stands in for the THREE combined, and the r1-comparable subset
-    # totals shift accordingly (rolling_hash's former standalone row is
-    # gone; its work rides here)
-    "textstats_pack",
+    # r6: textstats_pack folded the former text_quality + token_counts
+    # rows; r7 added rolling_hash; r11 folded textstats_pack +
+    # term_stats_pack into text_pack — this ONE row now stands in for
+    # the five former entries combined
+    "text_pack",
     "multimodal_meta",
     "entity_state_subjects",
     "scd2_history",
     "session_window_agg",
     "simhash_dup_pairs",
-    # r10: term_stats_pack folds the former tfidf_top_terms +
-    # bigram_topk rows (its time stands in for the two combined)
-    "term_stats_pack",
     "embedding_quantize_int8",
     "media_chunks",
     "salted_hot_key_agg",
@@ -102,6 +98,9 @@ HEADLINE = (
     # added round 10: the skew-stressed salted JOIN (banked slot from
     # the term_stats_pack fold)
     "skew_salted_join",
+    # added round 11: the bucketed merge_into gate query (banked slot
+    # from the text_pack fold)
+    "entity_state_bucketed",
 )
 
 

@@ -341,6 +341,140 @@ ORDER BY study_oid, subject_key
 QUERIES.update({"entity_state_subjects": (entity_state_subjects, ENTITY_STATE_SQL)})
 
 
+def entity_state_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r11 bucketed portable merge (plans/merge.py ``merge_into``
+    with a ``__bucket=hash(keys)%N`` target layout) under the HARD
+    ORACLE GATE: three sequential micro-batches applied to an on-disk
+    bucketed entity table, final state read back and compared against a
+    closed-form DuckDB LWW over the unioned batches.
+
+    Batches (all derived deterministically from ``customer``):
+      1. pri 0: even-custkey subjects at version v0 — materializes the
+         16-bucket layout (engine: parquet-swap + spec write);
+      2. pri 1: the subject-level command batch (insert/upsert → v1,
+         remove → tombstone) — the FIRST pruned bucketed merge;
+      3. pri 2: a second-day batch touching only custkey % 7 == 0 or
+         % 11 == 0 (upsert → v2, % 11 → remove) — re-insert-after-
+         remove, remove-after-update, and delete-of-absent all occur.
+
+    Sequential merges ≡ one LWW over the union because priorities are
+    strictly increasing and the tombstone contract deletes only via a
+    newer matching source row — which is exactly what the oracle SQL
+    states.  Equality of the READ-BACK state (not an in-memory frame)
+    gates the storage path itself: bucket routing, spec autodetection,
+    pruned reads, per-bucket swaps, tombstone drops, bucket emptying.
+
+    Scratch dir: (sf, pid)-keyed under spark-warehouse like the XML
+    render corpus (same GC), wiped at builder start so re-runs are
+    deterministic.  Reference semantics anchor:
+    ``import_clinical_data.clj:239-263`` (upsert/remove at entity
+    grain applied to the store).
+    """
+    import os
+    import shutil
+
+    from ..plans.merge import BUCKET_COL, merge_into
+    from ..plans.odm import derive_odm_resolved
+    from .xml_ingest import _gc_stale_render_dirs
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.environ.get("SPARK_GRAFT_RENDER_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )
+    root = os.path.join(base, "entity_state_bucketed")
+    _gc_stale_render_dirs(root)
+    target = os.path.join(root, f"{sf_name}-{os.getpid()}")
+    shutil.rmtree(target, ignore_errors=True)
+
+    cust = load_table(spark, sf_dir, "customer")
+    st = F.concat(F.lit("ST"), (F.col("c_custkey") % 3).cast("string"))
+    sk = F.concat(F.lit("SK"), F.col("c_custkey").cast("string"))
+    b1 = cust.where(F.col("c_custkey") % 2 == 0).select(
+        st.alias("study_oid"), sk.alias("subject_key"),
+        F.lit(0).alias("priority"), F.lit("v0").alias("version"),
+        F.lit(False).alias("is_remove"),
+    )
+    b2 = derive_odm_resolved(spark, sf_dir).subjects.where(
+        F.col("rtx").isin("insert", "upsert", "remove")
+    ).select(
+        "study_oid", "subject_key",
+        F.lit(1).alias("priority"), F.lit("v1").alias("version"),
+        (F.col("rtx") == "remove").alias("is_remove"),
+    )
+    b3 = cust.where((F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 11 == 0)).select(
+        st.alias("study_oid"), sk.alias("subject_key"),
+        F.lit(2).alias("priority"), F.lit("v2").alias("version"),
+        (F.col("c_custkey") % 11 == 0).alias("is_remove"),
+    )
+    engines = []
+    for i, batch in enumerate((b1, b2, b3)):
+        res = merge_into(
+            spark, target, batch,
+            keys=["study_oid", "subject_key"],
+            order_cols=["priority"],
+            is_delete=F.col("is_remove"),
+            num_buckets=16 if i == 0 else None,  # autodetected after layout
+        )
+        engines.append(res["engine"])
+    if engines != ["parquet-swap", "parquet-bucketed", "parquet-bucketed"]:
+        raise AssertionError(f"unexpected merge engines: {engines}")
+    # Empty-input totality (tests/test_empty_inputs.py): an all-empty
+    # corpus leaves a bucketed target with a spec but ZERO data files —
+    # legitimate merged state (it is also what deleting every key
+    # leaves), but parquet cannot infer a schema from it.  Degrade to
+    # the documented 0-row form instead of crashing.
+    from pyspark.errors import AnalysisException
+
+    try:
+        out = spark.read.parquet(target)
+    except AnalysisException:
+        out = spark.createDataFrame(
+            [], "study_oid string, subject_key string, version string"
+        )
+    return out.select("study_oid", "subject_key", "version")
+
+
+ENTITY_STATE_BUCKETED_SQL = f"""
+WITH subjects AS (
+  SELECT 'ST' || CAST(c_custkey % 3 AS VARCHAR) AS study_oid,
+         'SK' || CAST(c_custkey AS VARCHAR) AS subject_key,
+         coalesce({SUBJECT_TX}, 'insert') AS rtx
+  FROM customer
+),
+b1 AS (
+  SELECT 'ST' || CAST(c_custkey % 3 AS VARCHAR) AS study_oid,
+         'SK' || CAST(c_custkey AS VARCHAR) AS subject_key,
+         0 AS priority, 'v0' AS version, false AS is_remove
+  FROM customer WHERE c_custkey % 2 = 0
+),
+b2 AS (
+  SELECT study_oid, subject_key, 1 AS priority, 'v1' AS version,
+         (rtx = 'remove') AS is_remove
+  FROM subjects WHERE rtx IN ('insert', 'upsert', 'remove')
+),
+b3 AS (
+  SELECT 'ST' || CAST(c_custkey % 3 AS VARCHAR) AS study_oid,
+         'SK' || CAST(c_custkey AS VARCHAR) AS subject_key,
+         2 AS priority, 'v2' AS version,
+         (c_custkey % 11 = 0) AS is_remove
+  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+),
+unioned AS (
+  SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+)
+SELECT study_oid, subject_key, version FROM (
+  SELECT *, row_number() OVER (PARTITION BY study_oid, subject_key ORDER BY priority DESC) AS rk
+  FROM unioned
+) WHERE rk = 1 AND NOT is_remove
+ORDER BY study_oid, subject_key
+"""
+
+QUERIES.update(
+    {"entity_state_bucketed": (entity_state_bucketed, ENTITY_STATE_BUCKETED_SQL)}
+)
+
+
 def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 (slowly-changing-dimension type 2) history from the events
     CDC stream: per user, each event opens a version; lead() closes the
@@ -578,6 +712,17 @@ PROBES: dict[str, tuple] = {
         "cdc_guard_pack", "oracle",
         "SELECT sum(CASE WHEN kind='dead_letter' THEN 1 ELSE 0 END),"
         " sum(CASE WHEN kind='cascade' THEN 1 ELSE 0 END) FROM t"),
+    "bucketed merge final state carries day-2 winners and untouched v0s": (
+        "entity_state_bucketed", "oracle",
+        "SELECT sum(CASE WHEN version='v2' THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN version='v0' THEN 1 ELSE 0 END) FROM t"),
+    "bucketed merge pri-2 removes hit keys that were in state": (
+        "entity_state_bucketed", "corpus",
+        """SELECT (SELECT count(*) FROM customer
+                   WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+                     AND c_custkey % 2 = 0),
+               (SELECT count(*) FROM customer
+                   WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0)"""),
     "entity state mixes updated and untouched subjects": (
         "entity_state_subjects", "oracle",
         "SELECT sum(CASE WHEN version='v1' THEN 1 ELSE 0 END),"

@@ -958,11 +958,64 @@ ORDER BY q.doc_id
 """
 
 
+def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 fold of ``textstats_pack`` + ``term_stats_pack`` (COVERAGE.md's
+    named candidate — same table, doc grain vs term grain), banking a
+    registry slot for ``entity_state_bucketed``.  Both constituent packs
+    stay independently callable and BYTE-UNCHANGED; this pack unions
+    them under a NULL-padded common schema (the established fold
+    discipline): the doc-grain stats rows carry kind='stats' + the 13
+    stat columns, the term-grain rows keep their tfidf/bigram kinds +
+    (term, tfidf, rk, n); each arm NULLs the other's columns.  The
+    padding is DERIVED from the stats arm's dtypes, so a stats-arm
+    schema change cannot silently diverge the padded twin."""
+    stats = textstats_pack(spark, sf_dir)
+    terms = term_stats_pack(spark, sf_dir)
+    term_cols = [("term", "string"), ("tfidf", "double"), ("rk", "int"), ("n", "bigint")]
+    stat_cols = [(c, t) for c, t in stats.dtypes if c != "doc_id"]
+    stats_p = stats.select(
+        F.lit("stats").alias("kind"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        *[F.lit(None).cast(t).alias(c) for c, t in term_cols],
+        *[F.col(c) for c, _ in stat_cols],
+    )
+    terms_p = terms.select(
+        "kind",
+        "doc_id",
+        *[F.col(c) for c, _ in term_cols],
+        *[F.lit(None).cast(t).alias(c) for c, t in stat_cols],
+    )
+    return stats_p.unionByName(terms_p)
+
+
+_STAT_NULLS = (
+    "CAST(NULL AS BIGINT) AS len_chars, CAST(NULL AS BIGINT) AS n_tokens,"
+    " CAST(NULL AS BIGINT) AS n_distinct, CAST(NULL AS DOUBLE) AS ttr,"
+    " CAST(NULL AS DOUBLE) AS stopword_ratio, CAST(NULL AS DOUBLE) AS mean_token_len,"
+    " CAST(NULL AS BIGINT) AS ws_tokens, CAST(NULL AS BIGINT) AS bpe_tokens,"
+    " CAST(NULL AS BIGINT) AS rhash, CAST(NULL AS BIGINT) AS n_emails,"
+    " CAST(NULL AS BIGINT) AS n_phones, CAST(NULL AS BIGINT) AS n_ids,"
+    " CAST(NULL AS VARCHAR) AS scrub_md5"
+)
+
+TEXT_PACK_SQL = f"""
+SELECT 'stats' AS kind, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(NULL AS VARCHAR) AS term, CAST(NULL AS DOUBLE) AS tfidf,
+       CAST(NULL AS INT) AS rk, CAST(NULL AS BIGINT) AS n,
+       len_chars, n_tokens, n_distinct, ttr, stopword_ratio,
+       mean_token_len, ws_tokens, bpe_tokens, rhash,
+       n_emails, n_phones, n_ids, scrub_md5
+FROM ({TEXTSTATS_PACK_SQL.strip().rstrip(';')})
+UNION ALL
+SELECT kind, doc_id, term, tfidf, rk, n, {_STAT_NULLS}
+FROM ({TERM_STATS_PACK_SQL.strip().rstrip(';')})
+"""
+
+
 QUERIES: dict[str, tuple] = {
-    "textstats_pack": (textstats_pack, TEXTSTATS_PACK_SQL),
-    # r10: tfidf_top_terms + bigram_topk folded into term_stats_pack
-    # (slot banked for skew_salted_join); arms unchanged + callable.
-    "term_stats_pack": (term_stats_pack, TERM_STATS_PACK_SQL),
+    # r11: textstats_pack + term_stats_pack folded into text_pack (slot
+    # banked for entity_state_bucketed); all arms unchanged + callable.
+    "text_pack": (text_pack, TEXT_PACK_SQL),
     "doc_features_pack": (doc_features_pack, DOC_FEATURES_SQL),
 }
 
@@ -970,15 +1023,16 @@ QUERIES: dict[str, tuple] = {
 # Predicate-power probes (see registry.all_probes / dedup.PROBES header)
 PROBES: dict[str, tuple] = {
     "documents contain non-ASCII text": (
-        "textstats_pack", "corpus",
+        "text_pack", "corpus",
         r"SELECT count(*), NULL FROM documents WHERE text ~ '[^\x00-\x7F]'"),
     "pii scrubbing fires (docs with hits, without)": (
-        "textstats_pack", "oracle",
+        "text_pack", "oracle",
         "SELECT sum(CASE WHEN n_emails + n_phones + n_ids > 0 THEN 1 ELSE 0 END),"
-        " sum(CASE WHEN n_emails + n_phones + n_ids = 0 THEN 1 ELSE 0 END) FROM t"),
+        " sum(CASE WHEN n_emails + n_phones + n_ids = 0 THEN 1 ELSE 0 END)"
+        " FROM t WHERE kind = 'stats'"),
     "term stats arms populated, tfidf ranks beyond 1": (
-        "term_stats_pack", "oracle",
-        "SELECT (SELECT count(DISTINCT kind) - 1 FROM t),"
+        "text_pack", "oracle",
+        "SELECT (SELECT count(DISTINCT kind) - 2 FROM t),"
         " (SELECT count(*) FROM t WHERE kind='tfidf' AND rk > 1)"),
     "decontamination hits eval ngrams (hit docs, clean docs)": (
         "doc_features_pack", "oracle",

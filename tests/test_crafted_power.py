@@ -366,8 +366,7 @@ def test_unicode_text_oracle_parity(spark, tmp_path):
     )
     for name in [
         "dedup_basic_pack",
-        "textstats_pack",
-        "term_stats_pack",
+        "text_pack",
         "doc_features_pack",
     ]:
         assert compare_one(con, spark, name, qs[name], oracles[name], sf_dir=d), name

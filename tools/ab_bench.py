@@ -7,7 +7,7 @@ only thing that cancels host drift (the r5->r6 "flagship regression"
 was 20% host noise).  This tool packages that discipline:
 
     python tools/ab_bench.py --a /path/to/worktreeA --b /path/to/repoB \
-        --queries term_stats_pack ivf_knn --runs 3 [--sf-dir /root/testdata/sf0.1]
+        --queries text_pack ivf_knn --runs 3 [--sf-dir /root/testdata/sf0.1]
 
 Each (run, variant) is ONE fresh subprocess that builds a session, warms
 the JVM exactly like bench.py, then times the named queries through the

@@ -35,7 +35,7 @@ OPS = ("dedup_basic_pack", "dup_pairs_pack",  # basic pack = former dedup_exact 
        "dedup_clusters", "stratified_sample", "pack_sequences",
        "curation_funnel",  # r6: composes quality gate + lang-id + dedup + near-dup + semantic pruning
        "doc_features_pack",  # r6: shared-checkpoint tokenized scan across 8 arms
-       "textstats_pack", "layout_zorder",  # r6 folds/additions
+       "text_pack", "layout_zorder",  # r6/r11 folds (text_pack = textstats+term_stats)
        # r5: the flagship + relational paths, over key-consistently
        # replicated customer/orders/lineitem/events (offsets preserve
        # join integrity, so these run the REAL pipelines at 10x)
@@ -61,7 +61,7 @@ OPS = ("dedup_basic_pack", "dup_pairs_pack",  # basic pack = former dedup_exact 
        # sub-quadratic ANN and IS timed, KMeans fit included since its
        # sample size is fixed).
        "odm_commands_uuid5", "ivf_knn", "embedding_quantize_int8",
-       "term_stats_pack", "corpus_shuffle_split", "multimodal_meta",
+       "corpus_shuffle_split", "multimodal_meta", "entity_state_bucketed",
        "media_decode_stub", "media_chunks", "merge_lww", "cdc_guard_pack",
        "entity_state_subjects", "scd2_history", "session_window_agg",
        "q3_shipping_priority", "q5_nation_revenue", "window_topk_per_group",
