@@ -118,8 +118,12 @@ def merge_into(
       post-merge state — and the merge is idempotent (LWW over a total
       order), so replaying the same batch converges; the recovery pass
       at the head of every bucketed merge restores asides / clears
-      stale ones first.  Tombstone/tie-break/NULL-order contracts below
-      apply to the bucketed path unchanged.
+      stale ones first.  SINGLE WRITER assumed, like any parquet
+      write-swap table: two concurrent merges into one target would
+      race the rename protocol — when concurrent writers are a
+      requirement, that is exactly what the Delta branch's optimistic
+      concurrency provides.  Tombstone/tie-break/NULL-order contracts
+      below apply to the bucketed path unchanged.
 
     - TOMBSTONE CONTRACT (r8 continuation review): ``is_delete`` is
       evaluated on UPDATE rows ONLY, with NULL normalized to False —
