@@ -385,7 +385,12 @@ def entity_state_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(base, "entity_state_bucketed")
     _gc_stale_render_dirs(root)
     target = os.path.join(root, f"{sf_name}-{os.getpid()}")
-    shutil.rmtree(target, ignore_errors=True)
+    # wipe merge_into's rename-protocol siblings too (r11 review): a
+    # leftover .__old from a crashed earlier run under a REUSED pid
+    # would otherwise be "recovered" into batch 1's fresh target,
+    # resurrecting stale state (and tripping the engines assertion)
+    for leftover in (target, target + ".__old", target + ".__tmp"):
+        shutil.rmtree(leftover, ignore_errors=True)
 
     cust = load_table(spark, sf_dir, "customer")
     st = F.concat(F.lit("ST"), (F.col("c_custkey") % 3).cast("string"))

@@ -442,7 +442,15 @@ def _gc_stale_render_dirs(render_root: str) -> None:
     except OSError:
         return
     for name in entries:
-        pid_s = name.rsplit("-", 1)[-1]
+        # merge_into's rename protocol leaves "<sf>-<pid>.__old" /
+        # ".__tmp" siblings when a run dies mid-swap (r11: the bucketed
+        # entity-state scratch) — strip those suffixes so their pid
+        # parses and dead processes' swap debris is GC'd too
+        base = name
+        for suf in (".__old", ".__tmp"):
+            if base.endswith(suf):
+                base = base[: -len(suf)]
+        pid_s = base.rsplit("-", 1)[-1]
         if not pid_s.isdigit() or int(pid_s) == os.getpid():
             continue
         path = os.path.join(render_root, name)

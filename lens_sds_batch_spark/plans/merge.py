@@ -20,11 +20,17 @@ from pyspark.sql import functions as F
 
 # Key-hash-bucketed target layout (r10 verdict #1): the partition
 # column every bucketed target is laid out by, and the underscore-
-# prefixed spec directory (ignored by parquet partition discovery,
-# like Delta's _delta_log) that pins the bucket count + key set so
-# every later batch hashes keys into the SAME buckets.
+# prefixed spec file (ignored by parquet partition discovery, like
+# Delta's _delta_log) that pins the bucket count + key set so every
+# later batch hashes keys into the SAME buckets.  The spec is written
+# INTO THE TMP DIR before the swap, so the single directory rename
+# that exposes the data exposes the spec with it — there is no crash
+# window in which a bucketed layout exists without its spec (r11
+# review: the earlier write-spec-after-swap ordering had one, and the
+# num_buckets-trusting self-heal it required could mis-pin N and
+# silently split keys across bucket spaces).
 BUCKET_COL = "__bucket"
-BUCKET_SPEC_DIR = "_bucket_spec"
+BUCKET_SPEC_FILE = "_bucket_spec.json"
 
 
 def bucket_expr(keys: list[str], num_buckets: int) -> Column:
@@ -39,22 +45,53 @@ def bucket_expr(keys: list[str], num_buckets: int) -> Column:
     )
 
 
-def _write_bucket_spec(spark, target_path: str, keys: list[str], num_buckets: int):
-    spec_dir = target_path.rstrip("/") + "/" + BUCKET_SPEC_DIR
-    spark.createDataFrame(
-        [(int(num_buckets), json.dumps(list(keys)))],
-        "num_buckets long, keys string",
-    ).coalesce(1).write.mode("overwrite").json(spec_dir)
+def _write_bucket_spec(fs, jvm_path, dir_path: str, keys: list[str], num_buckets: int):
+    """Write the spec as ONE small file through the Hadoop FS API — a
+    single filesystem op, not a Spark job (r11 review: the old 1-row
+    DataFrame-write/read pair scheduled a full job per merge call,
+    pure latency on the per-micro-batch streaming-sink path)."""
+    payload = json.dumps(
+        {"num_buckets": int(num_buckets), "keys": list(keys)}
+    ).encode("utf-8")
+    out = fs.create(jvm_path(dir_path.rstrip("/") + "/" + BUCKET_SPEC_FILE), True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
 
 
 def _read_bucket_spec(spark, fs, jvm_path, target_path: str):
     """Return (num_buckets, keys) if the target carries a bucket spec,
-    else None."""
-    spec_dir = target_path.rstrip("/") + "/" + BUCKET_SPEC_DIR
-    if not fs.exists(jvm_path(spec_dir)):
+    else None.  An EXISTING-but-unreadable spec raises loudly: guessing
+    'unbucketed' against a bucketed layout would route keys into the
+    wrong bucket space and silently duplicate them."""
+    spec_path = target_path.rstrip("/") + "/" + BUCKET_SPEC_FILE
+    if not fs.exists(jvm_path(spec_path)):
         return None
-    row = spark.read.json(spec_dir).collect()[0]
-    return int(row["num_buckets"]), list(json.loads(row["keys"]))
+    try:
+        stm = fs.open(jvm_path(spec_path))
+        try:
+            raw = bytes(spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stm))
+        finally:
+            stm.close()
+    except Exception as e:  # IO/checksum failure on an EXISTING spec:
+        # re-raise loudly (same refusal as unparseable content below)
+        raise ValueError(
+            f"merge_into: unreadable bucket spec at {spec_path} ({e})".split(
+                "\n"
+            )[0]
+            + "; refusing to guess the bucket layout — repair or remove "
+            "the table"
+        ) from e
+    try:
+        spec = json.loads(raw)
+        return int(spec["num_buckets"]), list(spec["keys"])
+    except (ValueError, KeyError, TypeError) as e:
+        raise ValueError(
+            f"merge_into: corrupt bucket spec at {spec_path} ({e!r}); "
+            "refusing to guess the bucket layout — repair or remove the "
+            "table"
+        ) from e
 
 
 def apply_lww(
@@ -276,25 +313,29 @@ def merge_into(
             spark, fs, jvm_path, target_path, updates, keys,
             order_exprs, row_hash, is_delete, spec_n,
         )
+    # No spec: a target that nevertheless carries __bucket= partition
+    # dirs is AMBIGUOUS (external tampering, or a table from a pre-spec
+    # build) — both the legacy path (unionByName would drag __bucket
+    # into the schema) and a guessed bucket count (could mis-route
+    # keys) are corruption paths, so refuse loudly.  Since the spec is
+    # written inside tmp before the swap, normal operation can never
+    # produce this state.
+    if fs.exists(jvm_path(target_path)) and _has_bucket_dirs(
+        fs, jvm_path, target_path
+    ):
+        raise ValueError(
+            f"merge_into: target {target_path} has {BUCKET_COL}= partition "
+            f"directories but no {BUCKET_SPEC_FILE}; refusing to guess the "
+            "bucket layout — restore the spec or rebuild the table"
+        )
     as_buckets = None
     if num_buckets is not None:
         if BUCKET_COL in updates.columns:
             raise ValueError(f"merge_into: updates may not carry {BUCKET_COL}")
-        if fs.exists(jvm_path(target_path)) and _has_bucket_dirs(
-            fs, jvm_path, target_path
-        ):
-            # layout exists but the spec write crashed: self-heal the
-            # spec, then take the pruned path — the data dirs are the
-            # durable truth, the spec is derived.
-            _write_bucket_spec(spark, target_path, keys, num_buckets)
-            return _bucketed_merge(
-                spark, fs, jvm_path, target_path, updates, keys,
-                order_exprs, row_hash, is_delete, num_buckets,
-            )
         # first materialization on a missing target, or one-time
         # migration of an unbucketed table: run the full legacy merge
-        # below but write the result bucket-partitioned + spec'd so
-        # every LATER batch takes the pruned path.
+        # below but write the result bucket-partitioned, with the spec
+        # INSIDE tmp so the swap exposes data + spec atomically.
         as_buckets = num_buckets
 
     # ONLY the read sits in the try: a schema mismatch in unionByName
@@ -330,6 +371,9 @@ def merge_into(
     if as_buckets is not None:
         merged = merged.withColumn(BUCKET_COL, bucket_expr(keys, as_buckets))
         merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+        # spec rides in tmp: the swap below exposes data + spec in ONE
+        # rename, so no crash point leaves a spec-less bucketed layout
+        _write_bucket_spec(fs, jvm_path, tmp, keys, as_buckets)
     else:
         merged.write.mode("overwrite").parquet(tmp)
     # Swap via rename-aside, not delete-then-rename: with the recovery
@@ -362,7 +406,6 @@ def merge_into(
         raise IOError(f"merge_into: could not swap {tmp} -> {target_path}")
     fs.delete(jvm_path(old), True)
     if as_buckets is not None:
-        _write_bucket_spec(spark, target_path, keys, as_buckets)
         return {
             "engine": "parquet-swap",
             "rows": obs.get["n"],

@@ -297,8 +297,10 @@ def test_merge_into_matches_delta_semantics_model(spark, target, updates):
             spark, btgt, upd, keys=["k"], order_cols=["pri"],
             is_delete=F.col("dead"), num_buckets=3,
         )
+    from pyspark.errors import AnalysisException
+
     try:
         bgot = {(r["k"], r["v"]) for r in spark.read.parquet(btgt).collect()}
-    except Exception:  # every key deleted: no data dirs remain
-        bgot = set()
+    except AnalysisException:  # every key deleted: no data dirs remain
+        bgot = set()  # (narrow catch — any other failure must surface)
     assert bgot == expected

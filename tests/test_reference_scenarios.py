@@ -478,7 +478,7 @@ def test_merge_into_bucketed_prunes_untouched_buckets(spark, tmp_path):
     )
     assert res0["engine"] == "parquet-swap" and res0["num_buckets"] == N
     layout = {d for d in os.listdir(target) if d.startswith(BUCKET_COL + "=")}
-    assert layout and os.path.isdir(os.path.join(target, "_bucket_spec"))
+    assert layout and os.path.isfile(os.path.join(target, "_bucket_spec.json"))
 
     # derive each key's bucket with the SAME expression the merge uses
     bucket_of = {
@@ -617,7 +617,7 @@ def test_merge_into_bucketed_migration_and_crash_recovery(spark, tmp_path):
         is_delete=F.col("dead"), num_buckets=4,
     )
     assert res1["engine"] == "parquet-swap" and res1["num_buckets"] == 4  # migration
-    assert os.path.isdir(os.path.join(target, "_bucket_spec"))
+    assert os.path.isfile(os.path.join(target, "_bucket_spec.json"))
     assert {d for d in os.listdir(target) if d.startswith(BUCKET_COL + "=")}
 
     upd2 = spark.createDataFrame(
@@ -663,6 +663,43 @@ def test_merge_into_bucketed_migration_and_crash_recovery(spark, tmp_path):
             spark, target, upd2.withColumnRenamed("k", "kk"),
             keys=["kk"], order_cols=["pri"], is_delete=F.col("dead"),
         )
+
+    # (d) r11 review hardening: a CORRUPT spec must refuse loudly —
+    # guessing "unbucketed" against a bucketed layout would route keys
+    # into the wrong bucket space and silently duplicate them
+    spec_path = os.path.join(target, "_bucket_spec.json")
+    crc_path = os.path.join(target, "._bucket_spec.json.crc")
+    orig = open(spec_path, "rb").read()
+    open(spec_path, "w").write("{not json")
+    # Hadoop's LocalFileSystem keeps a .crc sidecar; python-level
+    # tampering leaves it stale, so the read surfaces as EITHER a
+    # checksum failure ("unreadable") or, without the sidecar, a JSON
+    # failure ("corrupt") — both must be the same loud refusal
+    with pytest.raises(ValueError, match="bucket spec"):
+        merge_into(
+            spark, target, upd2, keys=["k"], order_cols=["pri"],
+            is_delete=F.col("dead"),
+        )
+    # (e) and a SPEC-LESS target that still has __bucket= dirs is
+    # ambiguous (tampering / pre-spec build): refuse with or without
+    # num_buckets rather than guess a layout or drag __bucket into a
+    # legacy unionByName.  (Normal operation cannot produce this state:
+    # the spec is written INSIDE tmp before the swap, so the rename
+    # that exposes the data exposes the spec with it.)
+    os.remove(spec_path)
+    for kwargs in ({}, {"num_buckets": 4}):
+        with pytest.raises(ValueError, match="no _bucket_spec"):
+            merge_into(
+                spark, target, upd2, keys=["k"], order_cols=["pri"],
+                is_delete=F.col("dead"), **kwargs,
+            )
+    open(spec_path, "wb").write(orig)  # restore: merges work again
+    if os.path.exists(crc_path):
+        os.remove(crc_path)  # drop the stale checksum sidecar
+    res5 = merge_into(
+        spark, target, upd2, keys=["k"], order_cols=["pri"], is_delete=F.col("dead")
+    )
+    assert res5["engine"] == "parquet-bucketed"
 
 
 def test_merge_into_creates_target_on_first_batch(spark, tmp_path):
