@@ -45,13 +45,26 @@ def bucket_expr(keys: list[str], num_buckets: int) -> Column:
     )
 
 
-def _write_bucket_spec(fs, jvm_path, dir_path: str, keys: list[str], num_buckets: int):
+def _write_bucket_spec(
+    fs, jvm_path, dir_path: str, keys: list[str], num_buckets: int,
+    key_types: dict[str, str],
+):
     """Write the spec as ONE small file through the Hadoop FS API — a
     single filesystem op, not a Spark job (r11 review: the old 1-row
     DataFrame-write/read pair scheduled a full job per merge call,
-    pure latency on the per-micro-batch streaming-sink path)."""
+    pure latency on the per-micro-batch streaming-sink path).
+
+    ``key_types`` (r11 review): xxhash64 hashes the TYPED value —
+    CAST(1 AS INT) and CAST(1 AS BIGINT) route to different buckets —
+    so the spec pins key dtypes too, and every later batch is checked
+    against them; names alone would let silent schema drift split one
+    logical key across two bucket spaces."""
     payload = json.dumps(
-        {"num_buckets": int(num_buckets), "keys": list(keys)}
+        {
+            "num_buckets": int(num_buckets),
+            "keys": list(keys),
+            "key_types": dict(key_types),
+        }
     ).encode("utf-8")
     out = fs.create(jvm_path(dir_path.rstrip("/") + "/" + BUCKET_SPEC_FILE), True)
     try:
@@ -85,7 +98,11 @@ def _read_bucket_spec(spark, fs, jvm_path, target_path: str):
         ) from e
     try:
         spec = json.loads(raw)
-        return int(spec["num_buckets"]), list(spec["keys"])
+        return (
+            int(spec["num_buckets"]),
+            list(spec["keys"]),
+            dict(spec["key_types"]),
+        )
     except (ValueError, KeyError, TypeError) as e:
         raise ValueError(
             f"merge_into: corrupt bucket spec at {spec_path} ({e!r}); "
@@ -109,6 +126,8 @@ def apply_lww(
     "fix" this to coalesce NULL→False without changing both sides.
     Callers with nullable tombstone sources should coalesce BEFORE
     calling if keep-on-NULL is the semantics they want."""
+    if "__rk" in df.columns:  # would be overwritten then dropped below
+        raise ValueError("apply_lww: input may not carry the reserved column __rk")
     w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in order_cols])
     return (
         df.withColumn("__rk", F.row_number().over(w))
@@ -116,6 +135,25 @@ def apply_lww(
         .where(~is_delete)
         .drop("__rk")
     )
+
+
+def _lww_union(current, upd_tagged, keys, order_exprs, row_hash):
+    """The ONE copy of the fallback merge semantics (r11 review: the
+    legacy and bucketed paths had drifted-prone twins of this block):
+    target rows outrank update rows on exact order-chain ties
+    (``__tgt_pri``), the shared row hash breaks within-batch ties, and
+    the tombstone flag is pre-computed on ``upd_tagged`` only."""
+    if current is None:
+        unioned = upd_tagged
+    else:
+        unioned = (
+            current.withColumn("__tgt_pri", F.lit(1))
+            .withColumn("__del", F.lit(False))
+            .unionByName(upd_tagged)
+        )
+    return apply_lww(
+        unioned, keys, order_exprs + [F.col("__tgt_pri"), row_hash], F.col("__del")
+    ).drop("__tgt_pri", "__del")
 
 
 def merge_into(
@@ -142,7 +180,9 @@ def merge_into(
       re-pass N).  Each subsequent batch then collapses to its TOUCHED
       buckets, reads only those directories (partition-pruned scan),
       merges, and swaps only those directories — untouched buckets are
-      never read, rewritten, or even stat-ed, so per-batch cost is
+      never read or rewritten (the read probes exactly the touched
+      bucket directories — O(touched) filesystem calls, no O(N)
+      partition-discovery listing), so per-batch cost is
       O(touched-bucket bytes + batch), not O(table).  This mirrors the
       Delta branch's file-level rewrite in the code path that actually
       executes without Delta.  The first call on an EXISTING unbucketed
@@ -204,9 +244,15 @@ def merge_into(
       the dispatch seam; the fallback is the tested path
       (tests/test_reference_scenarios.py::test_merge_into_fallback_equals_apply_lww).
     - The parquet fallback writes the merged state to ``<target>.__tmp``
-      and swaps directories through the Hadoop FileSystem API (works on
-      HDFS/S3A the same as local) — never ``mode("overwrite")`` onto
-      the path being read, which deletes input files mid-scan.
+      and swaps directories through the Hadoop FileSystem API — never
+      ``mode("overwrite")`` onto the path being read, which deletes
+      input files mid-scan.  ATOMICITY SCOPE (r11 review): the crash
+      contract holds on filesystems with atomic directory rename
+      (local, HDFS, ABFS).  S3A's "rename" is a non-atomic O(data)
+      copy+delete — a crash mid-rename there can leave a PARTIAL
+      directory that the recovery guard cannot distinguish from a
+      complete one; on S3 use the Delta branch (whose log commit is
+      atomic on S3) or an external manifest, not this fallback.
 
     Returns ``{"engine": "parquet-swap", "rows": <merged count>}`` (the
     count rides the write via ``Observation`` — free) or ``{"engine":
@@ -215,6 +261,17 @@ def merge_into(
     micro-batch at 100 TB); the commit's operationMetrics carry the
     touched-row counts instead.
     """
+    if num_buckets is not None and num_buckets < 1:
+        raise ValueError(f"merge_into: num_buckets must be >= 1, got {num_buckets}")
+    if not order_cols:
+        # an empty chain would be malformed SQL on the Delta branch and a
+        # silent target-always-wins no-op on the fallback — refuse loudly
+        raise ValueError("merge_into: order_cols must be non-empty")
+    reserved = {BUCKET_COL, "__del", "__tgt_pri", "__rk"} & set(updates.columns)
+    if reserved:  # would be silently overwritten and dropped from output
+        raise ValueError(
+            f"merge_into: updates may not carry reserved columns {sorted(reserved)}"
+        )
     order_exprs = [F.col(c) for c in order_cols]
     # deterministic within-batch tiebreak, shared by both branches (see
     # TIE-BREAK CONTRACT above): hash of the full payload row
@@ -298,7 +355,7 @@ def merge_into(
     # ---- bucketed-layout dispatch (see BUCKETED LAYOUT in docstring) ----
     spec = _read_bucket_spec(spark, fs, jvm_path, target_path)
     if spec is not None:
-        spec_n, spec_keys = spec
+        spec_n, spec_keys, spec_types = spec
         if list(keys) != spec_keys:
             raise ValueError(
                 f"merge_into: target {target_path} is bucketed on keys "
@@ -308,6 +365,19 @@ def merge_into(
             raise ValueError(
                 f"merge_into: target {target_path} has {spec_n} buckets, "
                 f"caller passed num_buckets={num_buckets}"
+            )
+        upd_types = dict(updates.dtypes)
+        drift = {
+            k: (spec_types.get(k), upd_types.get(k))
+            for k in keys
+            if spec_types.get(k) != upd_types.get(k)
+        }
+        if drift:  # xxhash64 is type-sensitive: same value, other bucket
+            raise ValueError(
+                f"merge_into: key dtype drift vs the bucket spec at "
+                f"{target_path}: {drift} (spec, batch) — the same logical "
+                "key would hash into a different bucket space; cast the "
+                "batch keys back to the spec types"
             )
         return _bucketed_merge(
             spark, fs, jvm_path, target_path, updates, keys,
@@ -330,8 +400,6 @@ def merge_into(
         )
     as_buckets = None
     if num_buckets is not None:
-        if BUCKET_COL in updates.columns:
-            raise ValueError(f"merge_into: updates may not carry {BUCKET_COL}")
         # first materialization on a missing target, or one-time
         # migration of an unbucketed table: run the full legacy merge
         # below but write the result bucket-partitioned, with the spec
@@ -345,9 +413,6 @@ def merge_into(
         current = spark.read.parquet(target_path)
     except AnalysisException:  # first batch: no target yet
         current = None
-    # Total ordering (r8): target rows outrank source rows on exact
-    # order-chain ties (Delta's strict-newer semantics), then the shared
-    # row hash resolves within-batch ties deterministically.
     # TOMBSTONE CONTRACT (see docstring): __del is computed on the
     # UPDATE rows only, NULL-normalized; target rows carry False so a
     # stored key can only disappear when a newer update row deletes it —
@@ -355,25 +420,24 @@ def merge_into(
     upd_tagged = updates.withColumn("__tgt_pri", F.lit(0)).withColumn(
         "__del", F.coalesce(is_delete.cast("boolean"), F.lit(False))
     )
-    if current is None:
-        unioned = upd_tagged
-    else:
-        unioned = (
-            current.withColumn("__tgt_pri", F.lit(1))
-            .withColumn("__del", F.lit(False))
-            .unionByName(upd_tagged)
-        )
-    merged = apply_lww(
-        unioned, keys, order_exprs + [F.col("__tgt_pri"), row_hash], F.col("__del")
-    ).drop("__tgt_pri", "__del")
+    merged = _lww_union(current, upd_tagged, keys, order_exprs, row_hash)
     obs = Observation()
     merged = merged.observe(obs, F.count(F.lit(1)).alias("n"))
     if as_buckets is not None:
+        # stale-tmp delete (r11 review): under
+        # spark.sql.sources.partitionOverwriteMode=dynamic,
+        # mode("overwrite") replaces only the partitions the write
+        # PRODUCES — a crashed earlier run's leftover bucket dirs in tmp
+        # would survive and be swapped into the new table as ghost rows
+        fs.delete(jvm_path(tmp), True)
         merged = merged.withColumn(BUCKET_COL, bucket_expr(keys, as_buckets))
         merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
         # spec rides in tmp: the swap below exposes data + spec in ONE
         # rename, so no crash point leaves a spec-less bucketed layout
-        _write_bucket_spec(fs, jvm_path, tmp, keys, as_buckets)
+        _write_bucket_spec(
+            fs, jvm_path, tmp, keys, as_buckets,
+            {k: dict(updates.dtypes)[k] for k in keys},
+        )
     else:
         merged.write.mode("overwrite").parquet(tmp)
     # Swap via rename-aside, not delete-then-rename: with the recovery
@@ -439,7 +503,6 @@ def _bucketed_merge(
     touches.  See merge_into's BUCKETED LAYOUT docstring section for
     the layout, cost, and crash contracts."""
     from pyspark.sql import Observation
-    from pyspark.sql.utils import AnalysisException
 
     tgt = target_path.rstrip("/")
     tmp = tgt + ".__tmp"
@@ -467,8 +530,6 @@ def _bucketed_merge(
                 fs.delete(st.getPath(), True)
         fs.delete(jvm_path(old), True)
 
-    if BUCKET_COL in updates.columns:
-        raise ValueError(f"merge_into: updates may not carry {BUCKET_COL}")
     # Eager checkpoint BEFORE deriving the touched-bucket set: the
     # batch is consumed twice (bucket-id collect, then the union), and
     # a non-deterministic source that re-evaluated differently between
@@ -494,27 +555,29 @@ def _bucketed_merge(
             "num_buckets": n_buckets,
         }
 
-    # Partition-pruned read: the isin on the partition column reaches
-    # the scan as PartitionFilters, so ONLY the touched directories are
-    # listed and read.  A target holding no data dirs at all (every key
-    # deleted) reads as "no current rows".
-    try:
-        current = spark.read.parquet(tgt).where(F.col(BUCKET_COL).isin(touched))
-    except AnalysisException:
-        current = None
-    if current is None:
-        unioned = upd_tagged
+    # Touched-path read (r11 review): reading the table ROOT would run
+    # partition discovery over every bucket directory — an O(N) listing
+    # per micro-batch on an object store even though the isin prunes the
+    # scan.  Instead probe exactly the touched bucket dirs (O(touched)
+    # filesystem calls) and read only those paths; basePath keeps the
+    # __bucket partition column in the schema.  A touched bucket with no
+    # dir (new keys / previously emptied) simply contributes no current
+    # rows.
+    existing = [
+        tgt + "/" + f"{prefix}{b}"
+        for b in touched
+        if fs.exists(jvm_path(tgt + "/" + f"{prefix}{b}"))
+    ]
+    if existing:
+        current = spark.read.option("basePath", tgt).parquet(*existing)
     else:
-        unioned = (
-            current.withColumn("__tgt_pri", F.lit(1))
-            .withColumn("__del", F.lit(False))
-            .unionByName(upd_tagged)
-        )
-    merged = apply_lww(
-        unioned, keys, order_exprs + [F.col("__tgt_pri"), row_hash], F.col("__del")
-    ).drop("__tgt_pri", "__del")
+        current = None
+    merged = _lww_union(current, upd_tagged, keys, order_exprs, row_hash)
     obs = Observation()
     merged = merged.observe(obs, F.count(F.lit(1)).alias("n"))
+    # stale-tmp delete: see the as_buckets write above (dynamic
+    # partitionOverwriteMode keeps crashed-run bucket dirs otherwise)
+    fs.delete(jvm_path(tmp), True)
     merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
 
     # Per-bucket rename-aside swap over ONLY the touched buckets.  A

@@ -277,8 +277,11 @@ def test_merge_into_matches_delta_semantics_model(spark, target, updates):
     assert got == expected
 
     # Same model, BUCKETED layout (r11): migrate the stored state into a
-    # 3-bucket target, then merge — the pruned per-bucket path must land
-    # on the identical Delta-contract result.
+    # bucketed target, then merge — the pruned per-bucket path must land
+    # on the identical Delta-contract result.  The bucket count varies
+    # per example, including the degenerate N=1 (every key in one
+    # bucket — the protocol must still route, swap, and empty it).
+    n_buckets = 1 + (len(updates) + len(target)) % 4  # 1..4, example-derived
     btgt = d + "/state_bucketed"
     if tgt_df is not None:
         # lay out via a no-op-batch migration so the merge below takes
@@ -286,7 +289,7 @@ def test_merge_into_matches_delta_semantics_model(spark, target, updates):
         tgt_df.write.parquet(btgt)
         merge_into(
             spark, btgt, tgt_df, keys=["k"], order_cols=["pri"],
-            is_delete=F.lit(False), num_buckets=3,
+            is_delete=F.lit(False), num_buckets=n_buckets,
         )
         res = merge_into(
             spark, btgt, upd, keys=["k"], order_cols=["pri"], is_delete=F.col("dead")
@@ -295,7 +298,7 @@ def test_merge_into_matches_delta_semantics_model(spark, target, updates):
     else:
         merge_into(
             spark, btgt, upd, keys=["k"], order_cols=["pri"],
-            is_delete=F.col("dead"), num_buckets=3,
+            is_delete=F.col("dead"), num_buckets=n_buckets,
         )
     from pyspark.errors import AnalysisException
 

@@ -702,6 +702,50 @@ def test_merge_into_bucketed_migration_and_crash_recovery(spark, tmp_path):
     assert res5["engine"] == "parquet-bucketed"
 
 
+def test_merge_into_input_guards(spark, tmp_path):
+    """r11 review hardening — malformed inputs refuse loudly instead of
+    silently corrupting: num_buckets < 1 (pmod-by-zero NULL buckets),
+    empty order_cols (malformed Delta SQL / silent target-always-wins
+    fallback), reserved internal column names (__del/__tgt_pri/__rk/
+    __bucket would be overwritten then dropped), key DTYPE drift vs the
+    pinned spec (xxhash64 is type-sensitive: the same logical key would
+    hash into a different bucket space), and apply_lww's __rk."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lens_sds_batch_spark.plans.merge import apply_lww, merge_into
+
+    upd = spark.createDataFrame(
+        [(1, 1, "a", False)], "k int, pri int, v string, dead boolean"
+    )
+    t = str(tmp_path / "g")
+    with pytest.raises(ValueError, match="num_buckets must be >= 1"):
+        merge_into(spark, t, upd, keys=["k"], order_cols=["pri"],
+                   is_delete=F.col("dead"), num_buckets=0)
+    with pytest.raises(ValueError, match="order_cols must be non-empty"):
+        merge_into(spark, t, upd, keys=["k"], order_cols=[],
+                   is_delete=F.col("dead"))
+    with pytest.raises(ValueError, match="reserved columns"):
+        merge_into(spark, t, upd.withColumn("__del", F.lit(1)),
+                   keys=["k"], order_cols=["pri"], is_delete=F.col("dead"))
+    with pytest.raises(ValueError, match="reserved column __rk"):
+        apply_lww(upd.withColumn("__rk", F.lit(1)), keys=["k"],
+                  order_cols=[F.col("pri")], is_delete=F.col("dead")).collect()
+
+    # dtype drift: layout keyed on INT k, later batch arrives with
+    # BIGINT k — same logical values, different xxhash64 buckets
+    merge_into(spark, t, upd, keys=["k"], order_cols=["pri"],
+               is_delete=F.col("dead"), num_buckets=4)
+    drifted = upd.withColumn("k", F.col("k").cast("bigint"))
+    with pytest.raises(ValueError, match="dtype drift"):
+        merge_into(spark, t, drifted, keys=["k"], order_cols=["pri"],
+                   is_delete=F.col("dead"))
+    # cast back to the spec type: accepted
+    res = merge_into(spark, t, drifted.withColumn("k", F.col("k").cast("int")),
+                     keys=["k"], order_cols=["pri"], is_delete=F.col("dead"))
+    assert res["engine"] == "parquet-bucketed"
+
+
 def test_merge_into_creates_target_on_first_batch(spark, tmp_path):
     """merge_into on a missing target = first materialization: only
     non-tombstone winners land."""
