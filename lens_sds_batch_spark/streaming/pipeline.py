@@ -21,6 +21,7 @@ Tests drive these with a file source + memory sink (synchronous
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame
@@ -154,14 +155,23 @@ def read_event_stream(
         # metachars in the basename are backslash-escaped first, or a
         # name like ``events[v2].parquet`` silently becomes a character
         # class matching nothing (an empty stream, no error).
-        import os
-        import re as _re
-
         if os.path.isfile(path):
-            escaped = _re.sub(r"([\\*?\[\]{},])", r"\\\1", os.path.basename(path))
+            # abspath FIRST (r11 review): a bare relative filename has
+            # dirname "" and the f-string would build "/{name}" — a
+            # root-anchored glob matching nothing, i.e. a silently
+            # EMPTY stream (the schema probe above already resolved the
+            # relative path, so readStream starts without error)
+            path = os.path.abspath(path)
+            escaped = re.sub(r"([\\*?\[\]{},])", r"\\\1", os.path.basename(path))
             path = f"{os.path.dirname(path)}/{{{escaped}}}"
         return _canonicalize_event_ts(reader.parquet(path))
     if source_format == "kafka":
+        if path is not None:
+            raise ValueError(
+                "path is a file-source knob; for kafka pass the topic via "
+                "kafka_options={'subscribe': ...} (a silently ignored path "
+                "would hide a misconfiguration)"
+            )
         if max_files_per_trigger is not None:
             raise ValueError(
                 "max_files_per_trigger is a file-source knob; for kafka use "
@@ -376,6 +386,45 @@ class DurableMetrics:
             return dict(self._d)
 
 
+def _decanonicalize_requeue_ts(requeue: "DataFrame", requeue_dir: str, cache: dict):
+    """Inverse of :func:`_canonicalize_event_ts` for the FEEDBACK edge
+    (r11 review): ``read_event_stream`` pins the at-rest ``ts`` type for
+    the stream's whole life but hands the sink CANONICALIZED rows
+    (session-TZ TIMESTAMP).  Appending those into the stream's own
+    source dir would write a ts whose parquet type differs from the
+    pinned schema — an NTZ-seeded stream dies with a vectorized-reader
+    type error on the first redelivery, and a nanos-long seed re-reads
+    the micros value as nanos and divides by 1000 AGAIN (timestamps
+    1000x off).  So redelivered rows cast ``ts`` back to the at-rest
+    type probed from the requeue dir (once, cached): LongType → epoch
+    nanos (micros * 1000 — the first delivery already quantized to
+    micros, so the round trip is stable), NTZ → timestamp_ntz
+    (instant-preserving under the UTC session), TIMESTAMP → no-op.  A
+    missing/empty dir probes as None: the stream schema then came from
+    the EVENTS_SCHEMA fallback (plain TIMESTAMP), which canonical rows
+    already match."""
+    if "ts" not in requeue.columns:
+        return requeue
+    if "type" not in cache:
+        from pyspark.sql import types as T
+
+        try:
+            at_rest = (
+                requeue.sparkSession.read.parquet(requeue_dir).schema["ts"].dataType
+            )
+        except Exception:  # dir absent/empty: pinned schema was the fallback
+            at_rest = None
+        cache["type"] = at_rest
+    at_rest = cache["type"]
+    from pyspark.sql import types as T
+
+    if isinstance(at_rest, (T.LongType, T.IntegerType)):
+        return requeue.withColumn("ts", F.expr("unix_micros(ts) * 1000"))
+    if isinstance(at_rest, T.TimestampNTZType):
+        return requeue.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return requeue
+
+
 def requeue_sink(
     out_dir: str,
     dead_dir: str,
@@ -440,7 +489,12 @@ def requeue_sink(
     closure would re-count the replayed epoch), namespaced so two
     sinks sharing one dict cannot suppress each other on an epoch-id
     collision.  Replay only ever re-runs the most recent epoch, so one
-    id per sink bounds the bookkeeping; underscore-prefixed keys are
+    id per sink bounds the bookkeeping (NB the guard identifies an
+    epoch by ID ONLY, so a DurableMetrics file must live and die with
+    its checkpoint: wiping the checkpoint while keeping the metrics
+    file makes the fresh run's epoch 0 collide with the stored one and
+    its first batch goes uncounted — r11 review); underscore-prefixed
+    keys are
     bookkeeping, not counts.  The counts are tallied into locals and
     applied together with the epoch key (plain dict stores, nothing
     fallible in between), so a count() failure mid-tally followed by
@@ -457,6 +511,7 @@ def requeue_sink(
     from pyspark.sql import functions as F
 
     epoch_key = f"_last_epoch:{out_dir}"  # see docstring: dict-resident + namespaced
+    ts_cache: dict = {}  # at-rest ts type of requeue_dir, probed once
 
     def sink(batch_df, epoch_id):
         # attempts is seeded with 0 by contract, but a NULL must not make
@@ -465,39 +520,49 @@ def requeue_sink(
         att = F.coalesce(F.col("attempts"), F.lit(0))
         ok = F.coalesce(is_ok.cast("boolean"), F.lit(False))
         retryable = F.coalesce(is_retryable.cast("boolean"), F.lit(False))
+        # When counting is on for this epoch, count ONCE up front and
+        # reuse the counts as the empty-append guards — the old
+        # isEmpty()+count() pairing ran six probe jobs per trigger on
+        # the hot foreachBatch path instead of three (r11 review).
+        counting = metrics is not None and metrics.get(epoch_key) != epoch_id
         batch_df.persist()
         try:
             okdf = batch_df.where(ok).drop(*ok_drop_cols)
-            # same empty-append reasoning as the requeue path below: an
-            # all-failure trigger (e.g. during an outage) must not leave
-            # a zero-row part file in the ack dir every few seconds —
-            # thousands of empties slow every downstream listing
-            if not okdf.isEmpty():
-                okdf.write.mode("append").parquet(out_dir)
             failed = batch_df.where(~ok)
             requeue = failed.where(retryable & (att + 1 < max_attempts)).withColumn(
                 "attempts", att + 1
             )
-            # An append of an EMPTY frame still creates a part file; since
-            # requeue_dir is the stream's own source, that file would arm
-            # another trigger, whose empty append arms another — the query
-            # never quiesces.  Only feed back when there is a row to retry.
-            if not requeue.isEmpty():
-                requeue.coalesce(requeue_writer_partitions).write.mode("append").parquet(
-                    requeue_dir
-                )
             dead = failed.where((~retryable) | (att + 1 >= max_attempts))
-            if not dead.isEmpty():
-                dead.write.mode("append").parquet(dead_dir)
-            if metrics is not None and metrics.get(epoch_key) != epoch_id:
-                # Tally into locals FIRST, then apply counters + epoch key
-                # as one uninterruptible block: if any count() fails
-                # mid-tally, NO counter has moved yet, so Spark's replay
-                # of the same epoch re-counts from the same base instead
-                # of stacking onto half-applied sums.  (The epoch check
-                # above is single-writer — the key is namespaced to THIS
-                # sink and only this sink's thread writes it.)
+            if counting:
                 n_ok, n_req, n_dead = okdf.count(), requeue.count(), dead.count()
+                ok_nonempty, req_nonempty, dead_nonempty = (
+                    n_ok > 0, n_req > 0, n_dead > 0
+                )
+            else:
+                ok_nonempty = not okdf.isEmpty()
+                req_nonempty = not requeue.isEmpty()
+                dead_nonempty = not dead.isEmpty()
+            # empty-append guards: an all-failure trigger must not leave
+            # a zero-row part file in the ack dir every few seconds, and
+            # since requeue_dir is the stream's own source an empty
+            # feedback file would arm another trigger, whose empty
+            # append arms another — the query never quiesces
+            if ok_nonempty:
+                okdf.write.mode("append").parquet(out_dir)
+            if req_nonempty:
+                _decanonicalize_requeue_ts(requeue, requeue_dir, ts_cache).coalesce(
+                    requeue_writer_partitions
+                ).write.mode("append").parquet(requeue_dir)
+            if dead_nonempty:
+                dead.write.mode("append").parquet(dead_dir)
+            if counting:
+                # Counts were tallied into locals BEFORE the writes; they
+                # are applied together with the epoch key as one
+                # uninterruptible block AFTER the writes succeed, so a
+                # failure anywhere above leaves NO counter moved and
+                # Spark's replay of the same epoch re-counts from the
+                # same base.  (The epoch check is single-writer — the key
+                # is namespaced to THIS sink.)
                 counts = {"ok": n_ok, "requeued": n_req, "dead": n_dead}
                 add = getattr(metrics, "add_counts", None)
                 if add is not None:
@@ -659,27 +724,52 @@ def correlate_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
     delay_ms = _duration_ms(watermark)
 
+    def nkey(ts_ns, seq, name):
+        # Spark's struct ordering sorts a NULL field FIRST (smallest) —
+        # pinned empirically and by test_correlate_stream_null_fields;
+        # encode each field as (present, value) so Python tuples compare
+        # the same way without int(NaN)/str(None) coercion crashes
+        # (r11 review: one NULL seq row was a poison pill that killed
+        # the whole query on every replay)
+        return (
+            (0, 0) if ts_ns is None else (1, ts_ns),
+            (0, 0) if seq is None else (1, seq),
+            (0, "") if name is None else (1, name),
+        )
+
     def update(key, pdfs, state):
         if state.hasTimedOut:
             state.remove()
             return
-        best = state.get if state.exists else None  # (ts_ns, seq, name)
+        best = tuple(state.get) if state.exists else None  # (ts_ns, seq, name)
         for pdf in pdfs:
             if not len(pdf):
                 continue
             # FULL (ts, seq, name) ordering, matching the batch twin's
             # min(struct(ts, seq, name)) — a 2-tuple compare would leave
-            # exact (ts, seq) ties to arrival order (nondeterministic)
-            pdf = pdf.sort_values(["ts", "seq", "name"]).iloc[0]
-            cand = (int(pd.Timestamp(pdf["ts"]).value), int(pdf["seq"]), str(pdf["name"]))
-            if best is None or cand < tuple(best):
+            # exact (ts, seq) ties to arrival order (nondeterministic);
+            # na_position="first" mirrors the struct NULLS-FIRST rule
+            pdf = pdf.sort_values(["ts", "seq", "name"], na_position="first").iloc[0]
+            ts_v, seq_v, name_v = pdf["ts"], pdf["seq"], pdf["name"]
+            cand = (
+                None if pd.isna(ts_v) else int(pd.Timestamp(ts_v).value),
+                None if pd.isna(seq_v) else int(seq_v),
+                None if name_v is None
+                or (isinstance(name_v, float) and pd.isna(name_v))
+                else str(name_v),
+            )
+            if best is None or nkey(*cand) < nkey(*best):
                 best = cand
         if best is None:
             return
         state.update(best)
         # evict once no earlier event can still arrive: watermark has
-        # passed winner_ts + delay (setTimeoutTimestamp takes ms)
+        # passed winner_ts + delay (setTimeoutTimestamp takes ms); a
+        # NULL winner ts has no event time to anchor — take the
+        # watermark-fallback arm below
         try:
+            if best[0] is None:
+                raise ValueError("NULL winner ts: use watermark fallback")
             state.setTimeoutTimestamp(best[0] // 1_000_000 + delay_ms)
         except Exception:
             # timestamp already behind the watermark: arm a fallback just
@@ -694,7 +784,7 @@ def correlate_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             {
                 "cid": [key[0]],
                 "name": [best[2]],
-                "ts": [pd.Timestamp(best[0])],
+                "ts": [pd.Timestamp(best[0]) if best[0] is not None else pd.NaT],
                 "seq": [best[1]],
             }
         )

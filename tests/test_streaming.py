@@ -1388,3 +1388,121 @@ def test_foreach_batch_bucketed_merge_into(spark, stream_dir, tmp_path):
         is_delete=F.lit(False),
     ).select("user_id", "event_id", "ts")
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_correlate_stream_null_fields_match_batch(spark, tmp_path):
+    """r11 review: a NULL seq used to be a poison pill (int(NaN) raised
+    inside the state fn, killing the query on every replay), NULL name
+    coined the literal string 'None', and NULL ts diverged from batch.
+    The state fn now mirrors Spark's struct NULLS-FIRST ordering — a
+    NULL field sorts smallest, exactly min(struct(ts, seq, name)) —
+    and the streamed winners must equal the batch twin's on a
+    NULL-bearing crafted stream."""
+    import datetime as dt
+
+    from lens_sds_batch_spark.plans.correlate import first_event_name_agg
+    from lens_sds_batch_spark.streaming.pipeline import correlate_stream, run_to_memory
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "cid string, ts timestamp, seq bigint, name string"
+    rows = [
+        ("CN1", base, 2, "real"), ("CN1", base, None, "nullseq"),  # NULL seq wins
+        ("CN2", base, 1, "aa"), ("CN2", base, 1, None),            # NULL name wins
+        ("CN3", base + dt.timedelta(minutes=9), 1, "x"),
+        ("CN3", base, 7, "y"),                                     # plain min
+    ]
+    d = str(tmp_path / "null_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    q = run_to_memory(correlate_stream(stream, watermark="2 hours"), "corr_null",
+                      output_mode="update")
+    try:
+        streamed = spark.sql(
+            "SELECT cid, min(struct(ts, seq, name)).name AS name "
+            "FROM corr_null GROUP BY cid"
+        )
+        got = {r["cid"]: r["name"] for r in streamed.collect()}
+    finally:
+        q.stop()
+    batch = first_event_name_agg(spark.read.parquet(d), ["ts", "seq"])
+    want = {r["cid"]: r["name"] for r in batch.collect()}
+    assert got == want
+    assert got["CN1"] == "nullseq" and got["CN2"] is None and got["CN3"] == "y"
+
+
+@pytest.mark.parametrize("flavor", ["ntz", "nanos_long"])
+def test_requeue_feedback_preserves_at_rest_ts_type(spark, tmp_path, flavor):
+    """r11 review: the feedback edge appends CANONICALIZED rows into the
+    stream's own source dir — with a ts-bearing schema the redelivered
+    file's parquet ts type used to differ from the pinned stream
+    schema.  The nanos-long seed (the driver's TIMESTAMP(NANOS) shape)
+    REPRODUCIBLY corrupted: the canonical micros value was re-read as
+    nanos and re-divided by 1000, timestamps 1000x off (this test fails
+    without the fix).  The NTZ seed happens to read back benignly in
+    THIS environment (same INT64 micros physical, UTC session makes the
+    LTZ/NTZ annotations coincide) — its leg pins the annotation hygiene
+    so a non-UTC session or stricter reader cannot regress it.
+    requeue_sink now casts ts back to the probed at-rest type; the loop
+    must drain to quiescence with correct attempts AND round-tripped
+    timestamps."""
+    from lens_sds_batch_spark.streaming.pipeline import read_event_stream, requeue_sink
+
+    src, out, dead = (str(tmp_path / p) for p in ("src", "out", "dead"))
+    base_us = 1_767_225_600_000_000  # 2026-01-01T00:00Z in epoch micros
+    seed = spark.range(12).select(
+        F.col("id").alias("event_id"),
+        F.expr(f"timestamp_micros({base_us} + id * 1000000)").alias("ts"),
+    )
+    if flavor == "ntz":
+        seed = seed.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    else:  # the driver's TIMESTAMP(NANOS) files read as epoch-nanos LONGs
+        seed = seed.withColumn("ts", F.expr("unix_micros(ts) * 1000"))
+    seed.coalesce(1).write.parquet(src)
+
+    att = F.coalesce(F.col("attempts"), F.lit(0))
+    sink = requeue_sink(
+        out, dead, src,
+        is_ok=att >= (F.col("event_id") % 3),   # id%3 retries before ok
+        is_retryable=F.lit(True),
+        max_attempts=5,
+    )
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = stream.writeStream.foreachBatch(sink).start()
+    q.processAllAvailable()  # dies here pre-fix (NTZ) or corrupts (nanos)
+    q.stop()
+
+    got = spark.read.parquet(out)
+    rows = {r["event_id"]: (r["attempts"] or 0, r["ts"]) for r in got.collect()}
+    assert set(rows) == set(range(12))
+    for eid, (attempts, ts) in rows.items():
+        assert attempts == eid % 3, (eid, attempts)
+        # canonicalized LTZ micros, exactly the seeded instant
+        assert int(ts.timestamp() * 1_000_000) == base_us + eid * 1_000_000, (eid, ts)
+
+
+def test_read_event_stream_accepts_bare_relative_file(spark, tmp_path, monkeypatch):
+    """r11 review: a bare relative filename (dirname == '') used to
+    glob-ify to the root-anchored '/{name}' — a silently EMPTY stream."""
+    from lens_sds_batch_spark.streaming.pipeline import read_event_stream, run_to_memory
+
+    d = str(tmp_path)
+    spark.range(5).select(F.col("id").alias("event_id")).coalesce(1).write.parquet(
+        f"{d}/rel_events.parquet"
+    )
+    import os
+    import shutil
+
+    # collapse the parquet DIR to one bare FILE in cwd (the isfile branch)
+    part = next(
+        f for f in os.listdir(f"{d}/rel_events.parquet") if f.endswith(".parquet")
+    )
+    shutil.copyfile(f"{d}/rel_events.parquet/{part}", f"{d}/events_flat.parquet")
+    monkeypatch.chdir(d)
+    stream = read_event_stream(spark, "events_flat.parquet", max_files_per_trigger=1)
+    q = run_to_memory(stream, "rel_stream")
+    try:
+        q.processAllAvailable()
+        assert spark.table("rel_stream").count() == 5  # was 0 pre-fix
+    finally:
+        q.stop()
