@@ -121,7 +121,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_sizes.where(F.col("bn") <= JACCARD_BLOCK_CAP), ["lang", "len_bucket"]
     ).drop("bn")
     docs = docs.withColumn("nw", F.size("wset"))
-    a = docs.alias("a")
+    # Adjacent-bucket probe (r11 review): exact bucket equality silently
+    # missed every near-dup pair straddling a 100-char boundary (doc A
+    # at n_chars=200 vs its 199-char twin) — and the oracle mirrored
+    # the gap, so the hash gate could never see it.  Each doc is probed
+    # into its own bucket AND the next one (an equi-join key, not a
+    # range join, so the plan stays a hash join); a cross-bucket pair
+    # is discovered exactly once via the lower doc's +1 copy, a
+    # same-bucket pair exactly once via the id order.
+    a = docs.withColumn(
+        "probe_bucket",
+        F.explode(F.array(F.col("len_bucket"), F.col("len_bucket") + 1)),
+    ).alias("a")
     b = docs.alias("b")
     # size-ratio prefilter (provably lossless): jaccard >= t implies
     # |A∩B| >= t·|A∪B|, and |A∩B| <= min(|A|,|B|), |A∪B| >= max(|A|,|B|)
@@ -132,8 +143,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.probe_bucket") == F.col("b.len_bucket"))
+        & (
+            (
+                (F.col("a.len_bucket") == F.col("b.len_bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+            )
+            | (F.col("a.len_bucket") < F.col("b.len_bucket"))
+        )
         & (
             F.least("a.nw", "b.nw").cast("double")
             >= F.lit(JACCARD_THRESHOLD) * F.greatest("a.nw", "b.nw")
@@ -144,8 +161,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ni = F.size(F.array_intersect("a.wset", "b.wset"))
     jac = ni.cast("double") / (na + nb - ni).cast("double")
     return pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
+        F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+        F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
         jac.alias("jaccard"),
     ).where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
@@ -164,11 +181,14 @@ kept_blocks AS MATERIALIZED (
 d AS MATERIALIZED (
   SELECT d_all.* FROM d_all JOIN kept_blocks USING (lang, len_bucket)
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b,
        CAST(len(a.wset) + len(b.wset) - len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE)
          / CAST(len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE) AS jaccard
 FROM d a JOIN d b
-  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+  ON a.lang = b.lang
+ AND b.len_bucket BETWEEN a.len_bucket AND a.len_bucket + 1
+ AND ((a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
+      OR a.len_bucket < b.len_bucket)
  AND CAST(least(len(a.wset), len(b.wset)) AS DOUBLE)
      >= {JACCARD_THRESHOLD} * greatest(len(a.wset), len(b.wset))
 WHERE CAST(len(a.wset) + len(b.wset) - len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE)
@@ -374,28 +394,48 @@ QUERIES: dict[str, tuple] = {
 # SimHash (bit-majority fingerprint) + hamming near-dup pairs
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64  # r11: standard width (was a 16-bit toy — see pairs docstring)
 HAMMING_MAX = 3
+SIMHASH_BANDS = 4  # bands > HAMMING_MAX: pigeonhole guarantees a clean band
+_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+# the two charsets selecting bit 3 (value>=8) resp. bit 2 (value&4) of a
+# hex character — two pseudorandom bits per md5 hex char gives the 64
+# bits from ONE digest (32 chars x 2)
+_HEX_BIT0 = tuple("89abcdef")
+_HEX_BIT1 = tuple("4567cdef")
 
 
 def _simhash_bit_exprs():
     """Per-bit contribution from ONE md5 per word (r5 — was one salted
-    md5 PER BIT, 16x the hashing): bit b is the high bit of hex char
-    2b of the digest (each hex char is 4 independent pseudorandom
-    bits; taking one per char keeps the 16 bits spread across the
-    digest).  Set -> +1, clear -> -1 — unbiased, identical in both
-    engines.  The md5 is one subexpression, CSE'd across all 16 sums
-    (see the keys.py nullability-contract gotcha for why branchy
-    per-bit variants were rejected)."""
+    md5 PER BIT): bit b comes from hex char b//2 of the digest — its
+    high bit for even b, its second bit for odd b (each hex char is 4
+    independent pseudorandom bits; two per char yield all 64 bits from
+    one 32-char digest).  Set -> +1, clear -> -1 — unbiased, identical
+    in both engines.  The md5 is one subexpression, CSE'd across all
+    64 sums (see the keys.py nullability-contract gotcha for why
+    branchy per-bit variants were rejected)."""
     return [
         F.sum(
             F.when(
-                F.substring(F.col("h"), b * 2 + 1, 1).isin(*"89abcdef"),
+                F.substring(F.col("h"), b // 2 + 1, 1).isin(
+                    *(_HEX_BIT0 if b % 2 == 0 else _HEX_BIT1)
+                ),
                 1,
             ).otherwise(-1)
         ).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
+
+
+def band_mask(k: int) -> int:
+    """Signed-BIGINT bit mask of band k (16 bits at offset 16k).  Bands
+    are compared as MASKED values — no shifts, so Spark's arithmetic
+    shiftright vs DuckDB's division semantics on negative fingerprints
+    can never diverge (both engines' ``&`` on two's-complement BIGINTs
+    is bit-identical, probed in r11)."""
+    m = (((1 << _BAND_BITS) - 1) << (_BAND_BITS * k)) & ((1 << 64) - 1)
+    return m - (1 << 64) if m >= (1 << 63) else m
 
 
 def _simhash_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,36 +447,46 @@ def _simhash_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_fingerprint_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id -> simhash as ONE 16-bit integer (bit b of the value =
-    majority sign of bit b, MSB first).  The integer form is the scale
-    representation: the candidate join ships 8 bytes instead of a
-    16-char string, blocking is a shift (high byte), and hamming
-    distance is ``bit_count(a XOR b)`` instead of 16 substring
-    comparisons (r5; both engines share the exact arithmetic)."""
+    """doc_id -> simhash as ONE 64-bit BIGINT (bit b of the value =
+    majority sign of bit b, MSB first; the MSB term is the two's-
+    complement -2^63 so the full width fits a signed BIGINT — XOR /
+    bit_count / & are bit-identical on signed values in both engines).
+    The integer form is the scale representation: the candidate join
+    ships 8 bytes, banding is a mask, and hamming distance is
+    ``bit_count(a XOR b)`` (r5; both engines share the exact
+    arithmetic)."""
     sums = _simhash_sums(spark, sf_dir)
     sh = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << (SIMHASH_BITS - 1 - b))).otherwise(F.lit(0))
+        weight = -(1 << 63) if b == 0 else (1 << (SIMHASH_BITS - 1 - b))
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(weight).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         sh = term if sh is None else sh + term
     # no orderBy: feeds simhash_dup_pairs MID-pipeline
     return sums.select("doc_id", sh.cast("bigint").alias("sh"))
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id -> 16-bit simhash bit string (human-readable projection of
+    """doc_id -> 64-bit simhash bit string (human-readable projection of
     the integer form; kept for tests/the fingerprint API)."""
     ints = simhash_fingerprint_ints(spark, sf_dir)
     return ints.select("doc_id", F.lpad(F.bin(F.col("sh")), SIMHASH_BITS, "0").alias("simhash"))
 
 
 def _duck_simhash_cte() -> str:
+    def charset(b):
+        return ",".join(f"'{c}'" for c in (_HEX_BIT0 if b % 2 == 0 else _HEX_BIT1))
+
     sums = ", ".join(
-        f"sum(CASE WHEN substr(h, {b * 2 + 1}, 1) IN "
-        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s" + str(b)
+        f"sum(CASE WHEN substr(h, {b // 2 + 1}, 1) IN ({charset(b)})"
+        f" THEN 1 ELSE -1 END) AS s{b}"
         for b in range(SIMHASH_BITS)
     )
     sh = " + ".join(
-        f"CASE WHEN s{b} >= 0 THEN {1 << (SIMHASH_BITS - 1 - b)} ELSE 0 END"
+        f"CASE WHEN s{b} >= 0 THEN "
+        + (f"({-(1 << 63)})::BIGINT" if b == 0 else str(1 << (SIMHASH_BITS - 1 - b)))
+        + " ELSE 0 END"
         for b in range(SIMHASH_BITS)
     )
     return f"""
@@ -457,33 +507,60 @@ SIMHASH_BLOCK_CAP = 100  # skew guard: drop blocks larger than this
 
 
 def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance <= HAMMING_MAX,
-    candidate-blocked on the top 8 bits (at scale: block key is a
-    partition key; flipping blocks probes adjacent buckets).
+    """Near-dup pairs by simhash hamming distance <= HAMMING_MAX, via
+    BANDED LSH with a recall GUARANTEE (r11 review; the r5-r10 form was
+    a 16-bit fingerprint blocked on its top byte, which both made the
+    fingerprint a toy — random 16-bit collisions dominate any real
+    corpus — and silently missed every qualifying pair whose differing
+    bits touched the block byte, while the oracle mirrored the gap so
+    the hash gate stayed green):
 
-    Blocks larger than SIMHASH_BLOCK_CAP are dropped — without the cap
-    a vocabulary-dense corpus collapses into a few prefixes and the
-    self-join goes quadratic (measured 41.6s -> ~2s at sf0.1).
+    - 64-bit simhash (the standard width; random hamming<=3 collisions
+      are ~2^-50 per pair instead of ~1% at 16 bits);
+    - SIMHASH_BANDS=4 disjoint 16-bit bands as candidate keys.  A pair
+      with hamming <= HAMMING_MAX=3 has at most 3 differing bits spread
+      over 4 bands, so BY PIGEONHOLE at least one band matches exactly
+      — full recall among cap-kept docs, not best-effort blocking
+      (pinned by test_simhash_banding_complete_vs_bruteforce).
+    - pairs sharing several clean bands are deduped before the hamming
+      check (dropDuplicates on the pair key);
+    - per-(band, value) blocks larger than SIMHASH_BLOCK_CAP are
+      dropped — the skew guard: a giant exact-duplicate cluster shares
+      ALL bands and would go quadratic; its members are the exact-dedup
+      path's job (same rationale as the jaccard block cap).
 
-    Everything runs on the INTEGER fingerprint: block = sh >> 8 (a
-    shift, not a substring), hamming = bit_count(sh_a XOR sh_b) (one
-    popcount, not 16 per-character comparisons), the join payload is 8
-    bytes per side; the hot-block cap is a count window over the same
-    (block) partitioning the self-join shuffles on."""
-    fps = simhash_fingerprint_ints(spark, sf_dir).withColumn(
-        "block", F.shiftright("sh", 8)
+    Everything runs on the INTEGER fingerprint: band keys are masked
+    values (no shifts — engine-identical on signed BIGINTs), hamming =
+    bit_count(sh_a XOR sh_b), the join payload is 8 bytes per side."""
+    fps = simhash_fingerprint_ints(spark, sf_dir)
+    banded = fps.select(
+        "doc_id",
+        "sh",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.col("sh").bitwiseAND(F.lit(band_mask(k))).alias("bval"),
+                    )
+                    for k in range(SIMHASH_BANDS)
+                ]
+            )
+        ),
     )
-    wb = Window.partitionBy("block")
-    fps = (
-        fps.withColumn("bn", F.count(F.lit(1)).over(wb))
+    wb = Window.partitionBy("band", "bval")
+    banded = (
+        banded.withColumn("bn", F.count(F.lit(1)).over(wb))
         .where(F.col("bn") <= SIMHASH_BLOCK_CAP)
         .drop("bn")
     )
-    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("ha"), "block")
-    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("hb"), F.col("block").alias("block_b"))
-    cand = a.join(
-        b,
-        (F.col("block") == F.col("block_b")) & (F.col("doc_a") < F.col("doc_b")),
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("ha"), "band", "bval")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("hb"), "band", "bval")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     # no trailing orderBy (order-insensitive driver compare; see
@@ -494,23 +571,34 @@ def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_simhash_pairs_sql() -> str:
+    # band keys as masked values — the same signed-BIGINT arithmetic as
+    # the Spark side (band_mask); recall guarantee and cap semantics in
+    # simhash_dup_pairs' docstring
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, sh, {k} AS band,"
+        f" sh & CAST({band_mask(k)} AS BIGINT) AS bval FROM fps_int"
+        for k in range(SIMHASH_BANDS)
+    )
     return (
         "WITH "
         + _duck_simhash_cte()
         + f""",
-blocked AS MATERIALIZED (
-  SELECT doc_id, sh, sh // 256 AS block FROM fps_int
+banded AS MATERIALIZED (
+{unions}
 ),
 kept AS MATERIALIZED (
-  SELECT b.* FROM blocked b
-  JOIN (SELECT block FROM blocked GROUP BY block
-        HAVING count(*) <= {SIMHASH_BLOCK_CAP}) s USING (block)
+  SELECT b.* FROM banded b
+  JOIN (SELECT band, bval FROM banded GROUP BY band, bval
+        HAVING count(*) <= {SIMHASH_BLOCK_CAP}) s USING (band, bval)
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS ha, b.sh AS hb
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-FROM kept a JOIN kept b
-  ON a.block = b.block AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sh, b.sh)) <= {HAMMING_MAX}
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
 ORDER BY doc_a, doc_b
 """
     )
@@ -587,6 +675,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalescePartitions.parallelismFirst=false, but that knob is
     # session-global; the count is needed anyway and keeps the choice
     # deterministic and local to this operator.)
+    try:
+        return _cc_iterate(edges)
+    finally:
+        # r11 review: any exception inside the rounds (transient job
+        # failure, interrupt) previously leaked the cached edges for the
+        # session lifetime; labels are localCheckpointed, so releasing
+        # the edge cache here never recomputes upstream
+        edges.unpersist()
+
+
+def _cc_iterate(edges: DataFrame) -> DataFrame:
     n_edges = edges.count()
     p = max(1, n_edges // 2_000_000)
     edges_c = edges.coalesce(p)  # no-op when p exceeds the current count
@@ -611,7 +710,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges_c.groupBy(F.col("src").alias("doc_id"))
         .agg(F.least(F.min("dst"), F.col("src")).alias("label"))
         .coalesce(p)
-        .observe(obs, F.sum("label").alias("s"))
+        .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
     )
     prev_sum = obs.get["s"]
     converged = False
@@ -630,7 +729,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
             .coalesce(p)
-            .observe(obs, F.sum("label").alias("s"))
+            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
         )
         new_sum = obs.get["s"]
         if new_sum == prev_sum:
@@ -642,7 +741,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ~2^20, so this should never fire — but exiting the loop without
         # reaching the sum fixpoint means the labels are NOT component
         # minima, and returning them silently would be wrong-answer.
-        edges.unpersist()
         raise RuntimeError(
             f"dedup_clusters: label propagation did not converge within "
             f"{CC_MAX_ITERS} pointer-jumping rounds (pathological graph?); "
@@ -658,7 +756,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("label")).cast("int").alias("is_canonical"),
         )
     )
-    edges.unpersist()
     return out
 
 

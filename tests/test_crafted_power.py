@@ -370,3 +370,100 @@ def test_unicode_text_oracle_parity(spark, tmp_path):
         "doc_features_pack",
     ]:
         assert compare_one(con, spark, name, qs[name], oracles[name], sf_dir=d), name
+
+
+def test_jaccard_adjacent_bucket_boundary(spark, tmp_path):
+    """r11 review: exact (lang, n_chars//100) blocking silently missed
+    near-dup pairs straddling a 100-char bucket boundary — and the
+    oracle mirrored the gap, so the hash gate could never catch it.
+    Craft a ~0.97-jaccard pair at n_chars 199 vs 205 (buckets 1 vs 2):
+    it must be found, same-bucket pairs must still be found, and no
+    pair may be emitted twice."""
+    from lens_sds_batch_spark.operators.dedup import ngram_jaccard_pairs
+
+    words = [f"word{i:02d}" for i in range(28)]
+    base = " ".join(words)                      # ~196 chars
+    straddle = base + " extratok"               # pushes past 200
+    same_a = " ".join(words[:-1]) + " wx"       # same bucket as base
+    rows = [
+        (0, base, "en", "s0"),
+        (1, straddle, "en", "s0"),
+        (2, same_a, "en", "s0"),
+        (3, "completely different content entirely unrelated words here", "en", "s0"),
+    ]
+    assert len(base) // 100 != len(straddle) // 100, "craft must straddle"
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(spark, sf).collect()}
+    assert (0, 1) in got, "boundary-straddling near-dup pair missed"
+    assert (0, 2) in got, "same-bucket near-dup pair missed"
+    all_rows = ngram_jaccard_pairs(spark, sf).collect()
+    assert len(all_rows) == len(got), "a pair was emitted twice"
+
+
+def test_simhash_banding_complete_vs_bruteforce(spark):
+    """r11 review: the old top-byte blocking violated the operator's
+    stated hamming<=HAMMING_MAX contract for any pair whose differing
+    bits touched the block byte.  The banded form carries a structural
+    guarantee — HAMMING_MAX=3 diffs over SIMHASH_BANDS=4 disjoint bands
+    leave >=1 band identical by pigeonhole — so, modulo the documented
+    per-(band, value) skew cap, the output must equal a BRUTE-FORCE
+    hamming join over the real gate corpus, exactly."""
+    from lens_sds_batch_spark.operators.dedup import (
+        HAMMING_MAX,
+        SIMHASH_BANDS,
+        SIMHASH_BLOCK_CAP,
+        band_mask,
+        simhash_dup_pairs,
+        simhash_fingerprint_ints,
+    )
+
+    from .conftest import SF_SMOKE
+
+    fps = {
+        r["doc_id"]: r["sh"]
+        for r in simhash_fingerprint_ints(spark, SF_SMOKE).collect()
+    }
+    # per-(band, value) block sizes — the cap semantics replicated
+    from collections import Counter
+
+    blocks = Counter()
+    for sh in fps.values():
+        for k in range(SIMHASH_BANDS):
+            blocks[(k, sh & band_mask(k))] += 1
+
+    def kept_bands(sh):
+        return {
+            k for k in range(SIMHASH_BANDS)
+            if blocks[(k, sh & band_mask(k))] <= SIMHASH_BLOCK_CAP
+        }
+
+    ids = sorted(fps)
+
+    def ham(x, y):  # Python ints are unbounded: mask the signed XOR to 64 bits
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if ham(fps[a], fps[b]) > HAMMING_MAX:
+                continue
+            shared = {
+                k for k in kept_bands(fps[a]) & kept_bands(fps[b])
+                if (fps[a] & band_mask(k)) == (fps[b] & band_mask(k))
+            }
+            if shared:
+                expected.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in simhash_dup_pairs(spark, SF_SMOKE).collect()
+    }
+    assert len(expected) > 100, "corpus must exercise the path"
+    assert got == expected
+    # the structural guarantee itself: every uncapped hamming<=3 pair
+    # shares at least one band (pigeonhole over 4 disjoint 16-bit bands)
+    for i, a in enumerate(ids[:100]):
+        for b in ids[i + 1:100]:
+            if ham(fps[a], fps[b]) <= HAMMING_MAX:
+                assert any(
+                    (fps[a] & band_mask(k)) == (fps[b] & band_mask(k))
+                    for k in range(SIMHASH_BANDS)
+                )
