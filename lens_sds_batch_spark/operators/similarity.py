@@ -37,6 +37,59 @@ def _vecs(spark, sf_dir):
     return df.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
 
 
+# Validity rides the norm (see ivf_knn's rationale): NULL array or any
+# NULL element -> norm NULL; empty array -> norm 0.0; zero vector ->
+# norm 0.0.  All are excluded — a zero/empty norm makes every cosine
+# NaN, which desc-sorts ABOVE every real neighbor in BOTH engines, so
+# one degenerate row would occupy rank 1 of every query's top-k
+# (r11 review; previously only ivf_knn filtered, and without the
+# norm > 0 term).
+def _valid_norm():  # lazy: building a Column needs an active session,
+    # and this module must import session-free (test collection,
+    # registry aggregation)
+    return F.col("norm").isNotNull() & (F.col("norm") > 0)
+
+
+def valid_vec(vcol) -> "F.Column":
+    """Validity predicate from a raw vector column (for frames without
+    the precomputed norm — e.g. the streaming assign path)."""
+    sq = _dot(vcol, vcol)
+    return sq.isNotNull() & (sq > 0)
+
+
+def _valid_vecs(spark, sf_dir):
+    """_vecs filtered to VALID vectors: non-NULL finite-positive norm,
+    no NULL elements, and length equal to the corpus's MODAL dimension.
+    The dim pin is the ragged-row exclusion (structural corruption, the
+    FAISS index policy): a short/long vector would otherwise crash
+    Spark's ANSI array indexing in the sign bucketing, NULL-poison
+    Spark dots while DuckDB's NULL-skipping list_sum computes a finite
+    partial dot, and rank at engine-divergent positions.  The modal dim
+    is derived engine-side (1-row broadcast join, no driver action)
+    with ties broken to the smaller dim in both engines."""
+    vecs = _vecs(spark, sf_dir).where(_valid_norm())
+    mode = (
+        vecs.groupBy(F.size("v").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("d"))
+        .limit(1)
+        .select("d")
+    )
+    return vecs.join(F.broadcast(mode), F.size("v") == F.col("d")).drop("d")
+
+
+# DuckDB twin: NULL emb / empty -> norm NULL there (list_sum over zero
+# elements is NULL, unlike Spark's 0.0 seed — both land excluded); an
+# element-level NULL needs the explicit filter term because DuckDB's
+# list_sum SKIPS null entries (a finite partial dot) where Spark's
+# aggregate null-poisons — without it the engines would rank a
+# ragged/elem-null vector at opposite ends (r11 review).
+_DUCK_VALID = (
+    "norm IS NOT NULL AND norm > 0 "
+    "AND len(list_filter(emb, x -> x IS NULL)) = 0"
+)
+
+
 def _topk(scored: DataFrame) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
     return (
@@ -47,8 +100,10 @@ def _topk(scored: DataFrame) -> DataFrame:
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: every STRIDE-th vector queries the corpus."""
-    vecs = _vecs(spark, sf_dir)
+    """Exact cosine top-k: every STRIDE-th vector queries the corpus.
+    Degenerate embeddings (NULL / empty / zero-norm / NULL-element) are
+    excluded on BOTH sides — see _valid_norm."""
+    vecs = _valid_vecs(spark, sf_dir)
     queries = vecs.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )
@@ -67,8 +122,15 @@ _DUCK_DOT = (
 )
 
 _DUCK_V = (
-    "SELECT vec_id, embedding AS emb, "
-    f"sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS norm FROM embeddings"
+    "SELECT vb.* FROM "
+    "(SELECT * FROM (SELECT vec_id, embedding AS emb, "
+    f"sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS norm FROM embeddings) "
+    f"WHERE {_DUCK_VALID}) vb "
+    "JOIN (SELECT len(emb) AS d FROM "
+    "(SELECT * FROM (SELECT vec_id, embedding AS emb, "
+    f"sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS norm FROM embeddings) "
+    f"WHERE {_DUCK_VALID}) "
+    "GROUP BY 1 ORDER BY count(*) DESC, d LIMIT 1) md ON len(vb.emb) = md.d"
 )
 
 
@@ -89,14 +151,19 @@ SELECT qid, vec_id, cos, rk FROM ranked WHERE rk <= {TOP_K} ORDER BY qid, rk
 
 
 def _bucket(vcol):
-    bits = [F.when(vcol.getItem(i) >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(SIGN_BITS)]
+    # F.get, not getItem: ANSI getItem throws on out-of-range (callers
+    # pre-filter to the modal dim, but the bucket expr must not be the
+    # thing that crashes if that invariant ever slips)
+    bits = [F.when(F.get(vcol, i) >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(SIGN_BITS)]
     return F.concat(*bits)
 
 
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: probe only the query's sign-quantization
-    bucket (axis-aligned hyperplane LSH)."""
-    vecs = _vecs(spark, sf_dir).withColumn("bucket", _bucket(F.col("v")))
+    bucket (axis-aligned hyperplane LSH).  Degenerate embeddings are
+    excluded BEFORE bucketing (they all land in bucket '00000000' and
+    would both pollute candidates and burn the bucket cap)."""
+    vecs = _valid_vecs(spark, sf_dir).withColumn("bucket", _bucket(F.col("v")))
     queries = vecs.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
@@ -197,8 +264,15 @@ def embedding_dup_pairs(
     exactly this hot-bucket shape — zero vectors, default embeddings,
     mass-duplicated rows all land in one sign bucket, and the
     within-bucket self-join is quadratic in its size (measured: 70x
-    cost at 100x rows when every bucket holds ~100 exact copies)."""
-    vecs = _vecs(spark, sf_dir).withColumn("bucket", _bucket(F.col("v")))
+    cost at 100x rows when every bucket holds ~100 exact copies).
+
+    Degenerate embeddings are excluded BEFORE bucketing (r11 review):
+    they could never produce a pair themselves (NULL/NaN cosine fails
+    the threshold), but they all hash to sign bucket '00000000' and
+    previously counted toward EMB_BUCKET_CAP — enough NULL rows
+    silently evicted every VALID all-negative-prefix vector's pairs,
+    in both engines, so the gate could not see it."""
+    vecs = _valid_vecs(spark, sf_dir).withColumn("bucket", _bucket(F.col("v")))
     bucket_sizes = vecs.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
     vecs = vecs.join(bucket_sizes.where(F.col("bn") <= EMB_BUCKET_CAP), "bucket").drop("bn")
     a = vecs.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("norm").alias("na"), "bucket")
@@ -226,11 +300,11 @@ ORDER BY vec_a, vec_b
 """
 
 
-EMBEDDING_DUP_SQL = embedding_dup_sql()
-
 # embedding_dup_pairs rides in dedup.dup_pairs_pack (registry stays
-# inside the driver's 50-query CORRECTNESS window); the function + SQL
-# stay for tests and the pack arms.
+# inside the driver's 50-query CORRECTNESS window); the function +
+# embedding_dup_sql(threshold) stay for tests and the pack arms.  (The
+# old module-level EMBEDDING_DUP_SQL constant baked in the vacuous 0.9
+# default and had no consumer — removed, r11 review.)
 
 
 IVF_K = 16
@@ -325,9 +399,7 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SECOND array traversal per row per scan (vecs feeds the fit, the
     # assignment, and the candidate join).  Empty arrays aggregate to
     # 0.0 (non-NULL), hence the size check.
-    vecs = _vecs(spark, sf_dir).where(
-        F.col("norm").isNotNull() & (F.size("v") > 0)
-    )
+    vecs = _valid_vecs(spark, sf_dir)
     ml = vecs.withColumn("features", array_to_vector("v"))
     # maxIter=8 (r6): the default 20 costs 3.9s of builder wall-clock at
     # sf0.1 for a 0.25% training-cost difference (1851.9 vs 1847.3 —
@@ -369,8 +441,6 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     qc = queries.crossJoin(F.broadcast(centroids)).select(
         "qid", "qv", "qnorm", "cell", _dot(F.col("qv"), F.col("cv")).alias("cdot")
     )
-    from pyspark.sql import Window
-
     wq = Window.partitionBy("qid").orderBy(F.desc("cdot"), "cell")
     probed = qc.withColumn("crk", F.row_number().over(wq)).where(F.col("crk") <= IVF_NPROBE)
     cand = assigned.join(
@@ -437,8 +507,21 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = F.aggregate(
         F.col("v"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
     ) / F.lit(127.0)
-    q = F.transform(F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("bigint"))
-    df = vecs.withColumn("scale", scale).withColumn("q", q)
+    df = vecs.withColumn("scale", scale)
+    # Degenerate-scale guard (r11 review): an all-zero or empty vector
+    # has scale 0, and x/0 is NaN — Spark would fabricate floor(NaN)=0
+    # codes while DuckDB ERRORS casting NaN to BIGINT (and list_reduce
+    # over an empty list errors outright), turning one degenerate row
+    # into an engine-divergent CORRECTNESS crash.  Both engines now
+    # emit q=0 codes and error 0 for scale<=0; a NULL scale (NULL
+    # array / NULL element) keeps NULL outputs in both.
+    degenerate = F.col("scale") <= 0
+    q = F.when(
+        degenerate, F.transform(F.col("v"), lambda x: F.lit(0).cast("bigint"))
+    ).otherwise(
+        F.transform(F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("bigint"))
+    )
+    df = df.withColumn("q", q)
     dequant_err = F.aggregate(
         F.zip_with(
             F.col("v"), F.col("q"), lambda x, qi: F.abs(x - qi.cast("double") * F.col("scale"))
@@ -450,9 +533,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("scale", 8).alias("scale_r"),
         F.aggregate(F.col("q"), F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("qsum"),
-        F.element_at("q", 1).alias("q0"),
-        F.element_at("q", 2).alias("q1"),
-        F.round(dequant_err / F.col("scale"), 4).alias("max_err_in_scale_units"),
+        # F.get, not element_at: under Spark 4's ANSI default,
+        # element_at THROWS on an out-of-range index, so a short/empty
+        # vector would kill the query; get returns NULL like DuckDB's
+        # q[i] (r11 review follow-on)
+        F.get("q", 0).alias("q0"),
+        F.get("q", 1).alias("q1"),
+        F.when(degenerate, F.lit(0.0))
+        .otherwise(F.round(dequant_err / F.col("scale"), 4))
+        .alias("max_err_in_scale_units"),
     )
 
 
@@ -462,22 +551,34 @@ WITH v AS MATERIALIZED (
 ),
 scaled AS (
   SELECT vec_id, vd,
-         list_reduce(list_transform(vd, x -> abs(x)), (a, b) -> greatest(a, b)) / 127.0 AS scale
+         CASE WHEN len(vd) = 0 THEN 0.0
+              ELSE list_reduce(list_transform(vd, x -> abs(x)),
+                               (a, b) -> greatest(a, b)) / 127.0 END AS scale
   FROM v
 ),
 quant AS (
   SELECT vec_id, vd, scale,
-         list_transform(vd, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+         CASE WHEN scale <= 0 THEN list_transform(vd, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(vd, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) END AS q
   FROM scaled
 )
 SELECT vec_id,
        round(scale, 8) AS scale_r,
-       CAST(list_sum(q) AS BIGINT) AS qsum,
+       -- empty list: Spark's aggregate seed gives 0 where list_sum
+       -- gives NULL; a NULL q (NULL input vector) stays NULL in both;
+       -- a NULL ELEMENT poisons the checksum to NULL (Spark's acc+NULL
+       -- semantics — honest "unknown" for a partially corrupt vector)
+       -- where bare list_sum would silently skip it
+       CASE WHEN q IS NULL THEN NULL
+            WHEN len(list_filter(q, x -> x IS NULL)) > 0 THEN NULL
+            ELSE CAST(coalesce(list_sum(q), 0) AS BIGINT) END AS qsum,
        q[1] AS q0,
        q[2] AS q1,
-       round(list_reduce(list_transform(range(1, len(vd) + 1),
-                                        i -> abs(vd[i] - q[i] * scale)),
-                         (a, b) -> greatest(a, b)) / scale, 4) AS max_err_in_scale_units
+       CASE WHEN scale <= 0 THEN 0.0
+            ELSE round(list_reduce(list_transform(range(1, len(vd) + 1),
+                                                  i -> abs(vd[i] - q[i] * scale)),
+                                   (a, b) -> greatest(a, b)) / scale, 4) END
+         AS max_err_in_scale_units
 FROM quant
 ORDER BY vec_id
 """

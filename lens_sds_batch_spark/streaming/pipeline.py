@@ -595,10 +595,17 @@ def ivf_assign_stream(vecs: DataFrame, centers: list[list[float]], vec_col: str 
     streaming surface is discoverable next to the other B9/B11 twins.
     No watermark, no foreachBatch, append-mode safe — the cheapest
     possible streaming operator shape.  Parity is pinned by
-    tests/test_streaming.py::test_ivf_assign_stream_equals_batch."""
-    from ..operators.similarity import assign_cells
+    tests/test_streaming.py::test_ivf_assign_stream_equals_batch.
 
-    return assign_cells(vecs, centers, vec_col)
+    Invalid vectors (NULL / empty / zero-norm / NULL-element) are
+    EXCLUDED before assignment — the same FAISS policy the batch index
+    applies (r11 review: the raise-on-NULL guard inside assign_cells
+    exists for RAGGED DIMS; inheriting it for NULL rows would let one
+    corrupt record kill the whole streaming query while the batch path
+    just drops it)."""
+    from ..operators.similarity import assign_cells, valid_vec
+
+    return assign_cells(vecs.where(valid_vec(F.col(vec_col))), centers, vec_col)
 
 
 def session_windows_stream(

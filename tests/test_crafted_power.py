@@ -467,3 +467,63 @@ def test_simhash_banding_complete_vs_bruteforce(spark):
                     (fps[a] & band_mask(k)) == (fps[b] & band_mask(k))
                     for k in range(SIMHASH_BANDS)
                 )
+
+
+def test_degenerate_embeddings_parity_and_exclusion(spark, tmp_path):
+    """r11 review: NULL / empty / all-zero / NULL-element embeddings are
+    real 100 TB shapes the clean corpus lacks.  Before the shared
+    validity layer they (a) NaN-ranked at the TOP of every top-k in
+    both engines (zero norm -> cos NaN, desc-sorts first), (b) diverged
+    between engines (Spark empty-array norm 0.0 vs DuckDB NULL; Spark
+    NULL-poisoned dots vs DuckDB's NULL-skipping list_sum), (c) crashed
+    the quantize oracle (DuckDB CAST(floor(NaN) AS BIGINT) errors) and
+    Spark's ANSI element_at on short vectors, and (d) burned the
+    emb-dup bucket cap from sign bucket '00000000'.  Drive a corpus
+    containing every degenerate shape through the REAL gate comparator
+    for all three similarity queries, and assert the exclusions."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from tools.drive_driver import compare_one
+
+    d = str(tmp_path)
+    dim = 6
+    rows = []
+    # 30 valid vectors (ids 0..29; id 0 is a query under QUERY_STRIDE)
+    for i in range(30):
+        rows.append((i, [((i * 7 + j * 3) % 11 - 5) / 5.0 + 0.01 for j in range(dim)], f"l{i%3}"))
+    rows += [
+        (100, None, "lx"),                     # NULL embedding (qid 100)
+        (101, [], "lx"),                       # empty array
+        (102, [0.0] * dim, "lx"),              # zero vector
+        (103, [0.5, None, 0.25, 0.1, 0.1, 0.1], "lx"),  # NULL element
+        (104, [0.5, 0.1], "lx"),               # short vector (len 2)
+        (200, [0.3] * dim, "lx"),              # valid; qid under stride
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+    )
+    qs, oracles = em.queries(), em.oracle_sql()
+    for name in ("knn_pack", "embedding_quantize_int8"):
+        assert compare_one(con, spark, name, qs[name], oracles[name], sf_dir=d), name
+
+    # exclusions: degenerate ids never appear in any knn role
+    out = qs["knn_pack"](spark, d).collect()
+    assert out, "valid vectors must still produce neighbors"
+    bad = {100, 101, 102, 103}
+    for r in out:
+        assert r["qid"] not in bad and r["vec_id"] not in bad
+        assert r["cos"] is not None and r["cos"] == r["cos"]  # no NULL/NaN
+
+    # quantize runs-and-degrades on every shape, engine-identically
+    # (compare_one above proved parity; spot-check the guard values)
+    qrows = {r["vec_id"]: r for r in qs["embedding_quantize_int8"](spark, d).collect()}
+    assert qrows[101]["qsum"] == 0 and qrows[101]["max_err_in_scale_units"] == 0.0
+    assert qrows[102]["qsum"] == 0 and qrows[102]["q0"] == 0
+    assert qrows[100]["qsum"] is None  # NULL vector stays NULL, both engines
+    assert qrows[104]["q1"] is not None  # short vector: no ANSI crash
