@@ -52,6 +52,27 @@ def _tx(el) -> str | None:
 
 
 _ITEM_TAGS = {"ItemData", "ItemDataString", "ItemDataInteger", "ItemDataFloat", "ItemDataDatetime"}
+# the CLOSED set of ODM subject-hierarchy tags (r11 review: the old
+# `tag.endswith("Data")` heuristic dead-lettered LEGAL vendor-extension
+# elements — ODM explicitly allows foreign-namespace children at every
+# level, and any <x:FooData/> extension matched the suffix; it also
+# could not be used at the ODM root, where AdminData/ReferenceData are
+# legal siblings that end in "Data")
+_HIERARCHY_TAGS = {"SubjectData", "StudyEventData", "FormData", "ItemGroupData"} | _ITEM_TAGS
+
+_TYPED_DTYPES = {  # hoisted (r11 review): was rebuilt per item element
+    "ItemDataString": "string",
+    "ItemDataInteger": "integer",
+    "ItemDataFloat": "float",
+    "ItemDataDatetime": "date-time",
+}
+
+
+def _is_hierarchy_tag(tag: str) -> bool:
+    # startswith("ItemData") keeps unsupported TYPED item variants
+    # (e.g. ItemDataBoolean) on the dead-letter path — a typed leaf we
+    # cannot canonicalize is lost data, not an ignorable extension
+    return tag in _HIERARCHY_TAGS or tag.startswith("ItemData")
 
 
 def _data_children(el, expected: set[str]) -> list:
@@ -59,26 +80,64 @@ def _data_children(el, expected: set[str]) -> list:
 
     CDISC ODM legitimately interleaves non-hierarchy elements at every
     level (SiteRef / InvestigatorRef / AuditRecord(s) / Annotation(s) /
-    Signature(s), …) — those are SKIPPED, not misparsed as the next
-    hierarchy level (a SiteRef under SubjectData must not become a
-    bogus StudyEventData row) and not dead-lettered.  A *misplaced*
-    hierarchy element (FormData directly under SubjectData, an
-    ItemData* outside ItemGroupData, or an unsupported ItemData* type)
-    IS a structure error: silently dropping it would lose data, so the
-    file dead-letters."""
+    Signature(s), vendor extensions, …) — those are SKIPPED, not
+    misparsed as the next hierarchy level (a SiteRef under SubjectData
+    must not become a bogus StudyEventData row) and not dead-lettered.
+    A *misplaced* hierarchy element (FormData directly under
+    SubjectData, an ItemData* outside ItemGroupData, or an unsupported
+    ItemData* type) IS a structure error: silently dropping it would
+    lose data, so the file dead-letters.  Membership is the CLOSED
+    _HIERARCHY_TAGS set, not a name suffix — a legal foreign
+    <x:FooData/> extension must not kill the file."""
     kids = []
     for ch in el:
         tag = _strip(ch.tag)
         if tag in expected:
             kids.append(ch)
-        elif tag.endswith("Data") or tag.startswith("ItemData"):
+        elif _is_hierarchy_tag(tag):
             raise ValueError(f"unexpected <{tag}> under <{_strip(el.tag)}>")
         # else: legal non-hierarchy ODM child — irrelevant to the data model
     return kids
 
 
+def _req(el, attr: str) -> str:
+    """Required identity attribute (r11 review: a missing SubjectKey /
+    *OID previously produced NULL path components that vanished from
+    their own level's isNotNull projection while their item rows kept
+    flowing — orphaned commands referencing a subject no table holds.
+    The ODM schema requires these; absence is structural corruption ->
+    dead-letter)."""
+    v = el.get(attr)
+    if not v:
+        raise ValueError(f"missing required {attr} on <{_strip(el.tag)}>")
+    return v
+
+
 def parse_odm_bytes(path: str, blob: bytes) -> list[dict]:
-    """One ODM file -> normalized item-level rows (or one error row)."""
+    """One ODM file -> normalized item-level rows (or one error row).
+
+    Documented reference-parity limits (r11 review adjudications):
+
+    - Repeat keys (StudyEventRepeatKey / FormRepeatKey /
+      ItemGroupRepeatKey) are NOT part of the identity path — the
+      reference's tree is MAP-keyed by OID alone (SURVEY §1.1:
+      ``:study-events {oid → study-event}``), so repeating groups
+      collapse there too; our distinct()-per-level projection matches
+      that model.  A pipeline needing repeat-grain identity would
+      extend the OID path (and the uuid5 chain) — a deliberate
+      divergence from the reference, not taken.
+    - ``TransactionType="Context"`` (legal ODM 1.3) dead-letters: the
+      reference's dispatch universe is exactly
+      {insert, update, upsert, remove} (``import_clinical_data.clj:
+      106-263`` defmethods) and an unlisted tx is a hard dispatch
+      error there as well.
+    - Typed element text is ``.strip()``-ed (pretty-print tolerance,
+      pinned by test_empty_vs_absent_item_value): whitespace-
+      SIGNIFICANT string values are thereby canonicalized — two values
+      differing only in edge whitespace share a value_canon and hence
+      a cmd_id.  Documented trade: rendered/pretty XML round-trips,
+      at the cost of edge-whitespace fidelity.
+    """
     base = dict.fromkeys(
         (
             "file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid",
@@ -95,28 +154,35 @@ def parse_odm_bytes(path: str, blob: bytes) -> list[dict]:
         for cd in root:
             # ODM's top level legitimately carries Study / AdminData /
             # ReferenceData / Association siblings — only ClinicalData
-            # holds the subject hierarchy
-            if _strip(cd.tag) != "ClinicalData":
+            # holds the subject hierarchy.  A subject-hierarchy element
+            # DIRECTLY under the root (a corrupt merge that lost its
+            # ClinicalData wrapper) must dead-letter, not vanish — the
+            # same invariant _data_children enforces one level down
+            # (r11 review).
+            tag = _strip(cd.tag)
+            if tag != "ClinicalData":
+                if _is_hierarchy_tag(tag):
+                    raise ValueError(f"unexpected <{tag}> under <ODM>")
                 continue
-            study_oid = cd.get("StudyOID")
+            study_oid = _req(cd, "StudyOID")
             for subj in _data_children(cd, {"SubjectData"}):
                 s = dict(base, file_path=path, file_oid=file_oid, study_oid=study_oid,
-                         subject_key=subj.get("SubjectKey"), subject_tx=_tx(subj), error=None)
+                         subject_key=_req(subj, "SubjectKey"), subject_tx=_tx(subj), error=None)
                 ses = _data_children(subj, {"StudyEventData"})
                 if not ses:
                     rows.append(s)  # childless subtree terminates here
                 for se in ses:
-                    e = dict(s, study_event_oid=se.get("StudyEventOID"), study_event_tx=_tx(se))
+                    e = dict(s, study_event_oid=_req(se, "StudyEventOID"), study_event_tx=_tx(se))
                     forms = _data_children(se, {"FormData"})
                     if not forms:
                         rows.append(e)
                     for form in forms:
-                        f = dict(e, form_oid=form.get("FormOID"), form_tx=_tx(form))
+                        f = dict(e, form_oid=_req(form, "FormOID"), form_tx=_tx(form))
                         igs = _data_children(form, {"ItemGroupData"})
                         if not igs:
                             rows.append(f)
                         for ig in igs:
-                            g = dict(f, item_group_oid=ig.get("ItemGroupOID"), item_group_tx=_tx(ig))
+                            g = dict(f, item_group_oid=_req(ig, "ItemGroupOID"), item_group_tx=_tx(ig))
                             items = _data_children(ig, _ITEM_TAGS)
                             if not items:
                                 rows.append(g)
@@ -124,12 +190,7 @@ def parse_odm_bytes(path: str, blob: bytes) -> list[dict]:
                                 tag = _strip(item.tag)
                                 # typed form: ItemDataString / ItemDataInteger / ...
                                 # (_data_children guarantees tag ∈ _ITEM_TAGS)
-                                dtype = {
-                                    "ItemDataString": "string",
-                                    "ItemDataInteger": "integer",
-                                    "ItemDataFloat": "float",
-                                    "ItemDataDatetime": "date-time",
-                                }.get(tag)
+                                dtype = _TYPED_DTYPES.get(tag)
                                 if dtype is not None:
                                     # strip() tolerates pretty-printed input
                                     # (indentation around element text); an
@@ -154,7 +215,7 @@ def parse_odm_bytes(path: str, blob: bytes) -> list[dict]:
                                 rows.append(
                                     dict(
                                         g,
-                                        item_oid=item.get("ItemOID"),
+                                        item_oid=_req(item, "ItemOID"),
                                         item_tx=_tx(item),
                                         data_type=dtype,
                                         value_canon=value,
@@ -241,8 +302,7 @@ def route_parsed(parsed: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     source; deterministic command ids make the replay idempotent."""
     from pyspark.sql import functions as F
 
-    valid = parsed.where(F.col("error").isNull())
-    errs = parsed.where(F.col("error").isNotNull())
+    valid, errs = split_errors(parsed)
     # NULL retryable (a sink round-trip that defaulted the column, or a
     # future error path that forgot to set it) must not vanish from both
     # sides — (retryable) and (~retryable) each exclude NULL, so the
@@ -272,7 +332,7 @@ def odm_tables_from_xml(parsed: DataFrame, file_oid_meta: DataFrame):
 
     from ..plans.odm import OdmTables
 
-    valid = parsed.where(F.col("error").isNull())
+    valid = split_errors(parsed)[0]
 
     def level(cols: list[str], tx_col: str):
         return (

@@ -656,3 +656,65 @@ def test_route_parsed_null_retryable_is_fatal(spark):
     assert {r["file_path"] for r in valid.collect()} == {"ok"}
     assert {r["file_path"] for r in retryable.collect()} == {"rq"}
     assert {r["file_path"] for r in fatal.collect()} == {"dl", "nn"}
+
+
+def test_vendor_extensions_skip_but_misplaced_hierarchy_dead_letters():
+    """r11 review: ODM allows foreign-namespace extension elements at
+    every level — the old endswith("Data") heuristic dead-lettered any
+    <x:FooData/>.  Extensions must be SKIPPED; the closed hierarchy-tag
+    set still dead-letters genuinely misplaced ODM elements, including
+    directly under the root (a lost ClinicalData wrapper previously
+    made the whole subject vanish with no error row)."""
+    ok = (
+        '<ODM FileOID="F-V1"><ClinicalData StudyOID="S1">'
+        '<SubjectData SubjectKey="SK1">'
+        '<x:CustomData xmlns:x="urn:vendor">ignored</x:CustomData>'
+        '<StudyEventData StudyEventOID="SE1"><FormData FormOID="FM1">'
+        '<ItemGroupData ItemGroupOID="IG1">'
+        '<ItemDataString ItemOID="I1">v</ItemDataString>'
+        "</ItemGroupData></FormData></StudyEventData></SubjectData>"
+        "</ClinicalData><AdminData/><ReferenceData/></ODM>"
+    )
+    rows = parse_odm_bytes("p", ok.encode())
+    assert len(rows) == 1 and rows[0]["error"] is None
+    assert rows[0]["item_oid"] == "I1"
+
+    # hierarchy element directly under the root: dead-letter, not silence
+    lost_wrapper = (
+        '<ODM FileOID="F-V2"><SubjectData SubjectKey="SK1">'
+        '<StudyEventData StudyEventOID="SE1"/></SubjectData></ODM>'
+    )
+    rows = parse_odm_bytes("p", lost_wrapper.encode())
+    assert len(rows) == 1
+    assert rows[0]["error"] and "unexpected <SubjectData> under <ODM>" in rows[0]["error"]
+    assert rows[0]["retryable"] is False
+
+
+def test_missing_identity_attributes_dead_letter():
+    """r11 review: a missing SubjectKey/*OID previously produced NULL
+    path components — the subject vanished from its own level's
+    isNotNull projection while its item rows kept flowing (orphaned
+    commands).  The ODM schema requires these; absence dead-letters."""
+    cases = [
+        ('<ODM FileOID="F-M1"><ClinicalData StudyOID="S1">'
+         '<SubjectData><StudyEventData StudyEventOID="SE1"/></SubjectData>'
+         "</ClinicalData></ODM>", "SubjectKey"),
+        ('<ODM FileOID="F-M2"><ClinicalData>'
+         '<SubjectData SubjectKey="SK1"/></ClinicalData></ODM>', "StudyOID"),
+        ('<ODM FileOID="F-M3"><ClinicalData StudyOID="S1">'
+         '<SubjectData SubjectKey="SK1"><StudyEventData/></SubjectData>'
+         "</ClinicalData></ODM>", "StudyEventOID"),
+        ('<ODM FileOID="F-M4"><ClinicalData StudyOID="S1">'
+         '<SubjectData SubjectKey="SK1"><StudyEventData StudyEventOID="SE1">'
+         '<FormData FormOID="FM1"><ItemGroupData ItemGroupOID="IG1">'
+         '<ItemDataString>v</ItemDataString>'
+         "</ItemGroupData></FormData></StudyEventData></SubjectData>"
+         "</ClinicalData></ODM>", "ItemOID"),
+    ]
+    for xml, attr in cases:
+        rows = parse_odm_bytes("p", xml.encode())
+        assert len(rows) == 1, attr
+        assert rows[0]["error"] and f"missing required {attr}" in rows[0]["error"], (
+            attr, rows[0]["error"],
+        )
+        assert rows[0]["retryable"] is False
