@@ -47,10 +47,12 @@ def _u(doc_id_col, salt: str = "smp:"):
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_HASH_DENOM)
 
 
-def u_sql(salt: str = "smp:") -> str:
-    """DuckDB twin of :func:`_u` (an expression over ``doc_id``)."""
+def u_sql(salt: str = "smp:", col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`_u` (an expression over ``col``; callers
+    with a qualified column pass it instead of string-replacing the
+    output — r11 review)."""
     return (
-        f"CAST(CAST('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"CAST(CAST('0x' || substr(md5('{salt}' || CAST({col} AS VARCHAR)), 1, 8) "
         f"AS BIGINT) AS DOUBLE) / {_HASH_DENOM}"
     )
 
@@ -77,9 +79,7 @@ def _rate_case_sql() -> str:
 
 STRATIFIED_SAMPLE_SQL = f"""
 SELECT doc_id, lang, source, u FROM (
-  SELECT doc_id, lang, source,
-         CAST('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-           / {_HASH_DENOM} AS u
+  SELECT doc_id, lang, source, {u_sql('smp:')} AS u
   FROM documents
 )
 WHERE u < {_rate_case_sql()}
@@ -168,7 +168,7 @@ def corpus_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_SHUFFLE_SPLIT_SQL = f"""
 SELECT doc_id,
        md5('shf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
-       CAST('0x' || substr(md5('shf:' || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)
+       CAST('0x' || substr(shuffle_key, 1, 2) AS BIGINT)
          % {N_SHARDS} AS shard,
        CASE WHEN u < {SPLIT_TRAIN} THEN 'train'
             WHEN u < {SPLIT_VALID} THEN 'valid'
@@ -279,8 +279,14 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        catches paraphrase-level duplicates the lexical
                        stages miss.  Reuses embedding_dup_pairs'
                        capped within-bucket generation (never
-                       corpus-quadratic); greedy keep-min-id stands in
-                       for SemDeDup's keep-farthest-from-centroid.
+                       corpus-quadratic); pair-based drop-larger-id
+                       pruning stands in for SemDeDup's
+                       keep-farthest-from-centroid, with the SAME
+                       pair-grain caveat as stage 4: a transitive
+                       chain (1-2, 2-3) drops BOTH larger sides even
+                       though a sequential greedy pass would revive 3
+                       once 2 is gone (r11 review — the doc previously
+                       claimed greedy keep-min-id).
                        The synthetic corpus couples embeddings to docs
                        1:1 (vec_id == doc_id), which the stage relies
                        on to join pairs against doc survivors.

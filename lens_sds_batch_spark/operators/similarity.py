@@ -99,11 +99,15 @@ def _topk(scored: DataFrame) -> DataFrame:
     )
 
 
-def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_bruteforce(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:
     """Exact cosine top-k: every STRIDE-th vector queries the corpus.
     Degenerate embeddings (NULL / empty / zero-norm / NULL-element) are
-    excluded on BOTH sides — see _valid_norm."""
-    vecs = _valid_vecs(spark, sf_dir)
+    excluded on BOTH sides — see _valid_norm.  ``base``: optional
+    pre-validated (vec_id, v, norm) frame — knn_pack shares ONE
+    checkpointed validity pass across its arms (each arm's plan would
+    otherwise re-run the modal-dim aggregate; same device as
+    doc_features_pack's shared tokenized scan)."""
+    vecs = _valid_vecs(spark, sf_dir) if base is None else base
     queries = vecs.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )
@@ -158,12 +162,15 @@ def _bucket(vcol):
     return F.concat(*bits)
 
 
-def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:
     """Approximate top-k: probe only the query's sign-quantization
     bucket (axis-aligned hyperplane LSH).  Degenerate embeddings are
     excluded BEFORE bucketing (they all land in bucket '00000000' and
-    would both pollute candidates and burn the bucket cap)."""
-    vecs = _valid_vecs(spark, sf_dir).withColumn("bucket", _bucket(F.col("v")))
+    would both pollute candidates and burn the bucket cap).  ``base``:
+    see knn_bruteforce."""
+    vecs = (_valid_vecs(spark, sf_dir) if base is None else base).withColumn(
+        "bucket", _bucket(F.col("v"))
+    )
     queries = vecs.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
@@ -214,10 +221,13 @@ def knn_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     50-query window (see COVERAGE.md pack map).  No trailing orderBy —
     a global sort would run both arms twice for range-boundary
     sampling; the driver compare is order-insensitive."""
-    brute = knn_bruteforce(spark, sf_dir).select(
+    from ..session import local_ckpt
+
+    shared = local_ckpt(_valid_vecs(spark, sf_dir), eager=False)
+    brute = knn_bruteforce(spark, sf_dir, base=shared).select(
         F.lit("brute").alias("kind"), "qid", "vec_id", "cos", "rk"
     )
-    lsh = knn_lsh_bucketed(spark, sf_dir).select(
+    lsh = knn_lsh_bucketed(spark, sf_dir, base=shared).select(
         F.lit("lsh").alias("kind"), "qid", "vec_id", "cos", "rk"
     )
     return brute.unionByName(lsh)
@@ -376,7 +386,7 @@ def assign_cells(df: DataFrame, centers: list[list[float]], vec_col: str = "v") 
     )
 
 
-def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_knn(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:
     """IVF (inverted-file) ANN: seeded KMeans partitions the corpus
     into IVF_K cells; each query probes its IVF_NPROBE nearest
     centroids and ranks only those cells — the trained-index scale
@@ -399,7 +409,7 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SECOND array traversal per row per scan (vecs feeds the fit, the
     # assignment, and the candidate join).  Empty arrays aggregate to
     # 0.0 (non-NULL), hence the size check.
-    vecs = _valid_vecs(spark, sf_dir)
+    vecs = _valid_vecs(spark, sf_dir) if base is None else base
     ml = vecs.withColumn("features", array_to_vector("v"))
     # maxIter=8 (r6): the default 20 costs 3.9s of builder wall-clock at
     # sf0.1 for a 0.25% training-cost difference (1851.9 vs 1847.3 —
@@ -464,10 +474,13 @@ def ivf_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a recall-above-floor flag (literal 1 in the oracle, so a recall
     collapse fails the CORRECTNESS row, not just pytest).  ``ivf_knn``
     itself stays the library API returning the actual neighbors."""
-    exact = knn_bruteforce(spark, sf_dir).select(
+    from ..session import local_ckpt
+
+    shared = local_ckpt(_valid_vecs(spark, sf_dir), eager=False)
+    exact = knn_bruteforce(spark, sf_dir, base=shared).select(
         F.col("qid"), F.col("vec_id").alias("ev")
     )
-    approx = ivf_knn(spark, sf_dir).select(
+    approx = ivf_knn(spark, sf_dir, base=shared).select(
         F.col("qid").alias("aqid"), F.col("vec_id").alias("av")
     )
     # ONE pass: left join marks each exact neighbor as hit/miss, then a

@@ -782,7 +782,7 @@ def _contam_ctes() -> str:
     from .curation import u_sql
 
     return CONTAM_SQL_CTES.format(
-        u_evl=u_sql("evl:"), u_evl_d=u_sql("evl:").replace("doc_id", "d.doc_id")
+        u_evl=u_sql("evl:"), u_evl_d=u_sql("evl:", col="d.doc_id")
     )
 
 
