@@ -80,8 +80,8 @@ HEADLINE = (
     "window_pack",
     "agg_multi_pack",
     "set_ops_pack",
-    "row_funcs_pack",
-    "scalar_pack",
+    # r12: scalar_pack + row_funcs_pack folded into row_scalar_pack
+    "row_scalar_pack",
     "percentile_pack",
     "reshape_pack",
     "tpch_pack",
@@ -101,6 +101,9 @@ HEADLINE = (
     # added round 11: the bucketed merge_into gate query (banked slot
     # from the text_pack fold)
     "entity_state_bucketed",
+    # added round 12: the manifest-commit merge flavor + rebucket +
+    # vacuum under the gate (banked slot from the row_scalar_pack fold)
+    "entity_state_manifest",
 )
 
 

@@ -357,12 +357,19 @@ def entity_state_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
          % 11 == 0 (upsert → v2, % 11 → remove) — re-insert-after-
          remove, remove-after-update, and delete-of-absent all occur.
 
+    Between batches 2 and 3 the table is REBUCKETED 16 → 8 (r11
+    verdict #3): the migration op runs inside the gate, and batch 3
+    must then prune correctly in the NEW bucket space for the final
+    hash to stay green — the state equality across the re-layout is
+    part of what the oracle pins.
+
     Sequential merges ≡ one LWW over the union because priorities are
     strictly increasing and the tombstone contract deletes only via a
     newer matching source row — which is exactly what the oracle SQL
     states.  Equality of the READ-BACK state (not an in-memory frame)
     gates the storage path itself: bucket routing, spec autodetection,
-    pruned reads, per-bucket swaps, tombstone drops, bucket emptying.
+    pruned reads, per-bucket swaps, tombstone drops, bucket emptying,
+    re-layout.
 
     Scratch dir: (sf, pid)-keyed under spark-warehouse like the XML
     render corpus (same GC), wiped at builder start so re-runs are
@@ -370,28 +377,10 @@ def entity_state_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``import_clinical_data.clj:239-263`` (upsert/remove at entity
     grain applied to the store).
     """
-    import os
-    import shutil
-
-    from ..plans.merge import BUCKET_COL, merge_into
+    from ..plans.merge import merge_into, read_merged_table, rebucket
     from ..plans.odm import derive_odm_resolved
-    from .xml_ingest import _gc_stale_render_dirs
 
-    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    base = os.environ.get("SPARK_GRAFT_RENDER_DIR") or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-    )
-    root = os.path.join(base, "entity_state_bucketed")
-    _gc_stale_render_dirs(root)
-    target = os.path.join(root, f"{sf_name}-{os.getpid()}")
-    # wipe merge_into's rename-protocol siblings too (r11 review): a
-    # leftover .__old from a crashed earlier run under a REUSED pid
-    # would otherwise be "recovered" into batch 1's fresh target,
-    # resurrecting stale state (and tripping the engines assertion)
-    for leftover in (target, target + ".__old", target + ".__tmp"):
-        shutil.rmtree(leftover, ignore_errors=True)
-
+    target = _merge_scratch_target("entity_state_bucketed", sf_dir)
     cust = load_table(spark, sf_dir, "customer")
     st = F.concat(F.lit("ST"), (F.col("c_custkey") % 3).cast("string"))
     sk = F.concat(F.lit("SK"), F.col("c_custkey").cast("string"))
@@ -422,6 +411,10 @@ def entity_state_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_buckets=16 if i == 0 else None,  # autodetected after layout
         )
         engines.append(res["engine"])
+        if i == 1:  # day-2 growth: migrate the layout mid-sequence
+            reb = rebucket(spark, target, 8)
+            if (reb["engine"], reb["num_buckets"]) != ("parquet-swap", 8):
+                raise AssertionError(f"unexpected rebucket result: {reb}")
     if engines != ["parquet-swap", "parquet-bucketed", "parquet-bucketed"]:
         raise AssertionError(f"unexpected merge engines: {engines}")
     # Empty-input totality (tests/test_empty_inputs.py): an all-empty
@@ -429,11 +422,8 @@ def entity_state_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # legitimate merged state (it is also what deleting every key
     # leaves), but parquet cannot infer a schema from it.  Degrade to
     # the documented 0-row form instead of crashing.
-    from pyspark.errors import AnalysisException
-
-    try:
-        out = spark.read.parquet(target)
-    except AnalysisException:
+    out = read_merged_table(spark, target)
+    if out is None:
         out = spark.createDataFrame(
             [], "study_oid string, subject_key string, version string"
         )
@@ -477,6 +467,155 @@ ORDER BY study_oid, subject_key
 
 QUERIES.update(
     {"entity_state_bucketed": (entity_state_bucketed, ENTITY_STATE_BUCKETED_SQL)}
+)
+
+
+def _merge_scratch_target(query_name: str, sf_dir: str) -> str:
+    """(sf, pid)-keyed scratch target under spark-warehouse with the
+    same GC as the XML render corpus; wipes this pid's own leftovers
+    (merge rename-protocol siblings + the r12 writer lease — a crashed
+    holder under a REUSED pid would otherwise refuse batch 1 as
+    'another writer' / resurrect stale state)."""
+    import os
+    import shutil
+
+    from .xml_ingest import _gc_stale_render_dirs
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.environ.get("SPARK_GRAFT_RENDER_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )
+    root = os.path.join(base, query_name)
+    _gc_stale_render_dirs(root)
+    target = os.path.join(root, f"{sf_name}-{os.getpid()}")
+    for leftover in (target, target + ".__old", target + ".__tmp"):
+        shutil.rmtree(leftover, ignore_errors=True)
+    try:
+        os.remove(target + ".__lease")
+    except OSError:
+        pass
+    return target
+
+
+def entity_state_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 manifest-commit merge flavor (plans/merge.py
+    ``protocol='manifest'`` — generation directories + one atomically
+    renamed manifest file, the object-store-safe commit) under the HARD
+    ORACLE GATE, mirroring ``entity_state_bucketed``'s discipline for
+    the OTHER portable protocol: three micro-batches merged into a real
+    on-disk manifest table, the table rebucketed 16 → 8 mid-sequence
+    (the manifest arm of the migration op), vacuumed at grace 0 (GC of
+    every superseded generation must not change state), and the final
+    state read back THROUGH THE MANIFEST RESOLVER
+    (``read_merged_table``) and hash-compared against a closed-form
+    DuckDB LWW over the unioned batches.
+
+    Batches (deliberately DIFFERENT mods from the bucketed twin so the
+    two gate outputs cannot degenerate into one):
+      1. pri 0: ODD-custkey subjects at v0 — first manifest commits
+         (seq 0 init + seq 1 data);
+      2. pri 1: custkey % 5 == 0 or % 9 == 0 (upsert → v1, % 9 →
+         remove) — insert-of-new (even %5 keys) and remove occur;
+      3. pri 2: custkey % 4 == 0 or % 13 == 0 (upsert → v2, % 13 →
+         remove) — re-insert-after-remove (36: removed by %9, back via
+         %4), remove-after-update, delete-of-absent all occur, in the
+         POST-rebucket bucket space.
+
+    Reference semantics anchor: ``import_clinical_data.clj:239-263``
+    (the store the commands mutate must never half-apply a batch — the
+    manifest protocol's whole point)."""
+    from ..plans.merge import (
+        merge_into,
+        read_merged_table,
+        rebucket,
+        vacuum_merged_table,
+    )
+
+    target = _merge_scratch_target("entity_state_manifest", sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    st = F.concat(F.lit("ST"), (F.col("c_custkey") % 3).cast("string"))
+    sk = F.concat(F.lit("SK"), F.col("c_custkey").cast("string"))
+    b1 = cust.where(F.col("c_custkey") % 2 == 1).select(
+        st.alias("study_oid"), sk.alias("subject_key"),
+        F.lit(0).alias("priority"), F.lit("v0").alias("version"),
+        F.lit(False).alias("is_remove"),
+    )
+    b2 = cust.where(
+        (F.col("c_custkey") % 5 == 0) | (F.col("c_custkey") % 9 == 0)
+    ).select(
+        st.alias("study_oid"), sk.alias("subject_key"),
+        F.lit(1).alias("priority"), F.lit("v1").alias("version"),
+        (F.col("c_custkey") % 9 == 0).alias("is_remove"),
+    )
+    b3 = cust.where(
+        (F.col("c_custkey") % 4 == 0) | (F.col("c_custkey") % 13 == 0)
+    ).select(
+        st.alias("study_oid"), sk.alias("subject_key"),
+        F.lit(2).alias("priority"), F.lit("v2").alias("version"),
+        (F.col("c_custkey") % 13 == 0).alias("is_remove"),
+    )
+    engines = []
+    for i, batch in enumerate((b1, b2, b3)):
+        res = merge_into(
+            spark, target, batch,
+            keys=["study_oid", "subject_key"],
+            order_cols=["priority"],
+            is_delete=F.col("is_remove"),
+            num_buckets=16 if i == 0 else None,  # autodetected after layout
+            protocol="manifest" if i == 0 else None,
+        )
+        engines.append(res["engine"])
+        if i == 1:
+            reb = rebucket(spark, target, 8)
+            if (reb["engine"], reb["num_buckets"]) != ("parquet-manifest", 8):
+                raise AssertionError(f"unexpected rebucket result: {reb}")
+    if engines != ["parquet-manifest"] * 3:
+        raise AssertionError(f"unexpected merge engines: {engines}")
+    # GC every superseded generation NOW (grace 0): the hash below then
+    # also pins that vacuum never collects live state
+    vacuum_merged_table(spark, target, grace_sec=0.0)
+    out = read_merged_table(spark, target)
+    if out is None:  # empty-input totality: the all-deleted/never-written state
+        out = spark.createDataFrame(
+            [], "study_oid string, subject_key string, version string"
+        )
+    return out.select("study_oid", "subject_key", "version")
+
+
+ENTITY_STATE_MANIFEST_SQL = """
+WITH b1 AS (
+  SELECT 'ST' || CAST(c_custkey % 3 AS VARCHAR) AS study_oid,
+         'SK' || CAST(c_custkey AS VARCHAR) AS subject_key,
+         0 AS priority, 'v0' AS version, false AS is_remove
+  FROM customer WHERE c_custkey % 2 = 1
+),
+b2 AS (
+  SELECT 'ST' || CAST(c_custkey % 3 AS VARCHAR) AS study_oid,
+         'SK' || CAST(c_custkey AS VARCHAR) AS subject_key,
+         1 AS priority, 'v1' AS version,
+         (c_custkey % 9 = 0) AS is_remove
+  FROM customer WHERE c_custkey % 5 = 0 OR c_custkey % 9 = 0
+),
+b3 AS (
+  SELECT 'ST' || CAST(c_custkey % 3 AS VARCHAR) AS study_oid,
+         'SK' || CAST(c_custkey AS VARCHAR) AS subject_key,
+         2 AS priority, 'v2' AS version,
+         (c_custkey % 13 = 0) AS is_remove
+  FROM customer WHERE c_custkey % 4 = 0 OR c_custkey % 13 = 0
+),
+unioned AS (
+  SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+)
+SELECT study_oid, subject_key, version FROM (
+  SELECT *, row_number() OVER (PARTITION BY study_oid, subject_key ORDER BY priority DESC) AS rk
+  FROM unioned
+) WHERE rk = 1 AND NOT is_remove
+ORDER BY study_oid, subject_key
+"""
+
+QUERIES.update(
+    {"entity_state_manifest": (entity_state_manifest, ENTITY_STATE_MANIFEST_SQL)}
 )
 
 
@@ -728,6 +867,18 @@ PROBES: dict[str, tuple] = {
                      AND c_custkey % 2 = 0),
                (SELECT count(*) FROM customer
                    WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0)"""),
+    "manifest merge final state carries day-2 winners and untouched v0s": (
+        "entity_state_manifest", "oracle",
+        "SELECT sum(CASE WHEN version='v2' THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN version='v0' THEN 1 ELSE 0 END) FROM t"),
+    "manifest merge removes that stick vs re-inserts after remove": (
+        "entity_state_manifest", "corpus",
+        """SELECT (SELECT count(*) FROM customer
+                   WHERE c_custkey % 2 = 1 AND c_custkey % 9 = 0
+                     AND c_custkey % 13 <> 0),
+               (SELECT count(*) FROM customer
+                   WHERE c_custkey % 9 = 0 AND c_custkey % 4 = 0
+                     AND c_custkey % 13 <> 0)"""),
     "entity state mixes updated and untouched subjects": (
         "entity_state_subjects", "oracle",
         "SELECT sum(CASE WHEN version='v1' THEN 1 ELSE 0 END),"

@@ -129,6 +129,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range join, so the plan stays a hash join); a cross-bucket pair
     # is discovered exactly once via the lower doc's +1 copy, a
     # same-bucket pair exactly once via the id order.
+    # RESIDUAL RECALL GAP (ADVICE r11, deliberate): the +1 probe only
+    # reaches pairs within ONE bucket of each other.  For LONG docs the
+    # jaccard size-ratio bound permits larger length deltas (5000 vs
+    # 5250 chars can still clear t=0.7 while sitting 2+ buckets apart),
+    # so MISSES SCALE WITH DOC LENGTH — and the oracle mirrors the same
+    # blocking, keeping the gate green BY CONSTRUCTION there, not by
+    # full recall.  Full recall would probe ~ceil(nw*(1/t-1)/100)
+    # buckets per doc, a length-proportional explode.  Not paid for
+    # here: this corpus's max doc is 577 chars (measured sf0.01/sf0.1),
+    # where a 2-bucket delta needs >100 chars = >17% of the larger doc
+    # — at the margin of the 30% word-set budget only if word and char
+    # counts decouple sharply.  Revisit (switch to the proportional
+    # probe, oracle updated in lockstep) if the corpus grows a long
+    # tail of multi-thousand-char docs.
     a = docs.withColumn(
         "probe_bucket",
         F.explode(F.array(F.col("len_bucket"), F.col("len_bucket") + 1)),

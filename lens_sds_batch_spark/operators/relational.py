@@ -2524,6 +2524,55 @@ ORDER BY kind, id
 """
 
 
+def row_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 fold of ``scalar_pack`` + ``row_funcs_pack`` (COVERAGE.md's
+    named fold candidate — both are B8 per-row function packs), banking
+    a registry slot for ``entity_state_manifest``.  Both constituent
+    packs stay independently callable and BYTE-UNCHANGED; this pack
+    unions them under a NULL-padded common schema (the established fold
+    discipline, cf. textops.text_pack): the scalar arms keep their
+    kind/id/s1-s3/v1-v2 shape and NULL the row-funcs columns; the
+    orders row-funcs arm carries kind='ord_row' with its four string
+    outputs in s1-s4 and five calendar ints in v1-v5."""
+    sc = scalar_pack(spark, sf_dir)
+    rf = row_funcs_pack(spark, sf_dir)
+    sc_p = sc.select(
+        "kind", "id", "s1", "s2", "s3",
+        _nl("string", "s4"),
+        "v1", "v2",
+        _nl("bigint", "v3"), _nl("bigint", "v4"), _nl("bigint", "v5"),
+    )
+    rf_p = rf.select(
+        F.lit("ord_row").alias("kind"),
+        F.col("o_orderkey").cast("bigint").alias("id"),
+        F.col("prio_num").alias("s1"),
+        F.col("status_pad").alias("s2"),
+        F.col("prio_rev").alias("s3"),
+        F.col("status_lc").alias("s4"),
+        F.col("y").cast("bigint").alias("v1"),
+        F.col("m").cast("bigint").alias("v2"),
+        F.col("d").cast("bigint").alias("v3"),
+        F.col("q").cast("bigint").alias("v4"),
+        F.col("dow").cast("bigint").alias("v5"),
+    )
+    return sc_p.unionByName(rf_p)
+
+
+ROW_SCALAR_PACK_SQL = f"""
+SELECT kind, id, s1, s2, s3, CAST(NULL AS VARCHAR) AS s4, v1, v2,
+       CAST(NULL AS BIGINT) AS v3, CAST(NULL AS BIGINT) AS v4,
+       CAST(NULL AS BIGINT) AS v5
+FROM ({SCALAR_PACK_SQL.strip().rstrip(';')})
+UNION ALL
+SELECT 'ord_row' AS kind, CAST(o_orderkey AS BIGINT) AS id,
+       prio_num AS s1, status_pad AS s2, prio_rev AS s3, status_lc AS s4,
+       CAST(y AS BIGINT) AS v1, CAST(m AS BIGINT) AS v2,
+       CAST(d AS BIGINT) AS v3, CAST(q AS BIGINT) AS v4,
+       CAST(dow AS BIGINT) AS v5
+FROM ({ROW_FUNCS_SQL.strip().rstrip(';')})
+"""
+
+
 def percentile_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4 exact-quantile pack: single median by priority + quartiles by
     status (percentile_exact + percentile_multi merged)."""
@@ -2895,8 +2944,10 @@ QUERIES: dict[str, tuple] = {
     "window_pack": (window_pack, WINDOW_PACK_SQL),
     "agg_multi_pack": (agg_multi_pack, AGG_MULTI_SQL),
     "set_ops_pack": (set_ops_pack, SET_OPS_SQL),
-    "row_funcs_pack": (row_funcs_pack, ROW_FUNCS_SQL),
-    "scalar_pack": (scalar_pack, SCALAR_PACK_SQL),
+    # r12: scalar_pack + row_funcs_pack folded into row_scalar_pack
+    # (slot banked for entity_state_manifest); all arms unchanged +
+    # independently callable.
+    "row_scalar_pack": (row_scalar_pack, ROW_SCALAR_PACK_SQL),
     "percentile_pack": (percentile_pack, PERCENTILE_PACK_SQL),
     "reshape_pack": (reshape_pack, RESHAPE_PACK_SQL),
     "tpch_pack": (tpch_pack, TPCH_PACK_SQL),
@@ -3064,13 +3115,14 @@ PROBES: dict[str, tuple] = {
                  THEN 1 ELSE 0 END)
       FROM a LEFT JOIN b USING (o_custkey)"""),
     "row funcs cover all quarters and weekdays": (
-        "row_funcs_pack", "oracle",
-        "SELECT (SELECT count(DISTINCT q) - 3 FROM t),"
-        " (SELECT count(DISTINCT dow) - 6 FROM t)"),
+        "row_scalar_pack", "oracle",
+        "SELECT (SELECT count(DISTINCT v4) - 3 FROM t WHERE kind='ord_row'),"
+        " (SELECT count(DISTINCT v5) - 6 FROM t WHERE kind='ord_row')"),
     "scalar arms populated, values spread": (
-        "scalar_pack", "oracle",
-        "SELECT (SELECT count(DISTINCT kind) - 2 FROM t),"
-        " (SELECT CASE WHEN min(v1) < max(v1) THEN 1 ELSE 0 END FROM t)"),
+        "row_scalar_pack", "oracle",
+        "SELECT (SELECT count(DISTINCT kind) - 3 FROM t),"
+        " (SELECT CASE WHEN min(v1) < max(v1) THEN 1 ELSE 0 END"
+        "  FROM t WHERE kind <> 'ord_row')"),
     "percentiles strictly ordered where defined": (
         "percentile_pack", "oracle",
         "SELECT (SELECT count(*) FROM t WHERE p25 IS NOT NULL"

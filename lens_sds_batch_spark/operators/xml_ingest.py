@@ -447,7 +447,7 @@ def _gc_stale_render_dirs(render_root: str) -> None:
         # entity-state scratch) — strip those suffixes so their pid
         # parses and dead processes' swap debris is GC'd too
         base = name
-        for suf in (".__old", ".__tmp"):
+        for suf in (".__old", ".__tmp", ".__lease"):
             if base.endswith(suf):
                 base = base[: -len(suf)]
         pid_s = base.rsplit("-", 1)[-1]

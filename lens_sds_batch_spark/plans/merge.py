@@ -32,6 +32,124 @@ from pyspark.sql import functions as F
 BUCKET_COL = "__bucket"
 BUCKET_SPEC_FILE = "_bucket_spec.json"
 
+# Manifest-commit layout (r11 verdict #1 — the object-store-safe flavor
+# of the bucketed merge): live data is resolved through ONE small
+# manifest file instead of directory renames.  Touched buckets are
+# written as fresh generation directories ``__bucket=K/__gen=g<hex>/``
+# (non-live until committed — a crash strands only garbage a vacuum can
+# collect), then a single manifest ``_manifest/<seq>-<gen>.json`` pins
+# the live generation per bucket.  The commit point is one FILE rename
+# (atomic on local/HDFS; a single-object copy on S3A, where directory
+# renames — which the rename flavor depends on — are non-atomic
+# O(data) copy+delete).  Readers resolve paths through the latest
+# manifest (read_merged_table), so the table always reads as exactly
+# pre- or post-merge at every crash point.
+MANIFEST_DIR = "_manifest"
+GEN_COL = "__gen"
+
+# Writer fence (r11 verdict #2): the portable flavors assume a single
+# writer; the lease turns a second concurrent writer into a loud
+# refusal instead of silent rename-protocol interleaving.  The lease is
+# a sibling FILE (<target>.__lease) created with overwrite=False —
+# atomic create-exclusive on HDFS (check-then-create on the local
+# RawLocalFileSystem, good enough to catch operational mistakes; it is
+# NOT a Byzantine-proof lock).  A holder that dies leaves the lease
+# behind; a later writer takes over once it is older than
+# ``lease_stale_sec`` — size that above the longest expected merge, or
+# a slow merge can be taken over mid-flight.
+LEASE_SUFFIX = ".__lease"
+LEASE_STALE_SEC = 3600.0
+
+# Marker written next to a bucket's aside when the bucket was
+# intentionally EMPTIED by deletes (ADVICE r11): without it, crash
+# recovery cannot distinguish "aside moved out, tmp rename pending"
+# (restore) from "aside moved out, nothing replaces it by design"
+# (do not restore — restoring would resurrect the deleted rows).
+EMPTIED_SUFFIX = ".__emptied"
+
+
+def _writer_lease(fs, jvm_path, target_path: str, stale_sec: float = LEASE_STALE_SEC):
+    """Context manager acquiring the single-writer lease for a portable
+    merge target (see LEASE_SUFFIX above).  Raises IOError when another
+    writer holds a non-stale lease; takes over a stale one (best-effort:
+    two simultaneous takeovers can still race on filesystems without
+    atomic create-exclusive — the fence guards operational mistakes,
+    Delta's optimistic concurrency is the designed concurrent path).
+    Released on success AND on exception (a failed merge must be
+    REPLAYED, not resumed, so holding the lease past the failure would
+    only block the replay); only process death leaves it for age-based
+    takeover."""
+    import contextlib
+    import os
+    import socket
+    import time as _time
+
+    @contextlib.contextmanager
+    def _ctx():
+        lease = jvm_path(target_path.rstrip("/") + LEASE_SUFFIX)
+        payload = json.dumps(
+            {
+                "pid": os.getpid(),
+                "host": socket.gethostname(),
+                "acquired_unix_ms": int(_time.time() * 1000),
+            }
+        ).encode("utf-8")
+
+        def _try_create():
+            out = fs.create(lease, False)  # overwrite=False: create-exclusive
+            try:
+                out.write(bytearray(payload))
+            finally:
+                out.close()
+
+        try:
+            _try_create()
+        except Exception:
+            age = None
+            try:
+                st = fs.getFileStatus(lease)
+                age = _time.time() - st.getModificationTime() / 1000.0
+            except Exception:  # holder released between create-fail and stat
+                pass
+            if age is not None and age <= stale_sec:
+                raise IOError(
+                    f"merge_into: another writer holds the lease at "
+                    f"{target_path.rstrip('/') + LEASE_SUFFIX} (age {age:.0f}s "
+                    f"<= stale threshold {stale_sec:.0f}s); concurrent merges "
+                    "into one portable target are not supported — wait for "
+                    "the holder, or use the Delta branch for concurrent "
+                    "writers"
+                )
+            fs.delete(lease, False)  # stale (holder died) or vanished
+            try:
+                _try_create()
+            except Exception as e:
+                raise IOError(
+                    f"merge_into: lease contention at "
+                    f"{target_path.rstrip('/') + LEASE_SUFFIX} — a second "
+                    "writer re-created the lease during stale takeover"
+                ) from e
+        try:
+            yield
+        finally:
+            fs.delete(lease, False)
+
+    return _ctx()
+
+
+def _release_checkpoint(df) -> None:
+    """Best-effort release of an eager localCheckpoint's storage blocks
+    (ADVICE r11): ``DataFrame.unpersist()`` only uncaches
+    InMemoryRelation entries, NOT the checkpointed RDD behind the plan's
+    LogicalRDD, so a fast-trigger streaming sink would transiently
+    accumulate blocks until the ContextCleaner GCs the frame.  Reaching
+    the LogicalRDD's rdd is internal API (verified to free the blocks on
+    this Spark build) — guarded, with the ContextCleaner as fallback."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
 
 def bucket_expr(keys: list[str], num_buckets: int) -> Column:
     """Deterministic bucket id for a key tuple: pmod(xxhash64(keys), N).
@@ -74,10 +192,10 @@ def _write_bucket_spec(
 
 
 def _read_bucket_spec(spark, fs, jvm_path, target_path: str):
-    """Return (num_buckets, keys) if the target carries a bucket spec,
-    else None.  An EXISTING-but-unreadable spec raises loudly: guessing
-    'unbucketed' against a bucketed layout would route keys into the
-    wrong bucket space and silently duplicate them."""
+    """Return ``(num_buckets, keys, key_types)`` if the target carries a
+    bucket spec, else None.  An EXISTING-but-unreadable spec raises
+    loudly: guessing 'unbucketed' against a bucketed layout would route
+    keys into the wrong bucket space and silently duplicate them."""
     spec_path = target_path.rstrip("/") + "/" + BUCKET_SPEC_FILE
     if not fs.exists(jvm_path(spec_path)):
         return None
@@ -164,6 +282,8 @@ def merge_into(
     order_cols: list[str],
     is_delete: Column,
     num_buckets: int | None = None,
+    protocol: str | None = None,
+    lease_stale_sec: float = LEASE_STALE_SEC,
 ) -> dict:
     """Apply an update batch to a stored table: ``MERGE INTO`` when the
     target is a Delta table and delta-spark is importable, else the
@@ -192,15 +312,39 @@ def merge_into(
       transactional commit, stated honestly): the per-bucket
       rename-aside sequence leaves every bucket individually readable
       at every crash point — each bucket is either pre-merge or
-      post-merge state — and the merge is idempotent (LWW over a total
-      order), so replaying the same batch converges; the recovery pass
-      at the head of every bucketed merge restores asides / clears
-      stale ones first.  SINGLE WRITER assumed, like any parquet
-      write-swap table: two concurrent merges into one target would
-      race the rename protocol — when concurrent writers are a
-      requirement, that is exactly what the Delta branch's optimistic
-      concurrency provides.  Tombstone/tie-break/NULL-order contracts
-      below apply to the bucketed path unchanged.
+      post-merge state (buckets EMPTIED by deletes carry a marker so
+      recovery never resurrects the deleted rows, r12/ADVICE r11) —
+      and the merge is idempotent (LWW over a total order); the
+      recovery pass at the head of every bucketed merge restores
+      asides / clears stale ones first.  A FAILED multi-bucket merge
+      MUST be replayed (same batch) before any NEW batch: buckets may
+      be left mixed pre/post-merge across the table, and only the
+      idempotent replay converges them (streaming foreachBatch replays
+      by construction; ad-hoc callers own this).  SINGLE WRITER
+      enforced by a create-exclusive lease file (<target>.__lease,
+      r11 verdict #2): a second concurrent merge/rebucket raises
+      IOError instead of silently interleaving the rename protocol;
+      a dead holder's lease is taken over after ``lease_stale_sec``.
+      When concurrent writers are a requirement, that is exactly what
+      the Delta branch's optimistic concurrency provides.
+      Tombstone/tie-break/NULL-order contracts below apply to the
+      bucketed path unchanged.
+
+    - MANIFEST PROTOCOL (r11 verdict #1 — the object-store-safe
+      flavor): pass ``protocol='manifest'`` (with ``num_buckets``) on
+      first materialization to commit through generation directories +
+      one manifest file instead of directory renames (see the
+      MANIFEST_DIR header comment for the layout).  Auto-detected on
+      every later call, same as the spec.  Strictly stronger crash
+      contract than the rename flavor: the table reads as EXACTLY
+      pre-merge until the single manifest-file rename lands and exactly
+      post-merge after — no recovery pass, no replay-before-new-batch
+      requirement, safe on S3A where directory renames are non-atomic.
+      The cost is read indirection (state must be read through
+      :func:`read_merged_table`) and explicit GC
+      (:func:`vacuum_merged_table`).  Requires a fresh target (no
+      in-place migration from an existing layout).  Re-layout to a new
+      bucket count for either flavor: :func:`rebucket`.
 
     - TOMBSTONE CONTRACT (r8 continuation review): ``is_delete`` is
       evaluated on UPDATE rows ONLY, with NULL normalized to False —
@@ -252,7 +396,9 @@ def merge_into(
       copy+delete — a crash mid-rename there can leave a PARTIAL
       directory that the recovery guard cannot distinguish from a
       complete one; on S3 use the Delta branch (whose log commit is
-      atomic on S3) or an external manifest, not this fallback.
+      atomic on S3) or ``protocol='manifest'`` (whose commit is one
+      single-object rename — see MANIFEST PROTOCOL above), not the
+      rename flavors.
 
     Returns ``{"engine": "parquet-swap", "rows": <merged count>}`` (the
     count rides the write via ``Observation`` — free) or ``{"engine":
@@ -263,6 +409,11 @@ def merge_into(
     """
     if num_buckets is not None and num_buckets < 1:
         raise ValueError(f"merge_into: num_buckets must be >= 1, got {num_buckets}")
+    if protocol not in (None, "rename", "manifest"):
+        raise ValueError(
+            f"merge_into: protocol must be None, 'rename', or 'manifest', "
+            f"got {protocol!r}"
+        )
     if not order_cols:
         # an empty chain would be malformed SQL on the Delta branch and a
         # silent target-always-wins no-op on the fallback — refuse loudly
@@ -285,6 +436,24 @@ def merge_into(
 
     if have_delta:
         from delta.tables import DeltaTable  # type: ignore
+
+        # Refuse-loudly convention (ADVICE r11, cf. the kafka path guard
+        # in streaming/pipeline.py): these knobs shape the PORTABLE
+        # layouts only — silently ignoring them on a Delta target would
+        # hand a user expecting a bucketed/manifest layout neither, with
+        # no error.
+        if num_buckets is not None:
+            raise ValueError(
+                f"merge_into: num_buckets={num_buckets} does not apply to a "
+                f"Delta target ({target_path}) — Delta manages its own file "
+                "layout (OPTIMIZE/ZORDER); drop the argument"
+            )
+        if protocol is not None:
+            raise ValueError(
+                f"merge_into: protocol={protocol!r} does not apply to a "
+                f"Delta target ({target_path}) — the Delta log IS the commit "
+                "protocol; drop the argument"
+            )
 
         src = apply_lww(
             updates, keys, order_exprs + [row_hash], is_delete=F.lit(False)
@@ -336,49 +505,125 @@ def merge_into(
             pass
         return {"engine": "delta", "rows": None, "metrics": metrics}
 
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    # WRITER FENCE (r11 verdict #2): every portable flavor runs under
+    # the create-exclusive lease — a second concurrent writer raises
+    # instead of silently interleaving the swap protocol.
+    with _writer_lease(fs, jvm_path, target_path, lease_stale_sec):
+        return _portable_merge(
+            spark, fs, jvm_path, target_path, updates, keys,
+            order_exprs, row_hash, is_delete, num_buckets, protocol,
+        )
+
+
+def _check_layout_compat(
+    target_path, keys, updates, spec_keys, spec_types, num_buckets, spec_n
+):
+    """Shared key/bucket/dtype validation against a pinned layout (the
+    rename flavor's _bucket_spec or a manifest's equivalent fields)."""
+    if list(keys) != list(spec_keys):
+        raise ValueError(
+            f"merge_into: target {target_path} is bucketed on keys "
+            f"{list(spec_keys)}, caller passed {list(keys)}"
+        )
+    if num_buckets is not None and num_buckets != spec_n:
+        raise ValueError(
+            f"merge_into: target {target_path} has {spec_n} buckets, "
+            f"caller passed num_buckets={num_buckets}"
+        )
+    upd_types = dict(updates.dtypes)
+    drift = {
+        k: (spec_types.get(k), upd_types.get(k))
+        for k in keys
+        if spec_types.get(k) != upd_types.get(k)
+    }
+    if drift:  # xxhash64 is type-sensitive: same value, other bucket
+        raise ValueError(
+            f"merge_into: key dtype drift vs the bucket spec at "
+            f"{target_path}: {drift} (spec, batch) — the same logical "
+            "key would hash into a different bucket space; cast the "
+            "batch keys back to the spec types"
+        )
+
+
+def _recover_whole_dir(fs, jvm_path, target_path: str) -> None:
+    """Legacy-flavor crash recovery (r6 review): a prior run that died
+    between the two swap renames left the only copy of the table at
+    __old and no target — restore it BEFORE any read, or the caller
+    would take the "first batch" path and later cleanup would delete
+    the sole surviving state."""
+    old = target_path.rstrip("/") + ".__old"
+    if not fs.exists(jvm_path(target_path)) and fs.exists(jvm_path(old)):
+        if not fs.rename(jvm_path(old), jvm_path(target_path)):
+            raise IOError(
+                f"merge_into: crash recovery rename {old} -> {target_path} failed"
+            )
+
+
+def _portable_merge(
+    spark, fs, jvm_path, target_path, updates, keys,
+    order_exprs, row_hash, is_delete, num_buckets, protocol,
+) -> dict:
+    """Layout dispatch + the legacy whole-dir flavor.  Runs UNDER the
+    writer lease (acquired by merge_into)."""
     from pyspark.sql import Observation
     from pyspark.sql.utils import AnalysisException
 
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     tmp = target_path.rstrip("/") + ".__tmp"
     old = target_path.rstrip("/") + ".__old"
-    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    # CRASH RECOVERY FIRST (r6 review): a prior run that died between
-    # the two renames left the only copy of the table at __old and no
-    # target — restore it BEFORE the read, or this run would take the
-    # "first batch" path and the cleanup below would delete the sole
-    # surviving state.
-    if not fs.exists(jvm_path(target_path)) and fs.exists(jvm_path(old)):
-        if not fs.rename(jvm_path(old), jvm_path(target_path)):
-            raise IOError(f"merge_into: crash recovery rename {old} -> {target_path} failed")
+
+    # ---- manifest-commit dispatch (see MANIFEST_DIR header) ----
+    man = _read_manifest(spark, fs, jvm_path, target_path)
+    if man is None and protocol == "manifest":
+        if num_buckets is None:
+            raise ValueError(
+                "merge_into: protocol='manifest' requires num_buckets on "
+                "first materialization"
+            )
+        if _read_bucket_spec(spark, fs, jvm_path, target_path) is not None:
+            raise ValueError(
+                f"merge_into: target {target_path} is rename-bucketed; "
+                "protocol='manifest' cannot apply to it — rebuild the table "
+                "to switch protocols"
+            )
+        _init_manifest_table(
+            fs, jvm_path, target_path, keys, num_buckets,
+            {k: dict(updates.dtypes)[k] for k in keys},
+        )
+        man = _read_manifest(spark, fs, jvm_path, target_path)
+    if man is not None:
+        if protocol == "rename":
+            raise ValueError(
+                f"merge_into: target {target_path} is manifest-commit; "
+                "protocol='rename' cannot apply to it — rebuild the table "
+                "to switch protocols"
+            )
+        man_seq, _, m = man
+        _check_layout_compat(
+            target_path, keys, updates, m["keys"], m["key_types"],
+            num_buckets, int(m["num_buckets"]),
+        )
+        return _manifest_merge(
+            spark, fs, jvm_path, target_path, updates, keys,
+            order_exprs, row_hash, is_delete, man_seq, m,
+        )
+
+    _recover_whole_dir(fs, jvm_path, target_path)
 
     # ---- bucketed-layout dispatch (see BUCKETED LAYOUT in docstring) ----
     spec = _read_bucket_spec(spark, fs, jvm_path, target_path)
     if spec is not None:
+        if protocol == "manifest":
+            raise ValueError(
+                f"merge_into: target {target_path} is rename-bucketed; "
+                "protocol='manifest' cannot apply to it — rebuild the table "
+                "to switch protocols"
+            )
         spec_n, spec_keys, spec_types = spec
-        if list(keys) != spec_keys:
-            raise ValueError(
-                f"merge_into: target {target_path} is bucketed on keys "
-                f"{spec_keys}, caller passed {list(keys)}"
-            )
-        if num_buckets is not None and num_buckets != spec_n:
-            raise ValueError(
-                f"merge_into: target {target_path} has {spec_n} buckets, "
-                f"caller passed num_buckets={num_buckets}"
-            )
-        upd_types = dict(updates.dtypes)
-        drift = {
-            k: (spec_types.get(k), upd_types.get(k))
-            for k in keys
-            if spec_types.get(k) != upd_types.get(k)
-        }
-        if drift:  # xxhash64 is type-sensitive: same value, other bucket
-            raise ValueError(
-                f"merge_into: key dtype drift vs the bucket spec at "
-                f"{target_path}: {drift} (spec, batch) — the same logical "
-                "key would hash into a different bucket space; cast the "
-                "batch keys back to the spec types"
-            )
+        _check_layout_compat(
+            target_path, keys, updates, spec_keys, spec_types, num_buckets, spec_n
+        )
         return _bucketed_merge(
             spark, fs, jvm_path, target_path, updates, keys,
             order_exprs, row_hash, is_delete, spec_n,
@@ -397,6 +642,14 @@ def merge_into(
             f"merge_into: target {target_path} has {BUCKET_COL}= partition "
             f"directories but no {BUCKET_SPEC_FILE}; refusing to guess the "
             "bucket layout — restore the spec or rebuild the table"
+        )
+    if protocol == "manifest":
+        # _init_manifest_table would also refuse (non-fresh target), but
+        # the unbucketed-existing case deserves its own message
+        raise ValueError(
+            f"merge_into: protocol='manifest' requires a fresh target; "
+            f"{target_path} exists unbucketed — read it and merge into a "
+            "new manifest path instead (no in-place migration)"
         )
     as_buckets = None
     if num_buckets is not None:
@@ -440,11 +693,24 @@ def merge_into(
         )
     else:
         merged.write.mode("overwrite").parquet(tmp)
-    # Swap via rename-aside, not delete-then-rename: with the recovery
-    # branch above, every crash point leaves a readable state — the old
-    # table (crash before the second rename; restored on next run) or
-    # the new one; only the cleanup of __old can be lost, and a
-    # leftover __old while the target EXISTS is provably stale.
+    _swap_whole_dir(fs, jvm_path, target_path, tmp, old)
+    if as_buckets is not None:
+        return {
+            "engine": "parquet-swap",
+            "rows": obs.get["n"],
+            "num_buckets": as_buckets,
+        }
+    return {"engine": "parquet-swap", "rows": obs.get["n"]}
+
+
+def _swap_whole_dir(fs, jvm_path, target_path: str, tmp: str, old: str) -> None:
+    """Whole-directory rename-aside swap (the legacy flavor's commit;
+    also reused by rebucket's rename arm).  Swap via rename-aside, not
+    delete-then-rename: with _recover_whole_dir at every entry point,
+    every crash point leaves a readable state — the old table (crash
+    before the second rename; restored on next run) or the new one;
+    only the cleanup of __old can be lost, and a leftover __old while
+    the target EXISTS is provably stale."""
     fs.delete(jvm_path(old), True)  # stale leftover (target exists here)
     # Move aside whenever the PATH exists — not just when it was
     # readable parquet (r6 review): a pre-created empty dir or junk
@@ -469,13 +735,6 @@ def merge_into(
             fs.rename(jvm_path(old), jvm_path(target_path))
         raise IOError(f"merge_into: could not swap {tmp} -> {target_path}")
     fs.delete(jvm_path(old), True)
-    if as_buckets is not None:
-        return {
-            "engine": "parquet-swap",
-            "rows": obs.get["n"],
-            "num_buckets": as_buckets,
-        }
-    return {"engine": "parquet-swap", "rows": obs.get["n"]}
 
 
 def _has_bucket_dirs(fs, jvm_path, target_path: str) -> bool:
@@ -509,26 +768,7 @@ def _bucketed_merge(
     old = tgt + ".__old"
     prefix = BUCKET_COL + "="
 
-    # Per-bucket crash recovery FIRST (mirrors the legacy whole-dir
-    # rule): an aside bucket whose target slot is EMPTY is the sole
-    # surviving copy (crash between the two renames) — restore it; an
-    # aside whose target slot is occupied is provably stale (the tmp
-    # rename landed) — drop it.
-    if fs.exists(jvm_path(old)):
-        for st in fs.listStatus(jvm_path(old)):
-            name = st.getPath().getName()
-            if not name.startswith(prefix):
-                continue
-            dest = jvm_path(tgt + "/" + name)
-            if not fs.exists(dest):
-                if not fs.rename(st.getPath(), dest):
-                    raise IOError(
-                        f"merge_into: bucket crash-recovery rename "
-                        f"{old}/{name} -> {tgt}/{name} failed"
-                    )
-            else:
-                fs.delete(st.getPath(), True)
-        fs.delete(jvm_path(old), True)
+    _recover_buckets(fs, jvm_path, tgt)
 
     # Eager checkpoint BEFORE deriving the touched-bucket set: the
     # batch is consumed twice (bucket-id collect, then the union), and
@@ -543,65 +783,548 @@ def _bucketed_merge(
         .withColumn("__del", F.coalesce(is_delete.cast("boolean"), F.lit(False)))
         .localCheckpoint(eager=True)
     )
-    touched = sorted(
-        r[0] for r in upd_tagged.select(BUCKET_COL).distinct().collect()
-    )
-    if not touched:  # empty batch: nothing to read, write, or swap
+    try:
+        touched = sorted(
+            r[0] for r in upd_tagged.select(BUCKET_COL).distinct().collect()
+        )
+        if not touched:  # empty batch: nothing to read, write, or swap
+            return {
+                "engine": "parquet-bucketed",
+                "rows": None,
+                "touched_rows": 0,
+                "touched_buckets": [],
+                "num_buckets": n_buckets,
+            }
+
+        # Touched-path read (r11 review): reading the table ROOT would run
+        # partition discovery over every bucket directory — an O(N) listing
+        # per micro-batch on an object store even though the isin prunes the
+        # scan.  Instead probe exactly the touched bucket dirs (O(touched)
+        # filesystem calls) and read only those paths; basePath keeps the
+        # __bucket partition column in the schema.  A touched bucket with no
+        # dir (new keys / previously emptied) simply contributes no current
+        # rows.
+        existing = [
+            tgt + "/" + f"{prefix}{b}"
+            for b in touched
+            if fs.exists(jvm_path(tgt + "/" + f"{prefix}{b}"))
+        ]
+        if existing:
+            current = spark.read.option("basePath", tgt).parquet(*existing)
+        else:
+            current = None
+        merged = _lww_union(current, upd_tagged, keys, order_exprs, row_hash)
+        obs = Observation()
+        merged = merged.observe(obs, F.count(F.lit(1)).alias("n"))
+        # stale-tmp delete: see the as_buckets write above (dynamic
+        # partitionOverwriteMode keeps crashed-run bucket dirs otherwise)
+        fs.delete(jvm_path(tmp), True)
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+
+        # Per-bucket rename-aside swap over ONLY the touched buckets.  A
+        # bucket emptied by deletes has no tmp dir — its aside is moved
+        # out, nothing replaces it, and the bucket disappears; the
+        # EMPTIED marker written BEFORE that aside-move lets recovery
+        # tell this apart from a crash between the two renames (ADVICE
+        # r11 — without it, recovery would resurrect the deleted rows).
+        fs.delete(jvm_path(old), True)
+        fs.mkdirs(jvm_path(old))
+        for b in touched:
+            name = f"{prefix}{b}"
+            t_b = jvm_path(tgt + "/" + name)
+            m_b = jvm_path(tmp + "/" + name)
+            o_b = jvm_path(old + "/" + name)
+            has_new = fs.exists(m_b)
+            if not has_new and fs.exists(t_b):
+                mk = fs.create(jvm_path(old + "/" + name + EMPTIED_SUFFIX), True)
+                mk.close()
+            if fs.exists(t_b) and not fs.rename(t_b, o_b):
+                raise IOError(f"merge_into: could not move {tgt}/{name} aside")
+            if has_new and not fs.rename(m_b, t_b):
+                if fs.exists(o_b):  # put the pre-merge bucket back
+                    fs.rename(o_b, t_b)
+                raise IOError(f"merge_into: could not swap {tmp}/{name} into place")
+        fs.delete(jvm_path(old), True)
+        fs.delete(jvm_path(tmp), True)
         return {
             "engine": "parquet-bucketed",
-            "rows": None,
-            "touched_rows": 0,
-            "touched_buckets": [],
+            "rows": None,  # no full-table count — that scan is what this path avoids
+            "touched_rows": obs.get["n"],
+            "touched_buckets": touched,
             "num_buckets": n_buckets,
         }
+    finally:
+        _release_checkpoint(upd_tagged)
 
-    # Touched-path read (r11 review): reading the table ROOT would run
-    # partition discovery over every bucket directory — an O(N) listing
-    # per micro-batch on an object store even though the isin prunes the
-    # scan.  Instead probe exactly the touched bucket dirs (O(touched)
-    # filesystem calls) and read only those paths; basePath keeps the
-    # __bucket partition column in the schema.  A touched bucket with no
-    # dir (new keys / previously emptied) simply contributes no current
-    # rows.
-    existing = [
-        tgt + "/" + f"{prefix}{b}"
-        for b in touched
-        if fs.exists(jvm_path(tgt + "/" + f"{prefix}{b}"))
-    ]
-    if existing:
-        current = spark.read.option("basePath", tgt).parquet(*existing)
-    else:
-        current = None
-    merged = _lww_union(current, upd_tagged, keys, order_exprs, row_hash)
-    obs = Observation()
-    merged = merged.observe(obs, F.count(F.lit(1)).alias("n"))
-    # stale-tmp delete: see the as_buckets write above (dynamic
-    # partitionOverwriteMode keeps crashed-run bucket dirs otherwise)
-    fs.delete(jvm_path(tmp), True)
-    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
 
-    # Per-bucket rename-aside swap over ONLY the touched buckets.  A
-    # bucket emptied by deletes simply has no tmp dir — its aside is
-    # moved out and nothing replaces it, so the bucket disappears.
+def _recover_buckets(fs, jvm_path, tgt: str) -> None:
+    """Per-bucket crash recovery (mirrors the legacy whole-dir rule),
+    run at the head of every bucketed merge and of rebucket: an aside
+    bucket whose target slot is EMPTY is the sole surviving copy (crash
+    between the two renames) — restore it, UNLESS its EMPTIED marker is
+    present (the bucket was deleted down to nothing by design; restoring
+    would undo the deletes — ADVICE r11); an aside whose target slot is
+    occupied is provably stale (the tmp rename landed) — drop it.
+
+    NOTE a failed MULTI-bucket merge must be REPLAYED (same batch)
+    before applying any new batch: recovery leaves each bucket
+    individually consistent but possibly MIXED across buckets (some
+    pre-merge, some post-merge); replaying the idempotent LWW batch
+    converges every bucket to post-merge."""
+    old = tgt + ".__old"
+    prefix = BUCKET_COL + "="
+    if not fs.exists(jvm_path(old)):
+        return
+    entries = list(fs.listStatus(jvm_path(old)))
+    names = {st.getPath().getName() for st in entries}
+    for st in entries:
+        name = st.getPath().getName()
+        if not name.startswith(prefix) or name.endswith(EMPTIED_SUFFIX):
+            continue  # markers themselves go with the old-dir delete below
+        dest = jvm_path(tgt + "/" + name)
+        if fs.exists(dest) or (name + EMPTIED_SUFFIX) in names:
+            fs.delete(st.getPath(), True)
+        elif not fs.rename(st.getPath(), dest):
+            raise IOError(
+                f"merge_into: bucket crash-recovery rename "
+                f"{old}/{name} -> {tgt}/{name} failed"
+            )
     fs.delete(jvm_path(old), True)
-    fs.mkdirs(jvm_path(old))
-    for b in touched:
-        name = f"{prefix}{b}"
-        t_b = jvm_path(tgt + "/" + name)
-        m_b = jvm_path(tmp + "/" + name)
-        o_b = jvm_path(old + "/" + name)
-        if fs.exists(t_b) and not fs.rename(t_b, o_b):
-            raise IOError(f"merge_into: could not move {tgt}/{name} aside")
-        if fs.exists(m_b) and not fs.rename(m_b, t_b):
-            if fs.exists(o_b):  # put the pre-merge bucket back
-                fs.rename(o_b, t_b)
-            raise IOError(f"merge_into: could not swap {tmp}/{name} into place")
-    fs.delete(jvm_path(old), True)
-    fs.delete(jvm_path(tmp), True)
-    return {
-        "engine": "parquet-bucketed",
-        "rows": None,  # no full-table count — that scan is what this path avoids
-        "touched_rows": obs.get["n"],
-        "touched_buckets": touched,
-        "num_buckets": n_buckets,
-    }
+
+
+# ---------------------------------------------------------------------------
+# Manifest-commit flavor (r11 verdict #1).  Layout:
+#
+#   <target>/_manifest/<seq:020d>-<gen>.json   committed manifests
+#   <target>/_manifest/.tmp-<gen>.json         in-flight commit (ignored)
+#   <target>/__bucket=K/__gen=<gen>/part-*.parquet
+#
+# The manifest pins {num_buckets, keys, key_types, buckets: {K: gen}}.
+# A bucket absent from `buckets` is empty.  Generation directories are
+# NON-LIVE until a manifest referencing them is committed, so every
+# write before the commit is crash-garbage at worst; the commit itself
+# is one single-FILE rename (atomic on local/HDFS; a single-object copy
+# on S3A — the destination appears complete or not at all, unlike the
+# rename flavor's non-atomic O(data) directory copy+delete).  Readers
+# resolve live paths through read_merged_table; superseded generations
+# and manifests are collected by vacuum_merged_table.
+# ---------------------------------------------------------------------------
+
+
+def _manifest_dir(tgt: str) -> str:
+    return tgt.rstrip("/") + "/" + MANIFEST_DIR
+
+
+def _list_manifests(fs, jvm_path, tgt: str) -> list:
+    """Sorted [(seq, filename)] of committed manifests; [] when none."""
+    mdir = _manifest_dir(tgt)
+    if not fs.exists(jvm_path(mdir)):
+        return []
+    out = []
+    for st in fs.listStatus(jvm_path(mdir)):
+        name = st.getPath().getName()
+        if name.startswith(".") or not name.endswith(".json"):
+            continue
+        head = name.split("-", 1)[0]
+        if head.isdigit():
+            out.append((int(head), name))
+    return sorted(out)
+
+
+def _read_manifest(spark, fs, jvm_path, target_path: str):
+    """Return (seq, filename, manifest_dict) for the LATEST committed
+    manifest, or None when the target carries no manifest layout.  An
+    existing-but-unreadable latest manifest raises loudly (same refusal
+    convention as _read_bucket_spec): guessing would either read stale
+    generations or route keys into the wrong bucket space."""
+    ms = _list_manifests(fs, jvm_path, target_path.rstrip("/"))
+    if not ms:
+        return None
+    seq, name = ms[-1]
+    path = _manifest_dir(target_path) + "/" + name
+    try:
+        stm = fs.open(jvm_path(path))
+        try:
+            raw = bytes(spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stm))
+        finally:
+            stm.close()
+        man = json.loads(raw)
+        for field in ("num_buckets", "keys", "key_types", "buckets"):
+            if field not in man:
+                raise KeyError(field)
+        return seq, name, man
+    except Exception as e:
+        raise ValueError(
+            f"merge_into: unreadable/corrupt manifest at {path} ({e!r}); "
+            "refusing to guess the table state — repair or remove the table"
+        ) from e
+
+
+def _commit_manifest(fs, jvm_path, tgt: str, seq: int, gen: str, man: dict) -> None:
+    """Atomically commit a manifest: write to a dot-prefixed tmp file,
+    then ONE file rename to the seq-ordered final name.  The rename is
+    the commit point; a crash on either side leaves the previous
+    manifest live and at most a .tmp-* straggler for vacuum."""
+    mdir = _manifest_dir(tgt)
+    fs.mkdirs(jvm_path(mdir))
+    payload = json.dumps(man).encode("utf-8")
+    tmp_p = jvm_path(mdir + f"/.tmp-{gen}.json")
+    out = fs.create(tmp_p, True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    final = jvm_path(mdir + f"/{seq:020d}-{gen}.json")
+    if fs.exists(final) or not fs.rename(tmp_p, final):
+        fs.delete(tmp_p, False)
+        raise IOError(
+            f"merge_into: manifest commit {mdir}/{seq:020d}-{gen}.json failed "
+            "(a concurrent writer slipped past the lease?)"
+        )
+
+
+def _new_gen() -> str:
+    """Generation id: 'g' prefix guarantees the __gen partition value is
+    inferred as STRING (an all-digit hex id would infer as int and make
+    the read schema depend on the draw)."""
+    import uuid
+
+    return "g" + uuid.uuid4().hex[:12]
+
+
+def _init_manifest_table(
+    fs, jvm_path, target_path: str, keys, num_buckets: int, key_types: dict
+) -> None:
+    """Materialize an EMPTY manifest table (seq 0, no live buckets); the
+    first batch is then an ordinary manifest merge against empty state —
+    one code path for first and every later batch.  Idempotent across a
+    crash mid-init: re-init is allowed while the target holds nothing
+    but an uncommitted _manifest dir."""
+    tgt = target_path.rstrip("/")
+    if fs.exists(jvm_path(tgt)):
+        entries = [st.getPath().getName() for st in fs.listStatus(jvm_path(tgt))]
+        if any(e != MANIFEST_DIR for e in entries) or _list_manifests(
+            fs, jvm_path, tgt
+        ):
+            raise ValueError(
+                f"merge_into: protocol='manifest' requires a fresh target; "
+                f"{tgt} already holds {entries} — rebuild into a new path"
+            )
+    gen = _new_gen()
+    _commit_manifest(
+        fs, jvm_path, tgt, 0, gen,
+        {
+            "num_buckets": int(num_buckets),
+            "keys": list(keys),
+            "key_types": dict(key_types),
+            "buckets": {},
+            "seq": 0,
+            "gen": gen,
+        },
+    )
+
+
+def _manifest_merge(
+    spark, fs, jvm_path, target_path: str, updates, keys,
+    order_exprs, row_hash, is_delete, man_seq: int, man: dict,
+) -> dict:
+    """Incremental merge under the manifest-commit protocol: read ONLY
+    the touched buckets' live generations, merge, write fresh (non-live)
+    generation dirs, then commit one manifest.  Crash contract: the
+    table reads as exactly pre-merge until the manifest rename lands and
+    exactly post-merge after — every earlier crash point strands only
+    unreferenced generation dirs / a .tmp manifest (vacuum fodder), and
+    the batch replay converges (LWW idempotence), with no recovery pass
+    needed at all.  Cost model matches the rename flavor: O(touched
+    bucket bytes + batch) per call, O(touched) filesystem calls."""
+    from pyspark.sql import Observation
+
+    tgt = target_path.rstrip("/")
+    tmp = tgt + ".__tmp"
+    prefix = BUCKET_COL + "="
+    n_buckets = int(man["num_buckets"])
+    live = dict(man["buckets"])
+
+    # Eager checkpoint before the two consumptions of the batch — same
+    # non-deterministic-source rationale as the rename flavor.
+    upd_tagged = (
+        updates.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
+        .withColumn("__tgt_pri", F.lit(0))
+        .withColumn("__del", F.coalesce(is_delete.cast("boolean"), F.lit(False)))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        touched = sorted(
+            r[0] for r in upd_tagged.select(BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            return {
+                "engine": "parquet-manifest",
+                "rows": None,
+                "touched_rows": 0,
+                "touched_buckets": [],
+                "num_buckets": n_buckets,
+                "seq": man_seq,
+            }
+        existing = [
+            f"{tgt}/{prefix}{b}/{GEN_COL}={live[str(b)]}"
+            for b in touched
+            if str(b) in live
+        ]
+        if existing:
+            current = (
+                spark.read.option("basePath", tgt).parquet(*existing).drop(GEN_COL)
+            )
+        else:
+            current = None
+        merged = _lww_union(current, upd_tagged, keys, order_exprs, row_hash)
+        obs = Observation()
+        merged = merged.observe(obs, F.count(F.lit(1)).alias("n"))
+        # stale-tmp delete: dynamic partitionOverwriteMode would keep a
+        # crashed run's leftover bucket dirs in tmp otherwise
+        fs.delete(jvm_path(tmp), True)
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+
+        # Stage fresh generations (NON-LIVE until the manifest commit):
+        # rename each produced tmp bucket under its bucket dir as a new
+        # __gen.  These renames need not be atomic — nothing resolves
+        # them until the commit below — which is exactly what makes this
+        # flavor safe where directory renames are copy+delete (S3A).
+        gen = _new_gen()
+        new_live = dict(live)
+        for b in touched:
+            name = f"{prefix}{b}"
+            m_b = jvm_path(tmp + "/" + name)
+            if fs.exists(m_b):
+                fs.mkdirs(jvm_path(tgt + "/" + name))
+                dest = jvm_path(tgt + "/" + name + "/" + f"{GEN_COL}={gen}")
+                if not fs.rename(m_b, dest):
+                    raise IOError(
+                        f"merge_into: could not stage generation "
+                        f"{tgt}/{name}/{GEN_COL}={gen}"
+                    )
+                new_live[str(b)] = gen
+            else:  # bucket emptied by deletes: drop it from the live map
+                new_live.pop(str(b), None)
+        _commit_manifest(
+            fs, jvm_path, tgt, man_seq + 1, gen,
+            {
+                "num_buckets": n_buckets,
+                "keys": list(man["keys"]),
+                "key_types": dict(man["key_types"]),
+                "buckets": new_live,
+                "seq": man_seq + 1,
+                "gen": gen,
+            },
+        )
+        fs.delete(jvm_path(tmp), True)  # post-commit cleanup (loss = vacuum fodder)
+        return {
+            "engine": "parquet-manifest",
+            "rows": None,  # no full-table count — that scan is what this path avoids
+            "touched_rows": obs.get["n"],
+            "touched_buckets": touched,
+            "num_buckets": n_buckets,
+            "seq": man_seq + 1,
+        }
+    finally:
+        _release_checkpoint(upd_tagged)
+
+
+def read_merged_table(spark, target_path: str):
+    """Read the merged state of a merge_into target under ANY portable
+    layout — manifest-commit (resolved through the latest manifest),
+    rename-bucketed, or plain parquet.  Returns None when the target
+    does not exist or holds no data files (the all-deleted / never-
+    written state).  Manifest targets MUST be read through this resolver
+    (or an equivalent manifest-aware reader): a plain root read would
+    see every retained generation at once and double-count rows.  The
+    __bucket partition column is exposed on bucketed layouts (both
+    flavors); __gen is resolved away."""
+    from pyspark.sql.utils import AnalysisException
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tgt = target_path.rstrip("/")
+    man = _read_manifest(spark, fs, jvm_path, tgt)
+    if man is not None:
+        _, _, m = man
+        if not m["buckets"]:
+            return None
+        paths = [
+            f"{tgt}/{BUCKET_COL}={b}/{GEN_COL}={g}"
+            for b, g in sorted(m["buckets"].items(), key=lambda kv: int(kv[0]))
+        ]
+        # a listed-but-missing generation is corruption (vacuum bug /
+        # tampering): spark.read raises PATH_NOT_FOUND loudly — correct.
+        return spark.read.option("basePath", tgt).parquet(*paths).drop(GEN_COL)
+    try:
+        return spark.read.parquet(tgt)
+    except AnalysisException:
+        return None
+
+
+def vacuum_merged_table(spark, target_path: str, grace_sec: float = 3600.0) -> dict:
+    """GC a manifest-commit target: delete generation directories not
+    referenced by the LATEST manifest, superseded manifests, and .tmp
+    manifest stragglers — each only once older than ``grace_sec``, which
+    shields readers that resolved the previous manifest and are still
+    scanning its generations (size it above the longest expected read).
+    Returns {"gens_deleted", "manifests_deleted"}.  Raises on a
+    non-manifest target (the rename flavor self-cleans at swap time)."""
+    import time as _time
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tgt = target_path.rstrip("/")
+    man = _read_manifest(spark, fs, jvm_path, tgt)
+    if man is None:
+        raise ValueError(
+            f"vacuum_merged_table: {tgt} is not a manifest-commit target"
+        )
+    seq, latest_name, m = man
+    live = {(f"{BUCKET_COL}={b}", f"{GEN_COL}={g}") for b, g in m["buckets"].items()}
+    cutoff_ms = (_time.time() - grace_sec) * 1000.0
+    gens_deleted = manifests_deleted = 0
+    for st in fs.listStatus(jvm_path(tgt)):
+        bname = st.getPath().getName()
+        if not bname.startswith(BUCKET_COL + "="):
+            continue
+        for g in fs.listStatus(st.getPath()):
+            gname = g.getPath().getName()
+            if (bname, gname) in live or not gname.startswith(GEN_COL + "="):
+                continue  # live, or a foreign entry we refuse to touch
+            if g.getModificationTime() <= cutoff_ms:
+                fs.delete(g.getPath(), True)
+                gens_deleted += 1
+        # an empty bucket dir with no live generation left is clutter
+        if f"{BUCKET_COL}=" + bname.split("=", 1)[1] not in {
+            f"{BUCKET_COL}={b}" for b, _ in m["buckets"].items()
+        } and not list(fs.listStatus(st.getPath())):
+            fs.delete(st.getPath(), True)
+    mdir = _manifest_dir(tgt)
+    for st in fs.listStatus(jvm_path(mdir)):
+        name = st.getPath().getName()
+        stale_commit = (
+            name.endswith(".json")
+            and not name.startswith(".")
+            and name != latest_name
+            and name.split("-", 1)[0].isdigit()
+            and int(name.split("-", 1)[0]) < seq
+        )
+        stale_tmp = name.startswith(".tmp-")
+        if (stale_commit or stale_tmp) and st.getModificationTime() <= cutoff_ms:
+            fs.delete(st.getPath(), False)
+            manifests_deleted += 1
+    return {"gens_deleted": gens_deleted, "manifests_deleted": manifests_deleted}
+
+
+def rebucket(
+    spark,
+    target_path: str,
+    new_num_buckets: int,
+    lease_stale_sec: float = LEASE_STALE_SEC,
+) -> dict:
+    """Re-layout a bucketed merge_into target to a NEW bucket count
+    (r11 verdict #3): a table laid out at N buckets that grows 100x
+    keeps N ever-fatter buckets, eroding the O(touched/N) per-batch
+    advantage — this is the migration path.  One deliberate full-cost
+    pass: read all live state, re-hash every key into the new bucket
+    space, and install it under the target's OWN commit protocol (the
+    whole-dir rename swap for the rename flavor, a fresh all-bucket
+    generation + one manifest commit for the manifest flavor).  Holds
+    the writer lease for the duration, so a mid-flight merge and a
+    rebucket refuse each other.  Merged STATE is unchanged by
+    construction (pinned by tests and the gate query); only the layout
+    and the pinned num_buckets move.  Old manifest generations become
+    vacuum fodder; the rename flavor self-cleans at swap."""
+    from pyspark.sql import Observation
+    from pyspark.sql.utils import AnalysisException
+
+    if new_num_buckets < 1:
+        raise ValueError(
+            f"rebucket: new_num_buckets must be >= 1, got {new_num_buckets}"
+        )
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tgt = target_path.rstrip("/")
+    tmp = tgt + ".__tmp"
+    old = tgt + ".__old"
+    prefix = BUCKET_COL + "="
+    with _writer_lease(fs, jvm_path, tgt, lease_stale_sec):
+        man = _read_manifest(spark, fs, jvm_path, tgt)
+        if man is not None:
+            seq, _, m = man
+            keys, key_types = list(m["keys"]), dict(m["key_types"])
+            gen = _new_gen()
+            if not m["buckets"]:  # empty table: the layout move is pure metadata
+                _commit_manifest(
+                    fs, jvm_path, tgt, seq + 1, gen,
+                    {"num_buckets": int(new_num_buckets), "keys": keys,
+                     "key_types": key_types, "buckets": {}, "seq": seq + 1,
+                     "gen": gen},
+                )
+                return {"engine": "parquet-manifest", "rows": 0,
+                        "num_buckets": new_num_buckets, "seq": seq + 1}
+            paths = [
+                f"{tgt}/{prefix}{b}/{GEN_COL}={g}"
+                for b, g in sorted(m["buckets"].items(), key=lambda kv: int(kv[0]))
+            ]
+            cur = (
+                spark.read.option("basePath", tgt).parquet(*paths)
+                .drop(GEN_COL).drop(BUCKET_COL)
+            )
+            rehashed = cur.withColumn(BUCKET_COL, bucket_expr(keys, new_num_buckets))
+            obs = Observation()
+            rehashed = rehashed.observe(obs, F.count(F.lit(1)).alias("n"))
+            fs.delete(jvm_path(tmp), True)
+            rehashed.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+            new_live = {}
+            for st in fs.listStatus(jvm_path(tmp)):
+                name = st.getPath().getName()
+                if not name.startswith(prefix):
+                    continue
+                fs.mkdirs(jvm_path(tgt + "/" + name))
+                dest = jvm_path(tgt + "/" + name + "/" + f"{GEN_COL}={gen}")
+                if not fs.rename(st.getPath(), dest):
+                    raise IOError(f"rebucket: could not stage {tgt}/{name}")
+                new_live[name.split("=", 1)[1]] = gen
+            _commit_manifest(
+                fs, jvm_path, tgt, seq + 1, gen,
+                {"num_buckets": int(new_num_buckets), "keys": keys,
+                 "key_types": key_types, "buckets": new_live, "seq": seq + 1,
+                 "gen": gen},
+            )
+            fs.delete(jvm_path(tmp), True)
+            return {"engine": "parquet-manifest", "rows": obs.get["n"],
+                    "num_buckets": new_num_buckets, "seq": seq + 1}
+
+        _recover_whole_dir(fs, jvm_path, tgt)
+        spec = _read_bucket_spec(spark, fs, jvm_path, tgt)
+        if spec is None:
+            raise ValueError(
+                f"rebucket: {tgt} has no bucketed layout — lay one out first "
+                "via merge_into(num_buckets=...)"
+            )
+        _, keys, key_types = spec
+        # finish any crashed merge's per-bucket swap first: pending
+        # asides would read as missing buckets in the full scan below
+        _recover_buckets(fs, jvm_path, tgt)
+        try:
+            cur = spark.read.parquet(tgt)
+        except AnalysisException:
+            # spec'd but zero data files (all keys deleted): the layout
+            # move is pure metadata — rewrite the spec in place
+            _write_bucket_spec(fs, jvm_path, tgt, keys, new_num_buckets, key_types)
+            return {"engine": "parquet-swap", "rows": 0,
+                    "num_buckets": new_num_buckets}
+        rehashed = cur.drop(BUCKET_COL).withColumn(
+            BUCKET_COL, bucket_expr(keys, new_num_buckets)
+        )
+        obs = Observation()
+        rehashed = rehashed.observe(obs, F.count(F.lit(1)).alias("n"))
+        fs.delete(jvm_path(tmp), True)
+        rehashed.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+        _write_bucket_spec(fs, jvm_path, tmp, keys, new_num_buckets, key_types)
+        _swap_whole_dir(fs, jvm_path, tgt, tmp, old)
+        return {"engine": "parquet-swap", "rows": obs.get["n"],
+                "num_buckets": new_num_buckets}

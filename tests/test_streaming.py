@@ -1390,6 +1390,52 @@ def test_foreach_batch_bucketed_merge_into(spark, stream_dir, tmp_path):
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
 
 
+def test_foreach_batch_manifest_merge_into(spark, stream_dir, tmp_path):
+    """r12 twin of the bucketed sink test for the manifest-commit
+    protocol — the object-store-safe command-sink shape.  Every
+    micro-batch (including the first) reports parquet-manifest, the
+    sequence advances once per data-bearing trigger, and the resolved
+    state equals the single-batch apply_lww over the full source."""
+    from lens_sds_batch_spark.plans.merge import (
+        apply_lww,
+        merge_into,
+        read_merged_table,
+    )
+
+    target = str(tmp_path / "manifest_entity_state")
+    results = []
+
+    def sink(batch_df, _epoch):
+        res = merge_into(
+            spark, target, batch_df,
+            keys=["user_id"],
+            order_cols=["ts", "event_id"],
+            is_delete=F.lit(False),
+            num_buckets=8,
+            protocol="manifest",
+        )
+        results.append(res)
+
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = stream.writeStream.foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(results) >= 2
+    assert all(r["engine"] == "parquet-manifest" for r in results)
+    seqs = [r["seq"] for r in results if r["touched_buckets"]]
+    assert seqs == list(range(1, len(seqs) + 1))  # one commit per data trigger
+
+    got = read_merged_table(spark, target).select("user_id", "event_id", "ts")
+    want = apply_lww(
+        spark.read.parquet(stream_dir),
+        keys=["user_id"],
+        order_cols=[F.col("ts"), F.col("event_id")],
+        is_delete=F.lit(False),
+    ).select("user_id", "event_id", "ts")
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
 def test_correlate_stream_null_fields_match_batch(spark, tmp_path):
     """r11 review: a NULL seq used to be a poison pill (int(NaN) raised
     inside the state fn, killing the query on every replay), NULL name
