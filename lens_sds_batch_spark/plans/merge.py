@@ -1163,59 +1163,76 @@ def read_merged_table(spark, target_path: str):
         return None
 
 
-def vacuum_merged_table(spark, target_path: str, grace_sec: float = 3600.0) -> dict:
+def vacuum_merged_table(
+    spark,
+    target_path: str,
+    grace_sec: float = 3600.0,
+    lease_stale_sec: float = LEASE_STALE_SEC,
+) -> dict:
     """GC a manifest-commit target: delete generation directories not
     referenced by the LATEST manifest, superseded manifests, and .tmp
     manifest stragglers — each only once older than ``grace_sec``, which
-    shields readers that resolved the previous manifest and are still
-    scanning its generations (size it above the longest expected read).
-    Returns {"gens_deleted", "manifests_deleted"}.  Raises on a
-    non-manifest target (the rename flavor self-cleans at swap time)."""
+    shields READERS that resolved the previous manifest and are still
+    scanning its generations (size it above the longest expected read;
+    readers take no lease).  Writers are excluded structurally: vacuum
+    holds the writer lease for its duration, so it can never collect a
+    concurrent merge's staged-but-uncommitted generations — without the
+    lease, grace_sec=0 could delete a generation between its staging
+    rename and its manifest commit.  Returns {"gens_deleted",
+    "manifests_deleted"}.  Raises on a non-manifest target (the rename
+    flavor self-cleans at swap time)."""
     import time as _time
 
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
     tgt = target_path.rstrip("/")
-    man = _read_manifest(spark, fs, jvm_path, tgt)
-    if man is None:
-        raise ValueError(
-            f"vacuum_merged_table: {tgt} is not a manifest-commit target"
-        )
-    seq, latest_name, m = man
-    live = {(f"{BUCKET_COL}={b}", f"{GEN_COL}={g}") for b, g in m["buckets"].items()}
-    cutoff_ms = (_time.time() - grace_sec) * 1000.0
-    gens_deleted = manifests_deleted = 0
-    for st in fs.listStatus(jvm_path(tgt)):
-        bname = st.getPath().getName()
-        if not bname.startswith(BUCKET_COL + "="):
-            continue
-        for g in fs.listStatus(st.getPath()):
-            gname = g.getPath().getName()
-            if (bname, gname) in live or not gname.startswith(GEN_COL + "="):
-                continue  # live, or a foreign entry we refuse to touch
-            if g.getModificationTime() <= cutoff_ms:
-                fs.delete(g.getPath(), True)
-                gens_deleted += 1
-        # an empty bucket dir with no live generation left is clutter
-        if f"{BUCKET_COL}=" + bname.split("=", 1)[1] not in {
-            f"{BUCKET_COL}={b}" for b, _ in m["buckets"].items()
-        } and not list(fs.listStatus(st.getPath())):
-            fs.delete(st.getPath(), True)
-    mdir = _manifest_dir(tgt)
-    for st in fs.listStatus(jvm_path(mdir)):
-        name = st.getPath().getName()
-        stale_commit = (
-            name.endswith(".json")
-            and not name.startswith(".")
-            and name != latest_name
-            and name.split("-", 1)[0].isdigit()
-            and int(name.split("-", 1)[0]) < seq
-        )
-        stale_tmp = name.startswith(".tmp-")
-        if (stale_commit or stale_tmp) and st.getModificationTime() <= cutoff_ms:
-            fs.delete(st.getPath(), False)
-            manifests_deleted += 1
-    return {"gens_deleted": gens_deleted, "manifests_deleted": manifests_deleted}
+    with _writer_lease(fs, jvm_path, tgt, lease_stale_sec):
+        man = _read_manifest(spark, fs, jvm_path, tgt)
+        if man is None:
+            raise ValueError(
+                f"vacuum_merged_table: {tgt} is not a manifest-commit target"
+            )
+        seq, latest_name, m = man
+        live = {
+            (f"{BUCKET_COL}={b}", f"{GEN_COL}={g}")
+            for b, g in m["buckets"].items()
+        }
+        cutoff_ms = (_time.time() - grace_sec) * 1000.0
+        gens_deleted = manifests_deleted = 0
+        for st in fs.listStatus(jvm_path(tgt)):
+            bname = st.getPath().getName()
+            if not bname.startswith(BUCKET_COL + "="):
+                continue
+            for g in fs.listStatus(st.getPath()):
+                gname = g.getPath().getName()
+                if (bname, gname) in live or not gname.startswith(GEN_COL + "="):
+                    continue  # live, or a foreign entry we refuse to touch
+                if g.getModificationTime() <= cutoff_ms:
+                    fs.delete(g.getPath(), True)
+                    gens_deleted += 1
+            # an empty bucket dir with no live generation left is clutter
+            if bname.split("=", 1)[1] not in m["buckets"] and not list(
+                fs.listStatus(st.getPath())
+            ):
+                fs.delete(st.getPath(), True)
+        mdir = _manifest_dir(tgt)
+        for st in fs.listStatus(jvm_path(mdir)):
+            name = st.getPath().getName()
+            stale_commit = (
+                name.endswith(".json")
+                and not name.startswith(".")
+                and name != latest_name
+                and name.split("-", 1)[0].isdigit()
+                and int(name.split("-", 1)[0]) < seq
+            )
+            stale_tmp = name.startswith(".tmp-")
+            if (stale_commit or stale_tmp) and st.getModificationTime() <= cutoff_ms:
+                fs.delete(st.getPath(), False)
+                manifests_deleted += 1
+        return {
+            "gens_deleted": gens_deleted,
+            "manifests_deleted": manifests_deleted,
+        }
 
 
 def rebucket(

@@ -90,6 +90,19 @@ assert res_b2["engine"] == "parquet-bucketed", res_b2
 got_b = sorted(map(tuple, spark.read.parquet(tgt_bucketed)
                    .select("k", "pri", "payload").collect()))
 
+# r12: the manifest-commit flavor joins the differential too (it is the
+# object-store-safe portable mirror of the Delta log's atomic commit)
+from lens_sds_batch_spark.plans.merge import read_merged_table
+
+tgt_manifest = f"{tmp}/tgt_manifest"
+merge_into(spark, tgt_manifest, cur, keys=["k"], order_cols=["pri"],
+           is_delete=F.col("dead"), num_buckets=4, protocol="manifest")
+res_m = merge_into(spark, tgt_manifest, upd, keys=["k"], order_cols=["pri"],
+                   is_delete=F.col("dead"))
+assert res_m["engine"] == "parquet-manifest", res_m
+got_m = sorted(map(tuple, read_merged_table(spark, tgt_manifest)
+                   .select("k", "pri", "payload").collect()))
+
 got_d = sorted(map(tuple, spark.read.format("delta").load(tgt_delta)
                    .select("k", "pri", "payload").collect()))
 got_p = sorted(map(tuple, spark.read.parquet(tgt_parquet)
@@ -104,6 +117,7 @@ expect = sorted([
 assert got_d == expect, f"delta branch state: {got_d}"
 assert got_p == expect, f"parquet branch state: {got_p}"
 assert got_b == expect, f"bucketed branch state: {got_b}"
+assert got_m == expect, f"manifest branch state: {got_m}"
 print("DELTA_MERGE_OK " + json.dumps({"delta": got_d, "parquet": got_p}))
 """
 

@@ -18,11 +18,21 @@ Each bench reports rows in, wall-clock of processAllAvailable, rows/s,
 trigger count, and median per-trigger latency (durationMs.
 triggerExecution from the query progress log).  Prints ONE JSON line.
 
+r12 (VERDICT r11 #5): the r11 numbers were trigger-overhead-bound
+floors (8 triggers over 100k rows).  A third argument ``repeat``
+replicates the event source K times (event_ids offset per copy so keys
+stay unique where they should; correlation ids get a per-copy suffix so
+the stateful operator's state actually GROWS with volume), letting each
+trigger carry production-shaped row counts.  The correlate bench
+additionally reports the state-store row series across triggers
+(first/peak/last numRowsTotal + total removed) — the watermark-eviction
+bound on state growth, observed rather than asserted.
+
 Measurement discipline (BASELINE.md): single readings drift ±30% on
 this host — record the MEDIAN of 3 fresh-process runs, same as the
 batch table.
 
-Usage: python tools/stream_bench.py [sf_dir] [files_per_trigger]
+Usage: python tools/stream_bench.py [sf_dir] [files_per_trigger] [repeat]
 """
 
 from __future__ import annotations
@@ -53,21 +63,63 @@ def _progress_stats(q) -> tuple[int, float]:
     return len(durs), (statistics.median(durs) if durs else 0.0)
 
 
-def bench_correlate(spark, sf_dir: str, fpt: int) -> dict:
+def _state_series(q) -> dict:
+    """Per-trigger state-store numRowsTotal series (first/peak/last)
+    plus total evicted rows — the observable watermark bound: a
+    steady-state stream's 'last' must sit far below 'rows in' once
+    eviction fires."""
+    totals, removed = [], 0
+    for p in q.recentProgress:
+        for so in p.stateOperators or []:
+            totals.append(so.numRowsTotal)
+            removed += so.numRowsRemoved or 0
+    if not totals:
+        return {}
+    return {
+        "state_rows_first": totals[0],
+        "state_rows_peak": max(totals),
+        "state_rows_last": totals[-1],
+        "state_rows_removed": removed,
+    }
+
+
+def _replicate(df, repeat: int, id_col: str, suffix_col: str | None = None):
+    """K stacked copies: ``id_col`` offset per copy (unique keys across
+    copies), ``suffix_col`` (a string key) suffixed per copy so
+    per-key STATE multiplies with volume instead of collapsing."""
+    if repeat <= 1:
+        return df
+    span = 1 << 40  # far above any event_id in the corpus
+    parts = []
+    for i in range(repeat):
+        c = df.withColumn(id_col, F.col(id_col) + F.lit(i * span))
+        if suffix_col is not None:
+            c = c.withColumn(
+                suffix_col, F.concat(F.col(suffix_col), F.lit(f"_{i}"))
+            )
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def bench_correlate(spark, sf_dir: str, fpt: int, repeat: int = 1) -> dict:
     from lens_sds_batch_spark.streaming.pipeline import correlate_stream
 
     src = f"{BASE_TMP}/corr_src"
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        F.concat(F.lit("C"), F.col("user_id").cast("string")).alias("cid"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("bigint").alias("seq"),
+        F.col("event_type").alias("name"),
+    )
+    # suffix cid per copy: distinct correlation groups, so STATE scales
+    # with volume (same-cid copies would collapse into one state row)
+    repl = _replicate(base, repeat, "seq", suffix_col="cid")
     n = (
-        ev.select(
-            F.concat(F.lit("C"), F.col("user_id").cast("string")).alias("cid"),
-            F.col("ts").cast("timestamp").alias("ts"),
-            F.col("event_id").cast("bigint").alias("seq"),
-            F.col("event_type").alias("name"),
-        )
-        .repartition(N_SRC_FILES)
-        .write.mode("overwrite")
-        .parquet(src)
+        repl.repartition(N_SRC_FILES).write.mode("overwrite").parquet(src)
         or spark.read.parquet(src).count()
     )
     stream = (
@@ -85,19 +137,21 @@ def bench_correlate(spark, sf_dir: str, fpt: int) -> dict:
     q.processAllAvailable()
     wall = time.time() - t0
     triggers, med = _progress_stats(q)
+    state = _state_series(q)
     q.stop()
     return {"rows": n, "wall_sec": round(wall, 2),
             "rows_per_sec": round(n / wall), "triggers": triggers,
-            "median_trigger_ms": med}
+            "median_trigger_ms": med, **state}
 
 
-def bench_lww_sink(spark, sf_dir: str, fpt: int) -> dict:
+def bench_lww_sink(spark, sf_dir: str, fpt: int, repeat: int = 1) -> dict:
     from lens_sds_batch_spark.plans.merge import apply_lww
     from lens_sds_batch_spark.streaming.pipeline import read_event_stream
 
     src = f"{BASE_TMP}/lww_src"
     out = f"{BASE_TMP}/lww_state"
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _replicate(ev, repeat, "event_id")
     n = (
         ev.repartition(N_SRC_FILES).write.mode("overwrite").parquet(src)
         or spark.read.parquet(src).count()
@@ -123,7 +177,7 @@ def bench_lww_sink(spark, sf_dir: str, fpt: int) -> dict:
             "median_trigger_ms": med}
 
 
-def bench_requeue(spark, sf_dir: str, fpt: int) -> dict:
+def bench_requeue(spark, sf_dir: str, fpt: int, repeat: int = 1) -> dict:
     from lens_sds_batch_spark.operators.cdc import (
         _RQ_FAIL_MOD,
         _RQ_FATAL_MOD,
@@ -135,10 +189,12 @@ def bench_requeue(spark, sf_dir: str, fpt: int) -> dict:
     src, out, dead = (f"{BASE_TMP}/rq_{d}" for d in ("src", "out", "dead"))
     # full sf0.1 event volume (the batch query's _RQ_SUBSET_MOD exists
     # only to keep the DuckDB oracle's fixpoint CTE tractable)
+    ev = _replicate(
+        load_events(spark, sf_dir).select("event_id", F.lit(0).alias("attempts")),
+        repeat, "event_id",
+    )
     n = (
-        load_events(spark, sf_dir)
-        .select("event_id", F.lit(0).alias("attempts"))
-        .repartition(N_SRC_FILES)
+        ev.repartition(N_SRC_FILES)
         .write.mode("overwrite")
         .parquet(src)
         or spark.read.parquet(src).count()
@@ -171,17 +227,19 @@ def bench_requeue(spark, sf_dir: str, fpt: int) -> dict:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     fpt = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    repeat = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     shutil.rmtree(BASE_TMP, ignore_errors=True)
     spark = get_spark("stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
     benches = {
-        "correlate_stream": bench_correlate(spark, sf_dir, fpt),
-        "lww_sink": bench_lww_sink(spark, sf_dir, fpt),
-        "requeue_loop": bench_requeue(spark, sf_dir, fpt),
+        "correlate_stream": bench_correlate(spark, sf_dir, fpt, repeat),
+        "lww_sink": bench_lww_sink(spark, sf_dir, fpt, repeat),
+        "requeue_loop": bench_requeue(spark, sf_dir, fpt, repeat),
     }
     print(json.dumps({
         "metric": "streaming rows/sec + per-trigger latency",
         "files_per_trigger": fpt,
+        "repeat": repeat,
         "benches": benches,
         "sf_dir": sf_dir,
     }))
