@@ -44,6 +44,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation map-side; 2-col group key — no skew risk."""
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-01")
     one = F.lit(1).cast("decimal(18,2)")
+    # sum_charge operands are NARROWED (r12, found by the sf1 sweep):
+    # the triple product at (18,2)*(18,2)*(18,2) needs precision 56 >
+    # 38, so Spark rounds each product under allowPrecisionLoss while
+    # DuckDB promotes differently — invisible at sf0.1, but at sf1 the
+    # accumulated drift crosses 1 ULP of the final double (…098011 vs
+    # …098007).  price < 1e10 fits (12,2) and disc/tax in [0,1] fit
+    # (3,2), so (12,2)x(4,2)x(4,2) -> (22,6) stays EXACT in both
+    # engines (the q9 narrowest-operand discipline).
+    one3 = F.lit(1).cast("decimal(3,2)")
+    px = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc3 = F.col("l_discount").cast("decimal(3,2)")
+    tax3 = F.col("l_tax").cast("decimal(3,2)")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -51,7 +63,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double").alias("sum_disc_price"),
             F.sum(
-                _dec("l_extendedprice") * (one - _dec("l_discount")) * (one + _dec("l_tax"))
+                px * (one3 - disc3) * (one3 + tax3)
             ).cast("double").alias("sum_charge"),
             (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
@@ -60,14 +72,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle decimal->double casts go THROUGH VARCHAR (r12, found by the
+# sf1 sweep): DuckDB v1.0's direct DECIMAL->DOUBLE cast is not
+# correctly rounded (scaled-hugeint double-rounding) — at |x| >= ~4e9
+# it can land 1 ULP off the true nearest double, which flips the 6th
+# decimal the comparator hashes (measured: exact 27845339640.098010
+# -> duck cast …007, Spark/Python correct rounding …011).  VARCHAR ->
+# DOUBLE parses via strtod, which IS correctly rounded and agrees with
+# Spark's BigDecimal.doubleValue.  Use this round-trip in any oracle
+# whose exact-decimal aggregate exceeds ~1e9.
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
