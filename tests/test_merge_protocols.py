@@ -429,3 +429,18 @@ def test_read_merged_table_all_layouts(spark, tmp_path):
     df = read_merged_table(spark, man)
     assert BUCKET_COL in df.columns and GEN_COL not in df.columns
     assert _state(spark, man) == {"k1": (1, "a")}
+
+
+def test_manifest_listed_gen_missing_raises(spark, tmp_path):
+    """A generation the live manifest references but that is gone from
+    disk (vacuum bug / tampering) must raise loudly at read time —
+    silently returning partial state would be data loss dressed as
+    success."""
+    target = str(tmp_path / "t")
+    _merge(spark, target, [(f"k{i}", 1, "v", False) for i in range(20)],
+           num_buckets=4, protocol="manifest")
+    bucket = next(iter(_gens(target)))
+    gen = _gens(target)[bucket][0]
+    shutil.rmtree(os.path.join(target, bucket, gen))
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        read_merged_table(spark, target).collect()
