@@ -43,30 +43,33 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-heavy agg: predicate + column pruning reach the parquet scan;
     partial aggregation map-side; 2-col group key — no skew risk."""
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-01")
-    one = F.lit(1).cast("decimal(18,2)")
-    # sum_charge operands are NARROWED (r12, found by the sf1 sweep):
-    # the triple product at (18,2)*(18,2)*(18,2) needs precision 56 >
-    # 38, so Spark rounds each product under allowPrecisionLoss while
+    # ALL operands are NARROWED to their value ranges (r12, found by the
+    # sf1 sweep): the old (18,2)^3 sum_charge product needs precision 56
+    # > 38, so Spark rounds per-row under allowPrecisionLoss while
     # DuckDB promotes differently — invisible at sf0.1, but at sf1 the
     # accumulated drift crosses 1 ULP of the final double (…098011 vs
-    # …098007).  price < 1e10 fits (12,2) and disc/tax in [0,1] fit
-    # (3,2), so (12,2)x(4,2)x(4,2) -> (22,6) stays EXACT in both
-    # engines (the q9 narrowest-operand discipline).
+    # …098007).  qty <= 50 fits (6,2), price <= 105k fits (12,2),
+    # disc/tax in [0, 0.1] fit (3,2): disc_price lands at (17,4) —
+    # still on Spark's LONG-backed decimal fast path — and the charge
+    # triple product at (22,6) stays EXACT in both engines (the q9
+    # narrowest-operand discipline).  One cast per source column,
+    # shared across arms (the r12 A/B showed the duplicate wide+narrow
+    # cast sets cost ~1.2x standalone).
     one3 = F.lit(1).cast("decimal(3,2)")
+    qty6 = F.col("l_quantity").cast("decimal(6,2)")
     px = F.col("l_extendedprice").cast("decimal(12,2)")
     disc3 = F.col("l_discount").cast("decimal(3,2)")
     tax3 = F.col("l_tax").cast("decimal(3,2)")
+    disc_price = px * (one3 - disc3)
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double").alias("sum_disc_price"),
-            F.sum(
-                px * (one3 - disc3) * (one3 + tax3)
-            ).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.sum(qty6).cast("double").alias("sum_qty"),
+            F.sum(px).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price * (one3 + tax3)).cast("double").alias("sum_charge"),
+            (F.sum(qty6).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(px).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -83,12 +86,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose exact-decimal aggregate exceeds ~1e9.
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
-  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
-  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(6,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
-  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
-  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(6,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'

@@ -104,7 +104,9 @@ def _replicate(df, repeat: int, id_col: str, suffix_col: str | None = None):
     return out
 
 
-def bench_correlate(spark, sf_dir: str, fpt: int, repeat: int = 1) -> dict:
+def bench_correlate(
+    spark, sf_dir: str, fpt: int, repeat: int = 1, ordered: bool = False
+) -> dict:
     from lens_sds_batch_spark.streaming.pipeline import correlate_stream
 
     src = f"{BASE_TMP}/corr_src"
@@ -118,8 +120,20 @@ def bench_correlate(spark, sf_dir: str, fpt: int, repeat: int = 1) -> dict:
     # suffix cid per copy: distinct correlation groups, so STATE scales
     # with volume (same-cid copies would collapse into one state row)
     repl = _replicate(base, repeat, "seq", suffix_col="cid")
+    # ordered=True writes the source files TIME-ORDERED (range partition
+    # on ts), so each trigger advances event-time monotonically and the
+    # watermark actually passes group timeouts — the eviction curve
+    # becomes observable.  The default random layout makes every
+    # trigger span the whole time range (watermark jumps to max-2h on
+    # trigger 1 and nothing times out until the stream ends), which
+    # shows the state BOUND (distinct groups) but not the eviction.
+    writer = (
+        repl.repartitionByRange(N_SRC_FILES, "ts")
+        if ordered
+        else repl.repartition(N_SRC_FILES)
+    )
     n = (
-        repl.repartition(N_SRC_FILES).write.mode("overwrite").parquet(src)
+        writer.write.mode("overwrite").parquet(src)
         or spark.read.parquet(src).count()
     )
     stream = (
@@ -228,18 +242,25 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     fpt = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     repeat = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    ordered = len(sys.argv) > 4 and sys.argv[4] == "ordered"
     shutil.rmtree(BASE_TMP, ignore_errors=True)
     spark = get_spark("stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    benches = {
-        "correlate_stream": bench_correlate(spark, sf_dir, fpt, repeat),
-        "lww_sink": bench_lww_sink(spark, sf_dir, fpt, repeat),
-        "requeue_loop": bench_requeue(spark, sf_dir, fpt, repeat),
-    }
+    if ordered:  # eviction-curve observation: correlate only
+        benches = {
+            "correlate_stream": bench_correlate(spark, sf_dir, fpt, repeat, True),
+        }
+    else:
+        benches = {
+            "correlate_stream": bench_correlate(spark, sf_dir, fpt, repeat),
+            "lww_sink": bench_lww_sink(spark, sf_dir, fpt, repeat),
+            "requeue_loop": bench_requeue(spark, sf_dir, fpt, repeat),
+        }
     print(json.dumps({
         "metric": "streaming rows/sec + per-trigger latency",
         "files_per_trigger": fpt,
         "repeat": repeat,
+        "ordered": ordered,
         "benches": benches,
         "sf_dir": sf_dir,
     }))
