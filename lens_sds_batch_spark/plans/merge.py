@@ -916,7 +916,9 @@ def _manifest_dir(tgt: str) -> str:
 
 
 def _list_manifests(fs, jvm_path, tgt: str) -> list:
-    """Sorted [(seq, filename)] of committed manifests; [] when none."""
+    """Sorted [(seq, filename)] of committed manifests; [] when none.
+    Committed names are the bare zero-padded seq (``<seq:020d>.json``);
+    a ``-suffix`` after the seq is tolerated for forward compat."""
     mdir = _manifest_dir(tgt)
     if not fs.exists(jvm_path(mdir)):
         return []
@@ -925,7 +927,7 @@ def _list_manifests(fs, jvm_path, tgt: str) -> list:
         name = st.getPath().getName()
         if name.startswith(".") or not name.endswith(".json"):
             continue
-        head = name.split("-", 1)[0]
+        head = name[: -len(".json")].split("-", 1)[0]
         if head.isdigit():
             out.append((int(head), name))
     return sorted(out)
@@ -964,7 +966,17 @@ def _commit_manifest(fs, jvm_path, tgt: str, seq: int, gen: str, man: dict) -> N
     """Atomically commit a manifest: write to a dot-prefixed tmp file,
     then ONE file rename to the seq-ordered final name.  The rename is
     the commit point; a crash on either side leaves the previous
-    manifest live and at most a .tmp-* straggler for vacuum."""
+    manifest live and at most a .tmp-* straggler for vacuum.
+
+    The final name is the BARE seq (``<seq:020d>.json``), deliberately
+    collision-prone: it makes the commit an atomic SEQ CLAIM.  A slow
+    (not dead) writer resuming after a stale-lease takeover committed
+    past it would otherwise land a second manifest at the same seq
+    under a different gen-suffixed name — no filesystem conflict, and
+    whichever sorted later would silently shadow the other batch.
+    With the bare-seq name the straggler's rename fails (dest exists /
+    rename returns false) and it dies loudly instead; its staged
+    generations are vacuum fodder and its batch gets replayed."""
     mdir = _manifest_dir(tgt)
     fs.mkdirs(jvm_path(mdir))
     payload = json.dumps(man).encode("utf-8")
@@ -974,12 +986,13 @@ def _commit_manifest(fs, jvm_path, tgt: str, seq: int, gen: str, man: dict) -> N
         out.write(bytearray(payload))
     finally:
         out.close()
-    final = jvm_path(mdir + f"/{seq:020d}-{gen}.json")
+    final = jvm_path(mdir + f"/{seq:020d}.json")
     if fs.exists(final) or not fs.rename(tmp_p, final):
         fs.delete(tmp_p, False)
         raise IOError(
-            f"merge_into: manifest commit {mdir}/{seq:020d}-{gen}.json failed "
-            "(a concurrent writer slipped past the lease?)"
+            f"merge_into: manifest commit {mdir}/{seq:020d}.json failed — "
+            "seq already claimed (a concurrent writer committed past this "
+            "one, e.g. after a stale-lease takeover); replay the batch"
         )
 
 
@@ -1218,12 +1231,14 @@ def vacuum_merged_table(
         mdir = _manifest_dir(tgt)
         for st in fs.listStatus(jvm_path(mdir)):
             name = st.getPath().getName()
+            head = name[: -len(".json")].split("-", 1)[0] if name.endswith(
+                ".json"
+            ) else ""
             stale_commit = (
-                name.endswith(".json")
-                and not name.startswith(".")
+                not name.startswith(".")
                 and name != latest_name
-                and name.split("-", 1)[0].isdigit()
-                and int(name.split("-", 1)[0]) < seq
+                and head.isdigit()
+                and int(head) < seq
             )
             stale_tmp = name.startswith(".tmp-")
             if (stale_commit or stale_tmp) and st.getModificationTime() <= cutoff_ms:

@@ -290,8 +290,10 @@ def test_manifest_kill_points(spark, tmp_path):
     assert _state(spark, target)["k9"] == (3, "z2")
 
     # throughout: the committed sequence only ever advanced
-    last_seq = int(_manifests(target)[-1].split("-", 1)[0])
-    assert last_seq > int(pre_manifests[-1].split("-", 1)[0])
+    def _seq(name):
+        return int(name[: -len(".json")].split("-", 1)[0])
+
+    assert _seq(_manifests(target)[-1]) > _seq(pre_manifests[-1])
 
 
 def test_manifest_vacuum_keeps_live_generations(spark, tmp_path):
@@ -444,3 +446,24 @@ def test_manifest_listed_gen_missing_raises(spark, tmp_path):
     shutil.rmtree(os.path.join(target, bucket, gen))
     with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
         read_merged_table(spark, target).collect()
+
+
+def test_manifest_seq_claim_refuses_double_commit(spark, tmp_path):
+    """The commit filename is the BARE seq, deliberately: a slow writer
+    resuming after a stale-lease takeover must FAIL its commit (seq
+    already claimed) instead of landing a second same-seq manifest
+    under a different name that could silently shadow the other batch."""
+    from lens_sds_batch_spark.plans.merge import _commit_manifest
+
+    target = str(tmp_path / "t")
+    _merge(spark, target, [("k1", 1, "a", False)], num_buckets=2,
+           protocol="manifest")
+    pre = _state(spark, target)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(target).getFileSystem(spark._jsc.hadoopConfiguration())
+    seq = int(_manifests(target)[-1][: -len(".json")].split("-", 1)[0])
+    man = {"num_buckets": 2, "keys": ["k"], "key_types": {"k": "string"},
+           "buckets": {}, "seq": seq, "gen": "gstraggler"}
+    with pytest.raises(IOError, match="seq already claimed"):
+        _commit_manifest(fs, jvm_path, target, seq, "gstraggler", man)
+    assert _state(spark, target) == pre  # the claimed manifest stands
