@@ -467,3 +467,39 @@ def test_manifest_seq_claim_refuses_double_commit(spark, tmp_path):
     with pytest.raises(IOError, match="seq already claimed"):
         _commit_manifest(fs, jvm_path, target, seq, "gstraggler", man)
     assert _state(spark, target) == pre  # the claimed manifest stands
+
+
+def test_manifest_sink_with_interleaved_vacuum(spark, tmp_path):
+    """The production cadence: a stream of micro-batches through the
+    manifest merge with a grace-0 vacuum every few commits.  Pins that
+    (a) vacuum in the loop never touches live state, (b) retained
+    generations stay BOUNDED (<= live buckets + the commits since the
+    last vacuum), and (c) the final state equals one LWW over the
+    union — i.e. the GC cadence is invisible to semantics."""
+    from lens_sds_batch_spark.plans.merge import apply_lww
+
+    target = str(tmp_path / "t")
+    all_rows = []
+    for i in range(12):
+        batch = [(f"k{(i * 7 + j) % 30}", i, f"v{i}", (i * 7 + j) % 11 == 0)
+                 for j in range(8)]
+        all_rows += batch
+        _merge(spark, target, batch,
+               num_buckets=4 if i == 0 else None,
+               protocol="manifest" if i == 0 else None)
+        if i % 4 == 3:
+            vacuum_merged_table(spark, target, grace_sec=0.0)
+            gens_total = sum(len(g) for g in _gens(target).values())
+            assert gens_total <= 4  # only live generations survive
+    want = {
+        (r["k"], r["pri"], r["v"])
+        for r in apply_lww(
+            _df(spark, all_rows).withColumn(
+                "__h", F.xxhash64("k", "pri", "v", "dead")
+            ),
+            keys=["k"], order_cols=[F.col("pri"), F.col("__h")],
+            is_delete=F.col("dead"),
+        ).collect()
+    }
+    got = {(k, p, v) for k, (p, v) in _state(spark, target).items()}
+    assert got == want
