@@ -1360,3 +1360,72 @@ def rebucket(
         _swap_whole_dir(fs, jvm_path, tgt, tmp, old)
         return {"engine": "parquet-swap", "rows": obs.get["n"],
                 "num_buckets": new_num_buckets}
+
+
+def suggest_num_buckets(
+    spark,
+    target_path: str,
+    target_bucket_bytes: int = 256 * 1024 * 1024,
+) -> dict:
+    """Rebucket advisor (r12, completing the migration story): report
+    whether a bucketed target's layout still fits its size.  The
+    O(touched/N) per-batch advantage decays as buckets fatten — a table
+    laid out at N=16 that grew 100x rewrites ~6% of a now-huge table
+    per touched bucket.  Pure filesystem stats (no Spark job): sums the
+    LIVE data bytes (manifest-resolved generations, or the bucket dirs
+    for the rename flavor), divides by ``target_bucket_bytes`` (default
+    256 MB — a few parquet row groups; size to taste), rounds to the
+    nearest power of two, and recommends a rebucket only past 2x
+    hysteresis in either direction (re-layouts are full-cost; don't
+    thrash).  Returns {"num_buckets", "live_bytes", "suggested",
+    "rebucket_recommended"}; raises on an unbucketed target.
+
+    Scheduling the migration stays with the caller (run
+    :func:`rebucket` in a maintenance window — it takes the writer
+    lease, so in-flight merges and the migration refuse each other).
+    """
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tgt = target_path.rstrip("/")
+    prefix = BUCKET_COL + "="
+
+    def _du(path) -> int:
+        total = 0
+        stack = [path]
+        while stack:
+            for st in fs.listStatus(stack.pop()):
+                if st.isDirectory():
+                    stack.append(st.getPath())
+                else:
+                    total += st.getLen()
+        return total
+
+    man = _read_manifest(spark, fs, jvm_path, tgt)
+    if man is not None:
+        _, _, m = man
+        cur_n = int(m["num_buckets"])
+        live = sum(
+            _du(jvm_path(f"{tgt}/{prefix}{b}/{GEN_COL}={g}"))
+            for b, g in m["buckets"].items()
+            if fs.exists(jvm_path(f"{tgt}/{prefix}{b}/{GEN_COL}={g}"))
+        )
+    else:
+        spec = _read_bucket_spec(spark, fs, jvm_path, tgt)
+        if spec is None:
+            raise ValueError(
+                f"suggest_num_buckets: {tgt} has no bucketed layout"
+            )
+        cur_n = spec[0]
+        live = sum(
+            _du(st.getPath())
+            for st in fs.listStatus(jvm_path(tgt))
+            if st.getPath().getName().startswith(prefix)
+        )
+    raw = max(1.0, live / float(target_bucket_bytes))
+    suggested = 1 << max(0, round(__import__("math").log2(raw)))
+    return {
+        "num_buckets": cur_n,
+        "live_bytes": live,
+        "suggested": suggested,
+        "rebucket_recommended": suggested >= 2 * cur_n or 2 * suggested <= cur_n,
+    }

@@ -503,3 +503,32 @@ def test_manifest_sink_with_interleaved_vacuum(spark, tmp_path):
     }
     got = {(k, p, v) for k, (p, v) in _state(spark, target).items()}
     assert got == want
+
+
+def test_suggest_num_buckets_both_flavors(spark, tmp_path):
+    """The rebucket advisor: live-bytes / target-bucket-size rounded to
+    a power of two, with 2x hysteresis; manifest tables count ONLY the
+    live generations (superseded gens must not inflate the estimate)."""
+    from lens_sds_batch_spark.plans.merge import suggest_num_buckets
+
+    rows = [(f"k{i}", 1, "v" * 50, False) for i in range(400)]
+    t1 = str(tmp_path / "ren")
+    _merge(spark, t1, rows, num_buckets=4)
+    s = suggest_num_buckets(spark, t1, target_bucket_bytes=1)
+    # tiny target size -> suggested far above 4 -> recommended
+    assert s["num_buckets"] == 4 and s["suggested"] >= 8
+    assert s["rebucket_recommended"] and s["live_bytes"] > 0
+    # huge target size -> suggested 1 << 4/2 -> recommended downward
+    s2 = suggest_num_buckets(spark, t1, target_bucket_bytes=1 << 40)
+    assert s2["suggested"] == 1 and s2["rebucket_recommended"]
+
+    t2 = str(tmp_path / "man")
+    _merge(spark, t2, rows, num_buckets=4, protocol="manifest")
+    base = suggest_num_buckets(spark, t2, target_bucket_bytes=1)["live_bytes"]
+    # superseding every bucket doubles on-disk bytes but NOT live bytes
+    _merge(spark, t2, [(f"k{i}", 2, "w" * 50, False) for i in range(400)])
+    after = suggest_num_buckets(spark, t2, target_bucket_bytes=1)["live_bytes"]
+    assert after < base * 1.5  # counts live gens, not the full history
+
+    with pytest.raises(ValueError, match="no bucketed layout"):
+        suggest_num_buckets(spark, str(tmp_path / "missing"))
