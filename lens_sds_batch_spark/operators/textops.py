@@ -427,6 +427,82 @@ FROM (
 GROUP BY doc_id ORDER BY doc_id
 """
 
+LM_MICRO = 1_000_000  # per-token ln-prob quantization grain (micro-nats)
+
+
+def lm_score(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:
+    """Corpus-unigram LM quality score — the CCNet/perplexity-filter
+    analog every training-data pipeline runs (docs whose tokens are
+    improbable under a corpus LM are boilerplate/noise candidates;
+    docs of only hyper-common tokens are low-information).  The LM is
+    the corpus's own unigram distribution, so there is no OOV case:
+    per-token surprisal is ln(c_t / N) over corpus token count N.
+
+    Cross-engine determinism (the q1-ULP lesson, NOTES.md r12): a
+    per-doc float SUM of ln-probs is evaluation-order-dependent, so
+    both engines instead round each per-token ln-prob to an exact
+    BIGINT in micro-nats (``round(ln(c/N) * 1e6)`` — the per-row
+    rounding precedent tfidf_top_terms set) and sum INTEGERS; the only
+    float ops on the aggregate are one multiply by an
+    exactly-representable constant and one IEEE correctly-rounded
+    division, both bit-identical across engines.
+
+    Scale shape: the unigram table is a broadcast dimension (vocab is
+    sublinear in corpus size); at 100 TB bound it with a min-count
+    floor + one shared OOV smoothing bucket so the broadcast stays
+    O(vocab-cap) — the full vocab fits here.  Two shuffles total:
+    (doc_id, token) term frequencies and the token-count reduce."""
+    docs = _tokenized_docs(spark, sf_dir, base)
+    tf = (
+        docs.select("doc_id", F.explode(F.col("toks")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    counts = tf.groupBy("t").agg(F.sum("tf").alias("c"))
+    total = counts.agg(F.sum("c").alias("n_corpus"))
+    micro = counts.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("n_corpus").cast("double"))
+            * LM_MICRO,
+            0,
+        ).cast("bigint").alias("m"),
+    )
+    return (
+        tf.join(F.broadcast(micro), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("m")).alias("lm_sum_micro"),
+            F.sum("tf").alias("n_lm_tok"),
+        )
+        .select(
+            "doc_id",
+            "lm_sum_micro",
+            (
+                F.col("lm_sum_micro").cast("double")
+                / (F.col("n_lm_tok").cast("double") * F.lit(float(LM_MICRO)))
+            ).alias("lm_avg_logprob"),
+        )
+    )
+
+
+LM_SQL_CTES = f"""
+lmterms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+lmtf AS (SELECT doc_id, t, count(*) AS tf FROM lmterms GROUP BY 1, 2),
+lmc AS (SELECT t, sum(tf) AS c FROM lmtf GROUP BY 1),
+lmn AS (SELECT sum(c) AS n_corpus FROM lmc),
+lmm AS (
+  SELECT t, CAST(round(ln(CAST(c AS DOUBLE) / CAST(n_corpus AS DOUBLE)) * {LM_MICRO}, 0) AS BIGINT) AS m
+  FROM lmc CROSS JOIN lmn
+),
+lm AS (
+  SELECT doc_id,
+         CAST(sum(tf * m) AS BIGINT) AS lm_sum_micro,
+         CAST(sum(tf * m) AS DOUBLE) / (CAST(sum(tf) AS DOUBLE) * {LM_MICRO}) AS lm_avg_logprob
+  FROM lmtf JOIN lmm USING (t) GROUP BY doc_id
+)"""
+
+
 EVAL_RATE = 0.05  # deterministic held-out "benchmark" split for the contamination arm
 CONTAM_N = 5  # n-gram width for train/eval overlap (decontamination standard)
 
@@ -702,11 +778,12 @@ def doc_features_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays at doc grain), the repeated-bigram ratio (Gopher-style
     repetition signal), the 8-bucket feature-hash vector, the
     train/eval contamination arm, the span-level keep-first dedup
-    arm, and the unaligned duplicated-substring arm
+    arm, the unaligned duplicated-substring arm, and (r12) the
+    corpus-unigram LM score arm
     (lang_id + doc_fingerprints + corpus_filter +
     feature_hash_vectors + repetition + eval_contamination +
-    span_dedup + substring_dup_features merged; each arm's computation
-    unchanged).  All eight arms read ONE localCheckpointed tokenized
+    span_dedup + substring_dup_features + lm_score merged; each arm's
+    computation unchanged).  All nine arms read ONE localCheckpointed tokenized
     scan (r6: doc_id, text, lang, toks) instead of each re-scanning and
     re-splitting documents — measured 4.7s → 2.0s at sf0.1.  This is
     NOT the r5-disproven single-projection fusion (that hit codegen
@@ -754,6 +831,7 @@ def doc_features_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eval_contamination(spark, sf_dir, base=shared), "doc_id")
         .join(span_dedup(spark, sf_dir, base=shared), "doc_id")
         .join(substring_dup_features(spark, sf_dir, base=shared), "doc_id")
+        .join(lm_score(spark, sf_dir, base=shared), "doc_id")
     )
 
 
@@ -806,13 +884,15 @@ gate AS (
 fh AS ({FEATURE_HASH_SQL.strip()}),
 {{contam_ctes}},
 {SPAN_DEDUP_SQL_CTES.strip()},
-{SUBSTR_DUP_SQL_CTES.strip()}
+{SUBSTR_DUP_SQL_CTES.strip()},
+{LM_SQL_CTES.strip()}
 SELECT lang.doc_id, labeled_lang, predicted_lang, label_match,
        md5_full, fp64, kept, rep_bigram_ratio,
        f0, f1, f2, f3, f4, f5, f6, f7,
        is_eval, eval_ngram_hits,
        spans_total, spans_kept, dedup_text_md5,
-       dup_word_count, dup_ranges, longest_dup_run
+       dup_word_count, dup_ranges, longest_dup_run,
+       lm_sum_micro, lm_avg_logprob
 FROM lang
 JOIN fp ON lang.doc_id = fp.doc_id
 JOIN gate ON lang.doc_id = gate.doc_id
@@ -820,6 +900,7 @@ JOIN fh ON lang.doc_id = fh.doc_id
 JOIN contam ON lang.doc_id = contam.doc_id
 JOIN sdd ON lang.doc_id = sdd.doc_id
 JOIN subfull ON lang.doc_id = subfull.doc_id
+JOIN lm ON lang.doc_id = lm.doc_id
 ORDER BY lang.doc_id
 """
 
@@ -1050,4 +1131,10 @@ PROBES: dict[str, tuple] = {
         "doc_features_pack", "oracle",
         "SELECT sum(CASE WHEN label_match=0 THEN 1 ELSE 0 END),"
         " sum(CASE WHEN label_match=1 THEN 1 ELSE 0 END) FROM t"),
+    "lm score separates docs around the corpus mean": (
+        "doc_features_pack", "oracle",
+        "SELECT sum(CASE WHEN lm_avg_logprob < (SELECT avg(lm_avg_logprob) FROM t)"
+        " THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN lm_avg_logprob > (SELECT avg(lm_avg_logprob) FROM t)"
+        " THEN 1 ELSE 0 END) FROM t"),
 }

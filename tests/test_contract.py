@@ -195,6 +195,8 @@ def test_pack_arms_individually_importable(spark):
             "text_quality", "token_counts", "rolling_hash", "pii_scrub",
             # r11 fold: both former registry packs stay callable arms
             "textstats_pack", "term_stats_pack",
+            # r12: corpus-unigram LM score joins doc_features_pack
+            "lm_score",
         ],
         "lens_sds_batch_spark.operators.similarity": [
             "embedding_dup_pairs", "knn_bruteforce", "knn_lsh_bucketed",

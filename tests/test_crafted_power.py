@@ -527,3 +527,38 @@ def test_degenerate_embeddings_parity_and_exclusion(spark, tmp_path):
     assert qrows[102]["qsum"] == 0 and qrows[102]["q0"] == 0
     assert qrows[100]["qsum"] is None  # NULL vector stays NULL, both engines
     assert qrows[104]["q1"] is not None  # short vector: no ANSI crash
+
+
+def test_lm_score_hand_computed(spark, tmp_path):
+    """r12: corpus-unigram LM score against a fully hand-computable
+    corpus (a=3, b=1, c=1, N=5).  The expected model mirrors the
+    engine's arithmetic exactly: per-token ln-prob rounded HALF_UP on
+    the double's SHORTEST decimal repr (Java BigDecimal.valueOf ==
+    Python repr) to BIGINT micro-nats, integer sums, one exact float
+    division — so equality is ==, not approx."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from lens_sds_batch_spark.operators.textops import LM_MICRO, lm_score
+
+    rows = [
+        (0, "a a b", "en", "s0"),   # common-heavy doc
+        (1, "a c", "en", "s0"),     # rare-heavy doc
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+
+    def m(c, n=5):
+        return int(
+            Decimal(repr(math.log(c / n) * LM_MICRO)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+
+    exp_sum = {0: 2 * m(3) + m(1), 1: m(3) + m(1)}
+    got = {r["doc_id"]: r for r in lm_score(spark, sf).collect()}
+    assert {k: v["lm_sum_micro"] for k, v in got.items()} == exp_sum
+    assert got[0]["lm_avg_logprob"] == exp_sum[0] / (3 * float(LM_MICRO))
+    assert got[1]["lm_avg_logprob"] == exp_sum[1] / (2 * float(LM_MICRO))
+    # the signal the filter exists for: the common-token doc is more
+    # probable under the corpus LM than the rare-token doc
+    assert got[0]["lm_avg_logprob"] > got[1]["lm_avg_logprob"]
