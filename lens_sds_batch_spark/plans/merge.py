@@ -933,15 +933,30 @@ def _list_manifests(fs, jvm_path, tgt: str) -> list:
     return sorted(out)
 
 
-def _read_manifest(spark, fs, jvm_path, target_path: str):
+def _read_manifest(spark, fs, jvm_path, target_path: str, as_of_seq: int | None = None):
     """Return (seq, filename, manifest_dict) for the LATEST committed
     manifest, or None when the target carries no manifest layout.  An
     existing-but-unreadable latest manifest raises loudly (same refusal
     convention as _read_bucket_spec): guessing would either read stale
-    generations or route keys into the wrong bucket space."""
+    generations or route keys into the wrong bucket space.
+
+    ``as_of_seq`` (r12 snapshot reads) selects the latest manifest with
+    ``seq <= as_of_seq`` instead — Delta ``versionAsOf`` semantics.  A
+    manifest layout with no commit at-or-below the requested seq raises
+    (the snapshot predates the table, or vacuum already collected it);
+    returning the oldest retained state instead would silently answer a
+    different question."""
     ms = _list_manifests(fs, jvm_path, target_path.rstrip("/"))
     if not ms:
         return None
+    if as_of_seq is not None:
+        ms = [m for m in ms if m[0] <= as_of_seq]
+        if not ms:
+            raise ValueError(
+                f"read_merged_table: no manifest at or below seq {as_of_seq} "
+                f"for {target_path} — the snapshot predates the table or was "
+                "vacuumed; list_snapshots() shows what is retained"
+            )
     seq, name = ms[-1]
     path = _manifest_dir(target_path) + "/" + name
     try:
@@ -1143,7 +1158,7 @@ def _manifest_merge(
         _release_checkpoint(upd_tagged)
 
 
-def read_merged_table(spark, target_path: str):
+def read_merged_table(spark, target_path: str, as_of_seq: int | None = None):
     """Read the merged state of a merge_into target under ANY portable
     layout — manifest-commit (resolved through the latest manifest),
     rename-bucketed, or plain parquet.  Returns None when the target
@@ -1152,13 +1167,32 @@ def read_merged_table(spark, target_path: str):
     (or an equivalent manifest-aware reader): a plain root read would
     see every retained generation at once and double-count rows.  The
     __bucket partition column is exposed on bucketed layouts (both
-    flavors); __gen is resolved away."""
+    flavors); __gen is resolved away.
+
+    ``as_of_seq`` (r12): SNAPSHOT read — resolve through the latest
+    manifest with ``seq <= as_of_seq`` (Delta ``versionAsOf``; the seq
+    is what ``merge_into`` returns in its metrics), turning the
+    protocol's natural generation retention into time travel for
+    audit/debug reads of pre-batch state.  Snapshot lifetime is bounded
+    by ``vacuum_merged_table``: a vacuumed snapshot's manifest is gone
+    (raises here) or its generations are gone (spark.read raises
+    PATH_NOT_FOUND at scan) — both loud, never a silently-wrong state;
+    ``grace_sec`` shields snapshots resolved before the vacuum the same
+    way it shields latest-manifest readers.  Only manifest targets keep
+    history: passing ``as_of_seq`` for the rename/plain layouts raises
+    (their swap protocols destroy superseded state at commit)."""
     from pyspark.sql.utils import AnalysisException
 
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
     tgt = target_path.rstrip("/")
-    man = _read_manifest(spark, fs, jvm_path, tgt)
+    man = _read_manifest(spark, fs, jvm_path, tgt, as_of_seq=as_of_seq)
+    if man is None and as_of_seq is not None:
+        raise ValueError(
+            f"read_merged_table: as_of_seq={as_of_seq} requested but {tgt} "
+            "is not a manifest-commit target — only the manifest layout "
+            "retains superseded state (rename/plain swaps destroy it)"
+        )
     if man is not None:
         _, _, m = man
         if not m["buckets"]:
@@ -1174,6 +1208,34 @@ def read_merged_table(spark, target_path: str):
         return spark.read.parquet(tgt)
     except AnalysisException:
         return None
+
+
+def list_snapshots(spark, target_path: str) -> list[dict]:
+    """Retained snapshots of a manifest-commit target, oldest first:
+    ``[{"seq": int, "committed_ms": int}]`` — every seq here is valid
+    for ``read_merged_table(..., as_of_seq=seq)`` until a vacuum
+    collects it (retention = the vacuum cadence and grace the operator
+    chose; the protocol itself never deletes).  Pure filesystem stats,
+    no Spark job.  Raises on a non-manifest target — the other layouts
+    retain no history to list."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tgt = target_path.rstrip("/")
+    ms = _list_manifests(fs, jvm_path, tgt)
+    if not ms:
+        raise ValueError(
+            f"list_snapshots: {tgt} is not a manifest-commit target"
+        )
+    mdir = _manifest_dir(tgt)
+    return [
+        {
+            "seq": seq,
+            "committed_ms": fs.getFileStatus(
+                jvm_path(mdir + "/" + name)
+            ).getModificationTime(),
+        }
+        for seq, name in ms
+    ]
 
 
 def vacuum_merged_table(

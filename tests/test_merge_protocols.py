@@ -532,3 +532,60 @@ def test_suggest_num_buckets_both_flavors(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no bucketed layout"):
         suggest_num_buckets(spark, str(tmp_path / "missing"))
+
+
+# ---------------------------------------------------------------------------
+# snapshot (time-travel) reads — r12: the manifest protocol's natural
+# generation retention exposed as Delta versionAsOf semantics
+# ---------------------------------------------------------------------------
+
+def test_snapshot_reads_time_travel(spark, tmp_path):
+    from lens_sds_batch_spark.plans.merge import list_snapshots
+
+    target = str(tmp_path / "t")
+    _merge(
+        spark, target, [("k1", 1, "a", False), ("k2", 1, "b", False)],
+        num_buckets=4, protocol="manifest",
+    )
+    _merge(spark, target, [("k2", 2, "b2", False), ("k3", 2, "c", False)])
+    _merge(spark, target, [("k1", 3, "x", True)])  # delete k1
+
+    assert [s["seq"] for s in list_snapshots(spark, target)] == [0, 1, 2, 3]
+
+    def at(seq):
+        df = read_merged_table(spark, target, as_of_seq=seq)
+        return {} if df is None else {r["k"]: (r["pri"], r["v"]) for r in df.collect()}
+
+    assert at(0) == {}  # the empty init commit
+    assert at(1) == {"k1": (1, "a"), "k2": (1, "b")}
+    assert at(2) == {"k1": (1, "a"), "k2": (2, "b2"), "k3": (2, "c")}
+    assert at(3) == _state(spark, target)
+    assert at(99) == at(3)  # <= semantics: beyond latest reads latest
+    with pytest.raises(ValueError, match="predates"):
+        read_merged_table(spark, target, as_of_seq=-1)
+
+    # non-manifest layouts retain no history — both surfaces refuse
+    t2 = str(tmp_path / "renamed")
+    _merge(spark, t2, [("k1", 1, "a", False)], num_buckets=4)
+    with pytest.raises(ValueError, match="not a manifest-commit target"):
+        read_merged_table(spark, t2, as_of_seq=1)
+    with pytest.raises(ValueError, match="not a manifest-commit target"):
+        list_snapshots(spark, t2)
+
+
+def test_snapshot_after_vacuum_raises_loudly(spark, tmp_path):
+    from lens_sds_batch_spark.plans.merge import list_snapshots
+
+    target = str(tmp_path / "t")
+    _merge(
+        spark, target, [("k1", 1, "a", False)],
+        num_buckets=4, protocol="manifest",
+    )
+    _merge(spark, target, [("k1", 2, "b", False)])
+    vacuum_merged_table(spark, target, grace_sec=0)
+    # superseded manifests collected -> only the live snapshot remains
+    assert [s["seq"] for s in list_snapshots(spark, target)] == [2]
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_merged_table(spark, target, as_of_seq=1)
+    assert {r["k"]: r["v"] for r in
+            read_merged_table(spark, target, as_of_seq=2).collect()} == {"k1": "b"}
