@@ -158,6 +158,120 @@ def bench_correlate(
             "median_trigger_ms": med, **state}
 
 
+def bench_sustained(
+    spark,
+    fpt: int,
+    duration_sec: int = 300,
+    rows_per_tick: int = 20_000,
+    groups_per_tick: int = 2_000,
+    tick_interval: float = 1.0,
+) -> dict:
+    """Sustained-run state-store ceiling observation (r12; NOTES r13
+    candidate #3): a rate-limited feeder appends ONE source file per
+    tick while ``correlate_stream`` runs continuously, with event-time
+    advancing ONE HOUR per tick under a 2-hour watermark — so every
+    tick's correlation groups become evictable ~2-3 ticks later and
+    steady-state state is TIME-bounded (the last few ticks' live
+    groups), never volume-bounded.  The drain-mode benches show the
+    eviction curve over a finite corpus; this one shows the property
+    that matters for a weeks-long production stream: rows processed
+    grows linearly while state rows AND state-store memory PLATEAU.
+
+    The per-trigger series is accumulated by polling ``lastProgress``
+    from the feeder loop (``recentProgress`` caps at ~100 entries —
+    a minutes-long run overflows it).  Headline numbers: global peak
+    vs last-third peak of state rows and of ``memoryUsedBytes`` (a
+    plateau reads as last-third-peak ~= global peak while
+    ``rows_fed`` keeps growing), total evicted rows, and sustained
+    rows/s (feed-rate-bound by design — capacity is the drain-mode
+    benches' number)."""
+    from lens_sds_batch_spark.streaming.pipeline import correlate_stream
+
+    src = f"{BASE_TMP}/sus_src"
+    names = "started,progressed,completed,failed".split(",")
+
+    def tick_df(tick: int):
+        # fresh cids per tick (state turns over); event-time = epoch
+        # start + tick hours, spread over the hour so the watermark
+        # (max ts - 2h) lands mid-window rather than on a boundary
+        return (
+            spark.range(rows_per_tick)
+            .select(
+                F.concat(
+                    F.lit(f"T{tick}_"), (F.col("id") % groups_per_tick).cast("string")
+                ).alias("cid"),
+                (
+                    F.lit(1_600_000_000 + tick * 3600) + (F.col("id") % 3600)
+                ).cast("timestamp").alias("ts"),
+                (F.lit(tick) * rows_per_tick + F.col("id")).alias("seq"),
+                F.element_at(
+                    F.array(*[F.lit(n) for n in names]),
+                    (F.col("id") % len(names) + 1).cast("int"),
+                ).alias("name"),
+            )
+        )
+
+    tick_df(0).coalesce(1).write.mode("overwrite").parquet(src)  # seed
+    stream = (
+        spark.readStream.schema("cid string, ts timestamp, seq bigint, name string")
+        .option("maxFilesPerTrigger", fpt)
+        .parquet(src)
+    )
+    q = (
+        correlate_stream(stream, watermark="2 hours")
+        .writeStream.format("noop")
+        .outputMode("update")
+        .start()
+    )
+    series: dict[int, tuple[int, int, int]] = {}  # batchId -> (rows, mem, removed)
+
+    def poll():
+        p = q.lastProgress
+        if not p:
+            return
+        for so in p.get("stateOperators") or []:
+            series[p["batchId"]] = (
+                so["numRowsTotal"],
+                so["memoryUsedBytes"],
+                so.get("numRowsRemoved") or 0,
+            )
+
+    t0 = time.time()
+    tick = 1
+    while time.time() - t0 < duration_sec:
+        next_due = t0 + tick * tick_interval
+        tick_df(tick).coalesce(1).write.mode("append").parquet(src)
+        tick += 1
+        poll()
+        delay = next_due - time.time()
+        if delay > 0:
+            time.sleep(delay)
+    q.processAllAvailable()  # drain the tail so the last poll is final
+    poll()
+    wall = time.time() - t0
+    q.stop()
+
+    rows_fed = tick * rows_per_tick
+    ordered = [series[b] for b in sorted(series)]
+    state_rows = [r for r, _, _ in ordered]
+    mem = [m for _, m, _ in ordered]
+    cut = (2 * len(ordered)) // 3
+    return {
+        "duration_sec": round(wall, 1),
+        "ticks_fed": tick,
+        "rows_fed": rows_fed,
+        "rows_per_sec_sustained": round(rows_fed / wall),
+        "triggers_observed": len(ordered),
+        "state_rows_peak": max(state_rows),
+        "state_rows_last_third_peak": max(state_rows[cut:]),
+        "state_rows_last": state_rows[-1],
+        "state_mem_peak_bytes": max(mem),
+        "state_mem_last_third_peak_bytes": max(mem[cut:]),
+        "state_rows_removed": sum(d for _, _, d in ordered),
+        "groups_per_tick": groups_per_tick,
+    }
+
+
 def bench_lww_sink(spark, sf_dir: str, fpt: int, repeat: int = 1) -> dict:
     from lens_sds_batch_spark.plans.merge import apply_lww
     from lens_sds_batch_spark.streaming.pipeline import read_event_stream
@@ -239,6 +353,20 @@ def bench_requeue(spark, sf_dir: str, fpt: int, repeat: int = 1) -> dict:
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "sustained":
+        # usage: stream_bench.py sustained [duration_sec] [fpt]
+        duration = int(sys.argv[2]) if len(sys.argv) > 2 else 300
+        fpt = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+        shutil.rmtree(BASE_TMP, ignore_errors=True)
+        spark = get_spark("stream-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps({
+            "metric": "sustained streaming state-store ceiling",
+            "files_per_trigger": fpt,
+            "benches": {"correlate_sustained": bench_sustained(spark, fpt, duration)},
+        }))
+        shutil.rmtree(BASE_TMP, ignore_errors=True)
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     fpt = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     repeat = int(sys.argv[3]) if len(sys.argv) > 3 else 1
