@@ -1491,3 +1491,28 @@ def suggest_num_buckets(
         "suggested": suggested,
         "rebucket_recommended": suggested >= 2 * cur_n or 2 * suggested <= cur_n,
     }
+
+
+def maybe_rebucket(
+    spark,
+    target_path: str,
+    target_bucket_bytes: int = 256 * 1024 * 1024,
+    lease_stale_sec: float = LEASE_STALE_SEC,
+) -> dict:
+    """The detect→migrate composition (r12): run the advisor and, ONLY
+    if it recommends (2x hysteresis in either direction), execute the
+    :func:`rebucket` migration to the suggested power-of-two count.
+    Idempotent maintenance entry point — call it from the same window
+    that runs :func:`vacuum_merged_table`; when the layout still fits
+    it costs two filesystem listings and no Spark job.  Returns the
+    advisor dict plus ``{"rebucketed": bool}`` (and the migration's
+    metrics under ``"migration"`` when one ran).  The migration takes
+    the writer lease, so a concurrent merge and this refuse each other
+    rather than interleave."""
+    advice = suggest_num_buckets(spark, target_path, target_bucket_bytes)
+    if not advice["rebucket_recommended"]:
+        return {**advice, "rebucketed": False}
+    migration = rebucket(
+        spark, target_path, advice["suggested"], lease_stale_sec=lease_stale_sec
+    )
+    return {**advice, "rebucketed": True, "migration": migration}

@@ -589,3 +589,38 @@ def test_snapshot_after_vacuum_raises_loudly(spark, tmp_path):
         read_merged_table(spark, target, as_of_seq=1)
     assert {r["k"]: r["v"] for r in
             read_merged_table(spark, target, as_of_seq=2).collect()} == {"k1": "b"}
+
+
+def test_maybe_rebucket_detect_then_migrate(spark, tmp_path):
+    """The detect→migrate composition: no-op (no Spark job) when the
+    layout fits, full rebucket to the suggested count when it doesn't,
+    state byte-identical either way."""
+    from lens_sds_batch_spark.plans.merge import maybe_rebucket
+
+    rows = [(f"k{i}", 1, "v" * 50, False) for i in range(400)]
+    target = str(tmp_path / "t")
+    _merge(spark, target, rows, num_buckets=4, protocol="manifest")
+    before = _state(spark, target)
+
+    # layout fits (suggested == 4 needs bytes/4 per bucket): pick a
+    # target size that lands suggested at 4 -> inside hysteresis -> no-op
+    from lens_sds_batch_spark.plans.merge import suggest_num_buckets
+    live = suggest_num_buckets(spark, target, target_bucket_bytes=1)["live_bytes"]
+    r = maybe_rebucket(spark, target, target_bucket_bytes=max(1, live // 4))
+    assert r["rebucketed"] is False and "migration" not in r
+    assert _state(spark, target) == before
+
+    # layout too coarse: tiny bucket-size target forces an upward migration
+    r2 = maybe_rebucket(spark, target, target_bucket_bytes=max(1, live // 64))
+    assert r2["rebucketed"] is True and r2["migration"]["num_buckets"] == r2["suggested"]
+    assert r2["suggested"] >= 8
+    assert _state(spark, target) == before
+    # idempotent no-op once the layout fits: recompute the fit from the
+    # POST-migration live bytes (at this toy size the 64-file layout
+    # carries real per-file parquet overhead, so the pre-migration byte
+    # count would re-recommend — a tiny-data artifact, not a contract)
+    live2 = suggest_num_buckets(spark, target, target_bucket_bytes=1)["live_bytes"]
+    r3 = maybe_rebucket(
+        spark, target, target_bucket_bytes=max(1, live2 // r2["suggested"])
+    )
+    assert r3["rebucketed"] is False
