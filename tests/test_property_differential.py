@@ -307,3 +307,40 @@ def test_merge_into_matches_delta_semantics_model(spark, target, updates):
     except AnalysisException:  # every key deleted: no data dirs remain
         bgot = set()  # (narrow catch — any other failure must surface)
     assert bgot == expected
+
+    # Same model, MANIFEST layout (r12): generation dirs + one atomic
+    # manifest commit must land on the identical Delta-contract result,
+    # read back THROUGH the resolver (the only valid read of a manifest
+    # table).  Snapshot differential rides along: after the merge, the
+    # PRE-merge seq must still read as exactly the pre-merge state —
+    # time travel pinned across the same random examples.
+    from lens_sds_batch_spark.plans.merge import read_merged_table
+
+    mtgt = d + "/state_manifest"
+    if tgt_df is not None:
+        # the manifest protocol refuses in-place migration of an existing
+        # plain table (documented contract) — materialize the stored state
+        # as the FIRST manifest batch instead (keys are unique and
+        # non-tombstone, so LWW(target) == target)
+        pre = merge_into(
+            spark, mtgt, tgt_df, keys=["k"], order_cols=["pri"],
+            is_delete=F.lit(False), num_buckets=n_buckets, protocol="manifest",
+        )
+        res = merge_into(
+            spark, mtgt, upd, keys=["k"], order_cols=["pri"], is_delete=F.col("dead")
+        )
+        assert res["engine"] == "parquet-manifest"
+        snap = read_merged_table(spark, mtgt, as_of_seq=pre["seq"])
+        snap_got = (
+            set() if snap is None
+            else {(r["k"], r["v"]) for r in snap.collect()}
+        )
+        assert snap_got == {(k, v) for k, _p, v in target}
+    else:
+        merge_into(
+            spark, mtgt, upd, keys=["k"], order_cols=["pri"],
+            is_delete=F.col("dead"), num_buckets=n_buckets, protocol="manifest",
+        )
+    mdf = read_merged_table(spark, mtgt)
+    mgot = set() if mdf is None else {(r["k"], r["v"]) for r in mdf.collect()}
+    assert mgot == expected
