@@ -624,3 +624,67 @@ def test_maybe_rebucket_detect_then_migrate(spark, tmp_path):
         spark, target, target_bucket_bytes=max(1, live2 // r2["suggested"])
     )
     assert r3["rebucketed"] is False
+
+
+def test_concurrent_writers_lease_serializes(spark, tmp_path):
+    """Real-concurrency pin of the writer fence: the lease tests above
+    construct interleavings by hand; this drives two ACTUAL concurrent
+    threads merging into ONE manifest target, each retrying on the
+    lease IOError.  Safety: every batch lands exactly once (final
+    state == the serial LWW of all batches; one committed manifest per
+    data batch, seqs strictly sequential).  Liveness: both writers
+    finish under bounded retries."""
+    import threading
+    import time as _time
+
+    target = str(tmp_path / "t")
+    _merge(spark, target, [("seed", 0, "s", False)],
+           num_buckets=4, protocol="manifest")
+
+    def batches(tag, pri_of):
+        return [
+            [(f"{tag}{j}", pri_of(i), f"{tag.upper()}{i}", False) for j in range(10)]
+            + [(f"s{j}", pri_of(i), f"{tag.upper()}{i}", False) for j in range(5)]
+            for i in range(5)
+        ]
+
+    plans = {
+        "a": batches("a", lambda i: 2 * i + 1),   # pris 1,3,5,7,9
+        "b": batches("b", lambda i: 2 * i + 2),   # pris 2,4,6,8,10
+    }
+    errors, retries = [], {"a": 0, "b": 0}
+
+    def writer(tag):
+        for i, rows in enumerate(plans[tag]):
+            for _attempt in range(200):
+                try:
+                    _merge(spark, target, rows)
+                    break
+                except IOError as e:
+                    if "lease" not in str(e):
+                        errors.append((tag, i, repr(e)))
+                        return
+                    retries[tag] += 1
+                    _time.sleep(0.05)
+            else:
+                errors.append((tag, i, "lease retries exhausted"))
+                return
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert not any(t.is_alive() for t in threads), "writer hung"
+
+    # serial-LWW expectation: per-key winner is the max-pri batch
+    expected = {"seed": (0, "s")}
+    expected.update({f"a{j}": (9, "A4") for j in range(10)})
+    expected.update({f"b{j}": (10, "B4") for j in range(10)})
+    expected.update({f"s{j}": (10, "B4") for j in range(5)})  # b's pri 10 wins
+    assert _state(spark, target) == expected
+    # exactly one committed manifest per data batch: init 0, seed 1,
+    # then ten writer batches -> seqs 0..11, no gaps, no duplicates
+    seqs = [int(n[: -len(".json")].split("-", 1)[0]) for n in _manifests(target)]
+    assert seqs == list(range(12))
