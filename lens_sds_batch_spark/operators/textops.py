@@ -488,7 +488,7 @@ def lm_score(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) ->
 
 LM_SQL_CTES = f"""
 lmterms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-lmtf AS (SELECT doc_id, t, count(*) AS tf FROM lmterms GROUP BY 1, 2),
+lmtf AS MATERIALIZED (SELECT doc_id, t, count(*) AS tf FROM lmterms GROUP BY 1, 2),
 lmc AS (SELECT t, sum(tf) AS c FROM lmtf GROUP BY 1),
 lmn AS (SELECT sum(c) AS n_corpus FROM lmc),
 lmm AS (
