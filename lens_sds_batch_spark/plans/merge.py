@@ -165,7 +165,7 @@ def bucket_expr(keys: list[str], num_buckets: int) -> Column:
 
 def _write_bucket_spec(
     fs, jvm_path, dir_path: str, keys: list[str], num_buckets: int,
-    key_types: dict[str, str],
+    key_types: dict[str, str], columns: dict[str, str] | None = None,
 ):
     """Write the spec as ONE small file through the Hadoop FS API — a
     single filesystem op, not a Spark job (r11 review: the old 1-row
@@ -176,12 +176,21 @@ def _write_bucket_spec(
     CAST(1 AS INT) and CAST(1 AS BIGINT) route to different buckets —
     so the spec pins key dtypes too, and every later batch is checked
     against them; names alone would let silent schema drift split one
-    logical key across two bucket spaces."""
+    logical key across two bucket spaces.
+
+    ``columns`` (r12 schema pin): the FULL batch schema at layout time.
+    Value-column drift is as corrupting as key drift on a bucketed
+    layout — a batch with an extra/missing column that lands only in
+    EMPTY buckets writes a divergent per-bucket schema (unionByName
+    never sees the conflict), and a later read without mergeSchema
+    resolves whichever file's schema it lists first.  Every batch is
+    validated against the pin; evolution = an explicit rebuild."""
     payload = json.dumps(
         {
             "num_buckets": int(num_buckets),
             "keys": list(keys),
             "key_types": dict(key_types),
+            **({"columns": dict(columns)} if columns is not None else {}),
         }
     ).encode("utf-8")
     out = fs.create(jvm_path(dir_path.rstrip("/") + "/" + BUCKET_SPEC_FILE), True)
@@ -192,10 +201,12 @@ def _write_bucket_spec(
 
 
 def _read_bucket_spec(spark, fs, jvm_path, target_path: str):
-    """Return ``(num_buckets, keys, key_types)`` if the target carries a
-    bucket spec, else None.  An EXISTING-but-unreadable spec raises
-    loudly: guessing 'unbucketed' against a bucketed layout would route
-    keys into the wrong bucket space and silently duplicate them."""
+    """Return ``(num_buckets, keys, key_types, columns)`` if the target
+    carries a bucket spec, else None — ``columns`` is the full-schema
+    pin, or None on a pre-r12 spec that never wrote one.  An
+    EXISTING-but-unreadable spec raises loudly: guessing 'unbucketed'
+    against a bucketed layout would route keys into the wrong bucket
+    space and silently duplicate them."""
     spec_path = target_path.rstrip("/") + "/" + BUCKET_SPEC_FILE
     if not fs.exists(jvm_path(spec_path)):
         return None
@@ -220,6 +231,7 @@ def _read_bucket_spec(spark, fs, jvm_path, target_path: str):
             int(spec["num_buckets"]),
             list(spec["keys"]),
             dict(spec["key_types"]),
+            dict(spec["columns"]) if "columns" in spec else None,
         )
     except (ValueError, KeyError, TypeError) as e:
         raise ValueError(
@@ -518,10 +530,13 @@ def merge_into(
 
 
 def _check_layout_compat(
-    target_path, keys, updates, spec_keys, spec_types, num_buckets, spec_n
+    target_path, keys, updates, spec_keys, spec_types, num_buckets, spec_n,
+    spec_columns=None,
 ):
     """Shared key/bucket/dtype validation against a pinned layout (the
-    rename flavor's _bucket_spec or a manifest's equivalent fields)."""
+    rename flavor's _bucket_spec or a manifest's equivalent fields).
+    ``spec_columns`` (r12): the full-schema pin; None on pre-pin layouts
+    (validation skipped — those tables predate the pin)."""
     if list(keys) != list(spec_keys):
         raise ValueError(
             f"merge_into: target {target_path} is bucketed on keys "
@@ -544,6 +559,23 @@ def _check_layout_compat(
             f"{target_path}: {drift} (spec, batch) — the same logical "
             "key would hash into a different bucket space; cast the "
             "batch keys back to the spec types"
+        )
+    if spec_columns is not None and upd_types != dict(spec_columns):
+        extra = sorted(set(upd_types) - set(spec_columns))
+        missing = sorted(set(spec_columns) - set(upd_types))
+        retyped = {
+            c: (spec_columns[c], upd_types[c])
+            for c in set(upd_types) & set(spec_columns)
+            if upd_types[c] != spec_columns[c]
+        }
+        raise ValueError(
+            f"merge_into: batch schema drift vs the layout pin at "
+            f"{target_path}: extra columns {extra}, missing {missing}, "
+            f"retyped {retyped} (pin, batch) — a drifted batch landing in "
+            "an empty bucket would write a divergent per-bucket schema "
+            "that reads non-deterministically; align the batch, or evolve "
+            "explicitly by reading the table and rebuilding into a new "
+            "target with the new schema"
         )
 
 
@@ -590,6 +622,7 @@ def _portable_merge(
         _init_manifest_table(
             fs, jvm_path, target_path, keys, num_buckets,
             {k: dict(updates.dtypes)[k] for k in keys},
+            columns=dict(updates.dtypes),
         )
         man = _read_manifest(spark, fs, jvm_path, target_path)
     if man is not None:
@@ -602,7 +635,7 @@ def _portable_merge(
         man_seq, _, m = man
         _check_layout_compat(
             target_path, keys, updates, m["keys"], m["key_types"],
-            num_buckets, int(m["num_buckets"]),
+            num_buckets, int(m["num_buckets"]), spec_columns=m.get("columns"),
         )
         return _manifest_merge(
             spark, fs, jvm_path, target_path, updates, keys,
@@ -620,9 +653,10 @@ def _portable_merge(
                 "protocol='manifest' cannot apply to it — rebuild the table "
                 "to switch protocols"
             )
-        spec_n, spec_keys, spec_types = spec
+        spec_n, spec_keys, spec_types, spec_cols = spec
         _check_layout_compat(
-            target_path, keys, updates, spec_keys, spec_types, num_buckets, spec_n
+            target_path, keys, updates, spec_keys, spec_types, num_buckets,
+            spec_n, spec_columns=spec_cols,
         )
         return _bucketed_merge(
             spark, fs, jvm_path, target_path, updates, keys,
@@ -690,6 +724,7 @@ def _portable_merge(
         _write_bucket_spec(
             fs, jvm_path, tmp, keys, as_buckets,
             {k: dict(updates.dtypes)[k] for k in keys},
+            columns=dict(updates.dtypes),
         )
     else:
         merged.write.mode("overwrite").parquet(tmp)
@@ -1021,7 +1056,8 @@ def _new_gen() -> str:
 
 
 def _init_manifest_table(
-    fs, jvm_path, target_path: str, keys, num_buckets: int, key_types: dict
+    fs, jvm_path, target_path: str, keys, num_buckets: int, key_types: dict,
+    columns: dict | None = None,
 ) -> None:
     """Materialize an EMPTY manifest table (seq 0, no live buckets); the
     first batch is then an ordinary manifest merge against empty state —
@@ -1045,6 +1081,7 @@ def _init_manifest_table(
             "num_buckets": int(num_buckets),
             "keys": list(keys),
             "key_types": dict(key_types),
+            **({"columns": dict(columns)} if columns is not None else {}),
             "buckets": {},
             "seq": 0,
             "gen": gen,
@@ -1140,6 +1177,7 @@ def _manifest_merge(
                 "num_buckets": n_buckets,
                 "keys": list(man["keys"]),
                 "key_types": dict(man["key_types"]),
+                **({"columns": man["columns"]} if "columns" in man else {}),
                 "buckets": new_live,
                 "seq": man_seq + 1,
                 "gen": gen,
@@ -1203,7 +1241,16 @@ def read_merged_table(spark, target_path: str, as_of_seq: int | None = None):
         ]
         # a listed-but-missing generation is corruption (vacuum bug /
         # tampering): spark.read raises PATH_NOT_FOUND loudly — correct.
-        return spark.read.option("basePath", tgt).parquet(*paths).drop(GEN_COL)
+        # mergeSchema (r12 schema pin): batches are pinned to one schema
+        # now, but a PRE-pin table whose generations already diverged
+        # must read its full column union deterministically rather than
+        # whichever file's schema lists first.
+        return (
+            spark.read.option("basePath", tgt)
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+            .drop(GEN_COL)
+        )
     try:
         return spark.read.parquet(tgt)
     except AnalysisException:
@@ -1385,7 +1432,9 @@ def rebucket(
             _commit_manifest(
                 fs, jvm_path, tgt, seq + 1, gen,
                 {"num_buckets": int(new_num_buckets), "keys": keys,
-                 "key_types": key_types, "buckets": new_live, "seq": seq + 1,
+                 "key_types": key_types,
+                 **({"columns": m["columns"]} if "columns" in m else {}),
+                 "buckets": new_live, "seq": seq + 1,
                  "gen": gen},
             )
             fs.delete(jvm_path(tmp), True)
@@ -1399,7 +1448,7 @@ def rebucket(
                 f"rebucket: {tgt} has no bucketed layout — lay one out first "
                 "via merge_into(num_buckets=...)"
             )
-        _, keys, key_types = spec
+        _, keys, key_types, spec_cols = spec
         # finish any crashed merge's per-bucket swap first: pending
         # asides would read as missing buckets in the full scan below
         _recover_buckets(fs, jvm_path, tgt)
@@ -1408,7 +1457,10 @@ def rebucket(
         except AnalysisException:
             # spec'd but zero data files (all keys deleted): the layout
             # move is pure metadata — rewrite the spec in place
-            _write_bucket_spec(fs, jvm_path, tgt, keys, new_num_buckets, key_types)
+            _write_bucket_spec(
+                fs, jvm_path, tgt, keys, new_num_buckets, key_types,
+                columns=spec_cols,
+            )
             return {"engine": "parquet-swap", "rows": 0,
                     "num_buckets": new_num_buckets}
         rehashed = cur.drop(BUCKET_COL).withColumn(
@@ -1418,7 +1470,10 @@ def rebucket(
         rehashed = rehashed.observe(obs, F.count(F.lit(1)).alias("n"))
         fs.delete(jvm_path(tmp), True)
         rehashed.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
-        _write_bucket_spec(fs, jvm_path, tmp, keys, new_num_buckets, key_types)
+        _write_bucket_spec(
+            fs, jvm_path, tmp, keys, new_num_buckets, key_types,
+            columns=spec_cols,
+        )
         _swap_whole_dir(fs, jvm_path, tgt, tmp, old)
         return {"engine": "parquet-swap", "rows": obs.get["n"],
                 "num_buckets": new_num_buckets}

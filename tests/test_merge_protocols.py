@@ -688,3 +688,64 @@ def test_concurrent_writers_lease_serializes(spark, tmp_path):
     # then ten writer batches -> seqs 0..11, no gaps, no duplicates
     seqs = [int(n[: -len(".json")].split("-", 1)[0]) for n in _manifests(target)]
     assert seqs == list(range(12))
+
+
+# ---------------------------------------------------------------------------
+# value-schema pin (r12): a drifted batch landing in an EMPTY bucket
+# would write a divergent per-bucket schema that reads
+# non-deterministically (unionByName only catches drift when it touches
+# a non-empty bucket) — so the layout pins the full batch schema and
+# every merge validates against it
+# ---------------------------------------------------------------------------
+
+def _merge_df(spark, target, df, **kw):
+    return merge_into(
+        spark, target, df, keys=["k"], order_cols=["pri"],
+        is_delete=F.col("dead"), **kw,
+    )
+
+
+@pytest.mark.parametrize("protocol", [None, "manifest"])
+def test_value_schema_drift_refused(spark, tmp_path, protocol):
+    target = str(tmp_path / "t")
+    kw = {"protocol": protocol} if protocol else {}
+    _merge(spark, target, [("k1", 1, "a", False)], num_buckets=4, **kw)
+
+    wide = spark.createDataFrame(
+        [("k_empty_bucket", 2, "b", "extra", False)],
+        "k string, pri int, v string, v2 string, dead boolean",
+    )
+    with pytest.raises(ValueError, match="schema drift.*extra columns \\['v2'\\]"):
+        _merge_df(spark, target, wide)
+
+    narrow = spark.createDataFrame(
+        [("k9", 2, False)], "k string, pri int, dead boolean"
+    )
+    with pytest.raises(ValueError, match="schema drift.*missing \\['v'\\]"):
+        _merge_df(spark, target, narrow)
+
+    retyped = spark.createDataFrame(
+        [("k9", 2, 5, False)], "k string, pri int, v int, dead boolean"
+    )
+    with pytest.raises(ValueError, match="schema drift.*retyped"):
+        _merge_df(spark, target, retyped)
+
+    # a conforming batch still merges, and the table never split schemas
+    _merge(spark, target, [("k2", 2, "b", False)])
+    assert _state(spark, target) == {"k1": (1, "a"), "k2": (2, "b")}
+
+
+def test_schema_pin_survives_rebucket(spark, tmp_path):
+    for proto in (None, "manifest"):
+        target = str(tmp_path / f"t_{proto}")
+        kw = {"protocol": proto} if proto else {}
+        _merge(spark, target, [("k1", 1, "a", False)], num_buckets=4, **kw)
+        rebucket(spark, target, 8)
+        wide = spark.createDataFrame(
+            [("k2", 2, "b", "extra", False)],
+            "k string, pri int, v string, v2 string, dead boolean",
+        )
+        with pytest.raises(ValueError, match="schema drift"):
+            _merge_df(spark, target, wide)
+        _merge(spark, target, [("k2", 2, "b", False)])  # conforming: ok
+        assert _state(spark, target) == {"k1": (1, "a"), "k2": (2, "b")}
