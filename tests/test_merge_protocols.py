@@ -749,3 +749,20 @@ def test_schema_pin_survives_rebucket(spark, tmp_path):
             _merge_df(spark, target, wide)
         _merge(spark, target, [("k2", 2, "b", False)])  # conforming: ok
         assert _state(spark, target) == {"k1": (1, "a"), "k2": (2, "b")}
+
+
+@pytest.mark.parametrize("protocol", [None, "manifest"])
+def test_null_key_routes_consistently(spark, tmp_path, protocol):
+    """NULL-keyed rows on a bucketed layout: xxhash64 ignores NULL
+    inputs (constant seed hash), so every NULL key routes to ONE stable
+    bucket across batches, and groupBy treats NULLs as one group — so a
+    NULL-keyed entity updates and deletes like any other.  Probe-pinned
+    r12 (correct from the start; this guards the routing invariant)."""
+    target = str(tmp_path / "t")
+    kw = {"protocol": protocol} if protocol else {}
+    _merge(spark, target, [(None, 1, "n1", False), ("k1", 1, "a", False)],
+           num_buckets=4, **kw)
+    _merge(spark, target, [(None, 2, "n2", False)])
+    assert _state(spark, target) == {None: (2, "n2"), "k1": (1, "a")}
+    _merge(spark, target, [(None, 3, "x", True)])
+    assert _state(spark, target) == {"k1": (1, "a")}
