@@ -290,14 +290,24 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        The synthetic corpus couples embeddings to docs
                        1:1 (vec_id == doc_id), which the stage relies
                        on to join pairs against doc survivors.
+    6 lm_quality       (r12) the perplexity-filter pass (CCNet-style):
+                       minus survivors whose corpus-unigram LM score
+                       (`textops.lm_score`) falls below the FIXED
+                       ``LM_MIN_LOGPROB`` threshold — improbable-token
+                       outliers the lexical and semantic stages never
+                       see.  A fixed threshold keeps the stage a pure
+                       filter (scale-exact, cross-engine exact) like
+                       the stage-1 bands; production would calibrate
+                       it per corpus.
 
     Every stage is a filter/aggregate over the previous survivor set —
     at 100 TB the funnel is one doc-grain pass + the (already-capped)
-    pair generation; counts are map-side-combinable aggregates.
+    pair generation + the lm arm's two token-grain shuffles; counts
+    are map-side-combinable aggregates.
     """
     from .dedup import dedup_minhash_pairs
     from .similarity import SEM_COS_TAU, embedding_dup_pairs
-    from .textops import corpus_filter, lang_id
+    from .textops import LM_MIN_LOGPROB, corpus_filter, lang_id, lm_score
 
     docs = load_table(spark, sf_dir, "documents")
     # Each survivor set feeds BOTH its own count branch and every later
@@ -323,7 +333,14 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s4 = local_ckpt(s3.join(drop, s3.doc_id == drop.doc_b, "left_anti"))
     epairs = embedding_dup_pairs(spark, sf_dir, threshold=SEM_COS_TAU).select("vec_a", "vec_b")
     drop_sem = epairs.join(s4.withColumnRenamed("doc_id", "vec_a"), "vec_a").select("vec_b")
-    s5 = s4.join(drop_sem, s4.doc_id == drop_sem.vec_b, "left_anti")
+    # s5 feeds two consumers since r12 (its count + the lm-filter join)
+    s5 = local_ckpt(s4.join(drop_sem, s4.doc_id == drop_sem.vec_b, "left_anti"))
+    lm = lm_score(spark, sf_dir).select("doc_id", "lm_avg_logprob")
+    s6 = (
+        s5.join(lm, "doc_id")
+        .where(F.col("lm_avg_logprob") >= F.lit(LM_MIN_LOGPROB))
+        .select("doc_id")
+    )
 
     def stage(idx, name, df):
         return df.agg(
@@ -340,6 +357,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("exact_dedup", s3),
             ("near_dup_pruned", s4),
             ("semantic_dedup", s5),
+            ("lm_quality", s6),
         ],
         start=1,
     ):
@@ -350,7 +368,12 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _curation_funnel_sql() -> str:
     from .dedup import _duck_minhash_ctes
     from .similarity import SEM_COS_TAU, embedding_dup_sql
-    from .textops import CORPUS_FILTER_SQL, LANG_ID_SQL
+    from .textops import (
+        CORPUS_FILTER_SQL,
+        LANG_ID_SQL,
+        LM_MIN_LOGPROB,
+        LM_SQL_CTES,
+    )
 
     return f"""
 WITH {_duck_minhash_ctes()},
@@ -363,13 +386,17 @@ drop3 AS (SELECT p.doc_b FROM pairs p JOIN s3 a ON p.doc_a = a.doc_id),
 s4 AS MATERIALIZED (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_b FROM drop3)),
 epairs AS MATERIALIZED (SELECT vec_a, vec_b FROM ({embedding_dup_sql(SEM_COS_TAU).strip().rstrip(';')})),
 drop5 AS (SELECT p.vec_b FROM epairs p JOIN s4 a ON p.vec_a = a.doc_id),
-s5 AS (SELECT doc_id FROM s4 WHERE doc_id NOT IN (SELECT vec_b FROM drop5))
+s5 AS MATERIALIZED (SELECT doc_id FROM s4 WHERE doc_id NOT IN (SELECT vec_b FROM drop5)),
+{LM_SQL_CTES.strip()},
+s6 AS (SELECT s5.doc_id FROM s5 JOIN lm USING (doc_id)
+       WHERE lm_avg_logprob >= {LM_MIN_LOGPROB})
 SELECT 0 AS stage_idx, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
 UNION ALL SELECT 1, 'quality_gate', CAST(count(*) AS BIGINT) FROM q
 UNION ALL SELECT 2, 'lang_en', CAST(count(*) AS BIGINT) FROM s2
 UNION ALL SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT) FROM s3
 UNION ALL SELECT 4, 'near_dup_pruned', CAST(count(*) AS BIGINT) FROM s4
 UNION ALL SELECT 5, 'semantic_dedup', CAST(count(*) AS BIGINT) FROM s5
+UNION ALL SELECT 6, 'lm_quality', CAST(count(*) AS BIGINT) FROM s6
 ORDER BY stage_idx
 """
 
@@ -418,4 +445,9 @@ PROBES: dict[str, tuple] = {
         "curation_funnel", "oracle",
         """SELECT (SELECT n_docs FROM t WHERE stage_idx=4)
                 - (SELECT n_docs FROM t WHERE stage_idx=5), NULL"""),
+    "funnel lm stage cuts and keeps": (
+        "curation_funnel", "oracle",
+        """SELECT (SELECT n_docs FROM t WHERE stage_idx=5)
+                - (SELECT n_docs FROM t WHERE stage_idx=6),
+               (SELECT n_docs FROM t WHERE stage_idx=6)"""),
 }

@@ -428,6 +428,15 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 LM_MICRO = 1_000_000  # per-token ln-prob quantization grain (micro-nats)
+# Funnel LM-filter threshold: docs whose avg per-token ln-prob falls
+# below this are improbable-token-mix outliers (boilerplate/noise
+# candidates).  A FIXED constant like the quality gate's bands — a
+# float-literal comparison is cross-engine exact and a pure filter at
+# any scale, where a percentile cut needs a global sort or an
+# interpolating quantile whose ULP behavior differs per engine.
+# Calibrated on the synthetic corpus: cuts ~5-10% at sf0.001/0.01/0.1
+# (measured min/q05/q10 ~= -3.7/-3.42/-3.41 at every SF).
+LM_MIN_LOGPROB = -3.41
 
 
 def lm_score(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:

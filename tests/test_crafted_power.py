@@ -276,7 +276,12 @@ def test_curation_funnel_every_stage_cuts(spark, tmp_path):
     ceiling; stage 2), exact duplicate (stage 3), same-word-set
     near-dup — identical minhash signatures, different md5 (stage 4),
     and a same-sign-bucket embedding pair above SEM_COS_TAU
-    (stage 5)."""
+    (stage 5); r12 adds the lm_quality stage — the w-docs share a
+    10-word vocabulary that dominates the crafted corpus (each w-token
+    ≥ 12/314 of all tokens → avg ln-prob ≈ -3.06 > LM_MIN_LOGPROB),
+    while every other survivor's tokens appear ≤ 2 times globally
+    (ln(2/314) ≈ -5.06 < the threshold), so stage 6 cuts docs 1/5/7
+    and keeps exactly doc 9."""
     from lens_sds_batch_spark.operators.curation import curation_funnel
 
     d = str(tmp_path)
@@ -286,16 +291,29 @@ def test_curation_funnel_every_stage_cuts(spark, tmp_path):
 
     doc1 = words("a", 24)
     doc5 = words("b", 24)
+    # 24 tokens over a 10-word vocab (TTR 0.42 passes the gate); six
+    # permutations = distinct md5s but ONE minhash word set
+    w_multiset = [f"w{i}" for i in range(10)] * 2 + ["w0", "w1", "w2", "w3"]
+
+    def w_doc(rot):
+        return " ".join(w_multiset[rot:] + w_multiset[:rot])
+
     rows = [
-        (1, doc1, "en", "s0"),                       # survives everything
+        (1, doc1, "en", "s0"),                       # cut at stage 6 (rare tokens)
         (2, "too short", "en", "s0"),                # stage 1: < 20 tokens
         (3, "el " + words("s", 20) + " la de y", "es", "s0"),  # stage 2: es
         (4, doc1, "en", "s1"),                       # stage 3: exact dup of 1
-        (5, doc5, "en", "s0"),                       # survives (smaller id)
+        (5, doc5, "en", "s0"),                       # survives to stage 6 (smaller id)
         (6, " ".join(reversed(doc5.split())), "en", "s0"),  # stage 4: same
         # word set as 5 -> identical minhash signature, different md5
-        (7, words("c", 24), "en", "s0"),             # survives (smaller id)
+        (7, words("c", 24), "en", "s0"),             # survives to stage 6 (smaller id)
         (8, words("d", 24), "en", "s0"),             # stage 5: embedding dup of 7
+        (9, w_doc(0), "en", "s0"),                   # survives EVERYTHING (common tokens)
+        (10, w_doc(1), "en", "s0"),                  # stage 4: near-dups of 9
+        (11, w_doc(2), "en", "s0"),
+        (12, w_doc(3), "en", "s0"),
+        (13, w_doc(5), "en", "s0"),
+        (14, w_doc(7), "en", "s0"),
     ]
     spark.createDataFrame(
         [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
@@ -317,12 +335,13 @@ def test_curation_funnel_every_stage_cuts(spark, tmp_path):
         for r in curation_funnel(spark, d).collect()
     }
     assert got == {
-        0: ("raw", 8),
-        1: ("quality_gate", 7),
-        2: ("lang_en", 6),
-        3: ("exact_dedup", 5),
-        4: ("near_dup_pruned", 4),
-        5: ("semantic_dedup", 3),
+        0: ("raw", 14),
+        1: ("quality_gate", 13),
+        2: ("lang_en", 12),
+        3: ("exact_dedup", 11),
+        4: ("near_dup_pruned", 5),   # cut 6 (dup of 5) + 10..14 (dups of 9)
+        5: ("semantic_dedup", 4),    # cut 8 (embedding dup of 7)
+        6: ("lm_quality", 1),        # cut 1/5/7 (rare tokens); 9 survives
     }
 
 
