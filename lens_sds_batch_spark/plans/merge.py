@@ -1196,7 +1196,12 @@ def _manifest_merge(
         _release_checkpoint(upd_tagged)
 
 
-def read_merged_table(spark, target_path: str, as_of_seq: int | None = None):
+def read_merged_table(
+    spark,
+    target_path: str,
+    as_of_seq: int | None = None,
+    as_of_ms: int | None = None,
+):
     """Read the merged state of a merge_into target under ANY portable
     layout — manifest-commit (resolved through the latest manifest),
     rename-bucketed, or plain parquet.  Returns None when the target
@@ -1218,12 +1223,37 @@ def read_merged_table(spark, target_path: str, as_of_seq: int | None = None):
     ``grace_sec`` shields snapshots resolved before the vacuum the same
     way it shields latest-manifest readers.  Only manifest targets keep
     history: passing ``as_of_seq`` for the rename/plain layouts raises
-    (their swap protocols destroy superseded state at commit)."""
+    (their swap protocols destroy superseded state at commit).
+
+    ``as_of_ms`` (Delta ``timestampAsOf`` analog): resolve the latest
+    manifest COMMITTED at or before the given epoch-millis instant,
+    via the manifest files' modification times — the commit rename is
+    the manifest's last write, so mtime IS the commit instant on a
+    filesystem that preserves it (caveat: an out-of-band copy/restore
+    of the table resets mtimes; seq-based selection is the robust
+    form).  Mutually exclusive with ``as_of_seq``."""
     from pyspark.sql.utils import AnalysisException
 
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
     tgt = target_path.rstrip("/")
+    if as_of_ms is not None:
+        if as_of_seq is not None:
+            raise ValueError(
+                "read_merged_table: pass as_of_seq OR as_of_ms, not both"
+            )
+        eligible = [
+            s["seq"] for s in list_snapshots(spark, tgt)
+            if s["committed_ms"] <= as_of_ms
+        ]
+        if not eligible:
+            raise ValueError(
+                f"read_merged_table: no manifest committed at or before "
+                f"epoch-ms {as_of_ms} for {tgt} — the instant predates the "
+                "table or the snapshot was vacuumed; list_snapshots() shows "
+                "what is retained"
+            )
+        as_of_seq = max(eligible)
     man = _read_manifest(spark, fs, jvm_path, tgt, as_of_seq=as_of_seq)
     if man is None and as_of_seq is not None:
         raise ValueError(

@@ -766,3 +766,31 @@ def test_null_key_routes_consistently(spark, tmp_path, protocol):
     assert _state(spark, target) == {None: (2, "n2"), "k1": (1, "a")}
     _merge(spark, target, [(None, 3, "x", True)])
     assert _state(spark, target) == {"k1": (1, "a")}
+
+
+def test_snapshot_read_by_timestamp(spark, tmp_path):
+    """as_of_ms (timestampAsOf analog): resolve by manifest commit
+    mtimes.  Commit instants are read from list_snapshots, so the test
+    is robust to clock granularity."""
+    from lens_sds_batch_spark.plans.merge import list_snapshots
+
+    target = str(tmp_path / "t")
+    _merge(spark, target, [("k1", 1, "a", False)],
+           num_buckets=4, protocol="manifest")
+    time.sleep(1.1)  # local-fs mtime granularity can be 1s
+    _merge(spark, target, [("k1", 2, "b", False)])
+    snaps = {s["seq"]: s["committed_ms"] for s in list_snapshots(spark, target)}
+    assert set(snaps) == {0, 1, 2}
+    assert snaps[1] < snaps[2]
+
+    def at_ms(ms):
+        df = read_merged_table(spark, target, as_of_ms=ms)
+        return {} if df is None else {r["k"]: r["v"] for r in df.collect()}
+
+    assert at_ms(snaps[1]) == {"k1": "a"}          # instant of commit 1
+    assert at_ms(snaps[2] - 1) == {"k1": "a"}      # just before commit 2
+    assert at_ms(snaps[2]) == {"k1": "b"}
+    with pytest.raises(ValueError, match="predates the table"):
+        at_ms(snaps[0] - 1)
+    with pytest.raises(ValueError, match="not both"):
+        read_merged_table(spark, target, as_of_seq=1, as_of_ms=snaps[1])
