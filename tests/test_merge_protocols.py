@@ -794,3 +794,19 @@ def test_snapshot_read_by_timestamp(spark, tmp_path):
         at_ms(snaps[0] - 1)
     with pytest.raises(ValueError, match="not both"):
         read_merged_table(spark, target, as_of_seq=1, as_of_ms=snaps[1])
+
+
+def test_snapshot_survives_rebucket(spark, tmp_path):
+    """A rebucket commits a new all-bucket generation under a NEW
+    bucket count; older manifests still reference the old-count
+    generations explicitly, so pre-rebucket snapshots stay readable
+    (until vacuumed) and read the pre-rebucket state exactly."""
+    target = str(tmp_path / "t")
+    _merge(spark, target, [("k1", 1, "a", False), ("k2", 1, "b", False)],
+           num_buckets=16, protocol="manifest")
+    pre = _state(spark, target)
+    rebucket(spark, target, 4)
+    _merge(spark, target, [("k2", 2, "b2", False)])
+    snap = read_merged_table(spark, target, as_of_seq=1)  # pre-rebucket
+    assert {r["k"]: (r["pri"], r["v"]) for r in snap.collect()} == pre
+    assert _state(spark, target)["k2"] == (2, "b2")
