@@ -430,7 +430,13 @@ def merge_into(
         # an empty chain would be malformed SQL on the Delta branch and a
         # silent target-always-wins no-op on the fallback — refuse loudly
         raise ValueError("merge_into: order_cols must be non-empty")
-    reserved = {BUCKET_COL, "__del", "__tgt_pri", "__rk"} & set(updates.columns)
+    # GEN_COL joined the set in r12: on a manifest target a data column
+    # named __gen would collide with the generation partition dirs at
+    # read (partition-vs-data column shadowing) and the resolver's
+    # drop(GEN_COL) would silently erase it from every result
+    reserved = {BUCKET_COL, GEN_COL, "__del", "__tgt_pri", "__rk"} & set(
+        updates.columns
+    )
     if reserved:  # would be silently overwritten and dropped from output
         raise ValueError(
             f"merge_into: updates may not carry reserved columns {sorted(reserved)}"

@@ -728,6 +728,12 @@ def test_merge_into_input_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="reserved columns"):
         merge_into(spark, t, upd.withColumn("__del", F.lit(1)),
                    keys=["k"], order_cols=["pri"], is_delete=F.col("dead"))
+    # __gen joined the reserved set in r12: on a manifest target a data
+    # column named __gen would shadow the generation partition dirs and
+    # be silently erased by the resolver's drop(GEN_COL)
+    with pytest.raises(ValueError, match="reserved columns.*__gen"):
+        merge_into(spark, t, upd.withColumn("__gen", F.lit("g")),
+                   keys=["k"], order_cols=["pri"], is_delete=F.col("dead"))
     with pytest.raises(ValueError, match="reserved column __rk"):
         apply_lww(upd.withColumn("__rk", F.lit(1)), keys=["k"],
                   order_cols=[F.col("pri")], is_delete=F.col("dead")).collect()
