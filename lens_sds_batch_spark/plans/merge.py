@@ -566,23 +566,36 @@ def _check_layout_compat(
             "key would hash into a different bucket space; cast the "
             "batch keys back to the spec types"
         )
-    if spec_columns is not None and upd_types != dict(spec_columns):
-        extra = sorted(set(upd_types) - set(spec_columns))
-        missing = sorted(set(spec_columns) - set(upd_types))
-        retyped = {
-            c: (spec_columns[c], upd_types[c])
-            for c in set(upd_types) & set(spec_columns)
-            if upd_types[c] != spec_columns[c]
-        }
-        raise ValueError(
-            f"merge_into: batch schema drift vs the layout pin at "
-            f"{target_path}: extra columns {extra}, missing {missing}, "
-            f"retyped {retyped} (pin, batch) — a drifted batch landing in "
-            "an empty bucket would write a divergent per-bucket schema "
-            "that reads non-deterministically; align the batch, or evolve "
-            "explicitly by reading the table and rebuilding into a new "
-            "target with the new schema"
-        )
+    _check_schema_pin(target_path, spec_columns, upd_types)
+
+
+def _check_schema_pin(target_path, pinned, upd_types) -> None:
+    """Refuse a batch whose value schema drifts from ``pinned`` (the
+    layout's `columns` pin, or the live table schema on the plain
+    flavor).  ``pinned`` None (pre-r12 spec) skips.  Every flavor needs
+    this: on bucketed layouts a drifted batch landing in an EMPTY
+    bucket writes a divergent per-bucket schema that reads
+    non-deterministically; on the plain flavor unionByName catches
+    extra/missing names but a RETYPED column silently type-coerces —
+    numeric-looking strings migrate the stored column's type, anything
+    else explodes mid-job as a runtime cast error (r12 probe)."""
+    if pinned is None or dict(upd_types) == dict(pinned):
+        return
+    pinned, upd_types = dict(pinned), dict(upd_types)
+    extra = sorted(set(upd_types) - set(pinned))
+    missing = sorted(set(pinned) - set(upd_types))
+    retyped = {
+        c: (pinned[c], upd_types[c])
+        for c in set(upd_types) & set(pinned)
+        if upd_types[c] != pinned[c]
+    }
+    raise ValueError(
+        f"merge_into: batch schema drift vs the stored schema at "
+        f"{target_path}: extra columns {extra}, missing {missing}, "
+        f"retyped {retyped} (stored, batch) — align the batch, or evolve "
+        "explicitly by reading the table and rebuilding into a new "
+        "target with the new schema"
+    )
 
 
 def _recover_whole_dir(fs, jvm_path, target_path: str) -> None:
@@ -706,6 +719,11 @@ def _portable_merge(
         current = spark.read.parquet(target_path)
     except AnalysisException:  # first batch: no target yet
         current = None
+    if current is not None:
+        # plain flavor has no layout spec — the LIVE table schema is the
+        # pin (see _check_schema_pin: unionByName would catch the name
+        # drift below, but a retyped column silently type-coerces)
+        _check_schema_pin(target_path, dict(current.dtypes), dict(updates.dtypes))
     # TOMBSTONE CONTRACT (see docstring): __del is computed on the
     # UPDATE rows only, NULL-normalized; target rows carry False so a
     # stored key can only disappear when a newer update row deletes it —

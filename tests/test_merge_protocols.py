@@ -810,3 +810,22 @@ def test_snapshot_survives_rebucket(spark, tmp_path):
     snap = read_merged_table(spark, target, as_of_seq=1)  # pre-rebucket
     assert {r["k"]: (r["pri"], r["v"]) for r in snap.collect()} == pre
     assert _state(spark, target)["k2"] == (2, "b2")
+
+
+def test_plain_flavor_refuses_retyped_column(spark, tmp_path):
+    """The plain (unbucketed) flavor has no layout spec, so the LIVE
+    table schema is the pin: a retyped value column used to pass
+    analysis and either silently type-coerce (numeric-looking strings)
+    or explode mid-job as a runtime cast error (r12 probe).  All three
+    flavors now refuse schema drift identically."""
+    target = str(tmp_path / "t")
+    _merge(spark, target, [("k1", 1, "a", False)])  # plain: no num_buckets
+    retyped = spark.createDataFrame(
+        [("k2", 2, 7, False)], "k string, pri int, v int, dead boolean"
+    )
+    with pytest.raises(ValueError, match="schema drift.*retyped"):
+        merge_into(spark, target, retyped, keys=["k"], order_cols=["pri"],
+                   is_delete=F.col("dead"))
+    # conforming batch still merges
+    _merge(spark, target, [("k2", 2, "b", False)])
+    assert _state(spark, target) == {"k1": (1, "a"), "k2": (2, "b")}
