@@ -72,13 +72,19 @@ def _writer_lease(fs, jvm_path, target_path: str, stale_sec: float = LEASE_STALE
     """Context manager acquiring the single-writer lease for a portable
     merge target (see LEASE_SUFFIX above).  Raises IOError when another
     writer holds a non-stale lease; takes over a stale one (best-effort:
-    two simultaneous takeovers can still race on filesystems without
-    atomic create-exclusive — the fence guards operational mistakes,
-    Delta's optimistic concurrency is the designed concurrent path).
-    Released on success AND on exception (a failed merge must be
-    REPLAYED, not resumed, so holding the lease past the failure would
-    only block the replay); only process death leaves it for age-based
-    takeover."""
+    two simultaneous takeovers can still race — the loser of the
+    re-create dies loudly).  Released on success AND on exception (a
+    failed merge must be REPLAYED, not resumed, so holding the lease
+    past the failure would only block the replay); only process death
+    leaves it for age-based takeover.
+
+    Acquisition is ATOMIC on both realistic filesystems (r12 — the
+    thread-concurrency stress test caught the gap): Hadoop's
+    ``create(overwrite=false)`` is atomic on HDFS but CHECK-THEN-CREATE
+    on RawLocalFileSystem, so two same-host writers could briefly both
+    hold the lease and wipe each other's staged tmp; ``file://``
+    targets now acquire via POSIX ``O_CREAT|O_EXCL`` instead, which is
+    atomic across threads AND processes."""
     import contextlib
     import os
     import socket
@@ -86,7 +92,8 @@ def _writer_lease(fs, jvm_path, target_path: str, stale_sec: float = LEASE_STALE
 
     @contextlib.contextmanager
     def _ctx():
-        lease = jvm_path(target_path.rstrip("/") + LEASE_SUFFIX)
+        lease_str = target_path.rstrip("/") + LEASE_SUFFIX
+        lease = jvm_path(lease_str)
         payload = json.dumps(
             {
                 "pid": os.getpid(),
@@ -94,8 +101,19 @@ def _writer_lease(fs, jvm_path, target_path: str, stale_sec: float = LEASE_STALE
                 "acquired_unix_ms": int(_time.time() * 1000),
             }
         ).encode("utf-8")
+        local = fs.getUri().getScheme() == "file"
 
         def _try_create():
+            if local:  # POSIX O_EXCL: the only atomic exclusive-create here
+                path = lease_str[len("file:"):] if lease_str.startswith(
+                    "file:"
+                ) else lease_str
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    os.write(fd, payload)
+                finally:
+                    os.close(fd)
+                return
             out = fs.create(lease, False)  # overwrite=False: create-exclusive
             try:
                 out.write(bytearray(payload))
