@@ -829,3 +829,56 @@ def test_plain_flavor_refuses_retyped_column(spark, tmp_path):
     # conforming batch still merges
     _merge(spark, target, [("k2", 2, "b", False)])
     assert _state(spark, target) == {"k1": (1, "a"), "k2": (2, "b")}
+
+
+def test_rebucket_during_live_traffic(spark, tmp_path):
+    """The operational migration scenario: a maintenance thread
+    rebuckets 4→8 WHILE a writer thread streams batches, both retrying
+    on the lease.  Safety: every batch lands exactly once, the final
+    layout is 8 buckets, and state equals the serial LWW — the
+    migration never loses or duplicates a concurrent batch."""
+    import threading
+    import time as _time
+
+    from lens_sds_batch_spark.plans.merge import suggest_num_buckets
+
+    target = str(tmp_path / "t")
+    _merge(spark, target, [("seed", 0, "s", False)],
+           num_buckets=4, protocol="manifest")
+    errors = []
+
+    def with_lease_retry(fn, tag):
+        for _attempt in range(400):
+            try:
+                return fn()
+            except IOError as e:
+                if "lease" not in str(e):
+                    errors.append((tag, repr(e)))
+                    return None
+                _time.sleep(0.05)
+        errors.append((tag, "lease retries exhausted"))
+        return None
+
+    def writer():
+        for i in range(6):
+            rows = [(f"k{j}", i + 1, f"W{i}", False) for j in range(12)]
+            with_lease_retry(lambda r=rows: _merge(spark, target, r), "writer")
+
+    def migrator():
+        _time.sleep(0.4)  # land mid-stream
+        with_lease_retry(lambda: rebucket(spark, target, 8), "rebucket")
+
+    threads = [threading.Thread(target=writer), threading.Thread(target=migrator)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert not any(t.is_alive() for t in threads), "hung"
+
+    assert suggest_num_buckets(spark, target, target_bucket_bytes=1 << 40)[
+        "num_buckets"
+    ] == 8
+    expected = {"seed": (0, "s")}
+    expected.update({f"k{j}": (6, "W5") for j in range(12)})
+    assert _state(spark, target) == expected
