@@ -108,6 +108,14 @@ def _writer_lease(fs, jvm_path, target_path: str, stale_sec: float = LEASE_STALE
                 path = lease_str[len("file:"):] if lease_str.startswith(
                     "file:"
                 ) else lease_str
+                # First merge into a target whose PARENT does not exist
+                # yet (ADVICE r12): the Hadoop fs.create this replaced
+                # made parent dirs implicitly; os.open does not, and the
+                # FileNotFoundError would be swallowed by the broad
+                # except below and mis-reported as lease contention.
+                parent = os.path.dirname(path)
+                if parent:
+                    os.makedirs(parent, exist_ok=True)
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 try:
                     os.write(fd, payload)
@@ -1022,11 +1030,21 @@ def _read_manifest(spark, fs, jvm_path, target_path: str, as_of_seq: int | None 
     manifest layout with no commit at-or-below the requested seq raises
     (the snapshot predates the table, or vacuum already collected it);
     returning the oldest retained state instead would silently answer a
-    different question."""
+    different question.  A seq BEYOND the newest commit raises too
+    (ADVICE r12, matching Delta's versionAsOf on a nonexistent future
+    version): a typo'd or wrong-table seq must not silently read the
+    latest state as if it were the requested snapshot."""
     ms = _list_manifests(fs, jvm_path, target_path.rstrip("/"))
     if not ms:
         return None
     if as_of_seq is not None:
+        if as_of_seq > ms[-1][0]:
+            raise ValueError(
+                f"read_merged_table: as_of_seq={as_of_seq} is beyond the "
+                f"latest commit (seq {ms[-1][0]}) of {target_path} — like "
+                "Delta versionAsOf, a nonexistent future version is an "
+                "error, not the latest state; drop as_of_seq to read latest"
+            )
         ms = [m for m in ms if m[0] <= as_of_seq]
         if not ms:
             raise ValueError(
@@ -1273,7 +1291,9 @@ def read_merged_table(
     the manifest's last write, so mtime IS the commit instant on a
     filesystem that preserves it (caveat: an out-of-band copy/restore
     of the table resets mtimes; seq-based selection is the robust
-    form).  Mutually exclusive with ``as_of_seq``."""
+    form).  Mutually exclusive with ``as_of_seq``.  Both forms RAISE
+    beyond the newest commit (a future seq / instant), matching
+    Delta's versionAsOf/timestampAsOf — never a silent clamp."""
     from pyspark.sql.utils import AnalysisException
 
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
@@ -1284,10 +1304,26 @@ def read_merged_table(
             raise ValueError(
                 "read_merged_table: pass as_of_seq OR as_of_ms, not both"
             )
-        eligible = [
-            s["seq"] for s in list_snapshots(spark, tgt)
-            if s["committed_ms"] <= as_of_ms
-        ]
+        try:
+            snaps = list_snapshots(spark, tgt)
+        except ValueError as e:
+            # same user mistake as as_of_seq on a non-manifest target —
+            # surface the same read_merged_table-prefixed explanation
+            # instead of list_snapshots' internal message (ADVICE r12)
+            raise ValueError(
+                f"read_merged_table: as_of_ms={as_of_ms} requested but {tgt} "
+                "is not a manifest-commit target — only the manifest layout "
+                "retains superseded state (rename/plain swaps destroy it)"
+            ) from e
+        latest_ms = max(s["committed_ms"] for s in snaps)
+        if as_of_ms > latest_ms:
+            raise ValueError(
+                f"read_merged_table: as_of_ms={as_of_ms} is after the latest "
+                f"commit instant ({latest_ms}) of {tgt} — like Delta "
+                "timestampAsOf, an instant beyond the newest commit is an "
+                "error, not the latest state; drop as_of_ms to read latest"
+            )
+        eligible = [s["seq"] for s in snaps if s["committed_ms"] <= as_of_ms]
         if not eligible:
             raise ValueError(
                 f"read_merged_table: no manifest committed at or before "

@@ -560,7 +560,10 @@ def test_snapshot_reads_time_travel(spark, tmp_path):
     assert at(1) == {"k1": (1, "a"), "k2": (1, "b")}
     assert at(2) == {"k1": (1, "a"), "k2": (2, "b2"), "k3": (2, "c")}
     assert at(3) == _state(spark, target)
-    assert at(99) == at(3)  # <= semantics: beyond latest reads latest
+    # beyond the newest commit RAISES (ADVICE r12, Delta versionAsOf
+    # semantics) — a typo'd seq must not silently read latest
+    with pytest.raises(ValueError, match="beyond the latest commit"):
+        at(99)
     with pytest.raises(ValueError, match="predates"):
         read_merged_table(spark, target, as_of_seq=-1)
 
@@ -792,8 +795,31 @@ def test_snapshot_read_by_timestamp(spark, tmp_path):
     assert at_ms(snaps[2]) == {"k1": "b"}
     with pytest.raises(ValueError, match="predates the table"):
         at_ms(snaps[0] - 1)
+    # after the newest commit instant RAISES (ADVICE r12, Delta
+    # timestampAsOf semantics) — never a silent clamp to latest
+    with pytest.raises(ValueError, match="after the latest commit instant"):
+        at_ms(snaps[2] + 60_000)
     with pytest.raises(ValueError, match="not both"):
         read_merged_table(spark, target, as_of_seq=1, as_of_ms=snaps[1])
+    # as_of_ms on a non-manifest target gets the SAME read_merged_table-
+    # prefixed diagnostic the as_of_seq path gives (ADVICE r12)
+    t2 = str(tmp_path / "renamed")
+    _merge(spark, t2, [("k1", 1, "a", False)], num_buckets=4)
+    with pytest.raises(
+        ValueError,
+        match="read_merged_table: as_of_ms=.* is not a manifest-commit",
+    ):
+        read_merged_table(spark, t2, as_of_ms=snaps[2])
+
+
+def test_first_merge_creates_missing_parent_dirs(spark, tmp_path):
+    """ADVICE r12: the POSIX O_EXCL lease path must create the target's
+    parent directories like the Hadoop fs.create it replaced — a first
+    merge into a nested not-yet-existing path used to die with a
+    misleading 'lease contention' IOError."""
+    target = str(tmp_path / "a" / "b" / "t")  # a/ and b/ do not exist
+    _merge(spark, target, [("k1", 1, "a", False)], num_buckets=4)
+    assert _state(spark, target) == {"k1": (1, "a")}
 
 
 def test_snapshot_survives_rebucket(spark, tmp_path):

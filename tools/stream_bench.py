@@ -253,6 +253,17 @@ def bench_sustained(
 
     rows_fed = tick * rows_per_tick
     ordered = [series[b] for b in sorted(series)]
+    if not ordered:  # ADVICE r12: a duration too short for any micro-batch
+        # to complete leaves the lastProgress-fed series empty — report
+        # cleanly instead of max() on an empty sequence
+        return {
+            "duration_sec": round(wall, 1),
+            "ticks_fed": tick,
+            "rows_fed": rows_fed,
+            "triggers_observed": 0,
+            "note": "no streaming progress observed — run longer than one "
+                    "micro-batch (raise duration_sec)",
+        }
     state_rows = [r for r, _, _ in ordered]
     mem = [m for _, m, _ in ordered]
     cut = (2 * len(ordered)) // 3
