@@ -78,11 +78,11 @@ HEADLINE = (
     "odm_commands_uuid5",
     "media_decode_stub",
     "window_pack",
-    "agg_multi_pack",
+    # r13: agg_multi_pack + percentile_pack folded into agg_percentile_pack
+    "agg_percentile_pack",
     "set_ops_pack",
     # r12: scalar_pack + row_funcs_pack folded into row_scalar_pack
     "row_scalar_pack",
-    "percentile_pack",
     "reshape_pack",
     "tpch_pack",
     "time_aggs_pack",
@@ -104,6 +104,10 @@ HEADLINE = (
     # added round 12: the manifest-commit merge flavor + rebucket +
     # vacuum under the gate (banked slot from the row_scalar_pack fold)
     "entity_state_manifest",
+    # added round 13: explicit schema evolution (add + widen) across the
+    # manifest merge protocol under the gate (banked slot from the
+    # agg_percentile_pack fold)
+    "schema_evolution",
 )
 
 

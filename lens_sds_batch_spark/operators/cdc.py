@@ -619,6 +619,149 @@ QUERIES.update(
 )
 
 
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r13 explicit schema-evolution op (plans/merge.py
+    ``evolve_schema`` — the operation the schema-pin drift refusal
+    points at) under the HARD ORACLE GATE, extending the entity-state
+    twins' discipline to the EVOLVING-schema lifecycle a long-lived
+    entity store actually goes through:
+
+      1. b1 (pri 0 INT): custkey % 3 == 0 subjects at v0 — first
+         manifest commits, schema WITHOUT site_id;
+      2. ``evolve_schema(add={'site_id': 'string'})`` — METADATA-ONLY
+         manifest commit (no data file touched; b1 rows must later
+         read site_id as typed NULL through the pin-conform seam);
+         an OLD-shape batch is then proven REFUSED (the drift gate);
+      3. b2 (pri 1 INT): custkey % 6 == 0 or % 10 == 0 (upsert → v1
+         carrying site_id, % 10 → remove);
+      4. ``evolve_schema(widen={'priority': 'bigint'})`` — the
+         full-rewrite pass under the manifest commit protocol (every
+         stored int priority re-cast losslessly);
+      5. b3 (pri 2 BIGINT): custkey % 8 == 0 or % 15 == 0 (upsert →
+         v2, % 15 → remove) — merged in the POST-widen type space
+         (an int batch would now be refused as retyped);
+      6. grace-0 vacuum (GC across the evolution history must not
+         change state), then the final state is read back THROUGH the
+         resolver and hash-compared against a closed-form DuckDB LWW
+         whose b1 arm carries ``CAST(NULL AS VARCHAR)`` site_id and
+         all-BIGINT priorities — exactly the add-backfill + widen
+         semantics.
+
+    Covers: NULL backfill for pre-add rows, carried values for
+    post-add rows, re-insert-after-remove across the widen (custkey
+    40), delete-of-absent (30), and remove-that-sticks (10).
+
+    Reference semantics anchor: ``src/lens/broker.clj:28-51`` — the
+    reference validates envelope shapes and delegates entity-schema
+    change to its store; this is that operation for the portable
+    flavors."""
+    from ..plans.merge import evolve_schema as evolve
+    from ..plans.merge import merge_into, read_merged_table, vacuum_merged_table
+
+    target = _merge_scratch_target("schema_evolution", sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    st = F.concat(F.lit("ST"), (F.col("c_custkey") % 3).cast("string"))
+    sk = F.concat(F.lit("SK"), F.col("c_custkey").cast("string"))
+    b1 = cust.where(F.col("c_custkey") % 3 == 0).select(
+        st.alias("study_oid"), sk.alias("subject_key"),
+        F.lit(0).alias("priority"), F.lit("v0").alias("version"),
+        F.lit(False).alias("is_remove"),
+    )
+    b2 = cust.where(
+        (F.col("c_custkey") % 6 == 0) | (F.col("c_custkey") % 10 == 0)
+    ).select(
+        st.alias("study_oid"), sk.alias("subject_key"),
+        F.lit(1).alias("priority"), F.lit("v1").alias("version"),
+        (F.col("c_custkey") % 10 == 0).alias("is_remove"),
+        F.concat(F.lit("S"), (F.col("c_custkey") % 4).cast("string")).alias(
+            "site_id"
+        ),
+    )
+    b3 = cust.where(
+        (F.col("c_custkey") % 8 == 0) | (F.col("c_custkey") % 15 == 0)
+    ).select(
+        st.alias("study_oid"), sk.alias("subject_key"),
+        F.lit(2).cast("bigint").alias("priority"), F.lit("v2").alias("version"),
+        (F.col("c_custkey") % 15 == 0).alias("is_remove"),
+        F.concat(F.lit("T"), (F.col("c_custkey") % 5).cast("string")).alias(
+            "site_id"
+        ),
+    )
+
+    def m(batch, **kw):
+        return merge_into(
+            spark, target, batch, keys=["study_oid", "subject_key"],
+            order_cols=["priority"], is_delete=F.col("is_remove"), **kw,
+        )
+
+    r1 = m(b1, num_buckets=8, protocol="manifest")
+    ev1 = evolve(spark, target, add={"site_id": "string"})
+    if (ev1["added"], ev1["rewritten"]) != (["site_id"], False):
+        raise AssertionError(f"unexpected add evolution: {ev1}")
+    # the drift gate is part of what this query verifies: an OLD-shape
+    # batch (no site_id) must now be REFUSED, loudly, pre-job
+    try:
+        m(b1.limit(1))
+        raise AssertionError("post-add merge of an old-shape batch passed")
+    except ValueError as e:
+        if "evolve_schema" not in str(e):
+            raise
+    r2 = m(b2)
+    ev2 = evolve(spark, target, widen={"priority": "bigint"})
+    if (ev2["widened"], ev2["rewritten"]) != ({"priority": "bigint"}, True):
+        raise AssertionError(f"unexpected widen evolution: {ev2}")
+    r3 = m(b3)
+    engines = [r["engine"] for r in (r1, r2, r3)]
+    if engines != ["parquet-manifest"] * 3:
+        raise AssertionError(f"unexpected merge engines: {engines}")
+    vacuum_merged_table(spark, target, grace_sec=0.0)
+    out = read_merged_table(spark, target)
+    if out is None:  # empty-input totality
+        out = spark.createDataFrame(
+            [],
+            "study_oid string, subject_key string, priority bigint, "
+            "version string, site_id string",
+        )
+    return out.select("study_oid", "subject_key", "priority", "version", "site_id")
+
+
+SCHEMA_EVOLUTION_SQL = """
+WITH b1 AS (
+  SELECT 'ST' || CAST(c_custkey % 3 AS VARCHAR) AS study_oid,
+         'SK' || CAST(c_custkey AS VARCHAR) AS subject_key,
+         CAST(0 AS BIGINT) AS priority, 'v0' AS version, false AS is_remove,
+         CAST(NULL AS VARCHAR) AS site_id
+  FROM customer WHERE c_custkey % 3 = 0
+),
+b2 AS (
+  SELECT 'ST' || CAST(c_custkey % 3 AS VARCHAR) AS study_oid,
+         'SK' || CAST(c_custkey AS VARCHAR) AS subject_key,
+         CAST(1 AS BIGINT) AS priority, 'v1' AS version,
+         (c_custkey % 10 = 0) AS is_remove,
+         'S' || CAST(c_custkey % 4 AS VARCHAR) AS site_id
+  FROM customer WHERE c_custkey % 6 = 0 OR c_custkey % 10 = 0
+),
+b3 AS (
+  SELECT 'ST' || CAST(c_custkey % 3 AS VARCHAR) AS study_oid,
+         'SK' || CAST(c_custkey AS VARCHAR) AS subject_key,
+         CAST(2 AS BIGINT) AS priority, 'v2' AS version,
+         (c_custkey % 15 = 0) AS is_remove,
+         'T' || CAST(c_custkey % 5 AS VARCHAR) AS site_id
+  FROM customer WHERE c_custkey % 8 = 0 OR c_custkey % 15 = 0
+),
+unioned AS (
+  SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+)
+SELECT study_oid, subject_key, priority, version, site_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY study_oid, subject_key ORDER BY priority DESC) AS rk
+  FROM unioned
+) WHERE rk = 1 AND NOT is_remove
+ORDER BY study_oid, subject_key
+"""
+
+QUERIES.update({"schema_evolution": (schema_evolution, SCHEMA_EVOLUTION_SQL)})
+
+
 def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 (slowly-changing-dimension type 2) history from the events
     CDC stream: per user, each event opens a version; lead() closes the
@@ -879,6 +1022,22 @@ PROBES: dict[str, tuple] = {
                (SELECT count(*) FROM customer
                    WHERE c_custkey % 9 = 0 AND c_custkey % 4 = 0
                      AND c_custkey % 13 <> 0)"""),
+    "evolution add backfills NULL vs carries values": (
+        "schema_evolution", "oracle",
+        "SELECT sum(CASE WHEN site_id IS NULL THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN site_id IS NOT NULL THEN 1 ELSE 0 END) FROM t"),
+    "evolution widen covers rewritten ints and native bigints": (
+        "schema_evolution", "oracle",
+        "SELECT sum(CASE WHEN priority < 2 THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN priority = 2 THEN 1 ELSE 0 END) FROM t"),
+    "evolution removes that stick vs re-inserts across the widen": (
+        "schema_evolution", "corpus",
+        """SELECT (SELECT count(*) FROM customer
+                   WHERE c_custkey % 10 = 0
+                     AND (c_custkey % 8 <> 0 OR c_custkey % 15 = 0)),
+               (SELECT count(*) FROM customer
+                   WHERE c_custkey % 10 = 0 AND c_custkey % 8 = 0
+                     AND c_custkey % 15 <> 0)"""),
     "entity state mixes updated and untouched subjects": (
         "entity_state_subjects", "oracle",
         "SELECT sum(CASE WHEN version='v1' THEN 1 ELSE 0 END),"

@@ -2627,6 +2627,43 @@ ORDER BY kind, grp
 """
 
 
+def agg_percentile_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 fold of ``agg_multi_pack`` + ``percentile_pack``
+    (COVERAGE.md's named fold candidate — both are orders-grain B4
+    aggregate surfaces), banking a registry slot for
+    ``schema_evolution``.  Both constituent packs stay independently
+    callable and BYTE-UNCHANGED; this pack unions them under a
+    NULL-padded common schema (the established fold discipline, cf.
+    row_scalar_pack): the grouping-variant arms keep kind/k1/k2/v1-v3
+    and NULL the quantile columns; the quantile arms carry grp in k1
+    with NULL counts."""
+    am = agg_multi_pack(spark, sf_dir).select(
+        "kind", "k1", "k2", "v1", "v2", "v3",
+        _nl("double", "p25"), _nl("double", "p50"), _nl("double", "p75"),
+    )
+    pp = percentile_pack(spark, sf_dir).select(
+        "kind",
+        F.col("grp").alias("k1"),
+        _nl("string", "k2"),
+        _nl("bigint", "v1"), _nl("bigint", "v2"), _nl("bigint", "v3"),
+        "p25", "p50", "p75",
+    )
+    return am.unionByName(pp)
+
+
+AGG_PERCENTILE_SQL = f"""
+SELECT kind, k1, k2, v1, v2, v3,
+       CAST(NULL AS DOUBLE) AS p25, CAST(NULL AS DOUBLE) AS p50,
+       CAST(NULL AS DOUBLE) AS p75
+FROM ({AGG_MULTI_SQL.strip().rstrip(';')})
+UNION ALL
+SELECT kind, grp AS k1, CAST(NULL AS VARCHAR) AS k2,
+       CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3, p25, p50, p75
+FROM ({PERCENTILE_PACK_SQL.strip().rstrip(';')})
+"""
+
+
 def reshape_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2 reshape pack: the status×priority pivot (re-stacked to long
     form for union) + the part unpivot (pivot_status_priority +
@@ -2966,13 +3003,15 @@ QUERIES: dict[str, tuple] = {
     "skew_salted_join": (skew_salted_join, SKEW_SALTED_JOIN_SQL),
     "joins_pack": (joins_pack, JOINS_PACK_SQL),
     "window_pack": (window_pack, WINDOW_PACK_SQL),
-    "agg_multi_pack": (agg_multi_pack, AGG_MULTI_SQL),
+    # r13: agg_multi_pack + percentile_pack folded into
+    # agg_percentile_pack (slot banked for schema_evolution, cdc.py);
+    # all arms unchanged + independently callable.
+    "agg_percentile_pack": (agg_percentile_pack, AGG_PERCENTILE_SQL),
     "set_ops_pack": (set_ops_pack, SET_OPS_SQL),
     # r12: scalar_pack + row_funcs_pack folded into row_scalar_pack
     # (slot banked for entity_state_manifest); all arms unchanged +
     # independently callable.
     "row_scalar_pack": (row_scalar_pack, ROW_SCALAR_PACK_SQL),
-    "percentile_pack": (percentile_pack, PERCENTILE_PACK_SQL),
     "reshape_pack": (reshape_pack, RESHAPE_PACK_SQL),
     "tpch_pack": (tpch_pack, TPCH_PACK_SQL),
     "time_aggs_pack": (time_aggs_pack, TIME_AGGS_SQL),
@@ -3120,8 +3159,8 @@ PROBES: dict[str, tuple] = {
         FROM orders)
       SELECT (SELECT count(*) FROM t WHERE rn > nf), NULL"""),
     "agg_multi arms populated, cube emits subtotal rows": (
-        "agg_multi_pack", "oracle",
-        "SELECT (SELECT count(DISTINCT kind) - 2 FROM t),"
+        "agg_percentile_pack", "oracle",
+        "SELECT (SELECT count(DISTINCT kind) - 4 FROM t),"
         " (SELECT count(*) FROM t WHERE kind='cube'"
         "   AND (k1 IS NULL OR k2 IS NULL))"),
     "set_ops arms populated": (
@@ -3148,7 +3187,7 @@ PROBES: dict[str, tuple] = {
         " (SELECT CASE WHEN min(v1) < max(v1) THEN 1 ELSE 0 END"
         "  FROM t WHERE kind <> 'ord_row')"),
     "percentiles strictly ordered where defined": (
-        "percentile_pack", "oracle",
+        "agg_percentile_pack", "oracle",
         "SELECT (SELECT count(*) FROM t WHERE p25 IS NOT NULL"
         "   AND p25 < p50 AND p50 < p75),"
         " (SELECT count(*) FROM t WHERE p25 IS NULL)"),

@@ -595,6 +595,25 @@ def _check_layout_compat(
     _check_schema_pin(target_path, spec_columns, upd_types)
 
 
+def _conform_to_pin(df, pinned):
+    """Project ``df`` to the pinned schema (r13, the evolve_schema read
+    seam): a column in the pin but missing from the files — which is
+    exactly what a METADATA-ONLY ``add`` leaves behind (the pin gains
+    the column, existing parquet files do not) — reads as a typed NULL;
+    non-pinned extras (the __bucket partition column) ride along
+    unchanged.  Identity when the layout carries no pin (pre-r12
+    tables)."""
+    if pinned is None:
+        return df
+    have = set(df.columns)
+    cols = [
+        F.col(c) if c in have else F.lit(None).cast(t).alias(c)
+        for c, t in pinned.items()
+    ]
+    extras = [F.col(c) for c in df.columns if c not in pinned]
+    return df.select(*cols, *extras)
+
+
 def _check_schema_pin(target_path, pinned, upd_types) -> None:
     """Refuse a batch whose value schema drifts from ``pinned`` (the
     layout's `columns` pin, or the live table schema on the plain
@@ -619,8 +638,8 @@ def _check_schema_pin(target_path, pinned, upd_types) -> None:
         f"merge_into: batch schema drift vs the stored schema at "
         f"{target_path}: extra columns {extra}, missing {missing}, "
         f"retyped {retyped} (stored, batch) — align the batch, or evolve "
-        "explicitly by reading the table and rebuilding into a new "
-        "target with the new schema"
+        "the stored schema explicitly with plans.merge.evolve_schema("
+        "add=..., widen=...) before merging the drifted batch"
     )
 
 
@@ -705,7 +724,7 @@ def _portable_merge(
         )
         return _bucketed_merge(
             spark, fs, jvm_path, target_path, updates, keys,
-            order_exprs, row_hash, is_delete, spec_n,
+            order_exprs, row_hash, is_delete, spec_n, spec_cols,
         )
     # No spec: a target that nevertheless carries __bucket= partition
     # dirs is AMBIGUOUS (external tampering, or a table from a pre-spec
@@ -841,11 +860,15 @@ def _bucketed_merge(
     row_hash: Column,
     is_delete: Column,
     n_buckets: int,
+    spec_cols: dict | None = None,
 ) -> dict:
     """Incremental merge into a key-hash-bucketed parquet target: read,
     merge, and swap ONLY the bucket directories the update batch
     touches.  See merge_into's BUCKETED LAYOUT docstring section for
-    the layout, cost, and crash contracts."""
+    the layout, cost, and crash contracts.  ``spec_cols`` (r13): the
+    layout's schema pin — the touched-bucket read conforms to it so
+    files written BEFORE a metadata-only ``evolve_schema(add=...)``
+    contribute typed NULLs for the added columns."""
     from pyspark.sql import Observation
 
     tgt = target_path.rstrip("/")
@@ -895,7 +918,15 @@ def _bucketed_merge(
             if fs.exists(jvm_path(tgt + "/" + f"{prefix}{b}"))
         ]
         if existing:
-            current = spark.read.option("basePath", tgt).parquet(*existing)
+            # mergeSchema + pin-conform (r13): post-evolve, files written
+            # before a metadata-only add lack the added column — the
+            # union schema must be deterministic and the pin fills NULLs
+            current = _conform_to_pin(
+                spark.read.option("basePath", tgt)
+                .option("mergeSchema", "true")
+                .parquet(*existing),
+                spec_cols,
+            )
         else:
             current = None
         merged = _lww_union(current, upd_tagged, keys, order_exprs, row_hash)
@@ -1197,8 +1228,15 @@ def _manifest_merge(
             if str(b) in live
         ]
         if existing:
-            current = (
-                spark.read.option("basePath", tgt).parquet(*existing).drop(GEN_COL)
+            # mergeSchema + pin-conform (r13): see _bucketed_merge — a
+            # metadata-only evolve_schema(add=...) leaves older live
+            # generations without the added column
+            current = _conform_to_pin(
+                spark.read.option("basePath", tgt)
+                .option("mergeSchema", "true")
+                .parquet(*existing)
+                .drop(GEN_COL),
+                man.get("columns"),
             )
         else:
             current = None
@@ -1353,12 +1391,25 @@ def read_merged_table(
         # now, but a PRE-pin table whose generations already diverged
         # must read its full column union deterministically rather than
         # whichever file's schema lists first.
-        return (
+        return _conform_to_pin(
             spark.read.option("basePath", tgt)
             .option("mergeSchema", "true")
             .parquet(*paths)
-            .drop(GEN_COL)
+            .drop(GEN_COL),
+            m.get("columns"),
         )
+    # rename-bucketed flavor: when the layout pins a schema, read the
+    # deterministic column union and conform (files written before a
+    # metadata-only evolve_schema add lack the added columns) — same
+    # seam as the manifest branch above
+    spec = _read_bucket_spec(spark, fs, jvm_path, tgt)
+    if spec is not None and spec[3] is not None:
+        try:
+            return _conform_to_pin(
+                spark.read.option("mergeSchema", "true").parquet(tgt), spec[3]
+            )
+        except AnalysisException:  # spec'd but zero data files
+            return None
     try:
         return spark.read.parquet(tgt)
     except AnalysisException:
@@ -1518,9 +1569,11 @@ def rebucket(
                 f"{tgt}/{prefix}{b}/{GEN_COL}={g}"
                 for b, g in sorted(m["buckets"].items(), key=lambda kv: int(kv[0]))
             ]
-            cur = (
-                spark.read.option("basePath", tgt).parquet(*paths)
-                .drop(GEN_COL).drop(BUCKET_COL)
+            cur = _conform_to_pin(
+                spark.read.option("basePath", tgt)
+                .option("mergeSchema", "true").parquet(*paths)
+                .drop(GEN_COL).drop(BUCKET_COL),
+                m.get("columns"),
             )
             rehashed = cur.withColumn(BUCKET_COL, bucket_expr(keys, new_num_buckets))
             obs = Observation()
@@ -1561,7 +1614,7 @@ def rebucket(
         # asides would read as missing buckets in the full scan below
         _recover_buckets(fs, jvm_path, tgt)
         try:
-            cur = spark.read.parquet(tgt)
+            cur = spark.read.option("mergeSchema", "true").parquet(tgt)
         except AnalysisException:
             # spec'd but zero data files (all keys deleted): the layout
             # move is pure metadata — rewrite the spec in place
@@ -1571,7 +1624,7 @@ def rebucket(
             )
             return {"engine": "parquet-swap", "rows": 0,
                     "num_buckets": new_num_buckets}
-        rehashed = cur.drop(BUCKET_COL).withColumn(
+        rehashed = _conform_to_pin(cur, spec_cols).drop(BUCKET_COL).withColumn(
             BUCKET_COL, bucket_expr(keys, new_num_buckets)
         )
         obs = Observation()
@@ -1585,6 +1638,358 @@ def rebucket(
         _swap_whole_dir(fs, jvm_path, tgt, tmp, old)
         return {"engine": "parquet-swap", "rows": obs.get["n"],
                 "num_buckets": new_num_buckets}
+
+
+_INT_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
+_INT_ORDER = ["tinyint", "smallint", "int", "bigint"]
+
+
+def _is_widening(src: str, dst: str) -> bool:
+    """True when every value of Spark dtype ``src`` is exactly
+    representable in dtype ``dst`` (the only type changes evolve_schema
+    permits).  Deliberately conservative: bigint→double is REFUSED
+    (doubles hold 53 mantissa bits, longs 63 — values above 2^53
+    silently round), as is float→decimal (binary fractions have no
+    exact decimal form at fixed scale)."""
+    import re
+
+    if src in _INT_ORDER and dst in _INT_ORDER:
+        return _INT_ORDER.index(dst) > _INT_ORDER.index(src)
+    if dst == "double" and src in ("float", "tinyint", "smallint", "int"):
+        return True  # 53-bit mantissa holds every float/int32 exactly
+    d_src = re.fullmatch(r"decimal\((\d+),(\d+)\)", src)
+    d_dst = re.fullmatch(r"decimal\((\d+),(\d+)\)", dst)
+    if d_dst:
+        p2, s2 = int(d_dst.group(1)), int(d_dst.group(2))
+        if d_src:
+            p1, s1 = int(d_src.group(1)), int(d_src.group(2))
+            return s2 >= s1 and p2 - s2 >= p1 - s1 and (p1, s1) != (p2, s2)
+        if src in _INT_DIGITS:
+            return p2 - s2 >= _INT_DIGITS[src]
+    return False
+
+
+def _validate_evolution(target_path, pinned, keys, add, widen) -> None:
+    """Shared refusal set for evolve_schema: only additive NULL-backed
+    columns and provably-lossless type widenings pass; everything else
+    (narrowing, renames, drops, key-type changes) is a rebuild."""
+    dup = sorted(set(add) & set(pinned))
+    if dup:
+        raise ValueError(
+            f"evolve_schema: add columns {dup} already exist at "
+            f"{target_path} — renames are not supported (a rename is a "
+            "drop + add, and drops destroy data); rebuild into a new target"
+        )
+    bad = {BUCKET_COL, GEN_COL, "__del", "__tgt_pri", "__rk"} & set(add)
+    if bad:
+        raise ValueError(
+            f"evolve_schema: add names {sorted(bad)} collide with reserved "
+            "merge-protocol columns"
+        )
+    missing = sorted(set(widen) - set(pinned))
+    if missing:
+        raise ValueError(
+            f"evolve_schema: widen columns {missing} do not exist at "
+            f"{target_path} (stored columns: {sorted(pinned)})"
+        )
+    if keys:
+        key_w = sorted(set(widen) & set(keys))
+        if key_w:
+            raise ValueError(
+                f"evolve_schema: cannot widen key columns {key_w} — "
+                "xxhash64 hashes the TYPED value, so a key-type change "
+                "re-routes every existing key into a different bucket "
+                "space; rebuild the table under the new key types"
+            )
+    for c, new_t in widen.items():
+        old_t = pinned[c]
+        if new_t == old_t:
+            raise ValueError(
+                f"evolve_schema: column {c!r} is already {old_t} at "
+                f"{target_path}"
+            )
+        if not _is_widening(old_t, new_t):
+            raise ValueError(
+                f"evolve_schema: {c!r} {old_t} -> {new_t} is not a "
+                "lossless widening (narrowing and lossy casts are "
+                "refused — rebuild into a new target if you really mean "
+                f"it); permitted: int-ladder up-casts, float->double, "
+                "int->double (int32 and below), decimal scale/precision "
+                "growth, int->decimal with enough integer digits"
+            )
+
+
+def _evolved_pin(pinned: dict, add: dict, widen: dict) -> dict:
+    """New schema pin: widened types replace in place (column order is
+    part of the pin), added columns append in the caller's order."""
+    return {**{c: widen.get(c, t) for c, t in pinned.items()}, **add}
+
+
+def _evolve_transform(cur, pinned: dict, add: dict, widen: dict):
+    """The rewrite-pass projection: widen casts in pin order, adds as
+    typed NULLs, the __bucket partition column (when present) rides
+    last unchanged."""
+    cols = [
+        F.col(c).cast(widen[c]).alias(c) if c in widen else F.col(c)
+        for c in pinned
+    ]
+    cols += [F.lit(None).cast(t).alias(c) for c, t in add.items()]
+    extras = [F.col(c) for c in cur.columns if c not in pinned and c not in add]
+    return cur.select(*cols, *extras)
+
+
+def evolve_schema(
+    spark,
+    target_path: str,
+    add: dict | None = None,
+    widen: dict | None = None,
+    lease_stale_sec: float = LEASE_STALE_SEC,
+) -> dict:
+    """Explicit schema evolution for a merge_into target (r12 verdict
+    #1 — the operation the schema-pin drift refusal points at).  Two
+    primitives, the only two that are always safe:
+
+    - ``add={col: dtype}`` — append NULL-backed columns.  On the
+      MANIFEST flavor this is METADATA-ONLY: one manifest commit
+      updates the pinned ``columns``; no data file is touched, and
+      every reader/merger conforms older generations to the pin
+      (missing column -> typed NULL) via ``_conform_to_pin``.  On the
+      RENAME-BUCKETED flavor it is a single in-place ``_bucket_spec``
+      rewrite (one small file; a crash mid-write leaves a CORRUPT spec
+      that every later call refuses loudly — weaker than the manifest
+      commit but never silent).  On the PLAIN flavor there is no pin
+      file, so the add is a full rewrite under the whole-dir swap.
+    - ``widen={col: dtype}`` — lossless type widening (see
+      :func:`_is_widening`; key columns are refused — xxhash64 is
+      type-sensitive and a key-type change would re-route every bucket).
+      Always a full-cost rewrite pass under the layout's own commit
+      protocol (rebucket-style): fresh all-bucket generation + one
+      manifest commit, or tmp-write + whole-dir swap.  A crash at any
+      point leaves the table readable as exactly pre- or post-evolve
+      (manifest), or recoverable via the standard aside protocol
+      (rename/plain).
+
+    Narrowing, renames, and drops are refused — they destroy data;
+    rebuild into a new target if that is really the intent.
+
+    CONTRACT AFTER AN ADD: the pin is exact-schema, so every subsequent
+    batch must CARRY the added column (NULL-valued where absent).
+    Accepting pin-subset batches instead would blunt drift detection —
+    a batch that accidentally dropped a column would silently merge
+    NULLs over stored data.
+
+    Holds the writer lease for the duration (a concurrent merge and an
+    evolution refuse each other).  Delta targets: ``add`` delegates to
+    ``ALTER TABLE ... ADD COLUMNS`` (same NULL-backfill semantics);
+    ``widen`` is refused with a pointer at Delta's own type-widening
+    table feature, which this sandbox cannot exercise.
+
+    Returns ``{"engine", "added", "widened", "rewritten", ...}`` with
+    ``seq`` on manifest targets and ``rows`` when a rewrite ran.
+
+    Reference semantics anchor: the reference validates ENVELOPE
+    shapes at runtime (``src/lens/broker.clj:28-51``) and delegates
+    entity-schema change to its store — exactly the operation this op
+    supplies for the portable store flavors.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql.utils import AnalysisException
+
+    add = dict(add or {})
+    widen = dict(widen or {})
+    if not add and not widen:
+        raise ValueError("evolve_schema: pass at least one of add=, widen=")
+    both = sorted(set(add) & set(widen))
+    if both:
+        raise ValueError(
+            f"evolve_schema: columns {both} appear in both add and widen"
+        )
+
+    try:
+        from delta.tables import DeltaTable  # type: ignore
+
+        is_delta = DeltaTable.isDeltaTable(spark, target_path)
+    except Exception:
+        is_delta = False
+    if is_delta:
+        if widen:
+            raise ValueError(
+                "evolve_schema: type widening on a Delta target is Delta's "
+                "own typeWidening table feature (ALTER TABLE ... ALTER "
+                "COLUMN ... TYPE) — use it directly; this op only manages "
+                "the portable layouts' pins"
+            )
+        cols = ", ".join(f"`{c}` {t}" for c, t in add.items())
+        spark.sql(f"ALTER TABLE delta.`{target_path}` ADD COLUMNS ({cols})")
+        return {
+            "engine": "delta", "added": sorted(add), "widened": {},
+            "rewritten": False,
+        }
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tgt = target_path.rstrip("/")
+    tmp = tgt + ".__tmp"
+    old = tgt + ".__old"
+    prefix = BUCKET_COL + "="
+    with _writer_lease(fs, jvm_path, tgt, lease_stale_sec):
+        man = _read_manifest(spark, fs, jvm_path, tgt)
+        if man is not None:
+            man_seq, _, m = man
+            keys = list(m["keys"])
+            n_buckets = int(m["num_buckets"])
+            live = dict(m["buckets"])
+            pinned = m.get("columns")
+            if pinned is None:
+                # pre-pin layout: derive the pin from the live union
+                # schema so evolution also UPGRADES the table to pinned
+                if not live:
+                    raise ValueError(
+                        f"evolve_schema: {tgt} predates the schema pin and "
+                        "is empty — nothing to derive a schema from; "
+                        "rebuild the table"
+                    )
+                paths = [
+                    f"{tgt}/{prefix}{b}/{GEN_COL}={g}" for b, g in live.items()
+                ]
+                derived = (
+                    spark.read.option("basePath", tgt)
+                    .option("mergeSchema", "true").parquet(*paths)
+                    .drop(GEN_COL).drop(BUCKET_COL)
+                )
+                pinned = dict(derived.dtypes)
+            _validate_evolution(tgt, pinned, keys, add, widen)
+            new_pin = _evolved_pin(pinned, add, widen)
+            gen = _new_gen()
+            base = {
+                "num_buckets": n_buckets, "keys": keys,
+                "key_types": dict(m["key_types"]), "columns": new_pin,
+            }
+            if not widen or not live:
+                # metadata-only: ONE atomic manifest commit (live
+                # generations untouched; readers conform to the pin)
+                _commit_manifest(
+                    fs, jvm_path, tgt, man_seq + 1, gen,
+                    {**base, "buckets": live, "seq": man_seq + 1, "gen": gen},
+                )
+                return {
+                    "engine": "parquet-manifest", "added": sorted(add),
+                    "widened": dict(widen), "rewritten": False,
+                    "seq": man_seq + 1,
+                }
+            # widen: full rewrite — fresh generation for every live
+            # bucket, then one commit (rebucket's protocol, same N)
+            paths = [
+                f"{tgt}/{prefix}{b}/{GEN_COL}={g}"
+                for b, g in sorted(live.items(), key=lambda kv: int(kv[0]))
+            ]
+            cur = _conform_to_pin(
+                spark.read.option("basePath", tgt)
+                .option("mergeSchema", "true").parquet(*paths).drop(GEN_COL),
+                pinned,
+            )
+            out = _evolve_transform(cur, pinned, add, widen)
+            obs = Observation()
+            out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+            fs.delete(jvm_path(tmp), True)
+            out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+            new_live = {}
+            for st in fs.listStatus(jvm_path(tmp)):
+                name = st.getPath().getName()
+                if not name.startswith(prefix):
+                    continue
+                fs.mkdirs(jvm_path(tgt + "/" + name))
+                dest = jvm_path(tgt + "/" + name + "/" + f"{GEN_COL}={gen}")
+                if not fs.rename(st.getPath(), dest):
+                    raise IOError(f"evolve_schema: could not stage {tgt}/{name}")
+                new_live[name.split("=", 1)[1]] = gen
+            _commit_manifest(
+                fs, jvm_path, tgt, man_seq + 1, gen,
+                {**base, "buckets": new_live, "seq": man_seq + 1, "gen": gen},
+            )
+            fs.delete(jvm_path(tmp), True)
+            return {
+                "engine": "parquet-manifest", "added": sorted(add),
+                "widened": dict(widen), "rewritten": True,
+                "rows": obs.get["n"], "seq": man_seq + 1,
+            }
+
+        _recover_whole_dir(fs, jvm_path, tgt)
+        spec = _read_bucket_spec(spark, fs, jvm_path, tgt)
+        if spec is not None:
+            spec_n, keys, key_types, spec_cols = spec
+            _recover_buckets(fs, jvm_path, tgt)
+            pinned = spec_cols
+            cur = None
+            try:
+                cur = spark.read.option("mergeSchema", "true").parquet(tgt)
+            except AnalysisException:  # spec'd but zero data files
+                pass
+            if pinned is None:
+                if cur is None:
+                    raise ValueError(
+                        f"evolve_schema: {tgt} predates the schema pin and "
+                        "is empty — nothing to derive a schema from; "
+                        "rebuild the table"
+                    )
+                pinned = {
+                    c: t for c, t in cur.dtypes if c != BUCKET_COL
+                }
+            _validate_evolution(tgt, pinned, keys, add, widen)
+            new_pin = _evolved_pin(pinned, add, widen)
+            if not widen or cur is None:
+                # metadata-only add: in-place spec rewrite — one small
+                # file; a crash mid-write leaves a corrupt spec every
+                # later call refuses LOUDLY (weaker than the manifest
+                # flavor's atomic commit, never silent)
+                _write_bucket_spec(
+                    fs, jvm_path, tgt, keys, spec_n, key_types,
+                    columns=new_pin,
+                )
+                return {
+                    "engine": "parquet-swap", "added": sorted(add),
+                    "widened": dict(widen), "rewritten": False,
+                }
+            out = _evolve_transform(_conform_to_pin(cur, pinned), pinned, add, widen)
+            obs = Observation()
+            out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+            fs.delete(jvm_path(tmp), True)
+            out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+            _write_bucket_spec(
+                fs, jvm_path, tmp, keys, spec_n, key_types, columns=new_pin
+            )
+            _swap_whole_dir(fs, jvm_path, tgt, tmp, old)
+            return {
+                "engine": "parquet-swap", "added": sorted(add),
+                "widened": dict(widen), "rewritten": True,
+                "rows": obs.get["n"],
+            }
+
+        # plain flavor: the live table schema is the pin; both add and
+        # widen are full rewrites under the whole-dir swap (parquet
+        # without a pin file cannot express a metadata-only change
+        # deterministically — mixed-schema files would read
+        # listing-order-dependently)
+        try:
+            cur = spark.read.parquet(tgt)
+        except AnalysisException:
+            raise ValueError(
+                f"evolve_schema: no table at {tgt} — the first merge "
+                "materializes the schema; evolution applies to existing "
+                "targets"
+            )
+        pinned = dict(cur.dtypes)
+        _validate_evolution(tgt, pinned, None, add, widen)
+        out = _evolve_transform(cur, pinned, add, widen)
+        obs = Observation()
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+        fs.delete(jvm_path(tmp), True)
+        out.write.mode("overwrite").parquet(tmp)
+        _swap_whole_dir(fs, jvm_path, tgt, tmp, old)
+        return {
+            "engine": "parquet-swap", "added": sorted(add),
+            "widened": dict(widen), "rewritten": True, "rows": obs.get["n"],
+        }
 
 
 def suggest_num_buckets(

@@ -185,6 +185,8 @@ def test_pack_arms_individually_importable(spark):
             "q2_min_cost_supplier", "q9_product_type_profit",
             "q16_supplier_part_counts",
             "events_sliding", "cohort_retention",
+            # r13 fold: both former registry packs stay callable arms
+            "agg_multi_pack", "percentile_pack",
         ],
         # r6 folds: dedup_basic_pack + knn_pack + textstats_pack arms
         # stay independently callable

@@ -118,6 +118,41 @@ assert got_d == expect, f"delta branch state: {got_d}"
 assert got_p == expect, f"parquet branch state: {got_p}"
 assert got_b == expect, f"bucketed branch state: {got_b}"
 assert got_m == expect, f"manifest branch state: {got_m}"
+
+# r13: evolve_schema(add=...) joins the differential — the Delta branch
+# delegates to ALTER TABLE ... ADD COLUMNS; all four flavors must agree
+# on NULL backfill for old rows and on a post-evolve merge that carries
+# the new column
+from lens_sds_batch_spark.plans.merge import evolve_schema
+
+ev2 = spark.createDataFrame(
+    [("k4", 10, "u4-note", False, "hello")], schema + ", dead boolean, note string"
+)
+for t in (tgt_delta, tgt_parquet, tgt_bucketed, tgt_manifest):
+    r = evolve_schema(spark, t, add={"note": "string"})
+    assert r["added"] == ["note"], (t, r)
+    merge_into(spark, t, ev2, keys=["k"], order_cols=["pri"],
+               is_delete=F.col("dead"))
+
+expect2 = sorted([
+    ("k1", 5, "t1", None),
+    ("k2", 3, "u2", None),
+    ("k4", 10, "u4-note", "hello"),
+    ("k5", 9, "t5", None),
+])
+sel = ["k", "pri", "payload", "note"]
+got2 = {
+    "delta": sorted(map(tuple, spark.read.format("delta").load(tgt_delta)
+                        .select(*sel).collect())),
+    "parquet": sorted(map(tuple, spark.read.parquet(tgt_parquet)
+                          .select(*sel).collect())),
+    "bucketed": sorted(map(tuple, read_merged_table(spark, tgt_bucketed)
+                           .select(*sel).collect())),
+    "manifest": sorted(map(tuple, read_merged_table(spark, tgt_manifest)
+                           .select(*sel).collect())),
+}
+for flavor, got in got2.items():
+    assert got == expect2, f"post-evolve {flavor} state: {got}"
 print("DELTA_MERGE_OK " + json.dumps({"delta": got_d, "parquet": got_p}))
 """
 

@@ -43,7 +43,7 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("requeue_routing", "CONSTANT:m_requeued"): "suite total broadcast onto every row (see m_ok)",
     ("requeue_routing", "CONSTANT:m_dead"): "suite total broadcast onto every row (see m_ok)",
     ("odm_xml_ingest", "CONSTANT:item_group_oid"): "one IG1 group per form, matching the flagship derivation",
-    ("agg_multi_pack", "CONSTANT:v2"): "n_part is returnflag-invariant in the data (every flag sees every part); other arms NULL",
+    ("agg_percentile_pack", "CONSTANT:v2"): "n_part is returnflag-invariant in the data (every flag sees every part); other arms NULL",
     ("approx_sketches", "CONSTANT:n_parts_exact"): "oracle-pinned bound flag (constant-true IS the assertion)",
     ("approx_sketches", "CONSTANT:hll_within_20pct"): "oracle-pinned bound flag (constant-true IS the assertion)",
     ("approx_sketches", "CONSTANT:median_within_rank_band"): "oracle-pinned bound flag (constant-true IS the assertion)",

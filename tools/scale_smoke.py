@@ -66,9 +66,10 @@ OPS = ("dedup_basic_pack", "dup_pairs_pack",  # basic pack = former dedup_exact 
        "entity_state_subjects", "scd2_history", "session_window_agg",
        "q3_shipping_priority", "q5_nation_revenue", "window_topk_per_group",
        "agg_rollup", "events_tumbling", "sessionize", "salted_hot_key_agg",
-       "joins_pack", "window_pack", "agg_multi_pack", "set_ops_pack",
-       "row_scalar_pack", "percentile_pack", "reshape_pack",
-       "time_aggs_pack", "approx_sketches", "entity_state_manifest")
+       "joins_pack", "window_pack", "agg_percentile_pack", "set_ops_pack",
+       "row_scalar_pack", "reshape_pack",
+       "time_aggs_pack", "approx_sketches", "entity_state_manifest",
+       "schema_evolution")
 
 BASE_TMP = "/tmp/lens_scale_smoke"
 
