@@ -78,14 +78,28 @@ def _words(col):
 
 
 JACCARD_BLOCK_CAP = 200  # skew guard: drop (lang, len_bucket) blocks larger than this
+JACCARD_BUCKET_W = 2  # words per length bucket (blocking granularity)
+# Max EXTRA buckets probed upward (r13 proportional probe): bounds the
+# per-doc explode at 1+CAP rows.  Full recall is guaranteed while the
+# size-ratio bound fits under the cap — nw*(1/t-1)/W <= CAP, i.e. docs
+# up to ~149 distinct words at t=0.7/W=2; for longer docs the
+# HIGHEST-ratio tail degrades first (a 1000-word doc keeps full recall
+# to +6.4% growth; the 30%-growth extreme falls to the minhash tier).
+JACCARD_PROBE_CAP = 32
+# The probe arithmetic hard-codes 1/t as the exact rational 10/7 so
+# both engines compute bucket reach in INTEGER ops (a float ceil could
+# disagree across engines at representation boundaries) — keep in sync:
+assert abs(JACCARD_THRESHOLD - 0.7) < 1e-12, "update the 10/7 probe ratio"
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact jaccard over distinct word sets.
 
-    Blocking key = (lang, n_chars//100) bounds the pair space to
-    within-block quadratics instead of corpus-wide O(n²) — and blocks
-    larger than JACCARD_BLOCK_CAP are dropped (the same skew guard as
+    Blocking key = (lang, nw // JACCARD_BUCKET_W) over the DISTINCT
+    word-set size nw — the variable the jaccard size-ratio bound
+    actually constrains (r13; the previous n_chars//100 blocking had
+    no provable relation to word-set jaccard at all).  Blocks larger
+    than JACCARD_BLOCK_CAP are dropped (the same skew guard as
     minhash's HOT_BUCKET_CAP / simhash's SIMHASH_BLOCK_CAP, mirrored
     in the oracle): at 100 TB an `en` length bucket holds millions of
     docs and an uncapped within-block self-join is quadratic death.
@@ -110,42 +124,38 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10).cast("bigint"),
         )
     )
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
-        word_hashes.alias("wset"),
+    w = JACCARD_BUCKET_W
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", word_hashes.alias("wset"))
+        .withColumn("nw", F.size("wset"))
+        .withColumn("len_bucket", F.expr(f"CAST(nw DIV {w} AS BIGINT)"))
     )
     block_sizes = docs.groupBy("lang", "len_bucket").agg(F.count(F.lit(1)).alias("bn"))
     docs = docs.join(
         block_sizes.where(F.col("bn") <= JACCARD_BLOCK_CAP), ["lang", "len_bucket"]
     ).drop("bn")
-    docs = docs.withColumn("nw", F.size("wset"))
-    # Adjacent-bucket probe (r11 review): exact bucket equality silently
-    # missed every near-dup pair straddling a 100-char boundary (doc A
-    # at n_chars=200 vs its 199-char twin) — and the oracle mirrored
-    # the gap, so the hash gate could never see it.  Each doc is probed
-    # into its own bucket AND the next one (an equi-join key, not a
-    # range join, so the plan stays a hash join); a cross-bucket pair
-    # is discovered exactly once via the lower doc's +1 copy, a
-    # same-bucket pair exactly once via the id order.
-    # RESIDUAL RECALL GAP (ADVICE r11, deliberate): the +1 probe only
-    # reaches pairs within ONE bucket of each other.  For LONG docs the
-    # jaccard size-ratio bound permits larger length deltas (5000 vs
-    # 5250 chars can still clear t=0.7 while sitting 2+ buckets apart),
-    # so MISSES SCALE WITH DOC LENGTH — and the oracle mirrors the same
-    # blocking, keeping the gate green BY CONSTRUCTION there, not by
-    # full recall.  Full recall would probe ~ceil(nw*(1/t-1)/100)
-    # buckets per doc, a length-proportional explode.  Not paid for
-    # here: this corpus's max doc is 577 chars (measured sf0.01/sf0.1),
-    # where a 2-bucket delta needs >100 chars = >17% of the larger doc
-    # — at the margin of the 30% word-set budget only if word and char
-    # counts decouple sharply.  Revisit (switch to the proportional
-    # probe, oracle updated in lockstep) if the corpus grows a long
-    # tail of multi-thousand-char docs.
+    # PROPORTIONAL upward probe (r13, closing ADVICE r11's residual
+    # recall gap): jaccard >= t forces the partner's word-set size into
+    # [t*nw, nw/t], so a doc must probe every bucket up to
+    # bucket(floor(nw/t)) — computed in exact INTEGER arithmetic
+    # ((nw*10) DIV 7, mirrored in the oracle) and capped at
+    # JACCARD_PROBE_CAP (see the constant's recall note).  The r11
+    # fixed +1 probe provably missed long-doc pairs straddling more
+    # than one boundary (tests/test_jaccard_recall.py pins the crafted
+    # case); the probe stays an EQUI-join key, so the plan remains a
+    # broadcast hash join, and a cross-bucket pair is still discovered
+    # exactly once via the lower doc's probe copy, a same-bucket pair
+    # once via the id order.
+    reach = F.least(
+        F.lit(JACCARD_PROBE_CAP),
+        F.expr(f"((nw * 10) DIV 7) DIV {w} - nw DIV {w}"),
+    )
     a = docs.withColumn(
         "probe_bucket",
-        F.explode(F.array(F.col("len_bucket"), F.col("len_bucket") + 1)),
+        F.explode(
+            F.sequence(F.col("len_bucket"), F.col("len_bucket") + reach)
+        ),
     ).alias("a")
     b = docs.alias("b")
     # size-ratio prefilter (provably lossless): jaccard >= t implies
@@ -183,10 +193,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_JACCARD_SQL = f"""
 WITH d_all AS MATERIALIZED (
-  SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
-         list_distinct(list_transform(string_split(text, ' '),
-                                      w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT))) AS wset
-  FROM documents
+  SELECT doc_id, lang, wset, CAST(len(wset) AS INTEGER) AS nw,
+         CAST(len(wset) // {JACCARD_BUCKET_W} AS BIGINT) AS len_bucket
+  FROM (
+    SELECT doc_id, lang,
+           list_distinct(list_transform(string_split(text, ' '),
+                                        w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT))) AS wset
+    FROM documents
+  )
 ),
 kept_blocks AS MATERIALIZED (
   SELECT lang, len_bucket FROM d_all
@@ -196,16 +210,19 @@ d AS MATERIALIZED (
   SELECT d_all.* FROM d_all JOIN kept_blocks USING (lang, len_bucket)
 )
 SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b,
-       CAST(len(a.wset) + len(b.wset) - len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE)
+       CAST(a.nw + b.nw - len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE)
          / CAST(len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE) AS jaccard
 FROM d a JOIN d b
   ON a.lang = b.lang
- AND b.len_bucket BETWEEN a.len_bucket AND a.len_bucket + 1
+ AND b.len_bucket BETWEEN a.len_bucket
+     AND a.len_bucket + least({JACCARD_PROBE_CAP},
+                              ((a.nw * 10) // 7) // {JACCARD_BUCKET_W}
+                               - a.nw // {JACCARD_BUCKET_W})
  AND ((a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
       OR a.len_bucket < b.len_bucket)
- AND CAST(least(len(a.wset), len(b.wset)) AS DOUBLE)
-     >= {JACCARD_THRESHOLD} * greatest(len(a.wset), len(b.wset))
-WHERE CAST(len(a.wset) + len(b.wset) - len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE)
+ AND CAST(least(a.nw, b.nw) AS DOUBLE)
+     >= {JACCARD_THRESHOLD} * greatest(a.nw, b.nw)
+WHERE CAST(a.nw + b.nw - len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE)
       / CAST(len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """

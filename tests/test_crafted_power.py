@@ -392,17 +392,22 @@ def test_unicode_text_oracle_parity(spark, tmp_path):
 
 
 def test_jaccard_adjacent_bucket_boundary(spark, tmp_path):
-    """r11 review: exact (lang, n_chars//100) blocking silently missed
-    near-dup pairs straddling a 100-char bucket boundary — and the
-    oracle mirrored the gap, so the hash gate could never catch it.
-    Craft a ~0.97-jaccard pair at n_chars 199 vs 205 (buckets 1 vs 2):
+    """r11 review (modernized for the r13 word-set blocking): exact
+    same-bucket-only blocking silently missed near-dup pairs straddling
+    a bucket boundary — and the oracle mirrored the gap, so the hash
+    gate could never catch it.  Craft a ~0.93-jaccard pair whose
+    word-set sizes (28 vs 30) land in ADJACENT W=2 buckets (14 vs 15):
     it must be found, same-bucket pairs must still be found, and no
-    pair may be emitted twice."""
-    from lens_sds_batch_spark.operators.dedup import ngram_jaccard_pairs
+    pair may be emitted twice.  (The multi-bucket long-doc regime is
+    pinned in tests/test_jaccard_recall.py.)"""
+    from lens_sds_batch_spark.operators.dedup import (
+        JACCARD_BUCKET_W,
+        ngram_jaccard_pairs,
+    )
 
     words = [f"word{i:02d}" for i in range(28)]
-    base = " ".join(words)                      # ~196 chars
-    straddle = base + " extratok"               # pushes past 200
+    base = " ".join(words)                      # 28 distinct words
+    straddle = base + " extratok extratok2"     # 30 -> next W=2 bucket
     same_a = " ".join(words[:-1]) + " wx"       # same bucket as base
     rows = [
         (0, base, "en", "s0"),
@@ -410,7 +415,7 @@ def test_jaccard_adjacent_bucket_boundary(spark, tmp_path):
         (2, same_a, "en", "s0"),
         (3, "completely different content entirely unrelated words here", "en", "s0"),
     ]
-    assert len(base) // 100 != len(straddle) // 100, "craft must straddle"
+    assert 28 // JACCARD_BUCKET_W != 30 // JACCARD_BUCKET_W, "craft must straddle"
     sf = _write_docs(spark, tmp_path, rows)
     got = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(spark, sf).collect()}
     assert (0, 1) in got, "boundary-straddling near-dup pair missed"
@@ -581,3 +586,65 @@ def test_lm_score_hand_computed(spark, tmp_path):
     # the signal the filter exists for: the common-token doc is more
     # probable under the corpus LM than the rare-token doc
     assert got[0]["lm_avg_logprob"] > got[1]["lm_avg_logprob"]
+
+
+def test_lm_score_vocab_floor_oov_bucket(spark, tmp_path):
+    """r13 (r12 verdict #3): the documented 100 TB vocab bound,
+    implemented.  Corpus a=3, b=1, c=1 (N=5) at floor=2 pools b and c
+    into ONE OOV bucket of mass 2 — every b/c occurrence scores m(2),
+    'a' keeps m(3); hand-computed with the engine's exact rounding.
+    Also: capped == uncapped when the floor clears the min corpus
+    count, and the capped DuckDB twin (lm_capped_sql) agrees row-exact
+    — both engines implement the same smoothing."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    import duckdb
+
+    from lens_sds_batch_spark.operators.textops import (
+        LM_MICRO,
+        lm_capped_sql,
+        lm_score,
+    )
+
+    rows = [
+        (0, "a a b", "en", "s0"),
+        (1, "a c", "en", "s0"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+
+    def m(c, n=5):
+        return int(
+            Decimal(repr(math.log(c / n) * LM_MICRO)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+
+    # floor=2: b (count 1) and c (count 1) pool -> OOV mass 2
+    exp_sum = {0: 2 * m(3) + m(2), 1: m(3) + m(2)}
+    got = {
+        r["doc_id"]: r
+        for r in lm_score(spark, sf, vocab_min_count=2).collect()
+    }
+    assert {k: v["lm_sum_micro"] for k, v in got.items()} == exp_sum
+    assert got[0]["lm_avg_logprob"] == exp_sum[0] / (3 * float(LM_MICRO))
+    assert got[1]["lm_avg_logprob"] == exp_sum[1] / (2 * float(LM_MICRO))
+
+    # cross-engine: the capped DuckDB twin lands the same exact integers
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    duck = {
+        r[0]: (r[1], r[2]) for r in con.execute(lm_capped_sql(2)).fetchall()
+    }
+    assert duck == {
+        k: (v["lm_sum_micro"], v["lm_avg_logprob"]) for k, v in got.items()
+    }
+
+    # a floor every token clears is a no-op: capped == uncapped exactly
+    rows2 = [(0, "a a b b", "en", "s0"), (1, "a b", "en", "s0")]
+    sf2 = _write_docs(spark, tmp_path / "eq", rows2)
+    unc = sorted(map(tuple, lm_score(spark, sf2).collect()))
+    cap = sorted(map(tuple, lm_score(spark, sf2, vocab_min_count=2).collect()))
+    assert unc == cap
