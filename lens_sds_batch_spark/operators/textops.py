@@ -439,13 +439,33 @@ LM_MICRO = 1_000_000  # per-token ln-prob quantization grain (micro-nats)
 LM_MIN_LOGPROB = -3.41
 
 
-def lm_score(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:
+def lm_score(
+    spark: SparkSession,
+    sf_dir: str,
+    base: DataFrame | None = None,
+    vocab_min_count: int = 1,
+) -> DataFrame:
     """Corpus-unigram LM quality score — the CCNet/perplexity-filter
     analog every training-data pipeline runs (docs whose tokens are
     improbable under a corpus LM are boilerplate/noise candidates;
     docs of only hyper-common tokens are low-information).  The LM is
-    the corpus's own unigram distribution, so there is no OOV case:
-    per-token surprisal is ln(c_t / N) over corpus token count N.
+    the corpus's own unigram distribution; with the default
+    ``vocab_min_count=1`` every token is in-vocabulary and per-token
+    surprisal is ln(c_t / N) over corpus token count N.
+
+    ``vocab_min_count`` (r13, the documented 100 TB vocab bound, now
+    implemented): tokens with corpus count BELOW the floor are pooled
+    into ONE shared OOV smoothing bucket whose probability mass is the
+    pooled tokens' total count — every OOV occurrence scores
+    ``round(ln(c_oov_total / N) * 1e6)``.  The broadcast unigram table
+    then holds ONLY floor-passing tokens (O(vocab-cap), not O(vocab)):
+    the tf stream LEFT-joins it and coalesces misses onto the single
+    broadcast OOV score, so the long tail never rides a broadcast.
+    Total probability mass is unchanged (the bucket inherits exactly
+    the mass it pooled).  Defaulting to 1 keeps the gate arm's plan
+    byte-identical.  DuckDB twin for the capped form:
+    :func:`lm_capped_sql` (differential-tested exactly in
+    tests/test_crafted_power.py).
 
     Cross-engine determinism (the q1-ULP lesson, NOTES.md r12): a
     per-doc float SUM of ln-probs is evaluation-order-dependent, so
@@ -456,11 +476,9 @@ def lm_score(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) ->
     exactly-representable constant and one IEEE correctly-rounded
     division, both bit-identical across engines.
 
-    Scale shape: the unigram table is a broadcast dimension (vocab is
-    sublinear in corpus size); at 100 TB bound it with a min-count
-    floor + one shared OOV smoothing bucket so the broadcast stays
-    O(vocab-cap) — the full vocab fits here.  Two shuffles total:
-    (doc_id, token) term frequencies and the token-count reduce."""
+    Scale shape: two shuffles total — (doc_id, token) term frequencies
+    and the token-count reduce; the floor-capped unigram table plus
+    the 1-row OOV score are broadcast dimensions."""
     docs = _tokenized_docs(spark, sf_dir, base)
     tf = (
         docs.select("doc_id", F.explode(F.col("toks")).alias("t"))
@@ -469,17 +487,37 @@ def lm_score(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) ->
     )
     counts = tf.groupBy("t").agg(F.sum("tf").alias("c"))
     total = counts.agg(F.sum("c").alias("n_corpus"))
-    micro = counts.crossJoin(F.broadcast(total)).select(
-        "t",
-        F.round(
-            F.log(F.col("c").cast("double") / F.col("n_corpus").cast("double"))
+
+    def _m(c_col):
+        return F.round(
+            F.log(c_col.cast("double") / F.col("n_corpus").cast("double"))
             * LM_MICRO,
             0,
-        ).cast("bigint").alias("m"),
-    )
+        ).cast("bigint")
+
+    if vocab_min_count > 1:
+        kept = counts.where(F.col("c") >= vocab_min_count)
+        oov_mass = counts.where(F.col("c") < vocab_min_count).agg(
+            F.sum("c").alias("c_oov")
+        )
+        micro = kept.crossJoin(F.broadcast(total)).select("t", _m(F.col("c")).alias("m"))
+        # 1-row frame; m_oov is NULL when nothing pooled (then no tf row
+        # misses the kept join and the coalesce never consults it)
+        oov_micro = oov_mass.crossJoin(F.broadcast(total)).select(
+            _m(F.col("c_oov")).alias("m_oov")
+        )
+        scored = (
+            tf.join(F.broadcast(micro), "t", "left")
+            .crossJoin(F.broadcast(oov_micro))
+            .select("doc_id", "tf", F.coalesce("m", "m_oov").alias("m"))
+        )
+    else:
+        micro = counts.crossJoin(F.broadcast(total)).select(
+            "t", _m(F.col("c")).alias("m")
+        )
+        scored = tf.join(F.broadcast(micro), "t")
     return (
-        tf.join(F.broadcast(micro), "t")
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
             F.sum(F.col("tf") * F.col("m")).alias("lm_sum_micro"),
             F.sum("tf").alias("n_lm_tok"),
@@ -510,6 +548,33 @@ lm AS (
          CAST(sum(tf * m) AS DOUBLE) / (CAST(sum(tf) AS DOUBLE) * {LM_MICRO}) AS lm_avg_logprob
   FROM lmtf JOIN lmm USING (t) GROUP BY doc_id
 )"""
+
+
+def lm_capped_sql(min_count: int) -> str:
+    """DuckDB twin of ``lm_score(vocab_min_count=min_count)`` — the
+    same floor + single-OOV-bucket smoothing in the same exact
+    integer micro-nat arithmetic, so the capped form is cross-engine
+    differential-testable (tests/test_crafted_power.py), not just the
+    default arm the gate runs."""
+    return f"""
+WITH lmterms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+lmtf AS MATERIALIZED (SELECT doc_id, t, count(*) AS tf FROM lmterms GROUP BY 1, 2),
+lmc AS MATERIALIZED (SELECT t, sum(tf) AS c FROM lmtf GROUP BY 1),
+lmn AS (SELECT sum(c) AS n_corpus FROM lmc),
+lmm AS (
+  SELECT t, CAST(round(ln(CAST(c AS DOUBLE) / CAST(n_corpus AS DOUBLE)) * {LM_MICRO}, 0) AS BIGINT) AS m
+  FROM lmc CROSS JOIN lmn WHERE c >= {min_count}
+),
+lmoov AS (
+  SELECT CAST(round(ln(CAST(sum(c) AS DOUBLE) / CAST((SELECT n_corpus FROM lmn) AS DOUBLE)) * {LM_MICRO}, 0) AS BIGINT) AS m_oov
+  FROM lmc WHERE c < {min_count}
+)
+SELECT doc_id,
+       CAST(sum(tf * coalesce(m, (SELECT m_oov FROM lmoov))) AS BIGINT) AS lm_sum_micro,
+       CAST(sum(tf * coalesce(m, (SELECT m_oov FROM lmoov))) AS DOUBLE)
+         / (CAST(sum(tf) AS DOUBLE) * {LM_MICRO}) AS lm_avg_logprob
+FROM lmtf LEFT JOIN lmm USING (t) GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 EVAL_RATE = 0.05  # deterministic held-out "benchmark" split for the contamination arm
