@@ -1518,6 +1518,117 @@ def vacuum_merged_table(
         }
 
 
+def compact_merged_table(
+    spark,
+    target_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    lease_stale_sec: float = LEASE_STALE_SEC,
+) -> dict:
+    """Within-generation compaction for the MANIFEST flavor (r12
+    verdict #4): a touched bucket's generation inherits the writing
+    batch's parallelism — on a wide cluster a kilobyte-sized bucket can
+    land as dozens of small part files, and the per-batch
+    O(touched-bucket bytes) read cost gains a per-FILE constant (open +
+    footer) that eventually dominates.  This op rewrites every live
+    generation whose data-file count exceeds
+    ``max(1, ceil(bytes / target_file_bytes))`` down to that count
+    (``coalesce`` — a file merge, no shuffle) as a fresh generation,
+    then flips ALL compacted buckets in ONE manifest commit — the same
+    atomic crash contract as a merge: pre-compaction until the rename
+    lands, post- after; a crash strands only unreferenced generations
+    (vacuum fodder).  State is byte-unchanged by construction (read →
+    coalesce → write, no projection).  Holds the writer lease, so a
+    concurrent merge and a compaction refuse each other.
+
+    One small Spark job per fat bucket (bounded by the touched set —
+    this is a maintenance-window op like vacuum/rebucket; run it on the
+    same cadence).  Other flavors: the rename-bucketed layout rewrites
+    each touched bucket wholesale at every swap, so its file count
+    tracks the LAST batch's parallelism (compact by ``rebucket`` to the
+    same count if needed); the plain flavor rewrites the whole table
+    per merge and self-compacts.  Raises on both (nothing
+    generation-shaped to compact).
+
+    Returns ``{"engine", "seq", "compacted_buckets", "files_before",
+    "files_after"}`` (seq unchanged and empty list when every
+    generation already fits)."""
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tgt = target_path.rstrip("/")
+    tmp = tgt + ".__tmp"
+    prefix = BUCKET_COL + "="
+    with _writer_lease(fs, jvm_path, tgt, lease_stale_sec):
+        man = _read_manifest(spark, fs, jvm_path, tgt)
+        if man is None:
+            raise ValueError(
+                f"compact_merged_table: {tgt} is not a manifest-commit "
+                "target — the rename flavor rewrites touched buckets "
+                "wholesale at every swap (rebucket to the same count to "
+                "compact), the plain flavor self-compacts per merge"
+            )
+        seq, _, m = man
+        live = dict(m["buckets"])
+        todo = []  # (bucket, gen_dir_path, n_target, n_files)
+        files_before = files_after = 0
+        for b, g in sorted(live.items(), key=lambda kv: int(kv[0])):
+            gdir = f"{tgt}/{prefix}{b}/{GEN_COL}={g}"
+            sizes = [
+                st.getLen()
+                for st in fs.listStatus(jvm_path(gdir))
+                if not st.getPath().getName().startswith(("_", "."))
+            ]
+            n_target = max(1, math.ceil(sum(sizes) / float(target_file_bytes)))
+            files_before += len(sizes)
+            if len(sizes) > n_target:
+                todo.append((b, gdir, n_target))
+            else:
+                files_after += len(sizes)
+        if not todo:
+            return {
+                "engine": "parquet-manifest", "seq": seq,
+                "compacted_buckets": [], "files_before": files_before,
+                "files_after": files_before,
+            }
+        gen = _new_gen()
+        new_live = dict(live)
+        for b, gdir, n_target in todo:
+            # a direct leaf read (no basePath) yields data columns only
+            # — no partition-column inference, so the rewrite is
+            # byte-faithful to the generation's own schema
+            fs.delete(jvm_path(tmp), True)
+            spark.read.parquet(gdir).coalesce(n_target).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            dest = jvm_path(f"{tgt}/{prefix}{b}/{GEN_COL}={gen}")
+            if not fs.rename(jvm_path(tmp), dest):
+                raise IOError(
+                    f"compact_merged_table: could not stage {tgt}/{prefix}{b}"
+                )
+            new_live[str(b)] = gen
+            files_after += sum(
+                1
+                for st in fs.listStatus(dest)
+                if not st.getPath().getName().startswith(("_", "."))
+            )
+        _commit_manifest(
+            fs, jvm_path, tgt, seq + 1, gen,
+            {
+                "num_buckets": int(m["num_buckets"]), "keys": list(m["keys"]),
+                "key_types": dict(m["key_types"]),
+                **({"columns": m["columns"]} if "columns" in m else {}),
+                "buckets": new_live, "seq": seq + 1, "gen": gen,
+            },
+        )
+        fs.delete(jvm_path(tmp), True)
+        return {
+            "engine": "parquet-manifest", "seq": seq + 1,
+            "compacted_buckets": [b for b, _, _ in todo],
+            "files_before": files_before, "files_after": files_after,
+        }
+
+
 def rebucket(
     spark,
     target_path: str,

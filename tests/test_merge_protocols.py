@@ -594,6 +594,107 @@ def test_snapshot_after_vacuum_raises_loudly(spark, tmp_path):
             read_merged_table(spark, target, as_of_seq=2).collect()} == {"k1": "b"}
 
 
+def test_compact_merged_table(spark, tmp_path):
+    """r13 (r12 verdict #4): a generation inherits the writing batch's
+    parallelism — compacting fat-file-count generations under the lease
+    via the normal commit path must shrink file counts, keep state
+    byte-identical, advance seq once, and leave the old generations as
+    vacuum fodder."""
+    from lens_sds_batch_spark.plans.merge import compact_merged_table
+
+    target = str(tmp_path / "t")
+    rows = [(f"k{i}", 1, "v" * 30, False) for i in range(400)]
+    # the writing batch's parallelism fans each bucket's generation
+    # into many small part files — exactly the shape compaction fixes;
+    # AQE's partition coalescing would undo the craft at toy size, so
+    # pin it off for the write (real clusters produce this shape from
+    # genuine width, not from a conf)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, None)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        _merge(spark, target, rows, num_buckets=2, protocol="manifest")
+    finally:
+        spark.conf.set(coalesce_key, prev if prev is not None else "true")
+    before_state = _state(spark, target)
+    gens0 = _gens(target)
+    n_files0 = sum(
+        len([f for f in os.listdir(os.path.join(target, b, g))
+             if not f.startswith(("_", "."))])
+        for b, gs in gens0.items() for g in gs
+    )
+    assert n_files0 > 2, "craft requires multi-file generations"
+
+    res = compact_merged_table(spark, target, target_file_bytes=1 << 30)
+    assert res["engine"] == "parquet-manifest"
+    assert sorted(res["compacted_buckets"]) == ["0", "1"]
+    assert res["files_before"] == n_files0 and res["files_after"] == 2
+    assert _state(spark, target) == before_state  # state byte-identical
+
+    # one file per live generation now
+    from lens_sds_batch_spark.plans.merge import read_merged_table as _r
+    for b in ("__bucket=0", "__bucket=1"):
+        live_gens = _gens(target)[b]
+        assert len(live_gens) == 2  # old gen (vacuum fodder) + compacted
+    vac = vacuum_merged_table(spark, target, grace_sec=0.0)
+    assert vac["gens_deleted"] == 2  # the two superseded fat generations
+    assert _state(spark, target) == before_state
+
+    # idempotent no-op once compacted: no new commit, empty bucket list
+    res2 = compact_merged_table(spark, target, target_file_bytes=1 << 30)
+    assert res2["compacted_buckets"] == [] and res2["seq"] == res["seq"]
+    assert res2["files_before"] == res2["files_after"] == 2
+
+    # post-compaction merges keep working (protocol unchanged)
+    _merge(spark, target, [("k1", 2, "upd", False)])
+    assert _state(spark, target)["k1"] == (2, "upd")
+
+    # other flavors refuse — nothing generation-shaped to compact
+    t2 = str(tmp_path / "ren")
+    _merge(spark, t2, rows[:10], num_buckets=2)
+    with pytest.raises(ValueError, match="not a manifest-commit target"):
+        compact_merged_table(spark, t2)
+
+
+def test_compact_respects_target_file_bytes(spark, tmp_path):
+    """A target size smaller than the bucket's bytes must leave MORE
+    than one file (ceil(bytes/target)) — compaction is sized, not
+    blind single-file squashing."""
+    from lens_sds_batch_spark.plans.merge import compact_merged_table
+
+    target = str(tmp_path / "t")
+    rows = [(f"k{i}", 1, "v" * 200, False) for i in range(2000)]
+    _merge(spark, target, rows, num_buckets=1, protocol="manifest")
+    before_state = _state(spark, target)
+    gdir_parent = os.path.join(target, "__bucket=0")
+    gen0 = os.listdir(gdir_parent)[0]
+    nbytes = sum(
+        os.path.getsize(os.path.join(gdir_parent, gen0, f))
+        for f in os.listdir(os.path.join(gdir_parent, gen0))
+        if not f.startswith(("_", "."))
+    )
+    res = compact_merged_table(spark, target, target_file_bytes=nbytes // 3 + 1)
+    if res["compacted_buckets"]:  # only when the gen was fatter than 3 files
+        assert 1 < res["files_after"] <= 4
+    assert _state(spark, target) == before_state
+
+
+def test_compact_takes_the_writer_lease(spark, tmp_path):
+    from lens_sds_batch_spark.plans.merge import compact_merged_table
+
+    target = str(tmp_path / "t")
+    _merge(spark, target, [("k1", 1, "a", False)],
+           num_buckets=2, protocol="manifest")
+    lease = target + ".__lease"
+    with open(lease, "w") as f:
+        f.write("{}")
+    try:
+        with pytest.raises(IOError, match="another writer holds the lease"):
+            compact_merged_table(spark, target)
+    finally:
+        os.remove(lease)
+
+
 def test_maybe_rebucket_detect_then_migrate(spark, tmp_path):
     """The detect→migrate composition: no-op (no Spark job) when the
     layout fits, full rebucket to the suggested count when it doesn't,
