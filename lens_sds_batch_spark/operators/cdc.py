@@ -708,7 +708,11 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise
     r2 = m(b2)
     ev2 = evolve(spark, target, widen={"priority": "bigint"})
-    if (ev2["widened"], ev2["rewritten"]) != ({"priority": "bigint"}, True):
+    # empty-input totality: a widen on a table with no live buckets is
+    # correctly METADATA-ONLY (nothing to rewrite); with any rows
+    # merged, the full rewrite pass must have run
+    has_rows = any((r.get("touched_rows") or 0) > 0 for r in (r1, r2))
+    if (ev2["widened"], ev2["rewritten"]) != ({"priority": "bigint"}, has_rows):
         raise AssertionError(f"unexpected widen evolution: {ev2}")
     r3 = m(b3)
     engines = [r["engine"] for r in (r1, r2, r3)]
