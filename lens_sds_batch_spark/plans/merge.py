@@ -1518,6 +1518,51 @@ def vacuum_merged_table(
         }
 
 
+def maintain_merged_table(
+    spark,
+    target_path: str,
+    target_bucket_bytes: int = 256 * 1024 * 1024,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    grace_sec: float = 3600.0,
+    lease_stale_sec: float = LEASE_STALE_SEC,
+) -> dict:
+    """ONE maintenance-window entry point for a manifest merge target
+    (r13): run the detect→migrate rebucket composition
+    (:func:`maybe_rebucket`), then within-generation compaction
+    (:func:`compact_merged_table`), then GC
+    (:func:`vacuum_merged_table`) — the order matters: a rebucket
+    rewrites every generation (so compacting first would be wasted
+    work), compaction stages what vacuum then trims the strands of.
+    Each step takes the writer lease itself, so a concurrent merge
+    refuses each phase individually rather than blocking for the whole
+    window; when the layout fits and the files are sized, the whole
+    call costs a few filesystem listings and no Spark job.  Returns
+    ``{"rebucket": ..., "compact": ..., "vacuum": ...}`` (the three
+    steps' own result dicts).  Rename-flavor targets get the rebucket
+    advisor only (their per-swap rewrite self-compacts and self-GCs) —
+    compact/vacuum report ``None`` there."""
+    out: dict = {
+        "rebucket": maybe_rebucket(
+            spark, target_path, target_bucket_bytes,
+            lease_stale_sec=lease_stale_sec,
+        ),
+        "compact": None,
+        "vacuum": None,
+    }
+    try:
+        out["compact"] = compact_merged_table(
+            spark, target_path, target_file_bytes,
+            lease_stale_sec=lease_stale_sec,
+        )
+        out["vacuum"] = vacuum_merged_table(
+            spark, target_path, grace_sec, lease_stale_sec=lease_stale_sec
+        )
+    except ValueError as e:
+        if "not a manifest-commit target" not in str(e):
+            raise
+    return out
+
+
 def compact_merged_table(
     spark,
     target_path: str,

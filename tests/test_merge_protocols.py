@@ -679,6 +679,47 @@ def test_compact_respects_target_file_bytes(spark, tmp_path):
     assert _state(spark, target) == before_state
 
 
+def test_maintain_merged_table_composition(spark, tmp_path):
+    """r13: the one-call maintenance window — advisor-gated rebucket,
+    sized compaction, then vacuum; state unchanged throughout; a
+    fitting+sized+clean manifest table costs no Spark job (all three
+    steps report no-ops); rename-flavor targets get the advisor only."""
+    from lens_sds_batch_spark.plans.merge import maintain_merged_table
+
+    target = str(tmp_path / "t")
+    _merge(spark, target, [(f"k{i}", 1, "v" * 30, False) for i in range(200)],
+           num_buckets=2, protocol="manifest")
+    _merge(spark, target, [("k1", 2, "upd", False)])  # supersede a gen
+    before = _state(spark, target)
+    res = maintain_merged_table(
+        spark, target, target_bucket_bytes=1 << 40,  # layout "fits"
+        target_file_bytes=1 << 30, grace_sec=0.0,
+    )
+    assert res["rebucket"]["rebucketed"] in (False, True)
+    assert res["compact"]["engine"] == "parquet-manifest"
+    assert res["vacuum"]["gens_deleted"] >= 1  # the superseded gen
+    assert _state(spark, target) == before
+
+    # idempotent second pass: everything reports a no-op
+    res2 = maintain_merged_table(
+        spark, target, target_bucket_bytes=1 << 40,
+        target_file_bytes=1 << 30, grace_sec=0.0,
+    )
+    assert res2["rebucket"]["rebucketed"] is False
+    assert res2["compact"]["compacted_buckets"] == []
+    assert res2["vacuum"] == {"gens_deleted": 0, "manifests_deleted": 0}
+    assert _state(spark, target) == before
+
+    # rename flavor: advisor only (N=1 already fits any size — no
+    # migration), compact/vacuum None
+    t2 = str(tmp_path / "ren")
+    _merge(spark, t2, [("k1", 1, "a", False)], num_buckets=1)
+    r3 = maintain_merged_table(spark, t2, target_bucket_bytes=1 << 40)
+    assert r3["rebucket"]["rebucketed"] is False
+    assert r3["compact"] is None and r3["vacuum"] is None
+    assert _state(spark, t2) == {"k1": (1, "a")}
+
+
 def test_compact_takes_the_writer_lease(spark, tmp_path):
     from lens_sds_batch_spark.plans.merge import compact_merged_table
 
@@ -1006,6 +1047,144 @@ def test_rebucket_during_live_traffic(spark, tmp_path):
     assert suggest_num_buckets(spark, target, target_bucket_bytes=1 << 40)[
         "num_buckets"
     ] == 8
+    expected = {"seed": (0, "s")}
+    expected.update({f"k{j}": (6, "W5") for j in range(12)})
+    assert _state(spark, target) == expected
+
+
+def test_evolve_during_live_traffic(spark, tmp_path):
+    """r13 stress: the schema-cutover deploy scenario — an evolution
+    thread adds a column WHILE a writer thread streams batches.  The
+    writer retries on the lease AND, on the drift refusal the add
+    creates for its old-shape batches, cuts over to the v2 batch shape
+    (exactly what a deploy does).  Safety: every batch lands exactly
+    once, the final winner's site value matches whichever shape batch
+    6 actually used, and no row is lost across the cutover."""
+    import threading
+    import time as _time
+
+    from lens_sds_batch_spark.plans.merge import evolve_schema
+
+    target = str(tmp_path / "t")
+    _merge(spark, target, [("seed", 0, "s", False)],
+           num_buckets=4, protocol="manifest")
+    errors: list = []
+    used_v2: dict = {}
+
+    def writer():
+        cut = False
+        for i in range(6):
+            for _attempt in range(400):
+                try:
+                    if cut:
+                        rows = [(f"k{j}", i + 1, f"W{i}", False, f"S{i}")
+                                for j in range(12)]
+                        merge_into(
+                            spark, target,
+                            spark.createDataFrame(rows, SCHEMA + ", site string"),
+                            keys=["k"], order_cols=["pri"],
+                            is_delete=F.col("dead"),
+                        )
+                    else:
+                        _merge(spark, target,
+                               [(f"k{j}", i + 1, f"W{i}", False)
+                                for j in range(12)])
+                    used_v2[i] = cut
+                    break
+                except IOError as e:
+                    if "lease" not in str(e):
+                        errors.append(("writer", repr(e)))
+                        return
+                    _time.sleep(0.05)
+                except ValueError as e:
+                    if "evolve_schema" in str(e) and not cut:
+                        cut = True  # schema cutover: rebuild batch as v2
+                    else:
+                        errors.append(("writer", repr(e)))
+                        return
+            else:
+                errors.append(("writer", "retries exhausted"))
+                return
+
+    def evolver():
+        _time.sleep(0.3)  # land mid-stream
+        for _attempt in range(400):
+            try:
+                evolve_schema(spark, target, add={"site": "string"})
+                return
+            except IOError as e:
+                if "lease" not in str(e):
+                    errors.append(("evolve", repr(e)))
+                    return
+                _time.sleep(0.05)
+        errors.append(("evolve", "retries exhausted"))
+
+    threads = [threading.Thread(target=writer), threading.Thread(target=evolver)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert not any(t.is_alive() for t in threads), "hung"
+    assert set(used_v2) == set(range(6))  # every batch landed exactly once
+
+    out = read_merged_table(spark, target)
+    got = {r["k"]: (r["pri"], r["v"], r["site"]) for r in out.collect()}
+    want_site = "S5" if used_v2[5] else None
+    expected = {"seed": (0, "s", None)}
+    expected.update({f"k{j}": (6, "W5", want_site) for j in range(12)})
+    assert got == expected
+
+
+def test_maintain_during_live_traffic(spark, tmp_path):
+    """r13 stress: the maintenance window runs (advisor-gated rebucket
+    + compaction + grace-0 vacuum, each phase taking the lease itself)
+    WHILE a writer streams batches — phases and merges interleave
+    freely, every batch lands exactly once, and state equals the
+    serial LWW."""
+    import threading
+    import time as _time
+
+    from lens_sds_batch_spark.plans.merge import maintain_merged_table
+
+    target = str(tmp_path / "t")
+    _merge(spark, target, [("seed", 0, "s", False)],
+           num_buckets=4, protocol="manifest")
+    errors: list = []
+
+    def with_lease_retry(fn, tag):
+        for _attempt in range(400):
+            try:
+                return fn()
+            except IOError as e:
+                if "lease" not in str(e):
+                    errors.append((tag, repr(e)))
+                    return None
+                _time.sleep(0.05)
+        errors.append((tag, "lease retries exhausted"))
+        return None
+
+    def writer():
+        for i in range(6):
+            rows = [(f"k{j}", i + 1, f"W{i}", False) for j in range(12)]
+            with_lease_retry(lambda r=rows: _merge(spark, target, r), "writer")
+
+    def maintainer():
+        for _round in range(2):
+            _time.sleep(0.3)
+            with_lease_retry(
+                lambda: maintain_merged_table(spark, target, grace_sec=0.0),
+                "maintain",
+            )
+
+    threads = [threading.Thread(target=writer), threading.Thread(target=maintainer)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert not any(t.is_alive() for t in threads), "hung"
+
     expected = {"seed": (0, "s")}
     expected.update({f"k{j}": (6, "W5") for j in range(12)})
     assert _state(spark, target) == expected

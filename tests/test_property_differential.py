@@ -344,3 +344,128 @@ def test_merge_into_matches_delta_semantics_model(spark, target, updates):
     mdf = read_merged_table(spark, mtgt)
     mgot = set() if mdf is None else {(r["k"], r["v"]) for r in mdf.collect()}
     assert mgot == expected
+
+
+# ---------------------------------------------------------------------------
+# r13: randomized merge+evolution lifecycle vs a Python model — the
+# schema-evolution analog of the Delta-semantics property above.  A
+# random interleaving of LWW merge batches, NULL-backed column adds,
+# and one int->bigint widen must land every flavor on the state a
+# plain dict model predicts, with pre-add rows reading typed NULLs and
+# post-widen dtypes visible in the resolver read.
+# ---------------------------------------------------------------------------
+
+_EVO_KEYS = ["k1", "k2", "k3"]
+_EVO_BATCH = st.lists(
+    st.tuples(
+        st.sampled_from(_EVO_KEYS),
+        st.integers(min_value=0, max_value=9),
+        st.sampled_from(["v1", "v2"]),
+        st.booleans(),
+    ),
+    min_size=1, max_size=4,
+    unique_by=lambda r: (r[0], r[1]),  # ties pinned elsewhere (xxhash64)
+)
+_EVO_STEP = st.one_of(
+    st.tuples(st.just("merge"), _EVO_BATCH),
+    st.tuples(st.just("add"), st.just(None)),
+    st.tuples(st.just("widen"), st.just(None)),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    flavor=st.sampled_from(["plain", "bucketed", "manifest"]),
+    first=_EVO_BATCH,
+    steps=st.lists(_EVO_STEP, min_size=1, max_size=5),
+)
+def test_merge_evolve_lifecycle_matches_model(spark, flavor, first, steps):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lens_sds_batch_spark.plans.merge import (
+        evolve_schema,
+        merge_into,
+        read_merged_table,
+    )
+
+    d = tempfile.mkdtemp(prefix="evolve_prop_")
+    tgt = d + "/state"
+    added: list[str] = []   # extra columns added so far (extra1, extra2)
+    widened = False
+    state: dict = {}        # k -> (pri, v, {extra: value})
+
+    def extras_for(k, pri):
+        # deterministic generated values for whatever columns exist NOW
+        return {c: f"{c[-1]}:{k}:{pri}" for c in added}
+
+    def model_merge(batch):
+        best: dict = {}
+        for k, pri, v, dead in batch:
+            cur = best.get(k)
+            if cur is None or pri > cur[0]:
+                best[k] = (pri, v, dead)
+        for k, (pri, v, dead) in best.items():
+            cur = state.get(k)
+            if cur is not None and pri <= cur[0]:
+                continue  # tie or older: target kept
+            if dead:
+                state.pop(k, None)
+            else:
+                state[k] = (pri, v, extras_for(k, pri))
+
+    def spark_merge(batch, **kw):
+        schema = "k string, pri {} , v string, dead boolean".format(
+            "bigint" if widened else "int"
+        ) + "".join(f", {c} string" for c in added)
+        rows = [
+            (k, pri, v, dead, *[extras_for(k, pri)[c] for c in added])
+            for k, pri, v, dead in batch
+        ]
+        merge_into(
+            spark, tgt, spark.createDataFrame(rows, schema),
+            keys=["k"], order_cols=["pri"], is_delete=F.col("dead"), **kw,
+        )
+
+    layout = (
+        {"num_buckets": 2} if flavor == "bucketed"
+        else {"num_buckets": 2, "protocol": "manifest"} if flavor == "manifest"
+        else {}
+    )
+    spark_merge(first, **layout)
+    model_merge(first)
+
+    for op, payload in steps:
+        if op == "merge":
+            spark_merge(payload)
+            model_merge(payload)
+        elif op == "add" and len(added) < 2:
+            col = f"extra{len(added) + 1}"
+            evolve_schema(spark, tgt, add={col: "string"})
+            added.append(col)  # older stored rows read NULL for it
+        elif op == "widen" and not widened:
+            evolve_schema(spark, tgt, widen={"pri": "bigint"})
+            widened = True
+
+    out = read_merged_table(spark, tgt)
+    if out is None:
+        assert state == {}
+        return
+    dtypes = dict(out.dtypes)
+    assert dtypes["pri"] == ("bigint" if widened else "int")
+    for c in added:
+        assert dtypes[c] == "string"
+    got = {
+        r["k"]: (r["pri"], r["v"], {c: r[c] for c in added})
+        for r in out.collect()
+    }
+    want = {
+        k: (pri, v, {c: ex.get(c) for c in added})
+        for k, (pri, v, ex) in state.items()
+    }
+    assert got == want

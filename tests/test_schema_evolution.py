@@ -279,3 +279,59 @@ def test_rebucket_after_metadata_add_conforms(spark, tmp_path):
 def test_no_table_plain_refuses(spark, tmp_path):
     with pytest.raises(ValueError, match="no table at"):
         evolve_schema(spark, str(tmp_path / "missing"), add={"x": "int"})
+
+
+def test_stream_restart_with_schema_evolution(spark, tmp_path):
+    """The operational shape evolution exists for: a streaming
+    foreachBatch merge sink runs at schema v1, the pipeline is stopped,
+    the target is evolved (add), and the RESTARTED pipeline reads with
+    the v2 schema — old files contribute typed NULLs for the new
+    column (parquet missing-column semantics), every replayed batch
+    passes the pin, replays stay idempotent under LWW, and the resolver
+    shows v1-era winners with NULL site and v2 winners with values."""
+    import os
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "t")
+    os.makedirs(src)
+    v1 = "k string, pri int, v string"
+    v2 = v1 + ", site string"
+
+    spark.createDataFrame(
+        [("k1", 1, "a"), ("k2", 1, "b")], v1
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_stream(schema):
+        def sink(batch_df, _epoch):
+            merge_into(
+                spark, target, batch_df, keys=["k"], order_cols=["pri"],
+                is_delete=F.lit(False),
+                num_buckets=4, protocol="manifest",
+            )
+
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(sink).start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_stream(v1)
+    evolve_schema(spark, target, add={"site": "string"})
+    # v2 files land; the restarted (checkpoint-less) stream replays the
+    # v1 files too — they read site as NULL under the v2 schema and the
+    # idempotent LWW replay converges
+    spark.createDataFrame(
+        [("k2", 2, "b2", "S1"), ("k3", 2, "c", "S2")], v2
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_stream(v2)
+
+    got = {
+        r["k"]: (r["pri"], r["v"], r["site"])
+        for r in read_merged_table(spark, target).collect()
+    }
+    assert got == {
+        "k1": (1, "a", None),
+        "k2": (2, "b2", "S1"),
+        "k3": (2, "c", "S2"),
+    }
