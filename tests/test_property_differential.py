@@ -370,6 +370,9 @@ _EVO_STEP = st.one_of(
     st.tuples(st.just("merge"), _EVO_BATCH),
     st.tuples(st.just("add"), st.just(None)),
     st.tuples(st.just("widen"), st.just(None)),
+    # maintenance is state-INVARIANT by contract — interleaving it at
+    # random points must never change what the model predicts
+    st.tuples(st.just("maintain"), st.just(None)),
 )
 
 
@@ -451,6 +454,10 @@ def test_merge_evolve_lifecycle_matches_model(spark, flavor, first, steps):
         elif op == "widen" and not widened:
             evolve_schema(spark, tgt, widen={"pri": "bigint"})
             widened = True
+        elif op == "maintain" and flavor == "manifest":
+            from lens_sds_batch_spark.plans.merge import maintain_merged_table
+
+            maintain_merged_table(spark, tgt, grace_sec=0.0)
 
     out = read_merged_table(spark, tgt)
     if out is None:
