@@ -1960,6 +1960,26 @@ def evolve_schema(
         raise ValueError(
             f"evolve_schema: columns {both} appear in both add and widen"
         )
+    # Validate + CANONICALIZE every dtype string up front (r13
+    # self-review): the metadata-only paths pin the string verbatim
+    # without ever constructing the type, so a typo'd dtype would pin
+    # silently, refuse every later batch as drifted, and crash only at
+    # the conform-read's cast; a case-variant ('String',
+    # 'DECIMAL(12,2)') would poison the pin's string-equality checks.
+    # simpleString() is exactly the form DataFrame.dtypes emits, so the
+    # canonical pin compares clean against batch dtypes.
+    from pyspark.sql.types import _parse_datatype_string
+
+    for which in (add, widen):
+        for c, t in list(which.items()):
+            try:
+                which[c] = _parse_datatype_string(t).simpleString()
+            except Exception as e:
+                raise ValueError(
+                    f"evolve_schema: invalid Spark dtype {t!r} for column "
+                    f"{c!r} ({type(e).__name__}) — use DataFrame.dtypes "
+                    "spellings, e.g. 'string', 'bigint', 'decimal(12,2)'"
+                ) from e
 
     try:
         from delta.tables import DeltaTable  # type: ignore

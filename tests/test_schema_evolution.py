@@ -281,6 +281,31 @@ def test_no_table_plain_refuses(spark, tmp_path):
         evolve_schema(spark, str(tmp_path / "missing"), add={"x": "int"})
 
 
+def test_dtype_strings_validated_and_canonicalized(spark, tmp_path):
+    """r13 self-review: the metadata-only paths pin the dtype STRING —
+    a typo'd type must refuse up front (not pin silently and crash at
+    the conform-read), and a case/spacing variant must canonicalize to
+    the DataFrame.dtypes spelling so the pin's string-equality checks
+    stay clean."""
+    target = str(tmp_path / "t")
+    _merge(spark, target, [("k1", 1, "a", False)],
+           num_buckets=4, protocol="manifest")
+    with pytest.raises(ValueError, match="invalid Spark dtype 'strng'"):
+        evolve_schema(spark, target, add={"extra": "strng"})
+    # nothing was pinned by the refusal: a conforming merge still passes
+    _merge(spark, target, [("k2", 1, "b", False)])
+
+    # case-variant dtype canonicalizes to the dtypes spelling...
+    res = evolve_schema(spark, target, add={"extra": "STRING"})
+    assert res["added"] == ["extra"]
+    # ...so a batch whose dtypes read 'string' matches the pin
+    _merge(spark, target, [("k3", 2, "c", False, "x")], schema=SCHEMA_EXT)
+    assert _rows(spark, target)["k3"] == (2, "c", "x")
+    res2 = evolve_schema(spark, target, widen={"pri": "BIGINT"})
+    assert res2["widened"] == {"pri": "bigint"}
+    assert dict(read_merged_table(spark, target).dtypes)["pri"] == "bigint"
+
+
 def test_stream_restart_with_schema_evolution(spark, tmp_path):
     """The operational shape evolution exists for: a streaming
     foreachBatch merge sink runs at schema v1, the pipeline is stopped,
