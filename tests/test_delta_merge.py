@@ -125,6 +125,13 @@ assert got_m == expect, f"manifest branch state: {got_m}"
 # the new column
 from lens_sds_batch_spark.plans.merge import evolve_schema
 
+# widen on Delta is Delta's own typeWidening feature — must refuse
+try:
+    evolve_schema(spark, tgt_delta, widen={"pri": "bigint"})
+    raise AssertionError("Delta widen did not refuse")
+except ValueError as e:
+    assert "typeWidening" in str(e), e
+
 ev2 = spark.createDataFrame(
     [("k4", 10, "u4-note", False, "hello")], schema + ", dead boolean, note string"
 )
