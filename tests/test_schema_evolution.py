@@ -227,6 +227,72 @@ def test_kill_point_metadata_add_manifest(spark, tmp_path, monkeypatch):
     assert _rows(spark, target) == {"k1": (1, "a", None)}
 
 
+def test_kill_point_widen_rename_flavor(spark, tmp_path, monkeypatch):
+    """Crash at the whole-dir swap of a rename-flavor widen: the target
+    is untouched (tmp holds the orphaned rewrite), the replayed
+    evolution's stale-tmp delete clears it, and the replay converges."""
+    target = str(tmp_path / "t")
+    _merge(spark, target, [("k1", 1, "a", False), ("k2", 2, "b", False)],
+           num_buckets=4)
+    before = _rows(spark, target)
+
+    def boom(*a, **kw):
+        raise RuntimeError("kill-point: died before the swap")
+
+    monkeypatch.setattr(merge_mod, "_swap_whole_dir", boom)
+    with pytest.raises(RuntimeError, match="kill-point"):
+        evolve_schema(spark, target, widen={"pri": "bigint"})
+    monkeypatch.undo()
+    assert _rows(spark, target) == before
+    assert dict(read_merged_table(spark, target).dtypes)["pri"] == "int"
+    evolve_schema(spark, target, widen={"pri": "bigint"})
+    assert _rows(spark, target) == before
+    assert dict(read_merged_table(spark, target).dtypes)["pri"] == "bigint"
+    _merge(spark, target, [("k1", 5, "a2", False)],
+           schema="k string, pri bigint, v string, dead boolean")
+    assert _rows(spark, target)["k1"] == (5, "a2")
+
+
+def test_kill_point_compaction_commit(spark, tmp_path, monkeypatch):
+    """Crash at the compaction's manifest commit: the table still reads
+    the pre-compaction generations, the staged compacted generations
+    are vacuum fodder, and the replayed compaction converges."""
+    from lens_sds_batch_spark.plans.merge import (
+        compact_merged_table,
+        vacuum_merged_table,
+    )
+
+    target = str(tmp_path / "t")
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, None)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        _merge(spark, target,
+               [(f"k{i}", 1, "v" * 30, False) for i in range(200)],
+               num_buckets=2, protocol="manifest")
+    finally:
+        spark.conf.set(coalesce_key, prev if prev is not None else "true")
+    before = _rows(spark, target)
+
+    real = merge_mod._commit_manifest
+    monkeypatch.setattr(
+        merge_mod, "_commit_manifest",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("kill-point")),
+    )
+    with pytest.raises(RuntimeError, match="kill-point"):
+        compact_merged_table(spark, target, target_file_bytes=1 << 30)
+    monkeypatch.setattr(merge_mod, "_commit_manifest", real)
+    assert _rows(spark, target) == before  # pre-compaction state intact
+
+    res = compact_merged_table(spark, target, target_file_bytes=1 << 30)
+    assert sorted(res["compacted_buckets"]) == ["0", "1"]
+    assert _rows(spark, target) == before
+    vac = vacuum_merged_table(spark, target, grace_sec=0.0)
+    # superseded fat gens + the kill-point strands are all collected
+    assert vac["gens_deleted"] >= 3
+    assert _rows(spark, target) == before
+
+
 def test_snapshot_preserves_pre_evolve_schema(spark, tmp_path):
     """A pre-evolve snapshot resolves through the OLD manifest and its
     OLD pin: no added column, narrow type — time travel is schema
