@@ -347,6 +347,27 @@ def test_no_table_plain_refuses(spark, tmp_path):
         evolve_schema(spark, str(tmp_path / "missing"), add={"x": "int"})
 
 
+def test_add_complex_typed_column(spark, tmp_path):
+    """Adding an array<float> column (the embedding-column shape a
+    training-data entity store actually grows): metadata-only on the
+    manifest flavor, typed-NULL backfill for pre-add rows, arrays
+    round-trip through the pin check and the resolver."""
+    target = str(tmp_path / "t")
+    _merge(spark, target, [("k1", 1, "a", False)],
+           num_buckets=4, protocol="manifest")
+    res = evolve_schema(spark, target, add={"emb": "array<float>"})
+    assert res["rewritten"] is False
+    out = read_merged_table(spark, target)
+    assert dict(out.dtypes)["emb"] == "array<float>"
+    assert out.collect()[0]["emb"] is None  # typed-NULL backfill
+    _merge(
+        spark, target, [("k2", 2, "b", False, [0.5, 1.5])],
+        schema=SCHEMA + ", emb array<float>",
+    )
+    got = {r["k"]: r["emb"] for r in read_merged_table(spark, target).collect()}
+    assert got["k1"] is None and got["k2"] == [0.5, 1.5]
+
+
 def test_dtype_strings_validated_and_canonicalized(spark, tmp_path):
     """r13 self-review: the metadata-only paths pin the dtype STRING —
     a typo'd type must refuse up front (not pin silently and crash at
