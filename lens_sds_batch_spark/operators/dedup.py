@@ -88,8 +88,38 @@ JACCARD_BUCKET_W = 2  # words per length bucket (blocking granularity)
 JACCARD_PROBE_CAP = 32
 # The probe arithmetic hard-codes 1/t as the exact rational 10/7 so
 # both engines compute bucket reach in INTEGER ops (a float ceil could
-# disagree across engines at representation boundaries) — keep in sync:
-assert abs(JACCARD_THRESHOLD - 0.7) < 1e-12, "update the 10/7 probe ratio"
+# disagree across engines at representation boundaries) — keep in sync.
+# An explicit raise, not an assert: `python -O` strips asserts and this
+# cross-engine invariant must hold in optimized runs too (r13 ADVICE).
+if abs(JACCARD_THRESHOLD - 0.7) >= 1e-12:
+    raise ValueError(
+        "JACCARD_THRESHOLD drifted from 0.7 — update the hard-coded 10/7 "
+        "probe ratio in ngram_jaccard_pairs AND its DuckDB oracle"
+    )
+
+
+def _jaccard_blocked_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, wset, nw, len_bucket) — the jaccard tier's
+    blocking view of the corpus, shared by the pairs operator and
+    ``dedup_coverage``.  Word sets are hashed to BIGINTs once per doc
+    (md5 prefix, same formula both engines): the per-pair
+    array_intersect then compares 8-byte longs instead of
+    variable-length strings — cheaper hash-set probes and a ~4x
+    narrower join payload.  A 32-bit collision inside one doc would
+    shrink its distinct set identically in both engines (same hash),
+    so the compare stays exact."""
+    word_hashes = F.array_distinct(
+        F.transform(
+            _words(F.col("text")),
+            lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10).cast("bigint"),
+        )
+    )
+    w = JACCARD_BUCKET_W
+    return (
+        docs.select("doc_id", "lang", word_hashes.alias("wset"))
+        .withColumn("nw", F.size("wset"))
+        .withColumn("len_bucket", F.expr(f"CAST(nw DIV {w} AS BIGINT)"))
+    )
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,25 +142,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and this pipeline's expensive part is a broadcast self-join with no
     shuffle boundary to reuse.  The driver's correctness compare is
     order-insensitive, so the sort bought nothing."""
-    # word sets are hashed to BIGINTs once per doc (md5 prefix, same
-    # formula both engines): the per-pair array_intersect then compares
-    # 8-byte longs instead of variable-length strings — cheaper hash-set
-    # probes and a ~4x narrower join payload.  A 32-bit collision inside
-    # one doc would shrink its distinct set identically in both engines
-    # (same hash), so the compare stays exact.
-    word_hashes = F.array_distinct(
-        F.transform(
-            _words(F.col("text")),
-            lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10).cast("bigint"),
-        )
-    )
     w = JACCARD_BUCKET_W
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", word_hashes.alias("wset"))
-        .withColumn("nw", F.size("wset"))
-        .withColumn("len_bucket", F.expr(f"CAST(nw DIV {w} AS BIGINT)"))
-    )
+    docs = _jaccard_blocked_docs(load_table(spark, sf_dir, "documents"))
     block_sizes = docs.groupBy("lang", "len_bucket").agg(F.count(F.lit(1)).alias("bn"))
     docs = docs.join(
         block_sizes.where(F.col("bn") <= JACCARD_BLOCK_CAP), ["lang", "len_bucket"]
@@ -267,20 +280,16 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs, jaccard-verified.
-
-    Scale path: signatures are a linear pass; candidate generation is a
-    self-join on (band_id, band_key) *within* buckets; buckets larger
-    than HOT_BUCKET_CAP are dropped (documented skew guard, both
-    engines); only candidates get the exact jaccard verification."""
-    docs = load_table(spark, sf_dir, "documents")
+def minhash_banded(docs: DataFrame) -> DataFrame:
+    """Pre-cap band rows (doc_id, band_id, band_key) — MINHASH_BANDS
+    rows per doc.  ONE pass over the signatures: each band row comes
+    from an explode of B (band_id, band_key) structs instead of B
+    unioned re-selects — the union form analyzed as 4 copies of the
+    whole signature subtree (exchange reuse collapses the shuffles but
+    each copy still re-runs its final aggregate), the explode is
+    computed once.  Exposed pre-cap (r14) so ``dedup_coverage`` can
+    count what the cap drops."""
     sigs = minhash_signatures(docs)
-    # ONE pass over the signatures: each band row comes from an explode
-    # of B (band_id, band_key) structs instead of B unioned re-selects —
-    # the union form analyzed as 4 copies of the whole signature subtree
-    # (exchange reuse collapses the shuffles but each copy still re-runs
-    # its final aggregate), the explode is computed once.
     band_structs = [
         F.struct(
             F.lit(b).cast("int").alias("band_id"),
@@ -290,19 +299,42 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(MINHASH_BANDS)
     ]
-    banded = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+    return sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "doc_id", "bb.band_id", "bb.band_key"
     )
-    # hot-bucket cap via a count window over the SAME (band_id, band_key)
-    # partitioning the self-join needs — one shuffle serves the cap and
-    # both join sides (the old groupBy+join form added an extra aggregate
-    # shuffle and a second full pass over banded).
+
+
+def minhash_banded_kept(docs: DataFrame) -> DataFrame:
+    """Band rows surviving the HOT_BUCKET_CAP skew guard.  The cap is a
+    count window over the SAME (band_id, band_key) partitioning the
+    candidate self-join needs — one shuffle serves the cap and both
+    join sides (the old groupBy+join form added an extra aggregate
+    shuffle and a second full pass over banded)."""
     wb = Window.partitionBy("band_id", "band_key")
-    banded = (
-        banded.withColumn("bn", F.count(F.lit(1)).over(wb))
+    return (
+        minhash_banded(docs)
+        .withColumn("bn", F.count(F.lit(1)).over(wb))
         .where(F.col("bn") <= HOT_BUCKET_CAP)
         .drop("bn")
     )
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, jaccard-verified.
+
+    Scale path: signatures are a linear pass; candidate generation is a
+    self-join on (band_id, band_key) *within* buckets; buckets larger
+    than HOT_BUCKET_CAP are dropped (documented skew guard, both
+    engines); only candidates get the exact jaccard verification."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _minhash_pairs_from_banded(minhash_banded_kept(docs), docs)
+
+
+def _minhash_pairs_from_banded(banded: DataFrame, docs: DataFrame) -> DataFrame:
+    """Candidate self-join + exact jaccard verification over a
+    (cap-filtered) band-row DataFrame — split out (r14) so the curation
+    funnel can reuse ONE checkpointed ``minhash_banded_kept`` for both
+    pair generation and its bypass telemetry."""
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -329,10 +361,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_minhash_ctes() -> str:
-    """Shared oracle CTE chain ending in near-dup ``pairs``
-    (doc_a, doc_b, jaccard) — reused by both the pairs query and the
-    connected-components clustering oracle."""
+def _duck_minhash_prefix() -> str:
+    """Oracle CTEs up to the pre-cap band rows (``sigs`` +
+    ``banded_all``) — shared by the pairs chain and the r14
+    ``dedup_coverage`` telemetry oracle."""
     mh_cols = ", ".join(
         f"min((h1 + {k} * h2) % {MINHASH_P}) AS mh{k}" for k in range(MINHASH_K)
     )
@@ -354,7 +386,14 @@ sigs AS MATERIALIZED (
   )
   GROUP BY doc_id
 ),
-banded_all AS MATERIALIZED ({band_selects}),
+banded_all AS MATERIALIZED ({band_selects})"""
+
+
+def _duck_minhash_ctes() -> str:
+    """Shared oracle CTE chain ending in near-dup ``pairs``
+    (doc_a, doc_b, jaccard) — reused by both the pairs query and the
+    connected-components clustering oracle."""
+    return _duck_minhash_prefix() + f""",
 sized AS (
   SELECT band_id, band_key FROM banded_all
   GROUP BY band_id, band_key HAVING count(*) <= {HOT_BUCKET_CAP}
@@ -537,6 +576,27 @@ SIMHASH_SQL = "WITH " + _duck_simhash_cte() + "SELECT doc_id, simhash FROM fps O
 SIMHASH_BLOCK_CAP = 100  # skew guard: drop blocks larger than this
 
 
+def _simhash_banded(fps: DataFrame) -> DataFrame:
+    """Pre-cap simhash band rows (doc_id, sh, band, bval) —
+    SIMHASH_BANDS rows per doc, band keys as MASKED values (see
+    band_mask).  Shared by the pairs query and ``dedup_coverage``."""
+    return fps.select(
+        "doc_id",
+        "sh",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.col("sh").bitwiseAND(F.lit(band_mask(k))).alias("bval"),
+                    )
+                    for k in range(SIMHASH_BANDS)
+                ]
+            )
+        ),
+    )
+
+
 def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= HAMMING_MAX, via
     BANDED LSH with a recall GUARANTEE (r11 review; the r5-r10 form was
@@ -564,21 +624,7 @@ def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     values (no shifts — engine-identical on signed BIGINTs), hamming =
     bit_count(sh_a XOR sh_b), the join payload is 8 bytes per side."""
     fps = simhash_fingerprint_ints(spark, sf_dir)
-    banded = fps.select(
-        "doc_id",
-        "sh",
-        F.inline(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.col("sh").bitwiseAND(F.lit(band_mask(k))).alias("bval"),
-                    )
-                    for k in range(SIMHASH_BANDS)
-                ]
-            )
-        ),
-    )
+    banded = _simhash_banded(fps)
     wb = Window.partitionBy("band", "bval")
     banded = (
         banded.withColumn("bn", F.count(F.lit(1)).over(wb))
@@ -873,6 +919,182 @@ QUERIES.update({"dup_pairs_pack": (dup_pairs_pack, _dup_pairs_pack_sql())})
 
 
 # ---------------------------------------------------------------------------
+# dedup_coverage: runtime cap/drop telemetry (r13 verdict #1 — the
+# no-silent-caps principle's runtime half)
+# ---------------------------------------------------------------------------
+
+
+def dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap/drop TELEMETRY for the near-dedup stack: one row per blocked
+    tier stating exactly what its skew caps dropped or deferred on this
+    corpus.  Every pair generator here bounds its work
+    (JACCARD_BLOCK_CAP / JACCARD_PROBE_CAP / HOT_BUCKET_CAP /
+    SIMHASH_BLOCK_CAP) and the caps are documented and oracle-mirrored
+    — but at 100 TB an operator additionally needs to SEE what fraction
+    of the corpus bypassed each exact tier, or a silently-hot corpus
+    reads as "fully deduped" when a third of it was never compared.
+    (The reference logs per-import metrics for the same reason:
+    src/lens/import_clinical_data.clj:316-327.)
+
+    Columns, per tier:
+
+    - blocks_total / blocks_dropped — blocking-key groups, and how many
+      exceeded the tier's cap (their members generate no pairs in this
+      tier).
+    - units_total / units_dropped — doc-block memberships (jaccard: one
+      per doc; minhash/simhash: one per doc per band) and how many sat
+      in dropped blocks.
+    - docs_deferred — docs the tier CANNOT see at all: jaccard = docs
+      in a dropped block; minhash/simhash = docs ALL of whose band
+      rows were dropped (one surviving band keeps partial recall — the
+      banded pigeonhole argument needs just one clean band).  These
+      are the docs a pipeline must route to the next-coarser tier (or
+      report as un-deduped).
+    - docs_probe_truncated — jaccard only: cap-kept docs whose
+      proportional probe reach was clipped at JACCARD_PROBE_CAP (full
+      recall only up to growth the cap covers; NULL for the banded
+      tiers, whose recall within kept blocks is exact by pigeonhole).
+
+    Aggregation-only (no pair join): the cost is the same linear
+    signature/banding passes the tiers themselves pay, so the
+    telemetry is safe to run at any scale the tiers run at."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = JACCARD_BUCKET_W
+
+    # --- jaccard tier: (lang, nw DIV w) blocks, JACCARD_BLOCK_CAP ---
+    jd = _jaccard_blocked_docs(docs).select("doc_id", "lang", "nw", "len_bucket")
+    jb = jd.groupBy("lang", "len_bucket").agg(F.count(F.lit(1)).alias("bn"))
+
+    def _block_stats(sizes: DataFrame, cap: int):
+        return sizes.agg(
+            F.count(F.lit(1)).cast("bigint").alias("blocks_total"),
+            F.sum((F.col("bn") > cap).cast("bigint")).alias("blocks_dropped"),
+            F.sum("bn").cast("bigint").alias("units_total"),
+            F.sum(F.when(F.col("bn") > cap, F.col("bn")).otherwise(0))
+            .cast("bigint").alias("units_dropped"),
+        )
+
+    reach_raw = F.expr(f"((nw * 10) DIV 7) DIV {w} - nw DIV {w}")
+    jtrunc = (
+        jd.join(jb.where(F.col("bn") <= JACCARD_BLOCK_CAP), ["lang", "len_bucket"])
+        .where(reach_raw > JACCARD_PROBE_CAP)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("docs_probe_truncated"))
+    )
+    jrow = _block_stats(jb, JACCARD_BLOCK_CAP).crossJoin(jtrunc).select(
+        F.lit("jaccard").alias("tier"),
+        "blocks_total", "blocks_dropped", "units_total", "units_dropped",
+        F.col("units_dropped").alias("docs_deferred"),
+        "docs_probe_truncated",
+    )
+
+    def _banded_row(tier: str, banded: DataFrame, keys: list, cap: int):
+        # banded is localCheckpointed by the caller: the sizes aggregate
+        # and the per-doc deferral aggregate both scan it, and without
+        # the checkpoint each branch re-runs the signature pipeline
+        sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("bn"))
+        deferred = (
+            banded.join(sizes, keys)
+            .groupBy("doc_id")
+            .agg(F.max((F.col("bn") <= cap).cast("int")).alias("k"))
+            .agg(F.sum((F.col("k") == 0).cast("bigint")).alias("docs_deferred"))
+        )
+        return _block_stats(sizes, cap).crossJoin(deferred).select(
+            F.lit(tier).alias("tier"),
+            "blocks_total", "blocks_dropped", "units_total", "units_dropped",
+            "docs_deferred",
+            F.lit(None).cast("bigint").alias("docs_probe_truncated"),
+        )
+
+    mrow = _banded_row(
+        "minhash", local_ckpt(minhash_banded(docs)),
+        ["band_id", "band_key"], HOT_BUCKET_CAP,
+    )
+    srow = _banded_row(
+        "simhash",
+        local_ckpt(_simhash_banded(simhash_fingerprint_ints(spark, sf_dir)).drop("sh")),
+        ["band", "bval"], SIMHASH_BLOCK_CAP,
+    )
+    return jrow.unionByName(mrow).unionByName(srow)
+
+
+def _duck_coverage_sql() -> str:
+    w = JACCARD_BUCKET_W
+    sim_unions = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {k} AS band,"
+        f" sh & CAST({band_mask(k)} AS BIGINT) AS bval FROM fps_int"
+        for k in range(SIMHASH_BANDS)
+    )
+    return (
+        "WITH "
+        + _duck_minhash_prefix()
+        + ","
+        + _duck_simhash_cte()
+        + f""",
+jd AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(list_transform(string_split(text, ' '),
+              w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)))) AS INTEGER) AS nw
+  FROM documents
+),
+jd2 AS MATERIALIZED (
+  SELECT doc_id, lang, nw, CAST(nw // {w} AS BIGINT) AS len_bucket FROM jd
+),
+jb AS MATERIALIZED (
+  SELECT lang, len_bucket, count(*) AS bn FROM jd2 GROUP BY 1, 2
+),
+msz AS MATERIALIZED (
+  SELECT band_id, band_key, count(*) AS bn FROM banded_all GROUP BY 1, 2
+),
+sbanded AS MATERIALIZED (
+{sim_unions}
+),
+ssz AS MATERIALIZED (
+  SELECT band, bval, count(*) AS bn FROM sbanded GROUP BY 1, 2
+)
+SELECT 'jaccard' AS tier,
+       CAST(count(*) AS BIGINT) AS blocks_total,
+       CAST(sum(CASE WHEN bn > {JACCARD_BLOCK_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS blocks_dropped,
+       CAST(sum(bn) AS BIGINT) AS units_total,
+       CAST(sum(CASE WHEN bn > {JACCARD_BLOCK_CAP} THEN bn ELSE 0 END) AS BIGINT) AS units_dropped,
+       CAST(sum(CASE WHEN bn > {JACCARD_BLOCK_CAP} THEN bn ELSE 0 END) AS BIGINT) AS docs_deferred,
+       (SELECT CAST(count(*) AS BIGINT)
+          FROM jd2 JOIN jb USING (lang, len_bucket)
+         WHERE jb.bn <= {JACCARD_BLOCK_CAP}
+           AND ((nw * 10) // 7) // {w} - nw // {w} > {JACCARD_PROBE_CAP}) AS docs_probe_truncated
+FROM jb
+UNION ALL
+SELECT 'minhash',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN bn > {HOT_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(bn) AS BIGINT),
+       CAST(sum(CASE WHEN bn > {HOT_BUCKET_CAP} THEN bn ELSE 0 END) AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT doc_id, max(CASE WHEN msz.bn <= {HOT_BUCKET_CAP} THEN 1 ELSE 0 END) AS k
+          FROM banded_all JOIN msz USING (band_id, band_key) GROUP BY doc_id
+        ) WHERE k = 0),
+       CAST(NULL AS BIGINT)
+FROM msz
+UNION ALL
+SELECT 'simhash',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN bn > {SIMHASH_BLOCK_CAP} THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(bn) AS BIGINT),
+       CAST(sum(CASE WHEN bn > {SIMHASH_BLOCK_CAP} THEN bn ELSE 0 END) AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT doc_id, max(CASE WHEN ssz.bn <= {SIMHASH_BLOCK_CAP} THEN 1 ELSE 0 END) AS k
+          FROM sbanded JOIN ssz USING (band, bval) GROUP BY doc_id
+        ) WHERE k = 0),
+       CAST(NULL AS BIGINT)
+FROM ssz
+ORDER BY tier
+"""
+    )
+
+
+QUERIES.update({"dedup_coverage": (dedup_coverage, _duck_coverage_sql())})
+
+
+# ---------------------------------------------------------------------------
 # Predicate-power probes (registry.all_probes contract: every query in
 # QUERIES needs >= 1 entry here; kind "oracle" runs over `t` = this
 # query's materialized oracle output, kind "corpus" over the raw views;
@@ -910,4 +1132,21 @@ PROBES: dict[str, tuple] = {
         "dup_pairs_pack", "oracle",
         "SELECT (SELECT count(DISTINCT kind) - 1 FROM t),"
         " (SELECT CASE WHEN min(score) < max(score) THEN 1 ELSE 0 END FROM t)"),
+    # --- dedup_coverage (r14): the drop paths must actually fire on the
+    # driver corpus for at least the banded tiers (the jaccard cap and
+    # the probe truncation bind only at larger SFs / crafted corpora —
+    # pinned by tests/test_dedup_coverage.py crafted cases)
+    "coverage minhash hot buckets dropped and docs deferred": (
+        "dedup_coverage", "oracle",
+        "SELECT (SELECT units_dropped FROM t WHERE tier='minhash'),"
+        " (SELECT docs_deferred FROM t WHERE tier='minhash')"),
+    "coverage simhash blocks dropped": (
+        "dedup_coverage", "oracle",
+        "SELECT (SELECT blocks_dropped FROM t WHERE tier='simhash'),"
+        " (SELECT units_dropped FROM t WHERE tier='simhash')"),
+    "coverage jaccard accounts for whole corpus": (
+        "dedup_coverage", "oracle",
+        "SELECT (SELECT blocks_total FROM t WHERE tier='jaccard'),"
+        " (SELECT CASE WHEN units_total = (SELECT count(*) FROM documents)"
+        "   THEN 1 ELSE 0 END FROM t WHERE tier='jaccard')"),
 }

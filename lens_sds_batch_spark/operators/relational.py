@@ -2700,6 +2700,37 @@ ORDER BY kind, key, attr
 """
 
 
+def shape_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 fold of ``reshape_pack`` + ``set_ops_pack`` (COVERAGE.md's
+    named fold candidate — both are small orders-grain shape surfaces),
+    banking a registry slot for ``dedup_coverage``.  Both constituent
+    packs stay independently callable and BYTE-UNCHANGED; this pack
+    unions them under a NULL-padded common schema (the established fold
+    discipline, cf. row_scalar_pack / agg_percentile_pack): the reshape
+    arms keep kind/key/attr/v_cnt/v_num; the set-ops arms carry their
+    custkey in key (cast to string) with a NULL attr and their
+    except-all multiplicity in v_cnt."""
+    rp = reshape_pack(spark, sf_dir)
+    so = set_ops_pack(spark, sf_dir).select(
+        "kind",
+        F.col("k1").cast("string").alias("key"),
+        _nl("string", "attr"),
+        F.col("v1").alias("v_cnt"),
+        _nl("double", "v_num"),
+    )
+    return rp.unionByName(so)
+
+
+SHAPE_OPS_SQL = f"""
+SELECT kind, key, attr, v_cnt, v_num
+FROM ({RESHAPE_PACK_SQL.strip().rstrip(';')})
+UNION ALL
+SELECT kind, CAST(k1 AS VARCHAR) AS key, CAST(NULL AS VARCHAR) AS attr,
+       v1 AS v_cnt, CAST(NULL AS DOUBLE) AS v_num
+FROM ({SET_OPS_SQL.strip().rstrip(';')})
+"""
+
+
 # Single source of truth for the pack's arm inventory: tpch_pack's union
 # below, tools/tpch_arm_attribution.py, and the arm-completeness pytest all
 # consume THIS dict, so adding an arm in one place and forgetting another is
@@ -3007,12 +3038,14 @@ QUERIES: dict[str, tuple] = {
     # agg_percentile_pack (slot banked for schema_evolution, cdc.py);
     # all arms unchanged + independently callable.
     "agg_percentile_pack": (agg_percentile_pack, AGG_PERCENTILE_SQL),
-    "set_ops_pack": (set_ops_pack, SET_OPS_SQL),
     # r12: scalar_pack + row_funcs_pack folded into row_scalar_pack
     # (slot banked for entity_state_manifest); all arms unchanged +
     # independently callable.
     "row_scalar_pack": (row_scalar_pack, ROW_SCALAR_PACK_SQL),
-    "reshape_pack": (reshape_pack, RESHAPE_PACK_SQL),
+    # r14: reshape_pack + set_ops_pack folded into shape_ops_pack
+    # (slot banked for dedup_coverage, dedup.py); all arms unchanged +
+    # independently callable.
+    "shape_ops_pack": (shape_ops_pack, SHAPE_OPS_SQL),
     "tpch_pack": (tpch_pack, TPCH_PACK_SQL),
     "time_aggs_pack": (time_aggs_pack, TIME_AGGS_SQL),
     "approx_sketches": (approx_sketches, APPROX_SKETCHES_SQL),
@@ -3164,10 +3197,11 @@ PROBES: dict[str, tuple] = {
         " (SELECT count(*) FROM t WHERE kind='cube'"
         "   AND (k1 IS NULL OR k2 IS NULL))"),
     "set_ops arms populated": (
-        "set_ops_pack", "oracle",
-        "SELECT count(DISTINCT kind) - 2, NULL FROM t"),
+        "shape_ops_pack", "oracle",
+        "SELECT count(DISTINCT kind) - 2, NULL FROM t"
+        " WHERE kind IN ('intersect', 'except', 'except_all')"),
     "except_all bag paths (partial cancel, full cancel)": (
-        "set_ops_pack", "corpus",
+        "shape_ops_pack", "corpus",
         """WITH a AS (SELECT o_custkey, count(*) AS ca FROM orders
                  WHERE o_orderstatus <> 'F' GROUP BY 1),
            b AS (SELECT o_custkey, count(*) AS cb FROM orders
@@ -3192,7 +3226,7 @@ PROBES: dict[str, tuple] = {
         "   AND p25 < p50 AND p50 < p75),"
         " (SELECT count(*) FROM t WHERE p25 IS NULL)"),
     "reshape pivots and unpivots": (
-        "reshape_pack", "oracle",
+        "shape_ops_pack", "oracle",
         "SELECT sum(CASE WHEN kind='pivot' THEN 1 ELSE 0 END),"
         " sum(CASE WHEN kind='unpivot' THEN 1 ELSE 0 END) FROM t"),
     "sliding windows overlap (events double-counted beyond 1x)": (

@@ -614,6 +614,31 @@ def _conform_to_pin(df, pinned):
     return df.select(*cols, *extras)
 
 
+def _is_empty_read(e) -> bool:
+    """True iff an AnalysisException from a parquet read means "zero
+    data files" (UNABLE_TO_INFER_SCHEMA on an existing-but-empty dir)
+    or "no such path" (PATH_NOT_FOUND) — the only two conditions this
+    storage layer treats as an empty/absent table.  Anything else
+    (incompatible column types across pre-pin generations under
+    mergeSchema, a tampered footer, …) must raise loudly per the
+    layer's refusal conventions rather than read as an empty table
+    (r13 ADVICE: the blanket catch silently reported such failures as
+    'no data')."""
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is not None:
+            try:
+                cond = fn()
+            except Exception:
+                continue
+            if cond is not None:
+                return cond in ("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND")
+    # condition-less exception (non-classified): fall back to the
+    # stable message heads of the two empty cases
+    msg = str(e)
+    return "UNABLE_TO_INFER_SCHEMA" in msg or "PATH_NOT_FOUND" in msg
+
+
 def _check_schema_pin(target_path, pinned, upd_types) -> None:
     """Refuse a batch whose value schema drifts from ``pinned`` (the
     layout's `columns` pin, or the live table schema on the plain
@@ -762,8 +787,10 @@ def _portable_merge(
     # replace the whole table with just the malformed batch.
     try:
         current = spark.read.parquet(target_path)
-    except AnalysisException:  # first batch: no target yet
-        current = None
+    except AnalysisException as e:
+        if not _is_empty_read(e):
+            raise
+        current = None  # first batch: no target yet
     if current is not None:
         # plain flavor has no layout spec — the LIVE table schema is the
         # pin (see _check_schema_pin: unionByName would catch the name
@@ -1408,12 +1435,16 @@ def read_merged_table(
             return _conform_to_pin(
                 spark.read.option("mergeSchema", "true").parquet(tgt), spec[3]
             )
-        except AnalysisException:  # spec'd but zero data files
-            return None
+        except AnalysisException as e:
+            if _is_empty_read(e):  # spec'd but zero data files
+                return None
+            raise
     try:
         return spark.read.parquet(tgt)
-    except AnalysisException:
-        return None
+    except AnalysisException as e:
+        if _is_empty_read(e):  # no table at this path
+            return None
+        raise
 
 
 def list_snapshots(spark, target_path: str) -> list[dict]:
@@ -1549,7 +1580,15 @@ def maintain_merged_table(
         "compact": None,
         "vacuum": None,
     }
-    try:
+    # Probe the flavor EXPLICITLY rather than string-matching the
+    # downstream refusal message (r13 ADVICE: a reworded error would
+    # silently flip rename-flavor targets from skip to propagate).
+    # Re-probe AFTER the rebucket step — a maybe_rebucket migration
+    # preserves the flavor, but the probe is one manifest listing and
+    # keeps this dispatch independent of that invariant.
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if _read_manifest(spark, fs, jvm_path, target_path.rstrip("/")) is not None:
         out["compact"] = compact_merged_table(
             spark, target_path, target_file_bytes,
             lease_stale_sec=lease_stale_sec,
@@ -1557,9 +1596,6 @@ def maintain_merged_table(
         out["vacuum"] = vacuum_merged_table(
             spark, target_path, grace_sec, lease_stale_sec=lease_stale_sec
         )
-    except ValueError as e:
-        if "not a manifest-commit target" not in str(e):
-            raise
     return out
 
 
@@ -1771,7 +1807,9 @@ def rebucket(
         _recover_buckets(fs, jvm_path, tgt)
         try:
             cur = spark.read.option("mergeSchema", "true").parquet(tgt)
-        except AnalysisException:
+        except AnalysisException as e:
+            if not _is_empty_read(e):
+                raise
             # spec'd but zero data files (all keys deleted): the layout
             # move is pure metadata — rewrite the spec in place
             _write_bucket_spec(
@@ -1823,6 +1861,15 @@ def _is_widening(src: str, dst: str) -> bool:
         if src in _INT_DIGITS:
             return p2 - s2 >= _INT_DIGITS[src]
     return False
+
+
+def _quote_ident(ident: str) -> str:
+    """Backtick-quote a SQL identifier (or a delta.`path`) with embedded
+    backticks doubled — the one escape Spark SQL honors inside backtick
+    quoting.  Without it a column or path containing a backtick would
+    break out of the ALTER TABLE statement the Delta delegation
+    assembles (r13 ADVICE)."""
+    return "`" + ident.replace("`", "``") + "`"
 
 
 def _validate_evolution(target_path, pinned, keys, add, widen) -> None:
@@ -1916,8 +1963,14 @@ def evolve_schema(
       commit but never silent).  On the PLAIN flavor there is no pin
       file, so the add is a full rewrite under the whole-dir swap.
     - ``widen={col: dtype}`` — lossless type widening (see
-      :func:`_is_widening`; key columns are refused — xxhash64 is
-      type-sensitive and a key-type change would re-route every bucket).
+      :func:`_is_widening`; on the BUCKETED flavors key columns are
+      refused — xxhash64 is type-sensitive and a key-type change would
+      re-route every bucket.  The PLAIN flavor stores no key list and
+      has no hash routing, so key widening is permitted there: the
+      merge keys are whatever the caller passes per-merge, and a
+      widened key still equi-joins losslessly.  This asymmetry is
+      deliberate — documented here rather than refused, because the
+      plain layout cannot know which columns are keys).
       Always a full-cost rewrite pass under the layout's own commit
       protocol (rebucket-style): fresh all-bucket generation + one
       manifest commit, or tmp-write + whole-dir swap.  A crash at any
@@ -1995,8 +2048,20 @@ def evolve_schema(
                 "COLUMN ... TYPE) — use it directly; this op only manages "
                 "the portable layouts' pins"
             )
-        cols = ", ".join(f"`{c}` {t}" for c, t in add.items())
-        spark.sql(f"ALTER TABLE delta.`{target_path}` ADD COLUMNS ({cols})")
+        # Same refusal set as the portable flavors BEFORE delegating
+        # (r13 ADVICE): Delta refuses duplicate adds itself, but the
+        # reserved merge-protocol names (__bucket, __del, ...) would
+        # pass straight through and poison every later merge_into.
+        _validate_evolution(
+            target_path,
+            dict(spark.read.format("delta").load(target_path).dtypes),
+            None, add, {},
+        )
+        cols = ", ".join(f"{_quote_ident(c)} {t}" for c, t in add.items())
+        spark.sql(
+            f"ALTER TABLE delta.{_quote_ident(target_path)} "
+            f"ADD COLUMNS ({cols})"
+        )
         return {
             "engine": "delta", "added": sorted(add), "widened": {},
             "rewritten": False,
@@ -2099,8 +2164,9 @@ def evolve_schema(
             cur = None
             try:
                 cur = spark.read.option("mergeSchema", "true").parquet(tgt)
-            except AnalysisException:  # spec'd but zero data files
-                pass
+            except AnalysisException as e:
+                if not _is_empty_read(e):
+                    raise  # spec'd but zero data files is the only pass
             if pinned is None:
                 if cur is None:
                     raise ValueError(
@@ -2148,7 +2214,9 @@ def evolve_schema(
         # listing-order-dependently)
         try:
             cur = spark.read.parquet(tgt)
-        except AnalysisException:
+        except AnalysisException as e:
+            if not _is_empty_read(e):
+                raise
             raise ValueError(
                 f"evolve_schema: no table at {tgt} — the first merge "
                 "materializes the schema; evolution applies to existing "

@@ -187,6 +187,8 @@ def test_pack_arms_individually_importable(spark):
             "events_sliding", "cohort_retention",
             # r13 fold: both former registry packs stay callable arms
             "agg_multi_pack", "percentile_pack",
+            # r14 fold: both former registry packs stay callable arms
+            "reshape_pack", "set_ops_pack",
         ],
         # r6 folds: dedup_basic_pack + knn_pack + textstats_pack arms
         # stay independently callable

@@ -1,0 +1,122 @@
+"""Crafted-corpus pins for ``dedup_coverage`` (r14, VERDICT r13 #1 —
+the no-silent-caps principle's runtime half).
+
+The synthetic driver corpus exercises the minhash/simhash drop paths at
+sf0.01 but leaves the jaccard block cap and the probe-reach truncation
+at zero (the caps bind only at larger SFs / longer docs) — this corpus
+makes every cap bind with hand-derivable counts:
+
+- 201 same-word-count unique-word docs  → one (en, nw DIV 2) block one
+  over JACCARD_BLOCK_CAP=200: dropped, all 201 docs deferred.
+- 1 doc of 400 distinct words in its own (kept) block → proportional
+  probe reach = ((400*10) DIV 7) DIV 2 - 400 DIV 2 = 85 buckets, far
+  past JACCARD_PROBE_CAP=32: exactly one truncated doc.
+- 101 byte-identical docs → identical minhash signatures AND identical
+  simhash fingerprints, so all four band buckets hold 101 members —
+  over HOT_BUCKET_CAP=50 and SIMHASH_BLOCK_CAP=100: every band row
+  dropped, so all 101 docs are fully DEFERRED in both banded tiers.
+
+Each tier's counts are asserted against the hand computation and the
+whole result against the DuckDB twin (the same compare class the
+driver gate runs).
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from lens_sds_batch_spark.operators.dedup import (
+    HOT_BUCKET_CAP,
+    JACCARD_BLOCK_CAP,
+    JACCARD_PROBE_CAP,
+    SIMHASH_BLOCK_CAP,
+    _duck_coverage_sql,
+    dedup_coverage,
+)
+
+N_BLOCK = JACCARD_BLOCK_CAP + 1  # 201: one over the jaccard cap
+N_DUP = SIMHASH_BLOCK_CAP + 1  # 101: over both banded caps
+LONG_WORDS = 400  # reach 85 > JACCARD_PROBE_CAP
+
+
+def _write_crafted(spark, tmp_path) -> str:
+    rows = []
+    for i in range(N_BLOCK):  # doc_ids 1..201, nw=10 each, unique words
+        text = " ".join(f"a{i:03d}x{j}" for j in range(10))
+        rows.append((i + 1, text, "en", "crafted", len(text)))
+    long_text = " ".join(f"L{j:04d}" for j in range(LONG_WORDS))
+    rows.append((300, long_text, "en", "crafted", len(long_text)))
+    dup_text = "c0 c1 c2 c3 c4"
+    for i in range(N_DUP):  # doc_ids 400..500, byte-identical
+        rows.append((400 + i, dup_text, "en", "crafted", len(dup_text)))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+def test_coverage_counts_every_cap_binding(spark, tmp_path):
+    sf_dir = _write_crafted(spark, tmp_path)
+    cov = {r["tier"]: r.asDict() for r in dedup_coverage(spark, sf_dir).collect()}
+    assert set(cov) == {"jaccard", "minhash", "simhash"}
+    n_docs = N_BLOCK + 1 + N_DUP
+
+    # --- jaccard: blocks are (en, 5)x201 [dropped], (en, 200)x1,
+    # (en, 2)x101 [both kept]; only the long doc's reach is clipped ---
+    j = cov["jaccard"]
+    assert j["blocks_total"] == 3
+    assert j["blocks_dropped"] == 1
+    assert j["units_total"] == n_docs
+    assert j["units_dropped"] == N_BLOCK
+    assert j["docs_deferred"] == N_BLOCK
+    assert ((LONG_WORDS * 10) // 7) // 2 - LONG_WORDS // 2 > JACCARD_PROBE_CAP
+    assert j["docs_probe_truncated"] == 1
+
+    # --- minhash: the 101 identical docs share all 4 band buckets
+    # (101 > HOT_BUCKET_CAP) — every other doc's buckets are singletons ---
+    m = cov["minhash"]
+    assert m["units_total"] == 4 * n_docs
+    assert m["blocks_dropped"] == 4
+    assert m["units_dropped"] == 4 * N_DUP
+    assert m["docs_deferred"] == N_DUP
+    assert m["docs_probe_truncated"] is None
+
+    # --- simhash: same 4 hot buckets one over SIMHASH_BLOCK_CAP; band
+    # values are 16-bit masks, so unrelated docs MAY collide into other
+    # buckets — the identical-doc buckets are dropped regardless ---
+    s = cov["simhash"]
+    assert s["units_total"] == 4 * n_docs
+    assert s["blocks_dropped"] >= 4
+    assert s["units_dropped"] >= 4 * N_DUP
+    assert s["docs_deferred"] >= N_DUP
+    assert s["docs_probe_truncated"] is None
+
+    # sanity: a 50-member bucket (== cap) would be KEPT — the bound is
+    # strict-greater, mirrored in both engines
+    assert HOT_BUCKET_CAP < N_DUP <= 2 * HOT_BUCKET_CAP + 1
+
+
+def test_coverage_matches_duckdb_twin_on_crafted(spark, tmp_path):
+    """Cross-engine: the exact rows (including the binding-cap counts
+    the driver corpus never produces) hash-match the oracle."""
+    sf_dir = _write_crafted(spark, tmp_path)
+    got = {
+        r["tier"]: tuple(
+            r[c]
+            for c in (
+                "blocks_total", "blocks_dropped", "units_total",
+                "units_dropped", "docs_deferred", "docs_probe_truncated",
+            )
+        )
+        for r in dedup_coverage(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(  # Spark writes a directory of part files — glob it
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    want = {
+        row[0]: tuple(row[1:]) for row in con.execute(_duck_coverage_sql()).fetchall()
+    }
+    con.close()
+    assert got == want
