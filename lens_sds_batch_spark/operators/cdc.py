@@ -526,10 +526,10 @@ def entity_state_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the store the commands mutate must never half-apply a batch — the
     manifest protocol's whole point)."""
     from ..plans.merge import (
+        maintain_merged_table,
         merge_into,
         read_merged_table,
         rebucket,
-        vacuum_merged_table,
     )
 
     target = _merge_scratch_target("entity_state_manifest", sf_dir)
@@ -572,9 +572,22 @@ def entity_state_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise AssertionError(f"unexpected rebucket result: {reb}")
     if engines != ["parquet-manifest"] * 3:
         raise AssertionError(f"unexpected merge engines: {engines}")
-    # GC every superseded generation NOW (grace 0): the hash below then
-    # also pins that vacuum never collects live state
-    vacuum_merged_table(spark, target, grace_sec=0.0)
+    # r14 (VERDICT r13 #4): close the lifecycle with the ONE-CALL
+    # maintenance window — advisor-gated rebucket, sized compaction,
+    # grace-0 vacuum, in that order — so the hash below pins that the
+    # whole window is state-invariant, not just the vacuum step.  On
+    # this deliberately tiny table the advisor ALWAYS recommends (live
+    # bytes << 256 MB target → suggested 1 vs current 8, past the 2x
+    # hysteresis), so the window's rebucket phase provably executes.
+    maint = maintain_merged_table(spark, target, grace_sec=0.0)
+    if not maint["rebucket"]["rebucketed"]:
+        raise AssertionError(
+            f"maintenance window did not rebucket (vacuous gate): {maint}"
+        )
+    if maint["compact"] is None or maint["vacuum"] is None:
+        raise AssertionError(
+            f"maintenance window skipped a manifest phase: {maint}"
+        )
     out = read_merged_table(spark, target)
     if out is None:  # empty-input totality: the all-deleted/never-written state
         out = spark.createDataFrame(

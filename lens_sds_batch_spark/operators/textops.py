@@ -550,14 +550,19 @@ lm AS (
 )"""
 
 
-def lm_capped_sql(min_count: int) -> str:
-    """DuckDB twin of ``lm_score(vocab_min_count=min_count)`` — the
-    same floor + single-OOV-bucket smoothing in the same exact
-    integer micro-nat arithmetic, so the capped form is cross-engine
-    differential-testable (tests/test_crafted_power.py), not just the
-    default arm the gate runs."""
+def lm_sql_ctes(min_count: int = 1) -> str:
+    """CTE chain ending in ``lm`` (doc_id, lm_sum_micro,
+    lm_avg_logprob) for either lm flavor: the default all-vocab form
+    (== LM_SQL_CTES, the gate arm) or the ``vocab_min_count`` capped
+    form (floor + single-OOV-bucket smoothing in the same exact integer
+    micro-nat arithmetic).  r14: extracted so the funnel/doc-features
+    twins can be built at ANY floor — the production 100 TB form is
+    differential-testable through its real consumers, not just
+    standalone."""
+    if min_count <= 1:
+        return LM_SQL_CTES
     return f"""
-WITH lmterms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+lmterms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
 lmtf AS MATERIALIZED (SELECT doc_id, t, count(*) AS tf FROM lmterms GROUP BY 1, 2),
 lmc AS MATERIALIZED (SELECT t, sum(tf) AS c FROM lmtf GROUP BY 1),
 lmn AS (SELECT sum(c) AS n_corpus FROM lmc),
@@ -568,13 +573,27 @@ lmm AS (
 lmoov AS (
   SELECT CAST(round(ln(CAST(sum(c) AS DOUBLE) / CAST((SELECT n_corpus FROM lmn) AS DOUBLE)) * {LM_MICRO}, 0) AS BIGINT) AS m_oov
   FROM lmc WHERE c < {min_count}
-)
-SELECT doc_id,
-       CAST(sum(tf * coalesce(m, (SELECT m_oov FROM lmoov))) AS BIGINT) AS lm_sum_micro,
-       CAST(sum(tf * coalesce(m, (SELECT m_oov FROM lmoov))) AS DOUBLE)
-         / (CAST(sum(tf) AS DOUBLE) * {LM_MICRO}) AS lm_avg_logprob
-FROM lmtf LEFT JOIN lmm USING (t) GROUP BY doc_id ORDER BY doc_id
-"""
+),
+lm AS (
+  SELECT doc_id,
+         CAST(sum(tf * coalesce(m, (SELECT m_oov FROM lmoov))) AS BIGINT) AS lm_sum_micro,
+         CAST(sum(tf * coalesce(m, (SELECT m_oov FROM lmoov))) AS DOUBLE)
+           / (CAST(sum(tf) AS DOUBLE) * {LM_MICRO}) AS lm_avg_logprob
+  FROM lmtf LEFT JOIN lmm USING (t) GROUP BY doc_id
+)"""
+
+
+def lm_capped_sql(min_count: int) -> str:
+    """DuckDB twin of ``lm_score(vocab_min_count=min_count)`` — the
+    same floor + single-OOV-bucket smoothing in the same exact
+    integer micro-nat arithmetic, so the capped form is cross-engine
+    differential-testable (tests/test_crafted_power.py), not just the
+    default arm the gate runs."""
+    return (
+        "WITH "
+        + lm_sql_ctes(min_count).strip()
+        + "\nSELECT doc_id, lm_sum_micro, lm_avg_logprob FROM lm ORDER BY doc_id"
+    )
 
 
 EVAL_RATE = 0.05  # deterministic held-out "benchmark" split for the contamination arm
@@ -845,7 +864,9 @@ subfull AS (
 )"""
 
 
-def doc_features_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_features_pack(
+    spark: SparkSession, sf_dir: str, lm_vocab_min_count: int = 1
+) -> DataFrame:
     """Per-document feature pack in one result: language-ID
     (stopword-hit argmax), content fingerprints (md5 + 64-bit prefix),
     the corpus quality-gate verdict (as a ``kept`` flag so the pack
@@ -863,7 +884,13 @@ def doc_features_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT the r5-disproven single-projection fusion (that hit codegen
     limits); the arms remain separate plans joined on doc_id, only the
     scan+tokenize is shared, and checkpointed storage is
-    ContextCleaner-released once the returned plan is dropped."""
+    ContextCleaner-released once the returned plan is dropped.
+
+    ``lm_vocab_min_count`` (r14, VERDICT r13 #3) rides through to the
+    lm arm so the pack's production 100 TB form (floor + OOV bucket,
+    O(vocab-cap) broadcast) is one parameter away; the default keeps
+    the gate arm byte-identical.  Twin: ``doc_features_sql(min_count)``
+    — differential-tested at a floor > 1 in tests/test_crafted_power.py."""
     shared = local_ckpt(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text", "lang", _tokens(F.col("text")).alias("toks"))
@@ -905,7 +932,12 @@ def doc_features_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eval_contamination(spark, sf_dir, base=shared), "doc_id")
         .join(span_dedup(spark, sf_dir, base=shared), "doc_id")
         .join(substring_dup_features(spark, sf_dir, base=shared), "doc_id")
-        .join(lm_score(spark, sf_dir, base=shared), "doc_id")
+        .join(
+            lm_score(
+                spark, sf_dir, base=shared, vocab_min_count=lm_vocab_min_count
+            ),
+            "doc_id",
+        )
     )
 
 
@@ -938,7 +970,7 @@ def _contam_ctes() -> str:
     )
 
 
-DOC_FEATURES_SQL = f"""
+_DOC_FEATURES_SQL_TMPL = f"""
 WITH lang AS ({LANG_ID_SQL.strip()}),
 fp AS ({DOC_FINGERPRINTS_SQL.strip()}),
 gate AS (
@@ -959,7 +991,7 @@ fh AS ({FEATURE_HASH_SQL.strip()}),
 {{contam_ctes}},
 {SPAN_DEDUP_SQL_CTES.strip()},
 {SUBSTR_DUP_SQL_CTES.strip()},
-{LM_SQL_CTES.strip()}
+{{lm_ctes}}
 SELECT lang.doc_id, labeled_lang, predicted_lang, label_match,
        md5_full, fp64, kept, rep_bigram_ratio,
        f0, f1, f2, f3, f4, f5, f6, f7,
@@ -979,7 +1011,16 @@ ORDER BY lang.doc_id
 """
 
 
-DOC_FEATURES_SQL = DOC_FEATURES_SQL.replace("{contam_ctes}", _contam_ctes())
+def doc_features_sql(lm_vocab_min_count: int = 1) -> str:
+    """DuckDB twin of ``doc_features_pack(lm_vocab_min_count=...)`` —
+    the lm arm's CTE chain is swapped for the capped form past floor 1
+    (r14); the default is byte-identical to the registered gate SQL."""
+    return _DOC_FEATURES_SQL_TMPL.replace(
+        "{contam_ctes}", _contam_ctes()
+    ).replace("{lm_ctes}", lm_sql_ctes(lm_vocab_min_count).strip())
+
+
+DOC_FEATURES_SQL = doc_features_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -1946,6 +1946,7 @@ def evolve_schema(
     target_path: str,
     add: dict | None = None,
     widen: dict | None = None,
+    rename: dict | None = None,
     lease_stale_sec: float = LEASE_STALE_SEC,
 ) -> dict:
     """Explicit schema evolution for a merge_into target (r12 verdict
@@ -2004,6 +2005,22 @@ def evolve_schema(
     from pyspark.sql import Observation
     from pyspark.sql.utils import AnalysisException
 
+    if rename:
+        # refused WITH the migration recipe (r13 NOTES candidate #4):
+        # a rename is a drop + add, and drops destroy data — but the
+        # lossless equivalent is expressible with the two supported
+        # primitives plus one LWW pass, so spell it out
+        recipe = "; ".join(
+            f"evolve_schema(add={{{new!r}: <dtype of {old!r}>}}), then one "
+            f"merge_into pass carrying {new!r} = {old!r} for every stored "
+            f"key (a backfill copy), then rebuild into a new target "
+            f"without {old!r} when the old column must actually go"
+            for old, new in dict(rename).items()
+        )
+        raise ValueError(
+            "evolve_schema: rename is not supported — it is a drop + add "
+            "and drops destroy data.  Lossless recipe per column: " + recipe
+        )
     add = dict(add or {})
     widen = dict(widen or {})
     if not add and not widen:

@@ -204,6 +204,63 @@ def test_curation_funnel_stage_order(spark):
     assert all(a >= b for a, b in zip(counts, counts[1:]))
 
 
+def test_funnel_runs_capped_lm_form(spark):
+    """VERDICT r13 #3: the funnel — the production-shaped consumer of
+    lm_score — must demonstrably run the 100 TB vocab-capped form.
+    Floor 1000 is the first floor that moves the sf0.001 keep/cut set
+    (every synthetic token clears lower floors): the lm_quality stage
+    keeps a DIFFERENT survivor count than the default funnel, and the
+    capped DuckDB twin agrees with the capped Spark funnel row-exact
+    (twin built by the same _curation_funnel_sql(min_count) the gate
+    uses at its default)."""
+    from lens_sds_batch_spark.operators.curation import (
+        _curation_funnel_sql,
+        curation_funnel,
+    )
+
+    from .oracle_utils import assert_match
+
+    floor = 1000
+    capped = curation_funnel(spark, SF_SMOKE, lm_vocab_min_count=floor)
+    assert_match(capped, _curation_funnel_sql(floor), SF_SMOKE)
+    s6 = {r["stage_idx"]: r["n_docs"] for r in capped.collect()}[6]
+    s6_default = {
+        r["stage_idx"]: r["n_docs"]
+        for r in curation_funnel(spark, SF_SMOKE).collect()
+    }[6]
+    assert s6 != s6_default, (
+        "floor no longer moves the cut set — re-probe the corpus and "
+        "pick a floor that does (the differential is vacuous otherwise)"
+    )
+
+
+def test_doc_features_pack_capped_lm_arm(spark):
+    """The pack's lm arm rides the same parameter: at floor 1000 the
+    lm columns change for some docs and the capped twin agrees on the
+    full 27-column row set."""
+    from lens_sds_batch_spark.operators.textops import (
+        doc_features_pack,
+        doc_features_sql,
+    )
+
+    from .oracle_utils import assert_match
+
+    floor = 1000
+    capped = doc_features_pack(spark, SF_SMOKE, lm_vocab_min_count=floor)
+    assert_match(capped, doc_features_sql(floor), SF_SMOKE)
+    got = {
+        r["doc_id"]: r["lm_sum_micro"]
+        for r in capped.select("doc_id", "lm_sum_micro").collect()
+    }
+    base = {
+        r["doc_id"]: r["lm_sum_micro"]
+        for r in doc_features_pack(spark, SF_SMOKE)
+        .select("doc_id", "lm_sum_micro")
+        .collect()
+    }
+    assert any(got[k] != base[k] for k in got), "floor changed no score"
+
+
 @pytest.mark.usefixtures("spark")
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(

@@ -138,6 +138,12 @@ def test_refusals(spark, tmp_path):
         evolve_schema(spark, target)
     with pytest.raises(ValueError, match="both add and widen"):
         evolve_schema(spark, target, add={"x": "int"}, widen={"x": "bigint"})
+    # r14: rename refuses WITH the add+backfill-copy recipe spelled out
+    # (before any other validation — even alongside a valid add)
+    with pytest.raises(ValueError, match="backfill copy"):
+        evolve_schema(spark, target, rename={"v": "value"})
+    with pytest.raises(ValueError, match="drop \\+ add"):
+        evolve_schema(spark, target, add={"x": "int"}, rename={"v": "value"})
     with pytest.raises(ValueError, match="already exist"):
         evolve_schema(spark, target, add={"v": "string"})
     with pytest.raises(ValueError, match="reserved"):
@@ -437,6 +443,93 @@ def test_stream_restart_with_schema_evolution(spark, tmp_path):
         [("k2", 2, "b2", "S1"), ("k3", 2, "c", "S2")], v2
     ).coalesce(1).write.mode("append").parquet(src)
     run_stream(v2)
+
+    got = {
+        r["k"]: (r["pri"], r["v"], r["site"])
+        for r in read_merged_table(spark, target).collect()
+    }
+    assert got == {
+        "k1": (1, "a", None),
+        "k2": (2, "b2", "S1"),
+        "k3": (2, "c", "S2"),
+    }
+
+
+def test_checkpointed_stream_restart_after_evolution(spark, tmp_path):
+    """r14 (VERDICT r13 #5), the production shape: a CHECKPOINTED
+    foreachBatch merge stream is stopped, the sink target is evolved
+    (metadata-only add) BETWEEN restarts, and the stream resumes from
+    the SAME checkpoint.  Pins, in order:
+
+    1. a restart that keeps the OLD v1 read schema is REFUSED loudly —
+       its first batch lacks the pinned new column, so merge_into's
+       drift gate raises through the query (the remediation message
+       names evolve_schema; the operational fix is exactly pin #2);
+    2. the failed batch was NOT committed to the checkpoint: the v2
+       restart replays it (offsets resume at the last committed batch,
+       not past the failure);
+    3. the v2-schema restart processes ONLY files the checkpoint has
+       not committed — the v1-era files are NOT re-read (this is what
+       distinguishes the checkpointed shape from
+       test_stream_restart_with_schema_evolution's full replay);
+    4. the final resolver state is the LWW model with typed-NULL site
+       on v1-era winners."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    v1 = "k string, pri int, v string"
+    v2 = v1 + ", site string"
+
+    def run_stream(schema, record=None, expect_fail=None):
+        def sink(batch_df, _epoch):
+            if record is not None and not batch_df.isEmpty():
+                record.append({r["k"] for r in batch_df.select("k").collect()})
+            merge_into(
+                spark, target, batch_df, keys=["k"], order_cols=["pri"],
+                is_delete=F.lit(False), num_buckets=4, protocol="manifest",
+            )
+
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(sink).start()
+        )
+        try:
+            if expect_fail is not None:
+                with pytest.raises(StreamingQueryException, match=expect_fail):
+                    q.processAllAvailable()
+            else:
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+    spark.createDataFrame(
+        [("k1", 1, "a"), ("k2", 1, "b")], v1
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_stream(v1)
+
+    evolve_schema(spark, target, add={"site": "string"})
+    spark.createDataFrame(
+        [("k2", 2, "b2", "S1"), ("k3", 2, "c", "S2")], v2
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    # pin 1: resuming with the stale v1 read schema refuses loudly —
+    # the new files' batch lacks the pinned column
+    run_stream(v1, expect_fail="drift")
+
+    # pins 2+3: the v2 restart resumes from the same checkpoint; the
+    # failed batch replays, the v1-era files do not
+    replayed: list[set] = []
+    run_stream(v2, record=replayed)
+    assert replayed, "the failed batch was not replayed after restart"
+    seen = set().union(*replayed)
+    assert "k3" in seen and "k2" in seen
+    assert "k1" not in seen, "checkpointed restart re-read committed files"
 
     got = {
         r["k"]: (r["pri"], r["v"], r["site"])
