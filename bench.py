@@ -80,10 +80,10 @@ HEADLINE = (
     "window_pack",
     # r13: agg_multi_pack + percentile_pack folded into agg_percentile_pack
     "agg_percentile_pack",
-    "set_ops_pack",
     # r12: scalar_pack + row_funcs_pack folded into row_scalar_pack
     "row_scalar_pack",
-    "reshape_pack",
+    # r14: set_ops_pack + reshape_pack folded into shape_ops_pack
+    "shape_ops_pack",
     "tpch_pack",
     "time_aggs_pack",
     "approx_sketches",
@@ -108,6 +108,9 @@ HEADLINE = (
     # manifest merge protocol under the gate (banked slot from the
     # agg_percentile_pack fold)
     "schema_evolution",
+    # added round 14: the dedup cap/drop telemetry (banked slot from the
+    # shape_ops_pack fold)
+    "dedup_coverage",
 )
 
 

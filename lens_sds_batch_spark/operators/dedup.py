@@ -926,10 +926,11 @@ QUERIES.update({"dup_pairs_pack": (dup_pairs_pack, _dup_pairs_pack_sql())})
 
 def dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cap/drop TELEMETRY for the near-dedup stack: one row per blocked
-    tier stating exactly what its skew caps dropped or deferred on this
-    corpus.  Every pair generator here bounds its work
-    (JACCARD_BLOCK_CAP / JACCARD_PROBE_CAP / HOT_BUCKET_CAP /
-    SIMHASH_BLOCK_CAP) and the caps are documented and oracle-mirrored
+    tier (jaccard / minhash / simhash / emb_cos) stating exactly what
+    its skew caps dropped or deferred on this corpus.  Every pair
+    generator bounds its work (JACCARD_BLOCK_CAP / JACCARD_PROBE_CAP /
+    HOT_BUCKET_CAP / SIMHASH_BLOCK_CAP / EMB_BUCKET_CAP) and the caps
+    are documented and oracle-mirrored
     — but at 100 TB an operator additionally needs to SEE what fraction
     of the corpus bypassed each exact tier, or a silently-hot corpus
     reads as "fully deduped" when a third of it was never compared.
@@ -944,12 +945,15 @@ def dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     - units_total / units_dropped — doc-block memberships (jaccard: one
       per doc; minhash/simhash: one per doc per band) and how many sat
       in dropped blocks.
-    - docs_deferred — docs the tier CANNOT see at all: jaccard = docs
-      in a dropped block; minhash/simhash = docs ALL of whose band
-      rows were dropped (one surviving band keeps partial recall — the
-      banded pigeonhole argument needs just one clean band).  These
-      are the docs a pipeline must route to the next-coarser tier (or
-      report as un-deduped).
+    - docs_deferred — docs the tier CANNOT see at all: jaccard/emb_cos
+      = docs/vectors in a dropped block (one block per unit); minhash/
+      simhash = docs ALL of whose band rows were dropped (one surviving
+      band keeps partial recall — the banded pigeonhole argument needs
+      just one clean band).  These are the docs a pipeline must route
+      to the next-coarser tier (or report as un-deduped).  The emb_cos
+      tier counts VALID vectors only — degenerate/ragged rows are a
+      validity exclusion upstream of the cap (similarity._valid_vecs),
+      not a cap drop.
     - docs_probe_truncated — jaccard only: cap-kept docs whose
       proportional probe reach was clipped at JACCARD_PROBE_CAP (full
       recall only up to growth the cap covers; NULL for the banded
@@ -1014,10 +1018,27 @@ def dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         local_ckpt(_simhash_banded(simhash_fingerprint_ints(spark, sf_dir)).drop("sh")),
         ["band", "bval"], SIMHASH_BLOCK_CAP,
     )
-    return jrow.unionByName(mrow).unionByName(srow)
+
+    # --- emb_cos tier: sign buckets over VALID vectors, EMB_BUCKET_CAP
+    # (embedding_dup_pairs' skew guard).  units are the VALID vectors —
+    # degenerate/ragged rows are a validity exclusion upstream of the
+    # cap (see similarity._valid_vecs), not a cap drop ---
+    from .similarity import EMB_BUCKET_CAP, _bucket, _valid_vecs
+
+    ev = _valid_vecs(spark, sf_dir).select(_bucket(F.col("v")).alias("bucket"))
+    eb = ev.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    erow = _block_stats(eb, EMB_BUCKET_CAP).select(
+        F.lit("emb_cos").alias("tier"),
+        "blocks_total", "blocks_dropped", "units_total", "units_dropped",
+        F.col("units_dropped").alias("docs_deferred"),
+        F.lit(None).cast("bigint").alias("docs_probe_truncated"),
+    )
+    return jrow.unionByName(mrow).unionByName(srow).unionByName(erow)
 
 
 def _duck_coverage_sql() -> str:
+    from .similarity import _DUCK_V, EMB_BUCKET_CAP, _duck_bucket
+
     w = JACCARD_BUCKET_W
     sim_unions = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {k} AS band,"
@@ -1050,6 +1071,12 @@ sbanded AS MATERIALIZED (
 ),
 ssz AS MATERIALIZED (
   SELECT band, bval, count(*) AS bn FROM sbanded GROUP BY 1, 2
+),
+ev AS MATERIALIZED (
+  SELECT {_duck_bucket('emb')} AS bucket FROM ({_DUCK_V})
+),
+eb AS MATERIALIZED (
+  SELECT bucket, count(*) AS bn FROM ev GROUP BY 1
 )
 SELECT 'jaccard' AS tier,
        CAST(count(*) AS BIGINT) AS blocks_total,
@@ -1086,6 +1113,15 @@ SELECT 'simhash',
         ) WHERE k = 0),
        CAST(NULL AS BIGINT)
 FROM ssz
+UNION ALL
+SELECT 'emb_cos',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN bn > {EMB_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(bn) AS BIGINT),
+       CAST(sum(CASE WHEN bn > {EMB_BUCKET_CAP} THEN bn ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN bn > {EMB_BUCKET_CAP} THEN bn ELSE 0 END) AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM eb
 ORDER BY tier
 """
     )
@@ -1149,4 +1185,8 @@ PROBES: dict[str, tuple] = {
         "SELECT (SELECT blocks_total FROM t WHERE tier='jaccard'),"
         " (SELECT CASE WHEN units_total = (SELECT count(*) FROM documents)"
         "   THEN 1 ELSE 0 END FROM t WHERE tier='jaccard')"),
+    "coverage emb tier buckets the valid-vector corpus": (
+        "dedup_coverage", "oracle",
+        "SELECT (SELECT blocks_total FROM t WHERE tier='emb_cos'),"
+        " (SELECT units_total FROM t WHERE tier='emb_cos')"),
 }

@@ -15,6 +15,10 @@ makes every cap bind with hand-derivable counts:
   simhash fingerprints, so all four band buckets hold 101 members —
   over HOT_BUCKET_CAP=50 and SIMHASH_BLOCK_CAP=100: every band row
   dropped, so all 101 docs are fully DEFERRED in both banded tiers.
+- 201 all-positive 4-dim embeddings in one sign bucket (one over
+  EMB_BUCKET_CAP=200: dropped), 2 in a second bucket, plus one ZERO
+  vector — excluded by the validity layer, so units_total counts 203,
+  not 204.
 
 Each tier's counts are asserted against the hand computation and the
 whole result against the DuckDB twin (the same compare class the
@@ -33,10 +37,12 @@ from lens_sds_batch_spark.operators.dedup import (
     _duck_coverage_sql,
     dedup_coverage,
 )
+from lens_sds_batch_spark.operators.similarity import EMB_BUCKET_CAP
 
 N_BLOCK = JACCARD_BLOCK_CAP + 1  # 201: one over the jaccard cap
 N_DUP = SIMHASH_BLOCK_CAP + 1  # 101: over both banded caps
 LONG_WORDS = 400  # reach 85 > JACCARD_PROBE_CAP
+N_EMB_HOT = EMB_BUCKET_CAP + 1  # 201: one over the sign-bucket cap
 
 
 def _write_crafted(spark, tmp_path) -> str:
@@ -53,13 +59,23 @@ def _write_crafted(spark, tmp_path) -> str:
     spark.createDataFrame(
         rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
     ).write.parquet(f"{sf_dir}/documents.parquet")
+    # embeddings: one hot all-positive sign bucket one over the cap, a
+    # small kept bucket, and one zero vector the validity layer excludes
+    evs = [
+        (i + 1, [1.0, 1.0, 1.0, float(i % 7 + 1)]) for i in range(N_EMB_HOT)
+    ]
+    evs += [(900, [-1.0, 1.0, -1.0, 1.0]), (901, [-1.0, 1.0, -1.0, 2.0])]
+    evs += [(999, [0.0, 0.0, 0.0, 0.0])]  # invalid: zero norm
+    spark.createDataFrame(
+        evs, "vec_id bigint, embedding array<float>"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
     return sf_dir
 
 
 def test_coverage_counts_every_cap_binding(spark, tmp_path):
     sf_dir = _write_crafted(spark, tmp_path)
     cov = {r["tier"]: r.asDict() for r in dedup_coverage(spark, sf_dir).collect()}
-    assert set(cov) == {"jaccard", "minhash", "simhash"}
+    assert set(cov) == {"jaccard", "minhash", "simhash", "emb_cos"}
     n_docs = N_BLOCK + 1 + N_DUP
 
     # --- jaccard: blocks are (en, 5)x201 [dropped], (en, 200)x1,
@@ -92,6 +108,16 @@ def test_coverage_counts_every_cap_binding(spark, tmp_path):
     assert s["docs_deferred"] >= N_DUP
     assert s["docs_probe_truncated"] is None
 
+    # --- emb_cos: the hot sign bucket (201 all-positive vectors) is
+    # one over the cap; the zero vector never reaches the bucketing ---
+    e = cov["emb_cos"]
+    assert e["blocks_total"] == 2
+    assert e["blocks_dropped"] == 1
+    assert e["units_total"] == N_EMB_HOT + 2  # zero vector excluded
+    assert e["units_dropped"] == N_EMB_HOT
+    assert e["docs_deferred"] == N_EMB_HOT
+    assert e["docs_probe_truncated"] is None
+
     # sanity: a 50-member bucket (== cap) would be KEPT — the bound is
     # strict-greater, mirrored in both engines
     assert HOT_BUCKET_CAP < N_DUP <= 2 * HOT_BUCKET_CAP + 1
@@ -112,9 +138,10 @@ def test_coverage_matches_duckdb_twin_on_crafted(spark, tmp_path):
         for r in dedup_coverage(spark, sf_dir).collect()
     }
     con = duckdb.connect()
-    con.execute(  # Spark writes a directory of part files — glob it
-        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
-    )
+    for t in ("documents", "embeddings"):
+        con.execute(  # Spark writes a directory of part files — glob it
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'"
+        )
     want = {
         row[0]: tuple(row[1:]) for row in con.execute(_duck_coverage_sql()).fetchall()
     }

@@ -48,6 +48,7 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("approx_sketches", "CONSTANT:hll_within_20pct"): "oracle-pinned bound flag (constant-true IS the assertion)",
     ("approx_sketches", "CONSTANT:median_within_rank_band"): "oracle-pinned bound flag (constant-true IS the assertion)",
     ("dedup_coverage", "CONSTANT:docs_probe_truncated"): "JACCARD_PROBE_CAP binds only past ~149 distinct words; corpus max is below it (0 at every SF) — tests/test_dedup_coverage.py crafts the truncated case",
+    ("curation_funnel", "CONSTANT:n_bypassed"): "only the near_dup_pruned stage carries the bypass count (one non-NULL row by design, like a pack arm's NULL padding); its value is oracle-pinned and probed non-zero",
 }
 
 

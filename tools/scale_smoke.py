@@ -31,6 +31,7 @@ from lens_sds_batch_spark.session import get_spark  # noqa: E402
 # dup_pairs_pack = the former ngram_jaccard_pairs + embedding_dup_pairs
 # arms (folded in round 3; registry names, see COVERAGE.md pack map)
 OPS = ("dedup_basic_pack", "dup_pairs_pack",  # basic pack = former dedup_exact + dedup_fingerprint (r6 fold)
+       "dedup_coverage",  # r14: cap/drop telemetry (aggregation-only; must scale like the tiers it measures)
        "dedup_minhash_pairs", "simhash_dup_pairs", "knn_lsh_bucketed",  # direct fn: not in the registry since the r6 knn_pack fold (brute arm is the labeled-quadratic baseline, excluded by design)
        "dedup_clusters", "stratified_sample", "pack_sequences",
        "curation_funnel",  # r6: composes quality gate + lang-id + dedup + near-dup + semantic pruning
@@ -66,8 +67,8 @@ OPS = ("dedup_basic_pack", "dup_pairs_pack",  # basic pack = former dedup_exact 
        "entity_state_subjects", "scd2_history", "session_window_agg",
        "q3_shipping_priority", "q5_nation_revenue", "window_topk_per_group",
        "agg_rollup", "events_tumbling", "sessionize", "salted_hot_key_agg",
-       "joins_pack", "window_pack", "agg_percentile_pack", "set_ops_pack",
-       "row_scalar_pack", "reshape_pack",
+       "joins_pack", "window_pack", "agg_percentile_pack",
+       "row_scalar_pack", "shape_ops_pack",  # r14 fold of set_ops + reshape
        "time_aggs_pack", "approx_sketches", "entity_state_manifest",
        "schema_evolution")
 
