@@ -966,7 +966,12 @@ def dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = JACCARD_BUCKET_W
 
     # --- jaccard tier: (lang, nw DIV w) blocks, JACCARD_BLOCK_CAP ---
-    jd = _jaccard_blocked_docs(docs).select("doc_id", "lang", "nw", "len_bucket")
+    # checkpointed: jd feeds both the block-size aggregate and the
+    # probe-truncation count — without it each branch re-runs the
+    # word-hash tokenization over documents (4 ints/doc once pinned)
+    jd = local_ckpt(
+        _jaccard_blocked_docs(docs).select("doc_id", "lang", "nw", "len_bucket")
+    )
     jb = jd.groupBy("lang", "len_bucket").agg(F.count(F.lit(1)).alias("bn"))
 
     def _block_stats(sizes: DataFrame, cap: int):

@@ -123,6 +123,49 @@ def test_coverage_counts_every_cap_binding(spark, tmp_path):
     assert HOT_BUCKET_CAP < N_DUP <= 2 * HOT_BUCKET_CAP + 1
 
 
+def test_coverage_cap_boundaries_are_strict_greater(spark, tmp_path):
+    """The exact boundary semantics, in both engines: a block of
+    EXACTLY the cap is KEPT (the bound is strict-greater, mirrored in
+    the oracle), and a probe reach of EXACTLY JACCARD_PROBE_CAP is NOT
+    truncated — nw=150 gives reach ((1500 DIV 7) DIV 2) - 75 = 32 == cap
+    (kept), nw=154 gives 33 (truncated).  An off-by-one in either
+    engine's inequality flips one of these counts."""
+    rows = []
+    for i in range(JACCARD_BLOCK_CAP):  # exactly the cap: kept
+        text = " ".join(f"b{i:03d}y{j}" for j in range(10))
+        rows.append((i + 1, text, "en", "crafted", len(text)))
+    at_cap = " ".join(f"E{j:03d}" for j in range(150))  # reach 32 == cap
+    over_cap = " ".join(f"F{j:03d}" for j in range(154))  # reach 33
+    rows.append((700, at_cap, "en", "crafted", len(at_cap)))
+    rows.append((701, over_cap, "en", "crafted", len(over_cap)))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    spark.createDataFrame(
+        [(1, [1.0, -1.0, 1.0])], "vec_id bigint, embedding array<float>"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    j = {
+        r["tier"]: r.asDict() for r in dedup_coverage(spark, sf_dir).collect()
+    }["jaccard"]
+    assert j["blocks_dropped"] == 0  # the ==cap block is kept
+    assert j["docs_deferred"] == 0
+    assert j["docs_probe_truncated"] == 1  # only the reach-33 doc
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'"
+        )
+    want = {
+        row[0]: row[1:] for row in con.execute(_duck_coverage_sql()).fetchall()
+    }
+    con.close()
+    assert want["jaccard"][1] == 0  # blocks_dropped
+    assert want["jaccard"][5] == 1  # docs_probe_truncated
+
+
 def test_coverage_matches_duckdb_twin_on_crafted(spark, tmp_path):
     """Cross-engine: the exact rows (including the binding-cap counts
     the driver corpus never produces) hash-match the oracle."""
