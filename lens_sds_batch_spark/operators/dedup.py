@@ -248,6 +248,23 @@ ORDER BY doc_a, doc_b
 MINHASH_P = 1_000_000_007
 
 
+def _mh(prefix: str):
+    """BIGINT hash of the word column under a salt prefix (md5 first 8
+    hex chars — the double-hashing inputs, same formula both engines)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), F.col("w")).cast("binary")), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def _minhash_aggs() -> list:
+    """The K min-aggregates over (h1, h2) columns — shared by
+    minhash_signatures and dedup_coverage's fused per-doc aggregate."""
+    return [
+        F.min((F.col("h1") + F.lit(k) * F.col("h2")) % MINHASH_P).alias(f"mh{k}")
+        for k in range(MINHASH_K)
+    ]
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id → K minhash values (min of a pseudorandom word order per
     permutation is a valid minhash).
@@ -266,18 +283,8 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     exploded = docs.select(
         "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w")
     )
-
-    def _h(prefix: str):
-        return F.conv(
-            F.substring(F.md5(F.concat(F.lit(prefix), F.col("w")).cast("binary")), 1, 8), 16, 10
-        ).cast("bigint")
-
-    hashed = exploded.select("doc_id", _h("a:").alias("h1"), _h("b:").alias("h2"))
-    aggs = [
-        F.min((F.col("h1") + F.lit(k) * F.col("h2")) % MINHASH_P).alias(f"mh{k}")
-        for k in range(MINHASH_K)
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    hashed = exploded.select("doc_id", _mh("a:").alias("h1"), _mh("b:").alias("h2"))
+    return hashed.groupBy("doc_id").agg(*_minhash_aggs())
 
 
 def minhash_banded(docs: DataFrame) -> DataFrame:
@@ -289,7 +296,13 @@ def minhash_banded(docs: DataFrame) -> DataFrame:
     each copy still re-runs its final aggregate), the explode is
     computed once.  Exposed pre-cap (r14) so ``dedup_coverage`` can
     count what the cap drops."""
-    sigs = minhash_signatures(docs)
+    return _band_rows(minhash_signatures(docs))
+
+
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) band rows from any frame carrying
+    the mh0..mhK-1 signature columns — shared by minhash_banded and
+    dedup_coverage's fused per-doc aggregate."""
     band_structs = [
         F.struct(
             F.lit(b).cast("int").alias("band_id"),
@@ -526,6 +539,14 @@ def simhash_fingerprint_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bit_count(a XOR b)`` (r5; both engines share the exact
     arithmetic)."""
     sums = _simhash_sums(spark, sf_dir)
+    # no orderBy: feeds simhash_dup_pairs MID-pipeline
+    return sums.select("doc_id", _sh_expr().alias("sh"))
+
+
+def _sh_expr():
+    """The signed-BIGINT fingerprint column from s0..s63 bit-majority
+    sums — shared by simhash_fingerprint_ints and dedup_coverage's
+    fused per-doc aggregate."""
     sh = None
     for b in range(SIMHASH_BITS):
         weight = -(1 << 63) if b == 0 else (1 << (SIMHASH_BITS - 1 - b))
@@ -533,8 +554,7 @@ def simhash_fingerprint_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint")
         )
         sh = term if sh is None else sh + term
-    # no orderBy: feeds simhash_dup_pairs MID-pipeline
-    return sums.select("doc_id", sh.cast("bigint").alias("sh"))
+    return sh.cast("bigint")
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1014,6 +1034,13 @@ def dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("bigint").alias("docs_probe_truncated"),
         )
 
+    # Two separate signature pipelines, deliberately NOT fused: a fused
+    # groupBy computing all 80 buffers (16 minhash mins + 64 simhash
+    # bit sums) over one shared explode MEASURED 1.34x SLOWER than the
+    # two-pass form (3x-interleaved ab_bench, exec 2.98 vs 2.21 s at
+    # sf0.1 — the 80-expression aggregate falls out of the efficient
+    # codegen path the 64-buffer simhash aggregate still enjoys), so
+    # each tier keeps the exact pipeline its operator runs.
     mrow = _banded_row(
         "minhash", local_ckpt(minhash_banded(docs)),
         ["band_id", "band_key"], HOT_BUCKET_CAP,
