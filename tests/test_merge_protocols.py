@@ -720,6 +720,52 @@ def test_maintain_merged_table_composition(spark, tmp_path):
     assert _state(spark, t2) == {"k1": (1, "a")}
 
 
+def test_read_raises_on_tampered_table_instead_of_empty(spark, tmp_path):
+    """r14 (ADVICE r13 #1): the rename-flavor pinned read previously
+    swallowed EVERY AnalysisException as 'no data' — but that read can
+    also fail for non-empty reasons, which must raise loudly per the
+    layer's refusal conventions.  Craft the failure: a spec'd bucketed
+    table with a TAMPERED extra file whose column type conflicts under
+    mergeSchema (v: string in the real data, double in the intruder —
+    Spark surfaces CANNOT_MERGE_SCHEMAS as a Py4J-wrapped
+    SparkException on this path).  The narrowed handler
+    (_is_empty_read) lets only UNABLE_TO_INFER_SCHEMA / PATH_NOT_FOUND
+    read as an empty table; every other failure class must reach the
+    caller."""
+    import os
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql.utils import AnalysisException
+
+    target = str(tmp_path / "t")
+    _merge(spark, target, [("k1", 1, "a", False)], num_buckets=1)
+    # drop a conflicting-typed parquet file into the bucket dir
+    bucket_dir = next(
+        f"{target}/{d}" for d in os.listdir(target) if d.startswith("__bucket=")
+    )
+    spark.createDataFrame(
+        [("kX", 9, 1.5)], "k string, pri int, v double"
+    ).coalesce(1).write.mode("append").parquet(str(tmp_path / "intruder"))
+    part = next(
+        f for f in os.listdir(str(tmp_path / "intruder")) if f.endswith(".parquet")
+    )
+    os.rename(
+        str(tmp_path / "intruder" / part), f"{bucket_dir}/tampered.parquet"
+    )
+    with pytest.raises((AnalysisException, Py4JJavaError), match="MERGE|SCHEMA"):
+        df = read_merged_table(spark, target)
+        assert df is not None, "tampered table silently read as empty"
+        df.collect()  # analysis may be lazy — force it
+
+    # the genuinely-empty case still reads as None: a spec'd table whose
+    # only data files were tombstoned away
+    t2 = str(tmp_path / "empty")
+    _merge(spark, t2, [("k1", 1, "a", False)], num_buckets=1)
+    _merge(spark, t2, [("k1", 2, "a", True)])  # delete the only key
+    assert read_merged_table(spark, t2) is None
+
+
 def test_compact_takes_the_writer_lease(spark, tmp_path):
     from lens_sds_batch_spark.plans.merge import compact_merged_table
 
