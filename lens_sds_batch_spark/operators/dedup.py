@@ -14,6 +14,11 @@ Everything is Catalyst built-ins (split / transform / aggregate /
 array_distinct / md5) — no Python UDFs — so the DuckDB oracles can
 replicate each step exactly.  The distinct-set sizes use the
 ``|A∩B| = |A|+|B|-|A∪B|`` identity so both engines count identically.
+
+Every pair generator caps its work (block/bucket caps against skew);
+``dedup_coverage`` (r14) is the matching RUNTIME telemetry — per tier,
+what the caps dropped or deferred on a given corpus — and the curation
+funnel's near-dedup stage carries the same count as ``n_bypassed``.
 """
 
 from __future__ import annotations
