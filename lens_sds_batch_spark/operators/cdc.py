@@ -556,6 +556,7 @@ def entity_state_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") % 13 == 0).alias("is_remove"),
     )
     engines = []
+    seq_b1 = None
     for i, batch in enumerate((b1, b2, b3)):
         res = merge_into(
             spark, target, batch,
@@ -566,12 +567,64 @@ def entity_state_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             protocol="manifest" if i == 0 else None,
         )
         engines.append(res["engine"])
+        if i == 0:
+            seq_b1 = res["seq"]
         if i == 1:
             reb = rebucket(spark, target, 8)
             if (reb["engine"], reb["num_buckets"]) != ("parquet-manifest", 8):
                 raise AssertionError(f"unexpected rebucket result: {reb}")
     if engines != ["parquet-manifest"] * 3:
         raise AssertionError(f"unexpected merge engines: {engines}")
+    # r14: CDF witness — the net change feed (plans/merge.py
+    # read_changes) from the batch-1 snapshot, ACROSS the 16→8 rebucket
+    # (the pruner's full-map fallback path), must reconstruct the
+    # resolver read exactly: snapshot(b1) − {delete, update_preimage
+    # keys} ∪ {insert, update_postimage rows} == current state.  Runs
+    # BEFORE the maintenance window below: its grace-0 vacuum collects
+    # the superseded manifests a change feed resolves through.
+    from ..plans.merge import read_changes
+
+    ch = read_changes(spark, target, from_seq=seq_b1)
+    cols = [c for c in ch.columns if c != "_change_type"]
+    gate_keys = ["study_oid", "subject_key"]
+    base = read_merged_table(spark, target, as_of_seq=seq_b1)
+    base = (
+        base.select(*cols) if base is not None
+        else ch.select(*cols).limit(0)
+    )
+    rebuilt = base.join(
+        ch.where(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select(*gate_keys),
+        gate_keys, "left_anti",
+    ).unionByName(
+        ch.where(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(*cols)
+    )
+    cur = read_merged_table(spark, target).select(*cols)
+    n_diverged = (
+        rebuilt.exceptAll(cur).unionByName(cur.exceptAll(rebuilt)).count()
+    )
+    if n_diverged:
+        raise AssertionError(
+            f"change-feed reconstruction diverged from the resolver read "
+            f"by {n_diverged} rows (vacuous-gate guard)"
+        )
+    # ... and the feed itself must be POWERED: the batch mods make all
+    # four change types occur at every gate SF (b2 inserts even-%5
+    # keys, removes %9 keys out of b1, and upserts odd-%5 b1 keys)
+    types_seen = {
+        r[0] for r in ch.select("_change_type").distinct().collect()
+    }
+    expected_types = {
+        "insert", "delete", "update_preimage", "update_postimage"
+    }
+    if types_seen != expected_types:
+        raise AssertionError(
+            f"change feed missing change types (vacuous witness): saw "
+            f"{sorted(types_seen)}"
+        )
     # r14 (VERDICT r13 #4): close the lifecycle with the ONE-CALL
     # maintenance window — advisor-gated rebucket, sized compaction,
     # grace-0 vacuum, in that order — so the hash below pins that the

@@ -1475,6 +1475,225 @@ def list_snapshots(spark, target_path: str) -> list[dict]:
     ]
 
 
+CHANGE_TYPE_COL = "_change_type"
+
+
+def read_changes(
+    spark,
+    target_path: str,
+    from_seq: int,
+    to_seq: int | None = None,
+) -> DataFrame | None:
+    """NET change feed between two committed snapshots of a
+    manifest-commit merge target — the Delta Change Data Feed /
+    Iceberg incremental-read analog, derived from the protocol's
+    retained generations (no per-commit change files are ever
+    written).  Returns the table's columns in the TO snapshot's schema
+    plus ``_change_type`` ∈ {'insert', 'update_preimage',
+    'update_postimage', 'delete'}:
+
+    - a key resolved at TO but not at FROM → one ``insert`` row
+      (post-image);
+    - a key resolved at FROM but not at TO → one ``delete`` row
+      (pre-image — the winning tombstone removed it);
+    - a key resolved at both with ANY value column differing → one
+      ``update_preimage`` + one ``update_postimage`` row;
+    - a key whose resolved row is identical does not appear at all.
+
+    NET means per-KEY, not per-commit: a key touched by several
+    commits in (FROM, TO] appears once, as the transition between its
+    resolved states — exactly what an incremental downstream consumer
+    (the point of the feed at 100 TB) needs to converge, and exactly
+    what makes the reconstruction law hold:
+    ``snapshot(FROM) − {delete, update_preimage keys} ∪ {insert,
+    update_postimage rows} == snapshot(TO)``
+    (pinned in tests/test_read_changes.py, incl. as a hypothesis
+    property over random merge/evolve/maintenance interleavings).
+
+    Both seqs use as-of resolution (latest manifest ≤ seq, the
+    read_merged_table convention); a seq beyond the newest commit or
+    below the vacuum horizon raises there.  ``to_seq=None`` reads the
+    latest commit.  Equal resolved seqs → an EMPTY frame (or None when
+    the target retains neither a schema pin nor any live data to type
+    one — the read_merged_table None-for-empty convention).
+
+    Scale: generation directories are immutable, so a bucket whose
+    live generation is the SAME in both manifests provably holds
+    identical state and is never read — the scan is O(buckets touched
+    in the range), not O(table).  Pruning is a pure optimization,
+    never load-bearing: a rebucket in the range (bucket spaces not
+    comparable) falls back to the full live map on each side, and a
+    compaction in the range (same state, fresh gen ids) just reads
+    buckets that diff to zero rows.  The key-diff itself is one
+    null-safe full-outer join, no driver-side row handling.
+
+    Schema evolution in the range reads like Delta CDF: both sides
+    are conformed to the TO snapshot's pin — a metadata-only added
+    column reads as typed NULL on the FROM side (so an unchanged key
+    does NOT appear just because the schema grew), and a widened
+    column is losslessly cast up (the widen lattice guarantees
+    exactness), so a pre-widen pre-image compares in the TO type.
+
+    Reads take no lease (same as every reader); retention is the
+    vacuum grace the operator chose.  Raises on a non-manifest target
+    (the rename/plain swap protocols destroy superseded state) and on
+    a table whose schema already carries ``_change_type``."""
+    from functools import reduce as _reduce
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tgt = target_path.rstrip("/")
+    man_a = _read_manifest(spark, fs, jvm_path, tgt, as_of_seq=from_seq)
+    if man_a is None:
+        raise ValueError(
+            f"read_changes: {tgt} is not a manifest-commit target — only "
+            "the manifest layout retains the superseded state a change "
+            "feed diffs (rename/plain swaps destroy it)"
+        )
+    seq_a, _, m_a = man_a
+    seq_b, _, m_b = _read_manifest(
+        spark, fs, jvm_path, tgt, as_of_seq=to_seq
+    )
+    if seq_a > seq_b:
+        raise ValueError(
+            f"read_changes: from_seq resolved to {seq_a}, after to_seq's "
+            f"{seq_b} — the feed runs forward; swap the bounds"
+        )
+    pin = m_b.get("columns")
+    if pin is not None and CHANGE_TYPE_COL in pin:
+        raise ValueError(
+            f"read_changes: the table schema at {tgt} already carries "
+            f"the reserved output column {CHANGE_TYPE_COL!r}"
+        )
+    keys = list(m_b["keys"])
+
+    # Changed-bucket pruning: same bucket space → only buckets whose
+    # live generation differs; a rebucket in the range (num_buckets
+    # changed) makes bucket ids incomparable → full live map per side.
+    live_a, live_b = dict(m_a["buckets"]), dict(m_b["buckets"])
+    if seq_a == seq_b:
+        sel_a = sel_b = {}
+    elif int(m_a["num_buckets"]) == int(m_b["num_buckets"]):
+        changed = {
+            b for b in set(live_a) | set(live_b)
+            if live_a.get(b) != live_b.get(b)
+        }
+        sel_a = {b: live_a[b] for b in changed if b in live_a}
+        sel_b = {b: live_b[b] for b in changed if b in live_b}
+    else:
+        sel_a, sel_b = live_a, live_b
+
+    def _side(sel: dict):
+        if not sel:
+            return None
+        paths = [
+            f"{tgt}/{BUCKET_COL}={b}/{GEN_COL}={g}"
+            for b, g in sorted(sel.items(), key=lambda kv: int(kv[0]))
+        ]
+        df = _conform_to_pin(
+            spark.read.option("basePath", tgt)
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+            .drop(GEN_COL),
+            pin,
+        ).drop(BUCKET_COL)
+        if pin is not None:
+            # pre-widen FROM-side files carry the narrow type; the
+            # widen lattice is lossless-only, so casting up is exact
+            df = df.select(
+                *[F.col(c).cast(t).alias(c) for c, t in pin.items()]
+            )
+        return df
+
+    a_state, b_state = _side(sel_a), _side(sel_b)
+    if a_state is None and b_state is None:
+        if pin is not None:
+            return spark.range(0).select(
+                *[F.lit(None).cast(t).alias(c) for c, t in pin.items()],
+                F.lit(None).cast("string").alias(CHANGE_TYPE_COL),
+            )
+        full = read_merged_table(spark, tgt, as_of_seq=seq_b)
+        if full is None:
+            full = read_merged_table(spark, tgt, as_of_seq=seq_a)
+        if full is None:
+            return None  # no pin, no live data on either side
+        return full.drop(BUCKET_COL).limit(0).withColumn(
+            CHANGE_TYPE_COL, F.lit(None).cast("string")
+        )
+    if a_state is None:
+        a_state = b_state.limit(0)
+    elif b_state is None:
+        b_state = a_state.limit(0)
+    if pin is None and set(a_state.columns) != set(b_state.columns):
+        raise ValueError(
+            f"read_changes: pre-pin generations of {tgt} diverge in "
+            f"columns between seq {seq_a} ({sorted(a_state.columns)}) and "
+            f"seq {seq_b} ({sorted(b_state.columns)}); evolve the table "
+            "explicitly (plans.merge.evolve_schema) to pin one schema"
+        )
+    cols = list(pin) if pin is not None else list(b_state.columns)
+    if CHANGE_TYPE_COL in cols:
+        raise ValueError(
+            f"read_changes: the table schema at {tgt} already carries "
+            f"the reserved output column {CHANGE_TYPE_COL!r}"
+        )
+    val_cols = [c for c in cols if c not in keys]
+
+    def _tagged(df, prefix):
+        v = (
+            F.struct(*[F.col(c) for c in val_cols])
+            if val_cols
+            else F.struct(F.lit(True).alias("__all_key_row"))
+        )
+        return df.select(
+            *[F.col(k).alias(f"__{prefix}k{i}") for i, k in enumerate(keys)],
+            v.alias(f"__{prefix}v"),
+            F.lit(True).alias(f"__{prefix}p"),
+        )
+
+    a_t, b_t = _tagged(a_state, "a"), _tagged(b_state, "b")
+    cond = _reduce(
+        Column.__and__,
+        [
+            a_t[f"__ak{i}"].eqNullSafe(b_t[f"__bk{i}"])
+            for i in range(len(keys))
+        ],
+    )
+    pa = F.coalesce(F.col("__ap"), F.lit(False))
+    pb = F.coalesce(F.col("__bp"), F.lit(False))
+    va, vb = F.col("__av"), F.col("__bv")
+
+    def _ch(kind, v):
+        return F.struct(F.lit(kind).alias("_ct"), v.alias("_v"))
+
+    changes = (
+        a_t.join(b_t, cond, "full_outer")
+        # unchanged keys (the overwhelming majority even inside changed
+        # buckets) drop here, before the explode doubles update rows
+        .where(~(pa & pb & va.eqNullSafe(vb)))
+        .select(
+            *[
+                F.coalesce(F.col(f"__ak{i}"), F.col(f"__bk{i}")).alias(k)
+                for i, k in enumerate(keys)
+            ],
+            F.explode(
+                F.when(~pa, F.array(_ch("insert", vb)))
+                .when(~pb, F.array(_ch("delete", va)))
+                .otherwise(
+                    F.array(
+                        _ch("update_preimage", va),
+                        _ch("update_postimage", vb),
+                    )
+                )
+            ).alias("__ch"),
+        )
+    )
+    out_vals = ["__ch._v.*"] if val_cols else []
+    return changes.select(
+        *keys, *out_vals, F.col("__ch._ct").alias(CHANGE_TYPE_COL)
+    ).select(*cols, CHANGE_TYPE_COL)
+
+
 def vacuum_merged_table(
     spark,
     target_path: str,
@@ -1749,10 +1968,16 @@ def rebucket(
             keys, key_types = list(m["keys"]), dict(m["key_types"])
             gen = _new_gen()
             if not m["buckets"]:  # empty table: the layout move is pure metadata
+                # carry the schema pin (r14: the read_changes lifecycle
+                # property caught this path DROPPING it — losing the pin
+                # silently disarms _check_schema_pin for every later
+                # batch and un-types empty reads)
                 _commit_manifest(
                     fs, jvm_path, tgt, seq + 1, gen,
                     {"num_buckets": int(new_num_buckets), "keys": keys,
-                     "key_types": key_types, "buckets": {}, "seq": seq + 1,
+                     "key_types": key_types,
+                     **({"columns": m["columns"]} if "columns" in m else {}),
+                     "buckets": {}, "seq": seq + 1,
                      "gen": gen},
                 )
                 return {"engine": "parquet-manifest", "rows": 0,

@@ -404,6 +404,16 @@ def test_rebucket_empty_tables(spark, tmp_path):
     _merge(spark, t2, [("k1", 2, "a", True)])
     res2 = rebucket(spark, t2, 2)
     assert res2["engine"] == "parquet-manifest" and res2["num_buckets"] == 2
+    # r14 regression (found by the read_changes lifecycle property):
+    # the empty-table metadata commit must CARRY the schema pin — a
+    # drifted batch must still be refused after the rebucket, not
+    # silently accepted because the pin fell off the manifest
+    with pytest.raises(ValueError, match="schema drift"):
+        merge_into(
+            spark, t2,
+            spark.createDataFrame([("k9", 9)], "k string, pri int"),
+            keys=["k"], order_cols=["pri"], is_delete=F.lit(False),
+        )
     r2 = _merge(spark, t2, [("k1", 3, "b", False)])
     assert r2["num_buckets"] == 2 and _state(spark, t2) == {"k1": (3, "b")}
 

@@ -1,0 +1,516 @@
+"""r14: the NET change feed over manifest-commit merge targets
+(plans.merge.read_changes) — the Delta Change Data Feed / Iceberg
+incremental-read analog, derived from the protocol's retained
+generations.
+
+The load-bearing claim is the reconstruction law:
+
+    snapshot(FROM)  minus  keys(delete ∪ update_preimage)
+                    union  rows(insert ∪ update_postimage)
+        ==  snapshot(TO)
+
+pinned deterministically below and as a hypothesis property over
+random merge/evolve/maintenance interleavings (the r13 lifecycle
+property's sibling).  The scale claim — only buckets whose live
+generation differs are READ — is pinned through inputFiles(), and the
+claim's safety valves (rebucket in range → full-map fallback,
+compaction in range → zero-row diff) are pinned separately.
+
+Reference semantics anchor: the reference's store consumers re-read
+full state per batch (import_clinical_data.clj:239-263); at 100 TB a
+downstream consumer needs the O(changed) incremental form instead.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lens_sds_batch_spark.plans.merge import (
+    BUCKET_COL,
+    compact_merged_table,
+    evolve_schema,
+    list_snapshots,
+    merge_into,
+    read_changes,
+    read_merged_table,
+    rebucket,
+    vacuum_merged_table,
+)
+
+SCHEMA = "k string, pri int, v string, dead boolean"
+
+
+def _merge(spark, target, rows, schema=SCHEMA, **kw):
+    return merge_into(
+        spark, target, spark.createDataFrame(rows, schema),
+        keys=["k"], order_cols=["pri"], is_delete=F.col("dead"), **kw,
+    )
+
+
+def _mk(spark, target, rows, **kw):
+    kw.setdefault("num_buckets", 4)
+    kw.setdefault("protocol", "manifest")
+    return _merge(spark, target, rows, **kw)
+
+
+def _sorted(seq):
+    """None-safe total order (repr-keyed) for tuples mixing None/str."""
+    return sorted(seq, key=repr)
+
+
+def _rows(df):
+    """Order-insensitive canonical form: sorted list of per-row dicts
+    rendered as sorted (col, value) tuples (None-safe)."""
+    return _sorted(
+        tuple(sorted(r.asDict().items(), key=lambda kv: kv[0]))
+        for r in df.collect()
+    )
+
+
+def _naive_diff(spark, target, from_seq, to_seq):
+    """Expected net changes computed the slow way: full snapshot reads
+    at both seqs (conformed by hand across an evolve boundary — the
+    snapshot read deliberately preserves each seq's OWN schema) and a
+    per-key dict compare."""
+    cols_b, a, b = None, {}, {}
+    df_b = read_merged_table(spark, target, as_of_seq=to_seq)
+    cols_b = [c for c in df_b.columns if c != BUCKET_COL] if df_b is not None else None
+    df_a = read_merged_table(spark, target, as_of_seq=from_seq)
+    if cols_b is None:
+        cols_b = [c for c in df_a.columns if c != BUCKET_COL] if df_a is not None else []
+    for src, dst in ((df_a, a), (df_b, b)):
+        if src is None:
+            continue
+        for r in src.collect():
+            d = r.asDict()
+            dst[d["k"]] = tuple(d.get(c) for c in cols_b if c != "k")
+    expected = []
+    for k in set(a) | set(b):
+        if k in a and k not in b:
+            expected.append((k, *a[k], "delete"))
+        elif k in b and k not in a:
+            expected.append((k, *b[k], "insert"))
+        elif a[k] != b[k]:
+            expected.append((k, *a[k], "update_preimage"))
+            expected.append((k, *b[k], "update_postimage"))
+    return _sorted(expected), cols_b
+
+
+def _got(spark, target, from_seq, to_seq, cols_b):
+    ch = read_changes(spark, target, from_seq=from_seq, to_seq=to_seq)
+    out_cols = [c for c in cols_b if c != "k"]
+    return _sorted(
+        (d["k"], *[d[c] for c in out_cols], d["_change_type"])
+        for d in (r.asDict() for r in ch.collect())
+    )
+
+
+def _assert_matches_naive(spark, target, from_seq, to_seq):
+    expected, cols_b = _naive_diff(spark, target, from_seq, to_seq)
+    assert _got(spark, target, from_seq, to_seq, cols_b) == expected
+
+
+def _reconstruct(spark, target, from_seq, to_seq):
+    """Apply the feed onto snapshot(FROM) and assert == snapshot(TO)."""
+    ch = read_changes(spark, target, from_seq=from_seq, to_seq=to_seq)
+    base = read_merged_table(spark, target, as_of_seq=from_seq)
+    cols = [c for c in ch.columns if c != "_change_type"]
+    if base is None:
+        base = ch.select(*cols).limit(0)
+    else:
+        # conform the FROM snapshot to the feed's (TO) schema by hand:
+        # missing columns read NULL, widened columns cast up
+        ch_types = dict(ch.dtypes)
+        base = base.select(
+            *[
+                (F.col(c) if c in base.columns else F.lit(None)).cast(
+                    ch_types[c]
+                ).alias(c)
+                for c in cols
+            ]
+        )
+    removed = ch.where(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("k")
+    added = ch.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*cols)
+    rebuilt = base.join(
+        removed, base["k"].eqNullSafe(removed["k"]), "left_anti"
+    ).unionByName(added)
+    final = read_merged_table(spark, target, as_of_seq=to_seq)
+    if final is None:
+        assert rebuilt.count() == 0
+        return
+    final = final.select(*cols)
+    assert _rows(rebuilt) == _rows(final)
+
+
+# ---------------------------------------------------------------------------
+# deterministic behavior
+# ---------------------------------------------------------------------------
+
+
+def test_basic_insert_update_delete_and_null_key(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    r1 = _mk(spark, tgt, [
+        ("a", 1, "x", False), ("b", 1, "y", False), (None, 1, "nk", False),
+    ])
+    r2 = _merge(spark, tgt, [
+        ("a", 2, "x2", False),        # update
+        ("c", 1, "z", False),         # insert
+        ("b", 2, None, True),         # delete (winning tombstone)
+        (None, 2, "nk2", False),      # NULL-key update (r13 NULL routing)
+    ])
+    got = _got(spark, tgt, r1["seq"], r2["seq"], ["k", "pri", "v", "dead"])
+    assert got == _sorted([
+        ("a", 1, "x", False, "update_preimage"),
+        ("a", 2, "x2", False, "update_postimage"),
+        ("b", 1, "y", False, "delete"),
+        ("c", 1, "z", False, "insert"),
+        (None, 1, "nk", False, "update_preimage"),
+        (None, 2, "nk2", False, "update_postimage"),
+    ])
+    _reconstruct(spark, tgt, r1["seq"], r2["seq"])
+    # from the empty init commit: everything resolved at TO is an insert
+    assert {r["_change_type"] for r in read_changes(spark, tgt, 0).collect()} == {
+        "insert"
+    }
+
+
+def test_equal_seqs_yield_empty_frame_with_schema(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    r1 = _mk(spark, tgt, [("a", 1, "x", False)])
+    ch = read_changes(spark, tgt, from_seq=r1["seq"], to_seq=r1["seq"])
+    assert ch.count() == 0
+    assert ch.columns == ["k", "pri", "v", "dead", "_change_type"]
+
+
+def test_net_semantics_collapse_a_change_and_its_revert(spark, tmp_path):
+    """A key deleted then re-inserted with IDENTICAL values inside the
+    range nets out to nothing; a key changed then changed back nets out
+    too — the feed answers 'what differs', not 'what happened'."""
+    tgt = str(tmp_path / "t")
+    r1 = _mk(spark, tgt, [("a", 1, "x", False), ("b", 1, "y", False)])
+    _merge(spark, tgt, [("a", 2, "mid", False), ("b", 2, None, True)])
+    r3 = _merge(spark, tgt, [
+        ("a", 3, "x", False),   # changed back (pri rises though!)
+        ("b", 3, "y", False),   # re-inserted after the delete
+    ])
+    got = _got(spark, tgt, r1["seq"], r3["seq"], ["k", "pri", "v", "dead"])
+    # 'b' nets to an update only because pri moved 1 -> 3; 'a' likewise.
+    # A TRUE no-op revert (all columns equal) must vanish:
+    r4 = _merge(spark, tgt, [("a", 3, "zz", False)])  # pri tie: target wins
+    assert _got(spark, tgt, r3["seq"], r4["seq"], ["k", "pri", "v", "dead"]) == []
+    assert {g[0] for g in got} == {"a", "b"}
+    assert all(g[-1].startswith("update_") for g in got)
+
+
+def test_multi_commit_net_matches_naive_diff_everywhere(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    seqs = [0]
+    seqs.append(_mk(spark, tgt, [
+        ("a", 1, "x", False), ("b", 1, "y", False), ("c", 1, "z", False),
+    ])["seq"])
+    seqs.append(_merge(spark, tgt, [
+        ("a", 2, "x2", False), ("d", 1, "w", False), ("c", 2, None, True),
+    ])["seq"])
+    seqs.append(_merge(spark, tgt, [
+        ("b", 3, None, True), ("c", 3, "z3", False), ("e", 1, "q", False),
+    ])["seq"])
+    for i in range(len(seqs)):
+        for j in range(i, len(seqs)):
+            _assert_matches_naive(spark, tgt, seqs[i], seqs[j])
+    _reconstruct(spark, tgt, seqs[0], seqs[-1])
+    _reconstruct(spark, tgt, seqs[1], seqs[-1])
+
+
+def test_pruning_reads_only_changed_buckets(spark, tmp_path):
+    """The scale contract: a bucket whose live generation is the same
+    in both manifests is never scanned."""
+    tgt = str(tmp_path / "t")
+    rows = [(f"k{i}", 1, f"v{i}", False) for i in range(40)]
+    r1 = _mk(spark, tgt, rows, num_buckets=8)
+    r2 = _merge(spark, tgt, [("k0", 2, "v0b", False)])
+    ch = read_changes(spark, tgt, from_seq=r1["seq"], to_seq=r2["seq"])
+    buckets_read = {
+        seg
+        for f in ch.inputFiles()
+        for seg in f.split("/")
+        if seg.startswith(BUCKET_COL + "=")
+    }
+    assert len(buckets_read) == 1  # only k0's bucket, both generations
+    assert _rows(ch.select("k", "_change_type")) == _rows(
+        spark.createDataFrame(
+            [("k0", "update_preimage"), ("k0", "update_postimage")],
+            "k string, _change_type string",
+        )
+    )
+
+
+def test_compaction_in_range_diffs_to_zero_rows(spark, tmp_path):
+    """Compaction rewrites generations without changing state: the
+    pruner sees 'changed' buckets, the diff must still be empty."""
+    tgt = str(tmp_path / "t")
+    # multi-file generations so compaction has work (AQE's partition
+    # coalescing would undo the craft at toy size — same craft as
+    # test_merge_protocols' compaction pin)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, None)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        _mk(spark, tgt, [(f"k{i}", 1, f"v{i}", False) for i in range(40)],
+            num_buckets=2)
+        r2 = _merge(spark, tgt, [("k0", 2, "v0b", False)])
+    finally:
+        spark.conf.set(coalesce_key, prev if prev is not None else "true")
+    comp = compact_merged_table(spark, tgt)
+    assert comp["compacted_buckets"], f"vacuous: nothing compacted ({comp})"
+    latest = comp["seq"]
+    assert latest > r2["seq"]
+    ch = read_changes(spark, tgt, from_seq=r2["seq"], to_seq=latest)
+    assert ch.count() == 0
+    assert len(ch.inputFiles()) > 0  # it DID look (pruning can't know)
+
+
+def test_rebucket_in_range_falls_back_to_full_diff(spark, tmp_path):
+    """Bucket ids are incomparable across a rebucket: the pruner must
+    fall back to the full live maps, unchanged keys must still not
+    appear (bucket id itself is excluded from the value compare)."""
+    tgt = str(tmp_path / "t")
+    rows = [(f"k{i}", 1, f"v{i}", False) for i in range(20)]
+    r1 = _mk(spark, tgt, rows, num_buckets=4)
+    rebucket(spark, tgt, 8)
+    r3 = _merge(spark, tgt, [("k1", 2, "v1b", False), ("zz", 1, "new", False)])
+    _assert_matches_naive(spark, tgt, r1["seq"], r3["seq"])
+    got = _got(spark, tgt, r1["seq"], r3["seq"], ["k", "pri", "v", "dead"])
+    assert {g[0] for g in got} == {"k1", "zz"}
+    _reconstruct(spark, tgt, r1["seq"], r3["seq"])
+
+
+def test_metadata_add_in_range_reads_in_to_schema(spark, tmp_path):
+    """Evolve-add between the bounds: the feed carries the TO schema;
+    an untouched key does NOT appear just because the schema grew (its
+    pre-image reads the same typed NULL as its post-image)."""
+    tgt = str(tmp_path / "t")
+    r1 = _mk(spark, tgt, [("a", 1, "x", False), ("b", 1, "y", False)])
+    evolve_schema(spark, tgt, add={"extra": "string"})
+    r3 = _merge(
+        spark, tgt, [("a", 2, "x2", False, "E")],
+        schema=SCHEMA + ", extra string",
+    )
+    ch = read_changes(spark, tgt, from_seq=r1["seq"], to_seq=r3["seq"])
+    assert ch.columns == ["k", "pri", "v", "dead", "extra", "_change_type"]
+    got = _rows(ch)
+    ks = {dict(t)["k"] for t in got}
+    assert ks == {"a"}  # 'b' is schema-grown but value-unchanged
+    by_type = {dict(t)["_change_type"]: dict(t) for t in got}
+    assert by_type["update_preimage"]["extra"] is None
+    assert by_type["update_postimage"]["extra"] == "E"
+    _assert_matches_naive(spark, tgt, r1["seq"], r3["seq"])
+    _reconstruct(spark, tgt, r1["seq"], r3["seq"])
+
+
+def test_widen_in_range_casts_preimage_up(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    r1 = _mk(spark, tgt, [("a", 1, "x", False), ("b", 1, "y", False)])
+    evolve_schema(spark, tgt, widen={"pri": "bigint"})
+    r3 = _merge(
+        spark, tgt, [("a", 2, "x2", False)],
+        schema="k string, pri bigint, v string, dead boolean",
+    )
+    ch = read_changes(spark, tgt, from_seq=r1["seq"], to_seq=r3["seq"])
+    assert dict(ch.dtypes)["pri"] == "bigint"
+    got = _rows(ch)
+    assert {dict(t)["k"] for t in got} == {"a"}  # 'b' value-unchanged
+    _assert_matches_naive(spark, tgt, r1["seq"], r3["seq"])
+
+
+def test_all_rows_deleted_reads_as_deletes(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    r1 = _mk(spark, tgt, [("a", 1, "x", False), ("b", 1, "y", False)])
+    r2 = _merge(spark, tgt, [("a", 2, None, True), ("b", 2, None, True)])
+    assert read_merged_table(spark, tgt) is None
+    got = _got(spark, tgt, r1["seq"], r2["seq"], ["k", "pri", "v", "dead"])
+    assert got == _sorted([
+        ("a", 1, "x", False, "delete"), ("b", 1, "y", False, "delete"),
+    ])
+    _reconstruct(spark, tgt, r1["seq"], r2["seq"])
+
+
+# ---------------------------------------------------------------------------
+# refusals
+# ---------------------------------------------------------------------------
+
+
+def test_refusals(spark, tmp_path):
+    # non-manifest target
+    plain = str(tmp_path / "plain")
+    _merge(spark, plain, [("a", 1, "x", False)])
+    with pytest.raises(ValueError, match="not a manifest-commit target"):
+        read_changes(spark, plain, from_seq=0)
+
+    tgt = str(tmp_path / "t")
+    r1 = _mk(spark, tgt, [("a", 1, "x", False)])
+    r2 = _merge(spark, tgt, [("b", 1, "y", False)])
+    # backwards bounds
+    with pytest.raises(ValueError, match="feed runs forward"):
+        read_changes(spark, tgt, from_seq=r2["seq"], to_seq=r1["seq"])
+    # beyond the newest commit (either bound)
+    with pytest.raises(ValueError, match="beyond the latest commit"):
+        read_changes(spark, tgt, from_seq=99)
+    with pytest.raises(ValueError, match="beyond the latest commit"):
+        read_changes(spark, tgt, from_seq=0, to_seq=99)
+
+
+def test_vacuumed_from_seq_raises_loudly(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    r1 = _mk(spark, tgt, [("a", 1, "x", False)])
+    _merge(spark, tgt, [("a", 2, "x2", False)])
+    vacuum_merged_table(spark, tgt, grace_sec=0.0)
+    with pytest.raises(ValueError, match="no manifest at or below"):
+        read_changes(spark, tgt, from_seq=r1["seq"])
+
+
+def test_reserved_output_name_collision_refused(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    _merge(
+        spark, tgt, [("a", 1, "x", False)],
+        schema="k string, pri int, _change_type string, dead boolean",
+        num_buckets=4, protocol="manifest",
+    )
+    with pytest.raises(ValueError, match="_change_type"):
+        read_changes(spark, tgt, from_seq=0)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: the reconstruction law over random lifecycles
+# ---------------------------------------------------------------------------
+
+_KEYS = ["k1", "k2", "k3", "k4"]
+_BATCH = st.lists(
+    st.tuples(
+        st.sampled_from(_KEYS),
+        st.integers(min_value=0, max_value=9),
+        st.sampled_from(["v1", "v2", "v3"]),
+        st.booleans(),
+    ),
+    min_size=1, max_size=4,
+    unique_by=lambda r: (r[0], r[1]),
+)
+_STEP = st.one_of(
+    st.tuples(st.just("merge"), _BATCH),
+    st.tuples(st.just("add"), st.just(None)),
+    st.tuples(st.just("maintain"), st.just(None)),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(first=_BATCH, steps=st.lists(_STEP, min_size=1, max_size=4))
+def test_change_feed_matches_model_diff_over_random_lifecycles(
+    spark, first, steps
+):
+    """For EVERY recorded snapshot pair (i <= j) of a random
+    merge/evolve-add/maintenance interleaving, read_changes(i, j) must
+    equal the dict-model diff rendered in snapshot j's schema."""
+    from lens_sds_batch_spark.plans.merge import maintain_merged_table
+
+    d = tempfile.mkdtemp(prefix="cdf_prop_")
+    tgt = d + "/state"
+    added: list[str] = []
+    state: dict = {}
+
+    def extras_for(k, pri):
+        return {c: f"{c}:{k}:{pri}" for c in added}
+
+    def model_merge(batch):
+        best: dict = {}
+        for k, pri, v, dead in batch:
+            cur = best.get(k)
+            if cur is None or pri > cur[0]:
+                best[k] = (pri, v, dead)
+        for k, (pri, v, dead) in best.items():
+            cur = state.get(k)
+            if cur is not None and pri <= cur[0]:
+                continue
+            if dead:
+                state.pop(k, None)
+            else:
+                state[k] = (pri, v, extras_for(k, pri))
+
+    def spark_merge(batch, **kw):
+        schema = SCHEMA + "".join(f", {c} string" for c in added)
+        rows = [
+            (k, pri, v, dead, *[extras_for(k, pri)[c] for c in added])
+            for k, pri, v, dead in batch
+        ]
+        return merge_into(
+            spark, tgt, spark.createDataFrame(rows, schema),
+            keys=["k"], order_cols=["pri"], is_delete=F.col("dead"), **kw,
+        )
+
+    snaps = []  # (seq, frozen model state, columns at that seq)
+
+    def snap():
+        seq = list_snapshots(spark, tgt)[-1]["seq"]
+        frozen = {
+            k: (pri, v, dict(extras)) for k, (pri, v, extras) in state.items()
+        }
+        snaps.append((seq, frozen, list(added)))
+
+    spark_merge(first, num_buckets=2, protocol="manifest")
+    model_merge(first)
+    snap()
+    for op, payload in steps:
+        if op == "merge":
+            spark_merge(payload)
+            model_merge(payload)
+        elif op == "add" and len(added) < 2:
+            col = f"extra{len(added) + 1}"
+            evolve_schema(spark, tgt, add={col: "string"})
+            added.append(col)
+        elif op == "maintain":
+            maintain_merged_table(spark, tgt, grace_sec=1e9)  # keep history
+        snap()
+
+    cols_final = ["k", "pri", "v", "dead", *added]
+
+    def render(frozen, cols):
+        # model row in snapshot-j's schema; absent extras read NULL
+        return {
+            k: tuple(
+                [pri, v, False]
+                + [extras.get(c) for c in cols if c.startswith("extra")]
+            )
+            for k, (pri, v, extras) in frozen.items()
+        }
+
+    for i in range(len(snaps)):
+        for j in range(i, len(snaps)):
+            seq_i, st_i, _ = snaps[i]
+            seq_j, st_j, added_j = snaps[j]
+            cols_j = ["k", "pri", "v", "dead", *added_j]
+            a = render(st_i, cols_j)
+            b = render(st_j, cols_j)
+            expected = []
+            for k in set(a) | set(b):
+                if k in a and k not in b:
+                    expected.append((k, *a[k], "delete"))
+                elif k in b and k not in a:
+                    expected.append((k, *b[k], "insert"))
+                elif a[k] != b[k]:
+                    expected.append((k, *a[k], "update_preimage"))
+                    expected.append((k, *b[k], "update_postimage"))
+            got = _got(spark, tgt, seq_i, seq_j, cols_j)
+            assert got == _sorted(expected), (
+                f"diff {seq_i}->{seq_j}: got {got} expected {_sorted(expected)}"
+            )
