@@ -1543,7 +1543,20 @@ def read_changes(
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
     tgt = target_path.rstrip("/")
-    man_a = _read_manifest(spark, fs, jvm_path, tgt, as_of_seq=from_seq)
+
+    def _resolve(seq, bound):
+        # _read_manifest's seq-resolution refusals (beyond-newest,
+        # vacuumed) speak as read_merged_table; re-prefix so the caller
+        # sees which read_changes BOUND was bad (ADVICE-r12 convention)
+        try:
+            return _read_manifest(spark, fs, jvm_path, tgt, as_of_seq=seq)
+        except ValueError as e:
+            raise ValueError(
+                f"read_changes: {bound}={seq} — "
+                + str(e).replace("read_merged_table: ", "", 1)
+            ) from e
+
+    man_a = _resolve(from_seq, "from_seq")
     if man_a is None:
         raise ValueError(
             f"read_changes: {tgt} is not a manifest-commit target — only "
@@ -1551,9 +1564,7 @@ def read_changes(
             "feed diffs (rename/plain swaps destroy it)"
         )
     seq_a, _, m_a = man_a
-    seq_b, _, m_b = _read_manifest(
-        spark, fs, jvm_path, tgt, as_of_seq=to_seq
-    )
+    seq_b, _, m_b = _resolve(to_seq, "to_seq")
     if seq_a > seq_b:
         raise ValueError(
             f"read_changes: from_seq resolved to {seq_a}, after to_seq's "

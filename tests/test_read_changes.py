@@ -343,6 +343,48 @@ def test_all_rows_deleted_reads_as_deletes(spark, tmp_path):
     _reconstruct(spark, tgt, r1["seq"], r2["seq"])
 
 
+def test_incremental_replica_via_change_feed(spark, tmp_path):
+    """The 100 TB consumer pattern end-to-end: a downstream REPLICA
+    table maintained purely from the change feed (insert/
+    update_postimage → upsert, delete → tombstone, cycle number as the
+    recency column) converges to the source state without ever reading
+    the source table in full after the first cycle."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    batches = [
+        [("a", 1, "x", False), ("b", 1, "y", False), ("c", 1, "z", False)],
+        [("a", 2, "x2", False), ("d", 1, "w", False)],
+        [("b", 3, None, True), ("c", 3, "z3", False), ("e", 1, "q", False)],
+        [("e", 4, None, True), ("a", 4, "x4", False)],
+    ]
+    last = 0
+    for cycle, batch in enumerate(batches):
+        if cycle == 0:
+            _mk(spark, src, batch)
+        else:
+            _merge(spark, src, batch)
+        latest = list_snapshots(spark, src)[-1]["seq"]
+        ch = read_changes(spark, src, from_seq=last, to_seq=latest)
+        upd = (
+            ch.where(F.col("_change_type") != "update_preimage")
+            .withColumn("__cycle", F.lit(cycle))
+            .withColumn("__is_del", F.col("_change_type") == "delete")
+            .drop("_change_type")
+        )
+        merge_into(
+            spark, dst, upd, keys=["k"], order_cols=["__cycle"],
+            is_delete=F.col("__is_del"),
+            **({"num_buckets": 4, "protocol": "manifest"} if cycle == 0 else {}),
+        )
+        last = latest
+    src_state = read_merged_table(spark, src).select("k", "pri", "v")
+    dst_state = read_merged_table(spark, dst).select("k", "pri", "v")
+    assert _rows(dst_state) == _rows(src_state)
+    assert _rows(src_state.select("k")) == _rows(
+        spark.createDataFrame([("a",), ("c",), ("d",)], "k string")
+    )
+
+
 # ---------------------------------------------------------------------------
 # refusals
 # ---------------------------------------------------------------------------
