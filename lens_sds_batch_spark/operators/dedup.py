@@ -526,15 +526,19 @@ def band_mask(k: int) -> int:
     return m - (1 << 64) if m >= (1 << 63) else m
 
 
-def _simhash_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _simhash_sums(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
+    docs = base if base is not None else load_table(spark, sf_dir, "documents")
     exploded = docs.select(
         "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w")
     ).select("doc_id", F.md5(F.col("w").cast("binary")).alias("h"))
     return exploded.groupBy("doc_id").agg(*_simhash_bit_exprs())
 
 
-def simhash_fingerprint_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_fingerprint_ints(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
     """doc_id -> simhash as ONE 64-bit BIGINT (bit b of the value =
     majority sign of bit b, MSB first; the MSB term is the two's-
     complement -2^63 so the full width fits a signed BIGINT — XOR /
@@ -542,8 +546,10 @@ def simhash_fingerprint_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
     The integer form is the scale representation: the candidate join
     ships 8 bytes, banding is a mask, and hamming distance is
     ``bit_count(a XOR b)`` (r5; both engines share the exact
-    arithmetic)."""
-    sums = _simhash_sums(spark, sf_dir)
+    arithmetic).  ``base`` (r14, the lm_score pattern): fingerprint a
+    caller-supplied (doc_id, text) frame instead of the documents
+    table — dedup_coverage's per-stage form rides through here."""
+    sums = _simhash_sums(spark, sf_dir, base=base)
     # no orderBy: feeds simhash_dup_pairs MID-pipeline
     return sums.select("doc_id", _sh_expr().alias("sh"))
 
@@ -949,7 +955,9 @@ QUERIES.update({"dup_pairs_pack": (dup_pairs_pack, _dup_pairs_pack_sql())})
 # ---------------------------------------------------------------------------
 
 
-def dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_coverage(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
     """Cap/drop TELEMETRY for the near-dedup stack: one row per blocked
     tier (jaccard / minhash / simhash / emb_cos) stating exactly what
     its skew caps dropped or deferred on this corpus.  Every pair
@@ -986,8 +994,18 @@ def dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Aggregation-only (no pair join): the cost is the same linear
     signature/banding passes the tiers themselves pay, so the
-    telemetry is safe to run at any scale the tiers run at."""
-    docs = load_table(spark, sf_dir, "documents")
+    telemetry is safe to run at any scale the tiers run at.
+
+    ``base`` (r14, the lm_score pattern): a (doc_id, text, lang) frame
+    to measure INSTEAD of the documents table, so a pipeline stage
+    (e.g. the funnel's near-dedup input) can report the cap coverage
+    of its own surviving corpus rather than the corpus-level numbers.
+    Scope: the three TEXT tiers follow ``base``; the emb_cos tier
+    always measures the embeddings table — vectors key on vec_id, not
+    doc_id, so there is no doc-subset of them to measure (documented
+    asymmetry; pass/ignore as the stage needs).  The default (None)
+    keeps the registered gate query byte-identical."""
+    docs = base if base is not None else load_table(spark, sf_dir, "documents")
     w = JACCARD_BUCKET_W
 
     # --- jaccard tier: (lang, nw DIV w) blocks, JACCARD_BLOCK_CAP ---
@@ -1052,7 +1070,11 @@ def dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     srow = _banded_row(
         "simhash",
-        local_ckpt(_simhash_banded(simhash_fingerprint_ints(spark, sf_dir)).drop("sh")),
+        local_ckpt(
+            _simhash_banded(
+                simhash_fingerprint_ints(spark, sf_dir, base=base)
+            ).drop("sh")
+        ),
         ["band", "bval"], SIMHASH_BLOCK_CAP,
     )
 
