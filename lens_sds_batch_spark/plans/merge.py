@@ -1705,6 +1705,151 @@ def read_changes(
     ).select(*cols, CHANGE_TYPE_COL)
 
 
+SYNC_SUFFIX = ".__sync"
+SRC_SEQ_COL = "__src_seq"
+DELETED_COL = "__deleted"
+
+
+def replicate_changes(
+    spark,
+    source_path: str,
+    target_path: str,
+    num_buckets: int | None = None,
+) -> dict:
+    """ONE incremental replication step: apply the source's net change
+    feed since the persisted cursor onto a downstream manifest-commit
+    REPLICA, then advance the cursor — the productionized form of the
+    feed's consumer pattern (insert/update_postimage → upsert, delete
+    → tombstone, the source seq as the recency column).  The replica
+    never re-reads the source in full after the bootstrap; each step
+    costs O(buckets touched since the cursor).
+
+    The cursor lives in a sibling file ``<target>.__sync`` (the
+    ``.__lease`` convention), written AFTER the replica's merge
+    commits.  Crash contract: a crash between the merge commit and the
+    cursor write leaves a STALE cursor, and the next step re-applies
+    the same net changes — which converges, because the merge is LWW
+    on ``__src_seq`` (re-upserts tie and the target wins; re-deletes
+    of absent keys are no-ops).  Replay-safe, never lossy.
+
+    The replica carries two extra columns: ``__src_seq`` (the source
+    commit the row was synced at — the LWW recency) and ``__deleted``
+    (the tombstone flag the merge consumed); readers project them away.
+
+    Refusals, all loud:
+    - a cursor pointing below the source's vacuum horizon (the diff
+      base is gone — like a Kafka offset out of range): re-bootstrap
+      into a fresh replica path; shrinking the sync interval below the
+      source's vacuum grace prevents it.
+    - source schema evolution since the last step surfaces as the
+      replica merge's own schema-drift refusal: evolve the REPLICA the
+      same way (plans.merge.evolve_schema), then re-run the step.
+    - a fresh replica against an already-vacuumed source bootstraps
+      from the full resolver read instead of the feed (the feed's
+      from-0 base predates the horizon).
+
+    Returns {"from_seq", "to_seq", "rows_applied", "bootstrap"};
+    from_seq == to_seq means no new source commits (no-op, no merge).
+    """
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    src = source_path.rstrip("/")
+    tgt = target_path.rstrip("/")
+    cursor_path = tgt + SYNC_SUFFIX
+
+    snaps = list_snapshots(spark, src)  # raises on a non-manifest source
+    latest = snaps[-1]["seq"]
+    cursor = None
+    if fs.exists(jvm_path(cursor_path)):
+        stm = fs.open(jvm_path(cursor_path))
+        try:
+            raw = bytes(spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stm))
+        finally:
+            stm.close()
+        cursor = json.loads(raw)
+        if cursor.get("source") != src:
+            raise ValueError(
+                f"replicate_changes: cursor at {cursor_path} tracks source "
+                f"{cursor.get('source')!r}, not {src!r} — one replica "
+                "follows one source; use a fresh target path"
+            )
+
+    bootstrap = False
+    if cursor is None:
+        from_seq = 0
+        oldest = snaps[0]["seq"]
+        if oldest > 0:
+            # vacuum already collected the early manifests: the feed
+            # cannot diff from the empty init — bootstrap from the full
+            # resolver read at the latest seq instead
+            bootstrap = True
+            from_seq = latest
+    else:
+        from_seq = int(cursor["last_seq"])
+        if from_seq < snaps[0]["seq"]:
+            raise ValueError(
+                f"replicate_changes: the cursor's last_seq={from_seq} is "
+                f"below the source's retained horizon (oldest manifest seq "
+                f"{snaps[0]['seq']} at {src}) — the diff base was vacuumed; "
+                "re-bootstrap into a fresh replica path, and sync more "
+                "often than the source's vacuum grace"
+            )
+
+    if bootstrap:
+        state = read_merged_table(spark, src, as_of_seq=latest)
+        if state is None:
+            batch = None  # empty source: nothing to bootstrap
+        else:
+            batch = (
+                state.drop(BUCKET_COL)
+                .withColumn(SRC_SEQ_COL, F.lit(latest).cast("bigint"))
+                .withColumn(DELETED_COL, F.lit(False))
+            )
+    elif from_seq == latest:
+        batch = None  # no new commits
+    else:
+        ch = read_changes(spark, src, from_seq=from_seq, to_seq=latest)
+        batch = (
+            ch.where(F.col(CHANGE_TYPE_COL) != "update_preimage")
+            .withColumn(SRC_SEQ_COL, F.lit(latest).cast("bigint"))
+            .withColumn(
+                DELETED_COL, F.col(CHANGE_TYPE_COL) == F.lit("delete")
+            )
+            .drop(CHANGE_TYPE_COL)
+        )
+
+    rows_applied = 0
+    if batch is not None:
+        src_man = _read_manifest(spark, fs, jvm_path, src)
+        first = not fs.exists(jvm_path(tgt))
+        res = merge_into(
+            spark, tgt, batch,
+            keys=list(src_man[2]["keys"]),
+            order_cols=[SRC_SEQ_COL],
+            is_delete=F.col(DELETED_COL),
+            num_buckets=(
+                (num_buckets or int(src_man[2]["num_buckets"]))
+                if first else None
+            ),
+            protocol="manifest" if first else None,
+        )
+        rows_applied = res.get("touched_rows") or 0
+
+    # cursor write AFTER the merge commit (see crash contract above);
+    # overwrite=True — the cursor is a monotone high-water mark
+    out = fs.create(jvm_path(cursor_path), True)
+    try:
+        out.write(bytearray(json.dumps(
+            {"source": src, "last_seq": latest}
+        ).encode("utf-8")))
+    finally:
+        out.close()
+    return {
+        "from_seq": from_seq, "to_seq": latest,
+        "rows_applied": int(rows_applied), "bootstrap": bootstrap,
+    }
+
+
 def vacuum_merged_table(
     spark,
     target_path: str,

@@ -385,6 +385,134 @@ def test_incremental_replica_via_change_feed(spark, tmp_path):
     )
 
 
+def _rewrite_cursor(cur_path, mutate):
+    """Hand-edit the sync cursor the way a crash/operator would — and
+    drop Hadoop's .crc sidecar, which the local checksum-fs keeps for
+    the file it wrote (a Python rewrite would fail its checksum)."""
+    import json as _json
+    import os as _os
+
+    cur = _json.load(open(cur_path))
+    mutate(cur)
+    _json.dump(cur, open(cur_path, "w"))
+    crc = _os.path.join(
+        _os.path.dirname(cur_path), "." + _os.path.basename(cur_path) + ".crc"
+    )
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    return cur
+
+
+def test_replicate_changes_end_to_end(spark, tmp_path):
+    """The productionized consumer (plans.merge.replicate_changes):
+    cursor-driven incremental sync converges the replica after every
+    step, a no-op step applies nothing, and a replayed step (stale
+    cursor — the crash-between-merge-and-cursor-write shape) is
+    idempotent."""
+    from lens_sds_batch_spark.plans.merge import SYNC_SUFFIX, replicate_changes
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+
+    def src_state():
+        df = read_merged_table(spark, src)
+        return _rows(df.select("k", "pri", "v")) if df is not None else []
+
+    def dst_state():
+        df = read_merged_table(spark, dst)
+        return _rows(df.select("k", "pri", "v")) if df is not None else []
+
+    _mk(spark, src, [("a", 1, "x", False), ("b", 1, "y", False)])
+    r = replicate_changes(spark, src, dst)
+    assert r["bootstrap"] is False and r["from_seq"] == 0
+    assert dst_state() == src_state()
+
+    # no new commits: a pure no-op (no merge, cursor rewritten)
+    r2 = replicate_changes(spark, src, dst)
+    assert r2["from_seq"] == r2["to_seq"] and r2["rows_applied"] == 0
+
+    _merge(spark, src, [("a", 2, "x2", False), ("b", 2, None, True),
+                        ("c", 1, "z", False)])
+    r3 = replicate_changes(spark, src, dst)
+    assert r3["rows_applied"] > 0
+    assert dst_state() == src_state()
+
+    # stale-cursor replay (crash between merge commit and cursor
+    # write): rewind the cursor and re-run — must converge, not double
+    cur_path = dst + SYNC_SUFFIX
+    _rewrite_cursor(cur_path, lambda c: c.update(last_seq=r3["from_seq"]))
+    r4 = replicate_changes(spark, src, dst)
+    assert r4["to_seq"] == r3["to_seq"]
+    assert dst_state() == src_state()
+
+
+def test_replicate_changes_bootstrap_and_horizon_refusal(spark, tmp_path):
+    from lens_sds_batch_spark.plans.merge import replicate_changes
+
+    src = str(tmp_path / "src")
+    _mk(spark, src, [("a", 1, "x", False), ("b", 1, "y", False)])
+    _merge(spark, src, [("b", 2, None, True), ("c", 1, "z", False)])
+
+    # fresh replica against an already-vacuumed source: the from-0 feed
+    # base is gone — bootstraps from the full resolver read
+    vacuum_merged_table(spark, src, grace_sec=0.0)
+    dst = str(tmp_path / "dst")
+    r = replicate_changes(spark, src, dst)
+    assert r["bootstrap"] is True and r["rows_applied"] == 2
+    assert _rows(read_merged_table(spark, dst).select("k", "pri", "v")) == _rows(
+        read_merged_table(spark, src).select("k", "pri", "v")
+    )
+
+    # cursor below the horizon: more source commits, vacuum again, and
+    # a replica that slept through it must be refused loudly
+    _merge(spark, src, [("d", 1, "w", False)])
+    _merge(spark, src, [("e", 1, "q", False)])
+    vacuum_merged_table(spark, src, grace_sec=0.0)
+    from lens_sds_batch_spark.plans.merge import SYNC_SUFFIX
+
+    cur_path = dst + SYNC_SUFFIX
+    with pytest.raises(ValueError, match="below the source's retained horizon"):
+        replicate_changes(spark, src, dst)
+
+    # wrong-source cursor: refused
+    other = str(tmp_path / "other")
+    _mk(spark, other, [("z", 1, "zz", False)])
+    _rewrite_cursor(cur_path, lambda c: c.update(source=other.rstrip("/")))
+    with pytest.raises(ValueError, match="tracks source"):
+        replicate_changes(spark, src, dst)
+
+
+def test_replicate_changes_across_source_evolution(spark, tmp_path):
+    """Source schema evolution surfaces as the replica merge's own
+    drift refusal; evolving the REPLICA the same way un-blocks the
+    sync and the added column flows through (typed NULL on pre-add
+    rows)."""
+    from lens_sds_batch_spark.plans.merge import replicate_changes
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _mk(spark, src, [("a", 1, "x", False), ("b", 1, "y", False)])
+    replicate_changes(spark, src, dst)
+
+    evolve_schema(spark, src, add={"extra": "string"})
+    _merge(spark, src, [("a", 2, "x2", False, "E")],
+           schema=SCHEMA + ", extra string")
+    with pytest.raises(ValueError, match="schema drift"):
+        replicate_changes(spark, src, dst)
+    evolve_schema(spark, dst, add={"extra": "string"})
+    r = replicate_changes(spark, src, dst)
+    assert r["rows_applied"] > 0
+    got = {
+        d["k"]: (d["pri"], d["v"], d["extra"])
+        for d in (
+            r_.asDict()
+            for r_ in read_merged_table(spark, dst)
+            .select("k", "pri", "v", "extra").collect()
+        )
+    }
+    assert got == {"a": (2, "x2", "E"), "b": (1, "y", None)}
+
+
 # ---------------------------------------------------------------------------
 # refusals
 # ---------------------------------------------------------------------------
