@@ -513,6 +513,62 @@ def test_replicate_changes_across_source_evolution(spark, tmp_path):
     assert got == {"a": (2, "x2", "E"), "b": (1, "y", None)}
 
 
+_REPL_BATCH = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2", "k3", "k4"]),
+        st.integers(min_value=0, max_value=9),
+        st.sampled_from(["v1", "v2", "v3"]),
+        st.booleans(),
+    ),
+    min_size=1, max_size=4,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    steps=st.lists(
+        st.tuples(_REPL_BATCH, st.booleans(), st.booleans()),
+        min_size=1, max_size=5,
+    )
+)
+def test_replicate_converges_under_random_cadence_and_replays(spark, steps):
+    """Random source batches, random sync cadence, random stale-cursor
+    replays (the crash shape): the replica must converge after a final
+    sync no matter the interleaving."""
+    from lens_sds_batch_spark.plans.merge import SYNC_SUFFIX, replicate_changes
+
+    d = tempfile.mkdtemp(prefix="repl_prop_")
+    src, dst = d + "/src", d + "/dst"
+    first = True
+    for batch, do_sync, do_rewind in steps:
+        if first:
+            _mk(spark, src, batch, num_buckets=2)
+            first = False
+        else:
+            _merge(spark, src, batch)
+        if do_sync:
+            r = replicate_changes(spark, src, dst)
+            if do_rewind and r["from_seq"] != r["to_seq"]:
+                _rewrite_cursor(
+                    dst + SYNC_SUFFIX,
+                    lambda c: c.update(last_seq=r["from_seq"]),
+                )
+    replicate_changes(spark, src, dst)
+    src_df = read_merged_table(spark, src)
+    dst_df = read_merged_table(spark, dst)
+    if src_df is None:
+        assert dst_df is None or dst_df.count() == 0
+    else:
+        assert _rows(dst_df.select("k", "pri", "v", "dead")) == _rows(
+            src_df.select("k", "pri", "v", "dead")
+        )
+
+
 # ---------------------------------------------------------------------------
 # refusals
 # ---------------------------------------------------------------------------

@@ -1436,6 +1436,54 @@ def test_foreach_batch_manifest_merge_into(spark, stream_dir, tmp_path):
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
 
 
+def test_stream_sink_with_downstream_replica_per_epoch(
+    spark, stream_dir, tmp_path
+):
+    """r14: the full event → store → downstream chain — a foreachBatch
+    manifest sink whose EVERY epoch is followed by a
+    ``replicate_changes`` step onto a second table.  Each step applies
+    only that epoch's net feed (O(changed buckets), never a full
+    re-read), and the replica equals the source at the end.  The
+    replicate read takes no lease, so it coexists with the stream's
+    writer cadence by construction."""
+    from lens_sds_batch_spark.plans.merge import (
+        merge_into,
+        read_merged_table,
+        replicate_changes,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    syncs = []
+
+    def sink(batch_df, _epoch):
+        merge_into(
+            spark, src, batch_df,
+            keys=["user_id"],
+            order_cols=["ts", "event_id"],
+            is_delete=F.lit(False),
+            num_buckets=8,
+            protocol="manifest",
+        )
+        syncs.append(replicate_changes(spark, src, dst))
+
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = stream.writeStream.foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+
+    data_syncs = [s for s in syncs if s["rows_applied"] > 0]
+    assert len(data_syncs) >= 2  # one per data-bearing epoch
+    assert all(not s["bootstrap"] for s in syncs)
+    # each step consumed exactly the previous step's high-water mark
+    for prev, cur in zip(syncs, syncs[1:]):
+        assert cur["from_seq"] == prev["to_seq"]
+    cols = ["user_id", "event_id", "ts"]
+    src_df = read_merged_table(spark, src).select(*cols)
+    dst_df = read_merged_table(spark, dst).select(*cols)
+    assert src_df.exceptAll(dst_df).isEmpty() and dst_df.exceptAll(src_df).isEmpty()
+
+
 def test_correlate_stream_null_fields_match_batch(spark, tmp_path):
     """r11 review: a NULL seq used to be a poison pill (int(NaN) raised
     inside the state fn, killing the query on every replay), NULL name
