@@ -1705,6 +1705,120 @@ def read_changes(
     ).select(*cols, CHANGE_TYPE_COL)
 
 
+def lookup_merged_keys(spark, target_path: str, lookup: DataFrame) -> DataFrame:
+    """POINT-LOOKUP read: the resolved rows of a merge target for the
+    keys in ``lookup`` — exploiting the hash-bucketed layout so a
+    k-key lookup reads O(min(k, num_buckets)) buckets instead of the
+    table.  This completes the store's read cost model: writes are
+    O(touched buckets), the change feed is O(changed buckets), and
+    point reads are O(looked-up buckets) — at 100 TB with thousands of
+    buckets, a 100-key probe touches ≤100 bucket directories.
+
+    ``lookup`` must carry EXACTLY the layout's key columns at the
+    layout's key dtypes (xxhash64 is type-sensitive — the same value
+    at another type hashes into the wrong bucket; same refusal as
+    merge_into's key-drift gate).  NULL keys route like merge routes
+    them (the r13 NULL-routing pin).  Duplicate lookup keys read once
+    (semi-join semantics).  Missing keys are simply absent from the
+    result — the caller left-joins if it needs misses marked.
+
+    Layouts: manifest — the touched buckets' LIVE generations are
+    resolved through the latest manifest and nothing else is listed or
+    read; rename-bucketed — a partition filter on ``__bucket`` prunes
+    at planning time; plain — no bucket space exists, full scan + the
+    same semi-join (correct, documented degradation).  The distinct
+    bucket-id collect is bounded by num_buckets, the same bound
+    merge_into's touched-bucket collect lives under.  The probe side
+    is BROADCAST (point lookups are small by use-case); for a probe
+    too big to broadcast, use read_merged_table + a shuffle semi-join
+    instead — at that size bucket pruning stops helping anyway."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tgt = target_path.rstrip("/")
+
+    man = _read_manifest(spark, fs, jvm_path, tgt)
+    if man is not None:
+        _, _, m = man
+        keys, key_types = list(m["keys"]), dict(m["key_types"])
+        n_buckets, pin = int(m["num_buckets"]), m.get("columns")
+    else:
+        spec = _read_bucket_spec(spark, fs, jvm_path, tgt)
+        if spec is not None:
+            n_buckets, keys, key_types, pin = spec
+        else:
+            keys = key_types = None  # plain flavor: no bucket space
+
+    if keys is not None:
+        if list(lookup.columns) != list(keys) and sorted(
+            lookup.columns
+        ) != sorted(keys):
+            raise ValueError(
+                f"lookup_merged_keys: the layout at {tgt} keys on "
+                f"{list(keys)}, the lookup frame carries "
+                f"{list(lookup.columns)} — pass exactly the key columns"
+            )
+        lk_types = dict(lookup.dtypes)
+        drift = {
+            k: (key_types.get(k), lk_types.get(k))
+            for k in keys
+            if key_types.get(k) != lk_types.get(k)
+        }
+        if drift:  # xxhash64 is type-sensitive: same value, other bucket
+            raise ValueError(
+                f"lookup_merged_keys: key dtype drift vs the layout at "
+                f"{tgt}: {drift} (layout, lookup) — the same logical key "
+                "would hash into a different bucket space; cast the lookup "
+                "keys back to the layout types"
+            )
+        tagged = lookup.select(
+            *keys, bucket_expr(keys, n_buckets).alias(BUCKET_COL)
+        )
+        # bounded by num_buckets — the merge path's touched-collect bound
+        wanted = sorted(
+            r[0] for r in tagged.select(BUCKET_COL).distinct().collect()
+        )
+
+    if man is not None:
+        live = m["buckets"]
+        paths = [
+            f"{tgt}/{BUCKET_COL}={b}/{GEN_COL}={live[str(b)]}"
+            for b in wanted
+            if str(b) in live
+        ]
+        if not paths:
+            # no looked-up bucket is live: the result is definitionally
+            # empty — type it from the pin when one exists
+            if pin is not None:
+                return spark.range(0).select(
+                    *[F.lit(None).cast(t).alias(c) for c, t in pin.items()]
+                )
+            return None
+        base = _conform_to_pin(
+            spark.read.option("basePath", tgt)
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+            .drop(GEN_COL),
+            pin,
+        )
+    else:
+        base = read_merged_table(spark, tgt)
+        if base is not None and keys is not None:
+            # rename flavor: partition pruning does the bucket skip
+            base = base.where(F.col(BUCKET_COL).isin([int(b) for b in wanted]))
+
+    if base is None:
+        return None
+    probe = lookup.select(
+        *[F.col(k).alias(f"__lk{i}") for i, k in enumerate(lookup.columns)]
+    ).dropDuplicates()
+    jkeys = list(lookup.columns)
+    cond = None
+    for i, k in enumerate(jkeys):
+        c = base[k].eqNullSafe(probe[f"__lk{i}"])
+        cond = c if cond is None else (cond & c)
+    return base.join(F.broadcast(probe), cond, "left_semi")
+
+
 SYNC_SUFFIX = ".__sync"
 SRC_SEQ_COL = "__src_seq"
 DELETED_COL = "__deleted"
