@@ -569,6 +569,56 @@ def test_replicate_converges_under_random_cadence_and_replays(spark, steps):
         )
 
 
+def test_replicate_concurrent_with_live_writer(spark, tmp_path):
+    """Replication races a LIVE source writer: the reader takes no
+    lease (it resolves a consistent manifest and reads only immutable
+    generations), so every mid-flight sync sees exactly some committed
+    prefix, and a final drain converges the replica.  The writer-side
+    precedent is the r13 lease stress; this is the reader-side twin."""
+    import threading
+    import time as _time
+
+    from lens_sds_batch_spark.plans.merge import replicate_changes
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _mk(spark, src, [("a", 0, "x", False)], num_buckets=4)
+
+    errors: list = []
+    done = threading.Event()
+
+    def writer():
+        try:
+            for i in range(1, 9):
+                _merge(spark, src, [
+                    (f"w{i}", i, f"v{i}", False),
+                    ("a", i, f"a{i}", False),
+                    (f"w{i - 1}", i, None, i % 3 == 0),
+                ])
+                _time.sleep(0.05)
+        except Exception as e:  # surfaced below — a bare thread death
+            errors.append(e)   # would silently pass the test
+        finally:
+            done.set()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    syncs = 0
+    try:
+        while not done.is_set():
+            r = replicate_changes(spark, src, dst)
+            assert r["to_seq"] >= r["from_seq"]
+            syncs += 1
+    finally:
+        t.join()
+    assert not errors, errors
+    assert syncs >= 2  # the race actually happened
+    replicate_changes(spark, src, dst)  # drain
+    src_df = read_merged_table(spark, src).select("k", "pri", "v")
+    dst_df = read_merged_table(spark, dst).select("k", "pri", "v")
+    assert _rows(dst_df) == _rows(src_df)
+
+
 # ---------------------------------------------------------------------------
 # refusals
 # ---------------------------------------------------------------------------
