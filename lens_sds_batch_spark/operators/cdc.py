@@ -585,46 +585,57 @@ def entity_state_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.merge import read_changes
 
     ch = read_changes(spark, target, from_seq=seq_b1)
-    cols = [c for c in ch.columns if c != "_change_type"]
-    gate_keys = ["study_oid", "subject_key"]
-    base = read_merged_table(spark, target, as_of_seq=seq_b1)
-    base = (
-        base.select(*cols) if base is not None
-        else ch.select(*cols).limit(0)
-    )
-    rebuilt = base.join(
-        ch.where(
-            F.col("_change_type").isin("delete", "update_preimage")
-        ).select(*gate_keys),
-        gate_keys, "left_anti",
-    ).unionByName(
-        ch.where(
-            F.col("_change_type").isin("insert", "update_postimage")
-        ).select(*cols)
-    )
-    cur = read_merged_table(spark, target).select(*cols)
-    n_diverged = (
-        rebuilt.exceptAll(cur).unionByName(cur.exceptAll(rebuilt)).count()
-    )
-    if n_diverged:
-        raise AssertionError(
-            f"change-feed reconstruction diverged from the resolver read "
-            f"by {n_diverged} rows (vacuous-gate guard)"
+    cur_df = read_merged_table(spark, target)
+    if cur_df is None:
+        # empty-input totality (the empty-corpus pytest drives every
+        # query on zero-row tables): nothing to reconstruct, but the
+        # feed must agree that nothing changed
+        if ch is not None and ch.count() != 0:
+            raise AssertionError(
+                "change feed non-empty on an empty table (witness)"
+            )
+    else:
+        cols = [c for c in ch.columns if c != "_change_type"]
+        gate_keys = ["study_oid", "subject_key"]
+        base = read_merged_table(spark, target, as_of_seq=seq_b1)
+        base = (
+            base.select(*cols) if base is not None
+            else ch.select(*cols).limit(0)
         )
-    # ... and the feed itself must be POWERED: the batch mods make all
-    # four change types occur at every gate SF (b2 inserts even-%5
-    # keys, removes %9 keys out of b1, and upserts odd-%5 b1 keys)
-    types_seen = {
-        r[0] for r in ch.select("_change_type").distinct().collect()
-    }
-    expected_types = {
-        "insert", "delete", "update_preimage", "update_postimage"
-    }
-    if types_seen != expected_types:
-        raise AssertionError(
-            f"change feed missing change types (vacuous witness): saw "
-            f"{sorted(types_seen)}"
+        rebuilt = base.join(
+            ch.where(
+                F.col("_change_type").isin("delete", "update_preimage")
+            ).select(*gate_keys),
+            gate_keys, "left_anti",
+        ).unionByName(
+            ch.where(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).select(*cols)
         )
+        cur = cur_df.select(*cols)
+        n_diverged = (
+            rebuilt.exceptAll(cur).unionByName(cur.exceptAll(rebuilt)).count()
+        )
+        if n_diverged:
+            raise AssertionError(
+                f"change-feed reconstruction diverged from the resolver "
+                f"read by {n_diverged} rows (vacuous-gate guard)"
+            )
+        # ... and the feed itself must be POWERED: the batch mods make
+        # all four change types occur at every gate SF (b2 inserts
+        # even-%5 keys, removes %9 keys out of b1, upserts odd-%5 b1
+        # keys)
+        types_seen = {
+            r[0] for r in ch.select("_change_type").distinct().collect()
+        }
+        expected_types = {
+            "insert", "delete", "update_preimage", "update_postimage"
+        }
+        if types_seen != expected_types:
+            raise AssertionError(
+                f"change feed missing change types (vacuous witness): "
+                f"saw {sorted(types_seen)}"
+            )
     # r14 (VERDICT r13 #4): close the lifecycle with the ONE-CALL
     # maintenance window — advisor-gated rebucket, sized compaction,
     # grace-0 vacuum, in that order — so the hash below pins that the
