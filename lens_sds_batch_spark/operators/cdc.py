@@ -555,8 +555,21 @@ def entity_state_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).alias("priority"), F.lit("v2").alias("version"),
         (F.col("c_custkey") % 13 == 0).alias("is_remove"),
     )
+    # r14 IVM witness: a maintained per-study aggregate (plans/ivm.py
+    # refresh_aggregate) rides the SAME lifecycle — bootstrap after
+    # batch 1, then one O(changed-groups) incremental refresh per
+    # batch, the second spanning the 16→8 rebucket.  The final
+    # aggregate is compared against a direct groupBy of the resolver
+    # read below.  Runs BEFORE the maintenance window: its grace-0
+    # vacuum collects the manifests the refresh's change feed resolves
+    # through (the documented refresh-more-often-than-vacuum contract).
+    from ..plans.ivm import read_aggregate, refresh_aggregate
+
+    agg_target = _merge_scratch_target("entity_state_manifest_agg", sf_dir)
+    ivm_aggs = {"n_subjects": ("count", "*"), "sum_pri": ("sum", "priority")}
     engines = []
     seq_b1 = None
+    last_refresh = None
     for i, batch in enumerate((b1, b2, b3)):
         res = merge_into(
             spark, target, batch,
@@ -573,6 +586,16 @@ def entity_state_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             reb = rebucket(spark, target, 8)
             if (reb["engine"], reb["num_buckets"]) != ("parquet-manifest", 8):
                 raise AssertionError(f"unexpected rebucket result: {reb}")
+        last_refresh = refresh_aggregate(
+            spark, target, agg_target,
+            group_keys=["study_oid"], aggs=ivm_aggs,
+        )
+        if last_refresh["bootstrap"] != (i == 0):
+            raise AssertionError(
+                f"ivm refresh {i} unexpectedly "
+                f"{'re-bootstrapped' if last_refresh['bootstrap'] else 'skipped bootstrap'}: "
+                f"{last_refresh}"
+            )
     if engines != ["parquet-manifest"] * 3:
         raise AssertionError(f"unexpected merge engines: {engines}")
     # r14: CDF witness — the net change feed (plans/merge.py
@@ -635,6 +658,36 @@ def entity_state_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 f"change feed missing change types (vacuous witness): "
                 f"saw {sorted(types_seen)}"
+            )
+    # ... and the maintained aggregate must equal a direct groupBy of
+    # the resolver read, bit-for-bit (the IVM law, witnessed at the
+    # gate; the last refresh above must also have been INCREMENTAL —
+    # asserted in the loop — so this cannot silently degrade to a
+    # recompute)
+    agg_got = read_aggregate(spark, agg_target).select(
+        "study_oid", "n_subjects", "sum_pri"
+    )
+    if cur_df is None:
+        if agg_got.count() != 0:
+            raise AssertionError("ivm aggregate non-empty on an empty table")
+    else:
+        agg_exp = cur_df.groupBy("study_oid").agg(
+            F.count(F.lit(1)).alias("n_subjects"),
+            F.sum(F.coalesce(F.col("priority"), F.lit(0))).alias("sum_pri"),
+        ).select("study_oid", "n_subjects", "sum_pri")
+        n_div = (
+            agg_got.exceptAll(agg_exp)
+            .unionByName(agg_exp.exceptAll(agg_got)).count()
+        )
+        if n_div:
+            raise AssertionError(
+                f"ivm aggregate diverged from the recompute by {n_div} "
+                "rows (vacuous-gate guard)"
+            )
+        if last_refresh["groups_changed"] == 0:
+            raise AssertionError(
+                "ivm witness vacuous: the batch-3 refresh changed no "
+                f"groups on a non-empty table: {last_refresh}"
             )
     # r14 (VERDICT r13 #4): close the lifecycle with the ONE-CALL
     # maintenance window — advisor-gated rebucket, sized compaction,

@@ -322,6 +322,8 @@ def merge_into(
     num_buckets: int | None = None,
     protocol: str | None = None,
     lease_stale_sec: float = LEASE_STALE_SEC,
+    commit_meta: dict | None = None,
+    expect_seq: int | None = None,
 ) -> dict:
     """Apply an update batch to a stored table: ``MERGE INTO`` when the
     target is a Delta table and delta-spark is importable, else the
@@ -384,6 +386,27 @@ def merge_into(
       in-place migration from an existing layout).  Re-layout to a new
       bucket count for either flavor: :func:`rebucket`.
 
+    - COMMIT METADATA / CAS (r14, manifest flavor only): ``commit_meta``
+      is a JSON dict committed ATOMICALLY inside the same manifest
+      rename as the data — the transactional-offsets pattern: a
+      downstream consumer that records its source cursor here can never
+      observe data-without-cursor or cursor-without-data, so its replay
+      after any crash is exactly-once (plans/ivm.refresh_aggregate is
+      the first consumer).  The latest value is carried forward
+      UNCHANGED by every later commit (merges without commit_meta,
+      compaction, rebucket, evolve_schema) until the next commit_meta
+      merge replaces it; read it back with :func:`read_commit_meta`.
+      An explicit commit_meta with a batch that touches NO buckets
+      still commits (metadata-only, live map unchanged) so the cursor
+      can advance past a range that netted out to nothing.
+      ``expect_seq`` is optimistic concurrency: refuse to merge unless
+      the latest committed manifest seq still equals it — required by
+      read-modify-write planners (the IVM delta apply), whose updates
+      are only correct against the exact state they were planned from;
+      the writer lease serializes commits but cannot see plan-time
+      reads.  Both knobs are refused loudly on Delta / rename / plain
+      targets (Delta has its own txn/appIds mechanism; the swap flavors
+      keep no commit metadata).
     - TOMBSTONE CONTRACT (r8 continuation review): ``is_delete`` is
       evaluated on UPDATE rows ONLY, with NULL normalized to False —
       MERGE semantics, where only a newer matching source row can
@@ -456,6 +479,19 @@ def merge_into(
         # an empty chain would be malformed SQL on the Delta branch and a
         # silent target-always-wins no-op on the fallback — refuse loudly
         raise ValueError("merge_into: order_cols must be non-empty")
+    if commit_meta is not None:
+        try:
+            json.dumps(commit_meta)
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                f"merge_into: commit_meta must be JSON-serializable "
+                f"(it rides the manifest file): {e}"
+            ) from e
+        if not isinstance(commit_meta, dict):
+            raise ValueError(
+                f"merge_into: commit_meta must be a dict, got "
+                f"{type(commit_meta).__name__}"
+            )
     # GEN_COL joined the set in r12: on a manifest target a data column
     # named __gen would collide with the generation partition dirs at
     # read (partition-vs-data column shadowing) and the resolver's
@@ -497,6 +533,13 @@ def merge_into(
                 f"merge_into: protocol={protocol!r} does not apply to a "
                 f"Delta target ({target_path}) — the Delta log IS the commit "
                 "protocol; drop the argument"
+            )
+        if commit_meta is not None or expect_seq is not None:
+            raise ValueError(
+                f"merge_into: commit_meta/expect_seq do not apply to a "
+                f"Delta target ({target_path}) — use Delta's own "
+                "transactional mechanisms (txnAppId/txnVersion for "
+                "exactly-once, its optimistic concurrency for CAS)"
             )
 
         src = apply_lww(
@@ -558,6 +601,7 @@ def merge_into(
         return _portable_merge(
             spark, fs, jvm_path, target_path, updates, keys,
             order_exprs, row_hash, is_delete, num_buckets, protocol,
+            commit_meta=commit_meta, expect_seq=expect_seq,
         )
 
 
@@ -685,6 +729,7 @@ def _recover_whole_dir(fs, jvm_path, target_path: str) -> None:
 def _portable_merge(
     spark, fs, jvm_path, target_path, updates, keys,
     order_exprs, row_hash, is_delete, num_buckets, protocol,
+    commit_meta: dict | None = None, expect_seq: int | None = None,
 ) -> dict:
     """Layout dispatch + the legacy whole-dir flavor.  Runs UNDER the
     writer lease (acquired by merge_into)."""
@@ -729,6 +774,18 @@ def _portable_merge(
         return _manifest_merge(
             spark, fs, jvm_path, target_path, updates, keys,
             order_exprs, row_hash, is_delete, man_seq, m,
+            commit_meta=commit_meta, expect_seq=expect_seq,
+        )
+
+    if commit_meta is not None or expect_seq is not None:
+        # refuse-loudly convention (cf. num_buckets/protocol on Delta):
+        # the swap flavors keep no commit metadata and no stable seq —
+        # silently dropping either knob would hand an exactly-once
+        # consumer neither its cursor nor its CAS
+        raise ValueError(
+            f"merge_into: commit_meta/expect_seq apply only to "
+            f"manifest-commit targets; {target_path} is not one — use "
+            "protocol='manifest' on first materialization"
         )
 
     _recover_whole_dir(fs, jvm_path, target_path)
@@ -1164,6 +1221,19 @@ def _commit_manifest(fs, jvm_path, tgt: str, seq: int, gen: str, man: dict) -> N
         )
 
 
+APP_META_KEY = "app_meta"
+
+
+def _carry_app_meta(man: dict) -> dict:
+    """The application-owned manifest field (``merge_into(commit_meta=)``)
+    rides EVERY later commit unchanged until the next commit_meta merge
+    replaces it.  Maintenance and evolve commits must never drop it: an
+    exactly-once consumer (plans/ivm.refresh_aggregate) keeps its source
+    cursor here, and a compaction that silently shed the cursor would
+    rewind the consumer into a double-apply."""
+    return {APP_META_KEY: man[APP_META_KEY]} if APP_META_KEY in man else {}
+
+
 def _new_gen() -> str:
     """Generation id: 'g' prefix guarantees the __gen partition value is
     inferred as STRING (an all-digit hex id would infer as int and make
@@ -1210,6 +1280,7 @@ def _init_manifest_table(
 def _manifest_merge(
     spark, fs, jvm_path, target_path: str, updates, keys,
     order_exprs, row_hash, is_delete, man_seq: int, man: dict,
+    commit_meta: dict | None = None, expect_seq: int | None = None,
 ) -> dict:
     """Incremental merge under the manifest-commit protocol: read ONLY
     the touched buckets' live generations, merge, write fresh (non-live)
@@ -1223,6 +1294,23 @@ def _manifest_merge(
     from pyspark.sql import Observation
 
     tgt = target_path.rstrip("/")
+    if expect_seq is not None and man_seq != expect_seq:
+        # optimistic CAS (r14): a read-modify-write planner (e.g. the
+        # IVM refresh, which adds deltas onto values it looked up at
+        # plan time) must refuse when its basis moved — applying its
+        # rows onto a NEWER state would double-count, and the lease
+        # only serializes the merges, not the planning reads.
+        raise ValueError(
+            f"merge_into: expect_seq={expect_seq} but the latest committed "
+            f"manifest of {tgt} is seq {man_seq} — the state this batch was "
+            "planned against has moved; re-plan from the current state and "
+            "retry"
+        )
+    meta_fields = (
+        {APP_META_KEY: commit_meta}
+        if commit_meta is not None
+        else _carry_app_meta(man)
+    )
     tmp = tgt + ".__tmp"
     prefix = BUCKET_COL + "="
     n_buckets = int(man["num_buckets"])
@@ -1241,6 +1329,34 @@ def _manifest_merge(
             r[0] for r in upd_tagged.select(BUCKET_COL).distinct().collect()
         )
         if not touched:
+            if commit_meta is not None:
+                # an explicit commit_meta must land even with zero data
+                # rows: a METADATA-ONLY commit (live map unchanged) lets
+                # an exactly-once consumer advance its cursor past a
+                # range that netted out to nothing
+                gen = _new_gen()
+                _commit_manifest(
+                    fs, jvm_path, tgt, man_seq + 1, gen,
+                    {
+                        "num_buckets": n_buckets,
+                        "keys": list(man["keys"]),
+                        "key_types": dict(man["key_types"]),
+                        **({"columns": man["columns"]} if "columns" in man
+                           else {}),
+                        **meta_fields,
+                        "buckets": live,
+                        "seq": man_seq + 1,
+                        "gen": gen,
+                    },
+                )
+                return {
+                    "engine": "parquet-manifest",
+                    "rows": None,
+                    "touched_rows": 0,
+                    "touched_buckets": [],
+                    "num_buckets": n_buckets,
+                    "seq": man_seq + 1,
+                }
             return {
                 "engine": "parquet-manifest",
                 "rows": None,
@@ -1303,6 +1419,7 @@ def _manifest_merge(
                 "keys": list(man["keys"]),
                 "key_types": dict(man["key_types"]),
                 **({"columns": man["columns"]} if "columns" in man else {}),
+                **meta_fields,
                 "buckets": new_live,
                 "seq": man_seq + 1,
                 "gen": gen,
@@ -1473,6 +1590,28 @@ def list_snapshots(spark, target_path: str) -> list[dict]:
         }
         for seq, name in ms
     ]
+
+
+def read_commit_meta(
+    spark, target_path: str, as_of_seq: int | None = None
+) -> tuple[int, dict | None]:
+    """``(seq, app_meta)`` of the latest (or as-of) committed manifest:
+    the read side of ``merge_into(commit_meta=...)``.  ``app_meta`` is
+    None when no commit ever carried one.  Raises on a non-manifest
+    target (the swap flavors keep no commit metadata) with the same
+    seq-resolution refusals as :func:`read_merged_table`."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    man = _read_manifest(spark, fs, jvm_path, target_path.rstrip("/"),
+                         as_of_seq=as_of_seq)
+    if man is None:
+        raise ValueError(
+            f"read_commit_meta: {target_path} is not a manifest-commit "
+            "merge target — only the manifest flavor carries commit "
+            "metadata (merge_into(protocol='manifest', commit_meta=...))"
+        )
+    seq, _, m = man
+    return seq, m.get(APP_META_KEY)
 
 
 CHANGE_TYPE_COL = "_change_type"
@@ -1819,7 +1958,7 @@ def lookup_merged_keys(spark, target_path: str, lookup: DataFrame) -> DataFrame:
     return base.join(F.broadcast(probe), cond, "left_semi")
 
 
-SYNC_SUFFIX = ".__sync"
+REPL_META_KEY = "replicate"
 SRC_SEQ_COL = "__src_seq"
 DELETED_COL = "__deleted"
 
@@ -1838,13 +1977,25 @@ def replicate_changes(
     never re-reads the source in full after the bootstrap; each step
     costs O(buckets touched since the cursor).
 
-    The cursor lives in a sibling file ``<target>.__sync`` (the
-    ``.__lease`` convention), written AFTER the replica's merge
-    commits.  Crash contract: a crash between the merge commit and the
-    cursor write leaves a STALE cursor, and the next step re-applies
-    the same net changes — which converges, because the merge is LWW
-    on ``__src_seq`` (re-upserts tie and the target wins; re-deletes
-    of absent keys are no-ops).  Replay-safe, never lossy.
+    The cursor commits ATOMICALLY with the applied changes, inside the
+    replica's own manifest rename (``merge_into(commit_meta=...)``, the
+    transactional-offsets pattern; read it back with
+    :func:`read_commit_meta`).  This is LOAD-BEARING, not a
+    convenience: the original sidecar-cursor design (cursor file
+    written AFTER the merge) claimed replay-convergence from LWW
+    idempotence, and hypothesis found the counterexample — sync k1,
+    crash before the cursor write, source deletes k1; the NET feed
+    from the stale cursor shows absent→absent = NO ROW for k1, so the
+    replica keeps k1 forever.  Applying net(A→B) is only guaranteed to
+    land on state(B) from state(A) or state(B); a lost cursor write
+    strands the replica at some state(C), A<C<B, where net changes
+    that cancel over (A,B] but not over (C,B] are silently missed.
+    With the cursor inside the commit, data and cursor cannot
+    diverge — a crash leaves both pre-sync or both post-sync, and the
+    replay applies the feed from exactly the state it diffs against.
+    Concurrent sync steps are CAS-fenced for the same reason
+    (``expect_seq``): a second replicator committing a stale plan
+    would regress the cursor below the replica's actual state.
 
     The replica carries two extra columns: ``__src_seq`` (the source
     commit the row was synced at — the LWW recency) and ``__deleted``
@@ -1861,6 +2012,9 @@ def replicate_changes(
     - a fresh replica against an already-vacuumed source bootstraps
       from the full resolver read instead of the feed (the feed's
       from-0 base predates the horizon).
+    - an existing target that does not carry a replication cursor in
+      its commit metadata was not built by replicate_changes: refused
+      (blindly syncing onto a foreign table corrupts it).
 
     Returns {"from_seq", "to_seq", "rows_applied", "bootstrap"};
     from_seq == to_seq means no new source commits (no-op, no merge).
@@ -1869,21 +2023,23 @@ def replicate_changes(
     fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
     src = source_path.rstrip("/")
     tgt = target_path.rstrip("/")
-    cursor_path = tgt + SYNC_SUFFIX
 
     snaps = list_snapshots(spark, src)  # raises on a non-manifest source
     latest = snaps[-1]["seq"]
-    cursor = None
-    if fs.exists(jvm_path(cursor_path)):
-        stm = fs.open(jvm_path(cursor_path))
-        try:
-            raw = bytes(spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stm))
-        finally:
-            stm.close()
-        cursor = json.loads(raw)
+    dst_man = _read_manifest(spark, fs, jvm_path, tgt)
+    cursor, dst_seq = None, None
+    if dst_man is not None:
+        dst_seq = dst_man[0]
+        cursor = (dst_man[2].get(APP_META_KEY) or {}).get(REPL_META_KEY)
+        if cursor is None:
+            raise ValueError(
+                f"replicate_changes: {tgt} is a merge target but carries "
+                "no replication cursor in its commit metadata — it was "
+                "not built by replicate_changes; sync into a fresh path"
+            )
         if cursor.get("source") != src:
             raise ValueError(
-                f"replicate_changes: cursor at {cursor_path} tracks source "
+                f"replicate_changes: the replica at {tgt} tracks source "
                 f"{cursor.get('source')!r}, not {src!r} — one replica "
                 "follows one source; use a fresh target path"
             )
@@ -1935,7 +2091,7 @@ def replicate_changes(
     rows_applied = 0
     if batch is not None:
         src_man = _read_manifest(spark, fs, jvm_path, src)
-        first = not fs.exists(jvm_path(tgt))
+        first = dst_man is None
         res = merge_into(
             spark, tgt, batch,
             keys=list(src_man[2]["keys"]),
@@ -1946,18 +2102,13 @@ def replicate_changes(
                 if first else None
             ),
             protocol="manifest" if first else None,
+            # the cursor rides the SAME manifest rename as the data
+            # (see crash contract above); an all-netted-out feed still
+            # advances it via the metadata-only commit path
+            commit_meta={REPL_META_KEY: {"source": src, "last_seq": latest}},
+            expect_seq=dst_seq,
         )
         rows_applied = res.get("touched_rows") or 0
-
-    # cursor write AFTER the merge commit (see crash contract above);
-    # overwrite=True — the cursor is a monotone high-water mark
-    out = fs.create(jvm_path(cursor_path), True)
-    try:
-        out.write(bytearray(json.dumps(
-            {"source": src, "last_seq": latest}
-        ).encode("utf-8")))
-    finally:
-        out.close()
     return {
         "from_seq": from_seq, "to_seq": latest,
         "rows_applied": int(rows_applied), "bootstrap": bootstrap,
@@ -2188,6 +2339,7 @@ def compact_merged_table(
                 "num_buckets": int(m["num_buckets"]), "keys": list(m["keys"]),
                 "key_types": dict(m["key_types"]),
                 **({"columns": m["columns"]} if "columns" in m else {}),
+                **_carry_app_meta(m),
                 "buckets": new_live, "seq": seq + 1, "gen": gen,
             },
         )
@@ -2247,6 +2399,7 @@ def rebucket(
                     {"num_buckets": int(new_num_buckets), "keys": keys,
                      "key_types": key_types,
                      **({"columns": m["columns"]} if "columns" in m else {}),
+                     **_carry_app_meta(m),
                      "buckets": {}, "seq": seq + 1,
                      "gen": gen},
                 )
@@ -2282,6 +2435,7 @@ def rebucket(
                 {"num_buckets": int(new_num_buckets), "keys": keys,
                  "key_types": key_types,
                  **({"columns": m["columns"]} if "columns" in m else {}),
+                 **_carry_app_meta(m),
                  "buckets": new_live, "seq": seq + 1,
                  "gen": gen},
             )
@@ -2617,6 +2771,7 @@ def evolve_schema(
             base = {
                 "num_buckets": n_buckets, "keys": keys,
                 "key_types": dict(m["key_types"]), "columns": new_pin,
+                **_carry_app_meta(m),
             }
             if not widen or not live:
                 # metadata-only: ONE atomic manifest commit (live

@@ -385,31 +385,39 @@ def test_incremental_replica_via_change_feed(spark, tmp_path):
     )
 
 
-def _rewrite_cursor(cur_path, mutate):
-    """Hand-edit the sync cursor the way a crash/operator would — and
-    drop Hadoop's .crc sidecar, which the local checksum-fs keeps for
-    the file it wrote (a Python rewrite would fail its checksum)."""
-    import json as _json
-    import os as _os
+class _crash_next_commit:
+    """Context manager injecting a crash INTO the manifest commit —
+    the only crash shape left now that the sync cursor rides the
+    commit itself (the sidecar-cursor rewind this replaced simulated a
+    crash point that no longer exists; hypothesis proved that shape
+    NON-CONVERGENT — see replicate_changes' crash contract)."""
 
-    cur = _json.load(open(cur_path))
-    mutate(cur)
-    _json.dump(cur, open(cur_path, "w"))
-    crc = _os.path.join(
-        _os.path.dirname(cur_path), "." + _os.path.basename(cur_path) + ".crc"
-    )
-    if _os.path.exists(crc):
-        _os.remove(crc)
-    return cur
+    def __enter__(self):
+        import lens_sds_batch_spark.plans.merge as M
+
+        self._m, self._orig = M, M._commit_manifest
+
+        def boom(*a, **k):
+            raise IOError("injected crash before the manifest rename")
+
+        M._commit_manifest = boom
+        return self
+
+    def __exit__(self, *exc):
+        self._m._commit_manifest = self._orig
+        return False
 
 
 def test_replicate_changes_end_to_end(spark, tmp_path):
     """The productionized consumer (plans.merge.replicate_changes):
     cursor-driven incremental sync converges the replica after every
-    step, a no-op step applies nothing, and a replayed step (stale
-    cursor — the crash-between-merge-and-cursor-write shape) is
-    idempotent."""
-    from lens_sds_batch_spark.plans.merge import SYNC_SUFFIX, replicate_changes
+    step, a no-op step applies nothing, and a step CRASHED at its
+    commit point leaves data and cursor both untouched (they are one
+    atomic rename), so the retry applies the feed exactly once."""
+    from lens_sds_batch_spark.plans.merge import (
+        read_commit_meta,
+        replicate_changes,
+    )
 
     src = str(tmp_path / "src")
     dst = str(tmp_path / "dst")
@@ -427,22 +435,48 @@ def test_replicate_changes_end_to_end(spark, tmp_path):
     assert r["bootstrap"] is False and r["from_seq"] == 0
     assert dst_state() == src_state()
 
-    # no new commits: a pure no-op (no merge, cursor rewritten)
+    # no new commits: a pure no-op (no merge, no commit at all)
+    seq_noop, _ = read_commit_meta(spark, dst)
     r2 = replicate_changes(spark, src, dst)
     assert r2["from_seq"] == r2["to_seq"] and r2["rows_applied"] == 0
+    assert read_commit_meta(spark, dst)[0] == seq_noop
 
     _merge(spark, src, [("a", 2, "x2", False), ("b", 2, None, True),
                         ("c", 1, "z", False)])
+
+    # crash INJECTED into the sync's commit: data and cursor are one
+    # rename, so neither moved — THE scenario the sidecar design lost
+    # (with a stale external cursor, a subsequent source revert/delete
+    # nets out of the feed and the replica diverges forever)
+    state_pre, meta_pre = dst_state(), read_commit_meta(spark, dst)
+    with _crash_next_commit():
+        with pytest.raises(IOError, match="injected crash"):
+            replicate_changes(spark, src, dst)
+    assert dst_state() == state_pre
+    assert read_commit_meta(spark, dst) == meta_pre
+
+    # the retry applies the feed exactly once and converges
     r3 = replicate_changes(spark, src, dst)
     assert r3["rows_applied"] > 0
     assert dst_state() == src_state()
 
-    # stale-cursor replay (crash between merge commit and cursor
-    # write): rewind the cursor and re-run — must converge, not double
-    cur_path = dst + SYNC_SUFFIX
-    _rewrite_cursor(cur_path, lambda c: c.update(last_seq=r3["from_seq"]))
+    # re-running with nothing new: converged and idempotent
     r4 = replicate_changes(spark, src, dst)
-    assert r4["to_seq"] == r3["to_seq"]
+    assert r4["from_seq"] == r4["to_seq"] == r3["to_seq"]
+    assert dst_state() == src_state()
+
+    # THE hypothesis counterexample, pinned deterministically: under
+    # the old sidecar protocol a crash-after-merge left a stale cursor;
+    # a source change that NETS OUT over the stale range (here: insert
+    # then delete of k9) produced no feed row, stranding the replica.
+    # With the atomic cursor the crashed sync leaves no partial state
+    # at all, and the retry sees the delete.
+    _merge(spark, src, [("k9", 3, "ghost", False)])
+    with _crash_next_commit():
+        with pytest.raises(IOError, match="injected crash"):
+            replicate_changes(spark, src, dst)
+    _merge(spark, src, [("k9", 4, None, True)])  # net: k9 never existed
+    replicate_changes(spark, src, dst)
     assert dst_state() == src_state()
 
 
@@ -468,18 +502,20 @@ def test_replicate_changes_bootstrap_and_horizon_refusal(spark, tmp_path):
     _merge(spark, src, [("d", 1, "w", False)])
     _merge(spark, src, [("e", 1, "q", False)])
     vacuum_merged_table(spark, src, grace_sec=0.0)
-    from lens_sds_batch_spark.plans.merge import SYNC_SUFFIX
-
-    cur_path = dst + SYNC_SUFFIX
     with pytest.raises(ValueError, match="below the source's retained horizon"):
         replicate_changes(spark, src, dst)
 
-    # wrong-source cursor: refused
+    # wrong source: a replica follows ONE source — pointing the sync
+    # at another table is refused via the committed cursor's identity
     other = str(tmp_path / "other")
     _mk(spark, other, [("z", 1, "zz", False)])
-    _rewrite_cursor(cur_path, lambda c: c.update(source=other.rstrip("/")))
     with pytest.raises(ValueError, match="tracks source"):
-        replicate_changes(spark, src, dst)
+        replicate_changes(spark, other, dst)
+
+    # a manifest table that is NOT a replica (no cursor in its commit
+    # metadata) is refused — blind syncing would corrupt it
+    with pytest.raises(ValueError, match="no replication cursor"):
+        replicate_changes(spark, src, other)
 
 
 def test_replicate_changes_across_source_evolution(spark, tmp_path):
@@ -537,27 +573,34 @@ _REPL_BATCH = st.lists(
     )
 )
 def test_replicate_converges_under_random_cadence_and_replays(spark, steps):
-    """Random source batches, random sync cadence, random stale-cursor
-    replays (the crash shape): the replica must converge after a final
-    sync no matter the interleaving."""
-    from lens_sds_batch_spark.plans.merge import SYNC_SUFFIX, replicate_changes
+    """Random source batches, random sync cadence, random CRASHED syncs
+    (a crash injected into the commit rename itself — the only crash
+    point the atomic-cursor protocol has): the replica must converge
+    after a final sync no matter the interleaving.  The rewind-a-
+    sidecar-cursor variant this replaced is the shape hypothesis
+    proved non-convergent (net changes cancelling over the stale range
+    never reach the replica) — the fix moved the cursor into the
+    commit, making that crash point unrepresentable."""
+    from lens_sds_batch_spark.plans.merge import replicate_changes
 
     d = tempfile.mkdtemp(prefix="repl_prop_")
     src, dst = d + "/src", d + "/dst"
     first = True
-    for batch, do_sync, do_rewind in steps:
+    for batch, do_sync, do_crash in steps:
         if first:
             _mk(spark, src, batch, num_buckets=2)
             first = False
         else:
             _merge(spark, src, batch)
         if do_sync:
-            r = replicate_changes(spark, src, dst)
-            if do_rewind and r["from_seq"] != r["to_seq"]:
-                _rewrite_cursor(
-                    dst + SYNC_SUFFIX,
-                    lambda c: c.update(last_seq=r["from_seq"]),
-                )
+            if do_crash:
+                with _crash_next_commit():
+                    try:
+                        replicate_changes(spark, src, dst)
+                    except IOError:
+                        pass  # the injected crash: sync atomically lost
+            else:
+                replicate_changes(spark, src, dst)
     replicate_changes(spark, src, dst)
     src_df = read_merged_table(spark, src)
     dst_df = read_merged_table(spark, dst)
