@@ -435,6 +435,150 @@ def test_negative_count_guard_catches_tampering(spark, tmp_path):
         refresh_aggregate(spark, src, dst)
 
 
+def test_concurrent_refresh_interleave_is_cas_fenced(spark, tmp_path,
+                                                     monkeypatch):
+    """A FAITHFUL interleave, not just the unit CAS: refresh A reads
+    its plan basis, a full refresh B lands in between (injected inside
+    A's lookup step), then A's merge must refuse — committing A's
+    deltas on top of B's would double-apply them."""
+    import lens_sds_batch_spark.plans.ivm as ivm_mod
+
+    src, dst = str(tmp_path / "s"), str(tmp_path / "a")
+    _mk(spark, src, [("k1", "a", 10, 1, False)])
+    refresh_aggregate(spark, src, dst, group_keys=["grp"], aggs=AGGS)
+    _merge(spark, src, [("k2", "a", 5, 2, False)])
+
+    orig_lookup = ivm_mod.lookup_merged_keys
+    state = {"sneaked": False}
+
+    def sneaky_lookup(spark_, path, probe):
+        out = orig_lookup(spark_, path, probe)
+        if not state["sneaked"]:
+            state["sneaked"] = True  # guard: B must not recurse into C
+            refresh_aggregate(spark_, src, dst)  # B: completes first
+        return out
+
+    monkeypatch.setattr(ivm_mod, "lookup_merged_keys", sneaky_lookup)
+    with pytest.raises(ValueError, match="planned against has moved"):
+        refresh_aggregate(spark, src, dst)  # A: plan basis moved under it
+    monkeypatch.undo()
+    assert state["sneaked"]
+
+    # B already applied the feed; the state is exact and a retry of A
+    # is a pure no-op
+    _assert_synced(spark, src, dst)
+    r = refresh_aggregate(spark, src, dst)
+    assert r["from_seq"] == r["to_seq"]
+
+
+def test_checkpointed_stream_epoch_replay_refreshes_exactly_once(
+    spark, tmp_path
+):
+    """The streaming exactly-once story end-to-end: a CHECKPOINTED
+    foreachBatch pipeline (entity merge, then aggregate refresh per
+    epoch) crashes BETWEEN the entity commit and the refresh.  The
+    epoch is not checkpoint-committed, so the restart replays it: the
+    entity merge replays idempotently (LWW, a fresh seq over identical
+    state) and the refresh folds the crashed commit AND the replay in
+    one feed application — the aggregate can neither miss the epoch
+    nor double-count it."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from lens_sds_batch_spark.plans.ivm import ivm_status
+
+    src = str(tmp_path / "files")
+    entity = str(tmp_path / "entity")
+    agg = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    armed = {"crash": False}
+
+    def sink(batch_df, _epoch):
+        merge_into(
+            spark, entity, batch_df, keys=["k"], order_cols=["pri"],
+            is_delete=F.col("dead"), num_buckets=4, protocol="manifest",
+        )
+        if armed["crash"] and not batch_df.isEmpty():
+            armed["crash"] = False
+            raise IOError(
+                "injected crash between entity merge and aggregate refresh"
+            )
+        refresh_aggregate(spark, entity, agg,
+                          group_keys=["grp"], aggs=AGGS)
+
+    def run_stream(expect_fail=None):
+        q = (
+            spark.readStream.schema(SCHEMA).parquet(src)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(sink).start()
+        )
+        try:
+            if expect_fail is not None:
+                with pytest.raises(StreamingQueryException, match=expect_fail):
+                    q.processAllAvailable()
+            else:
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+    spark.createDataFrame(
+        [("k1", "a", 10, 1, False), ("k2", "b", 5, 1, False)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    _assert_synced(spark, entity, agg)
+
+    # epoch 2 carries an update, a delete and an insert; crash after
+    # the entity commit, before the refresh
+    spark.createDataFrame(
+        [("k1", "a", 42, 2, False), ("k2", "b", 0, 2, True),
+         ("k3", "a", 7, 2, False)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    armed["crash"] = True
+    run_stream(expect_fail="injected crash")
+
+    # interim: the entity moved, the aggregate is honestly BEHIND
+    s = ivm_status(spark, entity, agg)
+    assert s["behind"] and s["lag_commits"] >= 1
+
+    # restart from the same checkpoint: the epoch replays, the merge
+    # replay is idempotent, the refresh applies the net feed once
+    run_stream()
+    _assert_synced(spark, entity, agg)
+    got = {t[0]: t for t in _got(spark, agg)}
+    assert got["a"] == ("a", 2, 49, 2)  # k1 updated to 42, k3 inserted
+    assert "b" not in got  # k2 deleted: group b died through the replay
+
+
+def test_ivm_status_reports_lag_and_risk(spark, tmp_path):
+    from lens_sds_batch_spark.plans.ivm import ivm_status
+
+    src, dst = str(tmp_path / "s"), str(tmp_path / "a")
+    _mk(spark, src, [("k1", "a", 10, 1, False)])
+    refresh_aggregate(spark, src, dst, group_keys=["grp"], aggs=AGGS)
+    s = ivm_status(spark, src, dst)
+    assert s["lag_commits"] == 0 and not s["behind"] and not s["at_risk"]
+    assert s["group_keys"] == ["grp"] and s["aggs"] == AGGS
+
+    _merge(spark, src, [("k2", "b", 1, 2, False)])
+    _merge(spark, src, [("k3", "b", 2, 3, False)])
+    s = ivm_status(spark, src, dst)
+    assert s["lag_commits"] == 2 and s["behind"] and not s["at_risk"]
+
+    vacuum_merged_table(spark, src, grace_sec=0.0)
+    s = ivm_status(spark, src, dst)
+    if s["at_risk"]:  # grace-0 vacuum collected the cursor's manifest
+        with pytest.raises(ValueError, match="below the source's retained"):
+            refresh_aggregate(spark, src, dst)
+    else:
+        refresh_aggregate(spark, src, dst)
+        _assert_synced(spark, src, dst)
+
+    with pytest.raises(ValueError, match="no IVM commit metadata"):
+        ivm_status(spark, src, src)
+
+
 # ---------------------------------------------------------------------------
 # refusals
 # ---------------------------------------------------------------------------

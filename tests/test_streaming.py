@@ -1484,6 +1484,58 @@ def test_stream_sink_with_downstream_replica_per_epoch(
     assert src_df.exceptAll(dst_df).isEmpty() and dst_df.exceptAll(src_df).isEmpty()
 
 
+def test_stream_sink_with_maintained_aggregate_per_epoch(
+    spark, stream_dir, tmp_path
+):
+    """r14: the streaming IVM chain — a foreachBatch manifest sink
+    whose every epoch is followed by a ``refresh_aggregate`` step, so
+    a per-event_type rollup of the entity table stays exact while the
+    stream runs.  Each refresh applies only that epoch's net feed as
+    group deltas (O(changed groups), never an entity re-read), the
+    cursor rides each commit (exactly-once across epoch replays by
+    construction), and at the end the maintained aggregate equals a
+    direct groupBy of the resolver read."""
+    from lens_sds_batch_spark.plans.ivm import read_aggregate, refresh_aggregate
+    from lens_sds_batch_spark.plans.merge import merge_into, read_merged_table
+
+    src = str(tmp_path / "entity")
+    agg = str(tmp_path / "agg")
+    aggs = {"n_users": ("count", "*"), "sum_eid": ("sum", "event_id")}
+    refreshes = []
+
+    def sink(batch_df, _epoch):
+        merge_into(
+            spark, src, batch_df,
+            keys=["user_id"],
+            order_cols=["ts", "event_id"],
+            is_delete=F.lit(False),
+            num_buckets=8,
+            protocol="manifest",
+        )
+        refreshes.append(refresh_aggregate(
+            spark, src, agg, group_keys=["event_type"], aggs=aggs,
+        ))
+
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = stream.writeStream.foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(refreshes) >= 2
+    assert refreshes[0]["bootstrap"] and not any(
+        r["bootstrap"] for r in refreshes[1:]
+    )
+    # each refresh consumed exactly the previous high-water mark
+    for prev, cur in zip(refreshes, refreshes[1:]):
+        assert cur["from_seq"] == prev["to_seq"]
+    want = read_merged_table(spark, src).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.coalesce(F.col("event_id"), F.lit(0))).alias("sum_eid"),
+    )
+    got = read_aggregate(spark, agg)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
 def test_correlate_stream_null_fields_match_batch(spark, tmp_path):
     """r11 review: a NULL seq used to be a poison pill (int(NaN) raised
     inside the state fn, killing the query on every replay), NULL name
