@@ -557,12 +557,15 @@ def entity_state_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r14 IVM witness: a maintained per-study aggregate (plans/ivm.py
     # refresh_aggregate) rides the SAME lifecycle — bootstrap after
-    # batch 1, then one O(changed-groups) incremental refresh per
-    # batch, the second spanning the 16→8 rebucket.  The final
-    # aggregate is compared against a direct groupBy of the resolver
-    # read below.  Runs BEFORE the maintenance window: its grace-0
-    # vacuum collects the manifests the refresh's change feed resolves
-    # through (the documented refresh-more-often-than-vacuum contract).
+    # batch 1, then ONE O(changed-groups) incremental refresh after
+    # batch 3, spanning batch 2, the 16→8 rebucket, and batch 3 in a
+    # single feed application (per-batch cadence is pytest-pinned in
+    # test_ivm.py/test_streaming.py; two refreshes keep the gate's
+    # build bounded).  The final aggregate is compared against a
+    # direct groupBy of the resolver read below.  Runs BEFORE the
+    # maintenance window: its grace-0 vacuum collects the manifests
+    # the refresh's change feed resolves through (the documented
+    # refresh-more-often-than-vacuum contract).
     from ..plans.ivm import read_aggregate, refresh_aggregate
 
     agg_target = _merge_scratch_target("entity_state_manifest_agg", sf_dir)
@@ -586,16 +589,17 @@ def entity_state_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             reb = rebucket(spark, target, 8)
             if (reb["engine"], reb["num_buckets"]) != ("parquet-manifest", 8):
                 raise AssertionError(f"unexpected rebucket result: {reb}")
-        last_refresh = refresh_aggregate(
-            spark, target, agg_target,
-            group_keys=["study_oid"], aggs=ivm_aggs,
-        )
-        if last_refresh["bootstrap"] != (i == 0):
-            raise AssertionError(
-                f"ivm refresh {i} unexpectedly "
-                f"{'re-bootstrapped' if last_refresh['bootstrap'] else 'skipped bootstrap'}: "
-                f"{last_refresh}"
+        if i in (0, 2):
+            last_refresh = refresh_aggregate(
+                spark, target, agg_target,
+                group_keys=["study_oid"], aggs=ivm_aggs,
             )
+            if last_refresh["bootstrap"] != (i == 0):
+                raise AssertionError(
+                    f"ivm refresh {i} unexpectedly "
+                    f"{'re-bootstrapped' if last_refresh['bootstrap'] else 'skipped bootstrap'}: "
+                    f"{last_refresh}"
+                )
     if engines != ["parquet-manifest"] * 3:
         raise AssertionError(f"unexpected merge engines: {engines}")
     # r14: CDF witness — the net change feed (plans/merge.py

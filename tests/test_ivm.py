@@ -695,18 +695,24 @@ _BATCH = st.lists(
                            HealthCheck.too_slow],
 )
 @given(
-    steps=st.lists(st.tuples(_BATCH, st.booleans(), st.booleans()),
+    steps=st.lists(st.tuples(_BATCH, st.booleans(), st.booleans(),
+                             st.booleans()),
                    min_size=1, max_size=5)
 )
 def test_ivm_matches_recompute_under_random_lifecycles(spark, steps):
     """Random upsert/delete batches, random refresh cadence, an
-    occasional source compaction: after a final refresh the maintained
-    aggregate equals the full recomputation — the IVM law."""
+    occasional source compaction, and randomly CRASHED refreshes (a
+    crash injected into the manifest commit — the atomic-cursor
+    protocol's only crash point): after a final refresh the maintained
+    aggregate equals the full recomputation — the IVM law.  This is
+    the property family that refuted replicate_changes' sidecar cursor
+    (test_read_changes), pointed at the delta consumer, where a
+    stale-cursor replay would not merely diverge but DOUBLE-COUNT."""
     d = tempfile.mkdtemp(prefix="ivm_prop_")
     src, dst = d + "/src", d + "/agg"
     first = True
     pri = 0
-    for batch, do_refresh, do_compact in steps:
+    for batch, do_refresh, do_compact, do_crash in steps:
         pri += 1
         rows = [(k, g, v, pri, dead) for (k, g, v, dead) in batch]
         if first:
@@ -719,8 +725,23 @@ def test_ivm_matches_recompute_under_random_lifecycles(spark, steps):
         if do_refresh:
             # passing the spec every time also re-verifies it against
             # the stored one on incremental calls
-            refresh_aggregate(spark, src, dst,
-                              group_keys=["grp"], aggs=AGGS)
+            if do_crash:
+                orig = M._commit_manifest
+
+                def boom(*a, **k):
+                    raise IOError("injected crash")
+
+                M._commit_manifest = boom
+                try:
+                    refresh_aggregate(spark, src, dst,
+                                      group_keys=["grp"], aggs=AGGS)
+                except IOError:
+                    pass  # the sync was atomically lost
+                finally:
+                    M._commit_manifest = orig
+            else:
+                refresh_aggregate(spark, src, dst,
+                                  group_keys=["grp"], aggs=AGGS)
     if first:
         return
     refresh_aggregate(spark, src, dst, group_keys=["grp"], aggs=AGGS)
