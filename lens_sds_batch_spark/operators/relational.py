@@ -2336,10 +2336,19 @@ ORDER BY kind, k1, s1
 
 def window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 inventory in one scan: running sum (rows frame), ranking
-    functions, lag/lead/first_value, and a RANGE frame — four windows
-    over one orders pass (window_running_sum + window_funcs_pack +
+    functions (rank / dense_rank / ntile / percent_rank / cume_dist),
+    offset+positional functions (lag / lead / first_value / nth_value),
+    a RANGE frame, and a whole-partition frame — five windows over one
+    orders pass (window_running_sum + window_funcs_pack +
     window_range_frame merged; one shuffle on o_custkey serves all
-    window specs that share the partition key)."""
+    window specs that share the partition key).
+
+    Cross-engine exactness of the r14 arms: w_rank is a TOTAL order
+    (o_orderkey tiebreak), so ntile's bucket formula, nth_value's
+    default RANGE-to-current frame (== ROWS under a total order), and
+    the percent_rank/cume_dist rank inputs are all deterministic; the
+    two ratios are single IEEE divisions of small integers — identical
+    bit patterns in both engines, no summation order involved."""
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "od_epoch", F.unix_timestamp("o_orderdate")
     )
@@ -2350,6 +2359,7 @@ def window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_rank = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
     w_range = Window.partitionBy("o_custkey").orderBy("od_epoch").rangeBetween(-30 * 86400, 0)
+    w_all = Window.partitionBy("o_custkey")
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -2361,6 +2371,13 @@ def window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderkey").over(w_rank).alias("next_key"),
         F.first_value("o_orderkey").over(w_rank).alias("top_key"),
         F.sum(_dec("o_totalprice")).over(w_range).cast("double").alias("spend_30d"),
+        # r14 arms: quartile bucket, relative ranks, 2nd-by-spend,
+        # whole-partition count
+        F.ntile(4).over(w_rank).alias("spend_quartile"),
+        F.percent_rank().over(w_rank).alias("pct_rnk"),
+        F.cume_dist().over(w_rank).alias("cdist"),
+        F.nth_value("o_orderkey", 2).over(w_rank).alias("second_key"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust_orders"),
     )
 
 
@@ -2373,13 +2390,19 @@ SELECT o_custkey, o_orderkey,
        lag(o_orderkey) OVER w_rank AS prev_key,
        lead(o_orderkey) OVER w_rank AS next_key,
        first_value(o_orderkey) OVER w_rank AS top_key,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_range AS DOUBLE) AS spend_30d
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_range AS DOUBLE) AS spend_30d,
+       ntile(4) OVER w_rank AS spend_quartile,
+       percent_rank() OVER w_rank AS pct_rnk,
+       cume_dist() OVER w_rank AS cdist,
+       nth_value(o_orderkey, 2) OVER w_rank AS second_key,
+       count(*) OVER w_all AS n_cust_orders
 FROM orders
 WINDOW w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
        w_rank AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
        w_range AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
-                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW),
+       w_all AS (PARTITION BY o_custkey)
 ORDER BY o_custkey, o_orderkey
 """
 
@@ -3169,6 +3192,12 @@ PROBES: dict[str, tuple] = {
            s AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
       SELECT (SELECT count(*) FROM c WHERE k NOT IN (SELECT k FROM s)),
              (SELECT count(*) FROM s WHERE k NOT IN (SELECT k FROM c))"""),
+    "ntile/nth_value power (>=4-order customers, singleton customers)": (
+        "window_pack", "corpus",
+        """SELECT (SELECT count(*) FROM (SELECT o_custkey FROM orders
+                GROUP BY 1 HAVING count(*) >= 4)),
+               (SELECT count(*) FROM (SELECT o_custkey FROM orders
+                GROUP BY 1 HAVING count(*) = 1))"""),
     "range frame peers (same-day same-customer groups)": (
         "window_pack", "corpus",
         """SELECT (SELECT count(*) FROM (SELECT o_custkey, o_orderdate FROM orders
