@@ -410,6 +410,10 @@ ORDER BY p_retailprice DESC, p_partkey LIMIT 5
 
 
 def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 part-grain scalars; r14 widening adds edit distance
+    (levenshtein), bit algebra (& / xor / shift — exact small-int),
+    greatest/least, and split_part+lpad composition — all
+    integer/string-exact cross-engine (no float arithmetic)."""
     part = load_table(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
@@ -418,13 +422,25 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_type", 1, 5).alias("type5"),
         (F.col("p_size") * 2 + 1).alias("size2"),
         F.concat_ws("-", "p_brand", F.col("p_size").cast("string")).alias("brand_size"),
+        F.levenshtein(F.col("p_brand"), F.substring("p_type", 1, 8)).alias("lev"),
+        F.expr("(p_size & 12) + shiftleft(p_size ^ 21, 1)").alias("bits"),
+        (F.greatest(F.col("p_size"), F.lit(25))
+         - F.least(F.col("p_size"), F.lit(10))).alias("gl"),
+        F.concat(
+            F.expr("split_part(p_type, ' ', 2)"), F.lit("#"),
+            F.lpad(F.col("p_size").cast("string"), 3, "0"),
+        ).alias("type_tail"),
     )
 
 
 SCALAR_FUNCS_SQL = """
 SELECT p_partkey, upper(p_brand) AS brand_u, length(p_name) AS name_len,
        substr(p_type, 1, 5) AS type5, p_size * 2 + 1 AS size2,
-       p_brand || '-' || CAST(p_size AS VARCHAR) AS brand_size
+       p_brand || '-' || CAST(p_size AS VARCHAR) AS brand_size,
+       levenshtein(p_brand, substr(p_type, 1, 8)) AS lev,
+       (p_size & 12) + (xor(p_size, 21) << 1) AS bits,
+       greatest(p_size, 25) - least(p_size, 10) AS gl,
+       split_part(p_type, ' ', 2) || '#' || lpad(CAST(p_size AS VARCHAR), 3, '0') AS type_tail
 FROM part ORDER BY p_partkey
 """
 
@@ -2525,7 +2541,10 @@ FROM orders ORDER BY o_orderkey
 def scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B8 heterogeneous-scalar pack: string/math over part, array
     algebra over documents, JSON extract/rebuild over events
-    (scalar_funcs + array_funcs_pack + json_funcs_pack merged)."""
+    (scalar_funcs + array_funcs_pack + json_funcs_pack merged).
+    r14: the part arm carries scalar_funcs' widened outputs in
+    s4/v3-v5 (levenshtein, bit algebra, greatest/least, split_part);
+    the other arms NULL-pad those slots."""
     arms = [
         scalar_funcs(spark, sf_dir).select(
             F.lit("part").alias("kind"),
@@ -2533,8 +2552,12 @@ def scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("brand_u").alias("s1"),
             F.col("type5").alias("s2"),
             F.col("brand_size").alias("s3"),
+            F.col("type_tail").alias("s4"),
             F.col("name_len").cast("bigint").alias("v1"),
             F.col("size2").cast("bigint").alias("v2"),
+            F.col("lev").cast("bigint").alias("v3"),
+            F.col("bits").cast("bigint").alias("v4"),
+            F.col("gl").cast("bigint").alias("v5"),
         ),
         array_funcs_pack(spark, sf_dir).select(
             F.lit("doc_array").alias("kind"),
@@ -2542,8 +2565,10 @@ def scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_sorted").alias("s1"),
             F.col("last_sorted").alias("s2"),
             F.col("first3").alias("s3"),
+            _nl("string", "s4"),
             F.col("n").cast("bigint").alias("v1"),
             F.col("has_data").cast("bigint").alias("v2"),
+            _nl("bigint", "v3"), _nl("bigint", "v4"), _nl("bigint", "v5"),
         ),
         json_funcs_pack(spark, sf_dir).select(
             F.lit("ev_json").alias("kind"),
@@ -2551,8 +2576,10 @@ def scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rebuilt").alias("s1"),
             _nl("string", "s2"),
             _nl("string", "s3"),
+            _nl("string", "s4"),
             F.col("k").cast("bigint").alias("v1"),
             F.col("k_mod").cast("bigint").alias("v2"),
+            _nl("bigint", "v3"), _nl("bigint", "v4"), _nl("bigint", "v5"),
         ),
     ]
     out = arms[0]
@@ -2561,12 +2588,15 @@ def scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_PAD_345 = ("CAST(NULL AS BIGINT) AS v3, CAST(NULL AS BIGINT) AS v4, "
+            "CAST(NULL AS BIGINT) AS v5")
+
 SCALAR_PACK_SQL = f"""
-{_arm('part', SCALAR_FUNCS_SQL, "CAST(p_partkey AS BIGINT) AS id, brand_u AS s1, type5 AS s2, brand_size AS s3, CAST(name_len AS BIGINT) AS v1, CAST(size2 AS BIGINT) AS v2")}
+{_arm('part', SCALAR_FUNCS_SQL, "CAST(p_partkey AS BIGINT) AS id, brand_u AS s1, type5 AS s2, brand_size AS s3, type_tail AS s4, CAST(name_len AS BIGINT) AS v1, CAST(size2 AS BIGINT) AS v2, CAST(lev AS BIGINT) AS v3, CAST(bits AS BIGINT) AS v4, CAST(gl AS BIGINT) AS v5")}
 UNION ALL
-{_arm('doc_array', ARRAY_FUNCS_SQL, "CAST(doc_id AS BIGINT) AS id, first_sorted AS s1, last_sorted AS s2, first3 AS s3, CAST(n AS BIGINT) AS v1, CAST(has_data AS BIGINT) AS v2")}
+{_arm('doc_array', ARRAY_FUNCS_SQL, f"CAST(doc_id AS BIGINT) AS id, first_sorted AS s1, last_sorted AS s2, first3 AS s3, CAST(NULL AS VARCHAR) AS s4, CAST(n AS BIGINT) AS v1, CAST(has_data AS BIGINT) AS v2, {_PAD_345}")}
 UNION ALL
-{_arm('ev_json', JSON_FUNCS_SQL, "CAST(event_id AS BIGINT) AS id, rebuilt AS s1, CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3, CAST(k AS BIGINT) AS v1, CAST(k_mod AS BIGINT) AS v2")}
+{_arm('ev_json', JSON_FUNCS_SQL, f"CAST(event_id AS BIGINT) AS id, rebuilt AS s1, CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3, CAST(NULL AS VARCHAR) AS s4, CAST(k AS BIGINT) AS v1, CAST(k_mod AS BIGINT) AS v2, {_PAD_345}")}
 ORDER BY kind, id
 """
 
@@ -2577,17 +2607,16 @@ def row_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     a registry slot for ``entity_state_manifest``.  Both constituent
     packs stay independently callable and BYTE-UNCHANGED; this pack
     unions them under a NULL-padded common schema (the established fold
-    discipline, cf. textops.text_pack): the scalar arms keep their
-    kind/id/s1-s3/v1-v2 shape and NULL the row-funcs columns; the
-    orders row-funcs arm carries kind='ord_row' with its four string
-    outputs in s1-s4 and five calendar ints in v1-v5."""
+    discipline, cf. textops.text_pack): the scalar arms carry
+    kind/id/s1-s4/v1-v5 (the r14 scalar widening fills the part arm's
+    s4/v3-v5; the other scalar arms NULL-pad them); the orders
+    row-funcs arm carries kind='ord_row' with its four string outputs
+    in s1-s4 and five calendar ints in v1-v5."""
     sc = scalar_pack(spark, sf_dir)
     rf = row_funcs_pack(spark, sf_dir)
     sc_p = sc.select(
-        "kind", "id", "s1", "s2", "s3",
-        _nl("string", "s4"),
-        "v1", "v2",
-        _nl("bigint", "v3"), _nl("bigint", "v4"), _nl("bigint", "v5"),
+        "kind", "id", "s1", "s2", "s3", "s4",
+        "v1", "v2", "v3", "v4", "v5",
     )
     rf_p = rf.select(
         F.lit("ord_row").alias("kind"),
@@ -2606,9 +2635,7 @@ def row_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROW_SCALAR_PACK_SQL = f"""
-SELECT kind, id, s1, s2, s3, CAST(NULL AS VARCHAR) AS s4, v1, v2,
-       CAST(NULL AS BIGINT) AS v3, CAST(NULL AS BIGINT) AS v4,
-       CAST(NULL AS BIGINT) AS v5
+SELECT kind, id, s1, s2, s3, s4, v1, v2, v3, v4, v5
 FROM ({SCALAR_PACK_SQL.strip().rstrip(';')})
 UNION ALL
 SELECT 'ord_row' AS kind, CAST(o_orderkey AS BIGINT) AS id,
