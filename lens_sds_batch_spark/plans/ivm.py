@@ -37,6 +37,17 @@ Supported aggregates and why exactly these:
 - ``min``/``max`` are refused: deleting the current extremum needs a
   re-scan of the group — not expressible as a delta; keep the source
   column in a replica (``replicate_changes``) or recompute.
+- ``count_distinct`` is refused as a direct op but is EXPRESSIBLE BY
+  CHAINING — an aggregate target is itself a manifest table with a
+  change feed, so ``refresh_aggregate`` composes: maintain
+  ``mid = GROUP BY (g, v) count(*)`` over the source, then
+  ``out = GROUP BY g count(*)`` over ``mid``; out's count is exactly
+  the number of distinct v per g (NULL counts as a value), maintained
+  at O(changed groups) end-to-end.  A value-count change inside a
+  (g, v) group reaches out as an update pre/post pair whose count
+  delta nets to zero; the distinct count moves only when a (g, v)
+  group is born or dies.  Pinned in
+  tests/test_ivm.py::test_chained_ivm_maintains_distinct_count.
 - ``sum`` over float/double is refused: floating-point delta
   application drifts from the recomputed value (addition is not
   associative); cast the column to decimal first.
@@ -111,6 +122,15 @@ def _validate_spec(group_keys, aggs, dtypes: dict) -> None:
                 "delta-decomposable under deletes (removing the current "
                 "extremum needs a group re-scan) — keep the source column "
                 "in a replica (replicate_changes) or recompute"
+            )
+        if op == "count_distinct":
+            raise ValueError(
+                f"refresh_aggregate: {name!r}: count_distinct is not a "
+                "direct op — CHAIN two aggregates instead (an aggregate "
+                "target is itself a refreshable source): maintain "
+                f"mid = GROUP BY (keys..., {col}) count(*), then "
+                "out = GROUP BY keys count(*) over mid; out's count IS "
+                "the distinct count, maintained incrementally end-to-end"
             )
         if op not in ("count", "sum"):
             raise ValueError(

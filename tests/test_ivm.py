@@ -435,6 +435,71 @@ def test_negative_count_guard_catches_tampering(spark, tmp_path):
         refresh_aggregate(spark, src, dst)
 
 
+def test_chained_ivm_maintains_distinct_count(spark, tmp_path):
+    """IVM composes: an aggregate target is itself a manifest table
+    with a change feed, so a SECOND refresh_aggregate over it works —
+    which is exactly how count_distinct (refused as a direct op: not
+    delta-decomposable) is maintained incrementally.  mid = per-(grp,
+    v) row counts over the source; out = per-grp count of mid's
+    groups == distinct v per grp (NULL is a value).  A value-count
+    change inside a (grp, v) group reaches out as an update pair whose
+    delta nets to zero; the distinct count moves only when a (grp, v)
+    group is born or dies — both directions pinned below."""
+    src = str(tmp_path / "s")
+    mid = str(tmp_path / "mid")
+    out = str(tmp_path / "out")
+    mid_aggs = {"n": ("count", "*")}
+    out_aggs = {"n_distinct": ("count", "*")}
+
+    def sync():
+        refresh_aggregate(spark, src, mid,
+                          group_keys=["grp", "v"], aggs=mid_aggs)
+        refresh_aggregate(spark, mid, out,
+                          group_keys=["grp"], aggs=out_aggs)
+
+    def expected_distinct():
+        df = read_merged_table(spark, src)
+        m: dict = {}
+        if df is not None:
+            for r in df.select("grp", "v").collect():
+                m.setdefault(r["grp"], set()).add(r["v"])
+        return sorted(((g, len(vs)) for g, vs in m.items()), key=repr)
+
+    def got_distinct():
+        return sorted(
+            ((r["grp"], r["n_distinct"])
+             for r in read_aggregate(spark, out).collect()),
+            key=repr,
+        )
+
+    _mk(spark, src, [("k1", "a", 1, 1, False), ("k2", "a", 1, 1, False),
+                     ("k3", "a", 2, 1, False), ("k4", "b", None, 1, False)])
+    sync()
+    assert got_distinct() == expected_distinct() == [("a", 2), ("b", 1)]
+
+    # same-value count change: distinct count must NOT move
+    _merge(spark, src, [("k5", "a", 1, 2, False)])
+    sync()
+    assert got_distinct() == expected_distinct() == [("a", 2), ("b", 1)]
+
+    # a value dies (last 2-valued row deleted) and a value is born
+    _merge(spark, src, [("k3", "a", 2, 3, True), ("k6", "b", 9, 3, False)])
+    sync()
+    assert got_distinct() == expected_distinct() == [("a", 1), ("b", 2)]
+
+    # whole group dies through the chain
+    _merge(spark, src, [("k4", "b", None, 4, True), ("k6", "b", 9, 4, True)])
+    sync()
+    assert got_distinct() == expected_distinct() == [("a", 1)]
+
+    # the refusal teaches exactly this recipe
+    with pytest.raises(ValueError, match="CHAIN two aggregates"):
+        refresh_aggregate(
+            spark, src, str(tmp_path / "x"), ["grp"],
+            {"n": ("count", "*"), "d": ("count_distinct", "v")},
+        )
+
+
 def test_concurrent_refresh_interleave_is_cas_fenced(spark, tmp_path,
                                                      monkeypatch):
     """A FAITHFUL interleave, not just the unit CAS: refresh A reads
