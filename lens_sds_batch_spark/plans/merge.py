@@ -2115,6 +2115,44 @@ def replicate_changes(
     }
 
 
+def replica_status(spark, source_path: str, target_path: str) -> dict:
+    """Operational snapshot of a replica — the ``ivm_status`` twin for
+    ``replicate_changes`` targets: ``last_seq`` (the committed cursor),
+    ``lag_commits`` (source commits not yet synced), ``behind``, and
+    ``at_risk`` (the cursor already fell below the source's vacuum
+    horizon — the NEXT sync will refuse; sync more often than the
+    source's vacuum grace).  Read-only: takes no lease, commits
+    nothing."""
+    src = source_path.rstrip("/")
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    man = _read_manifest(spark, fs, jvm_path, target_path.rstrip("/"))
+    if man is None:
+        raise ValueError(
+            f"replica_status: {target_path} is not a manifest merge target"
+        )
+    cursor = (man[2].get(APP_META_KEY) or {}).get(REPL_META_KEY)
+    if cursor is None:
+        raise ValueError(
+            f"replica_status: {target_path} carries no replication cursor "
+            "in its commit metadata — not a replicate_changes target"
+        )
+    if cursor.get("source") != src:
+        raise ValueError(
+            f"replica_status: the replica at {target_path} tracks source "
+            f"{cursor.get('source')!r}, not {src!r}"
+        )
+    snaps = list_snapshots(spark, src)
+    last = int(cursor["last_seq"])
+    return {
+        "last_seq": last,
+        "latest_src_seq": snaps[-1]["seq"],
+        "lag_commits": snaps[-1]["seq"] - last,
+        "behind": snaps[-1]["seq"] > last,
+        "at_risk": last < snaps[0]["seq"],
+    }
+
+
 def vacuum_merged_table(
     spark,
     target_path: str,

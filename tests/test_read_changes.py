@@ -518,6 +518,40 @@ def test_replicate_changes_bootstrap_and_horizon_refusal(spark, tmp_path):
         replicate_changes(spark, src, other)
 
 
+def test_replica_status_reports_lag_and_risk(spark, tmp_path):
+    from lens_sds_batch_spark.plans.merge import (
+        replica_status,
+        replicate_changes,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _mk(spark, src, [("a", 1, "x", False)])
+    replicate_changes(spark, src, dst)
+    s = replica_status(spark, src, dst)
+    assert s["lag_commits"] == 0 and not s["behind"] and not s["at_risk"]
+
+    _merge(spark, src, [("b", 2, "y", False)])
+    _merge(spark, src, [("c", 3, "z", False)])
+    s = replica_status(spark, src, dst)
+    assert s["lag_commits"] == 2 and s["behind"] and not s["at_risk"]
+
+    vacuum_merged_table(spark, src, grace_sec=0.0)
+    s = replica_status(spark, src, dst)
+    if s["at_risk"]:
+        with pytest.raises(ValueError, match="below the source's retained"):
+            replicate_changes(spark, src, dst)
+    else:
+        replicate_changes(spark, src, dst)
+
+    with pytest.raises(ValueError, match="no replication cursor"):
+        replica_status(spark, src, src)
+    other = str(tmp_path / "other")
+    _mk(spark, other, [("z", 1, "q", False)])
+    with pytest.raises(ValueError, match="tracks source"):
+        replica_status(spark, other, dst)
+
+
 def test_replicate_changes_across_source_evolution(spark, tmp_path):
     """Source schema evolution surfaces as the replica merge's own
     drift refusal; evolving the REPLICA the same way un-blocks the
