@@ -92,6 +92,16 @@ def _validate_spec(group_keys, aggs, dtypes: dict) -> None:
     if not aggs:
         raise ValueError("refresh_aggregate: aggs must be non-empty")
     for k in group_keys:
+        if k.startswith("__"):
+            # a chained source (an aggregate/replica) EXPOSES __src_seq
+            # as a data column; grouping on it would collide with the
+            # refresh's own recency column of the same name — refuse up
+            # front instead of failing later with a duplicate-column
+            # analysis error
+            raise ValueError(
+                f"refresh_aggregate: group key {k!r} is reserved "
+                "(double-underscore columns are storage internals)"
+            )
         if k not in dtypes:
             raise ValueError(
                 f"refresh_aggregate: group key {k!r} is not a source "
@@ -238,6 +248,10 @@ def refresh_aggregate(
     Every later call needs only ``(spark, source_path, target_path)``
     — the spec is read back from the target's commit metadata (passing
     ``group_keys``/``aggs`` again just re-verifies them).
+    ``num_buckets`` shapes the aggregate's layout at BOOTSTRAP only
+    (group-grain tables are small — the default 8 is usually right);
+    on later calls the committed layout governs and the parameter is
+    ignored, like every merge_into auto-detection.
 
     The maintained table carries ``group_keys + list(aggs) +
     __src_seq``; read it with :func:`read_aggregate`.  A group whose

@@ -674,6 +674,12 @@ def test_spec_refusals(spark, tmp_path):
     with pytest.raises(ValueError, match="collides with a group key"):
         refresh_aggregate(spark, src, dst, ["grp"],
                           {"n": ("count", "*"), "grp": ("sum", "v")})
+    # a chained source exposes __src_seq as a data column; grouping on
+    # a storage internal must refuse up front (adversarial-pass find:
+    # it would otherwise collide with the refresh's recency column)
+    with pytest.raises(ValueError, match="reserved"):
+        refresh_aggregate(spark, src, dst, ["__src_seq"],
+                          {"n": ("count", "*")})
 
     # float sums refused
     srcf = str(tmp_path / "sf")
