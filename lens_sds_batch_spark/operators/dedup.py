@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import local_ckpt
-from ..sources.parquet import load_table
+from ..sources.parquet import fan_out, load_table
 
 # MinHash parameters: K hashes in B bands of R rows (K = B*R).
 MINHASH_K = 16
@@ -120,8 +120,12 @@ def _jaccard_blocked_docs(docs: DataFrame) -> DataFrame:
         )
     )
     w = JACCARD_BUCKET_W
+    # fan_out BEFORE the per-word md5 hashing and the downstream
+    # within-block self-join: the single-row-group scan would otherwise
+    # run both on 1-2 cores (r14-opt stage profile: the pack's pair
+    # stage read 6.5 s on 2 tasks with 30 cores idle)
     return (
-        docs.select("doc_id", "lang", word_hashes.alias("wset"))
+        fan_out(docs).select("doc_id", "lang", word_hashes.alias("wset"))
         .withColumn("nw", F.size("wset"))
         .withColumn("len_bucket", F.expr(f"CAST(nw DIV {w} AS BIGINT)"))
     )

@@ -28,7 +28,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..sources.parquet import load_table
+from ..sources.parquet import fan_out, load_table
 
 CHUNK_BYTES = 64
 
@@ -163,37 +163,80 @@ def extract_media_features(media: DataFrame) -> DataFrame:
       (variable-length ``array<int>`` per row — the ragged shape frame
       sampling produces); empty for image/audio.
 
-    ``mapInPandas`` end-to-end: per-partition, zero shuffle, memory
-    bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    ``mapInPandas`` end-to-end: per-partition, memory bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.  The input is
+    fanned out first (gated, scale-inert — see ``fan_out``): on the
+    single-row-group testdata the whole decode otherwise runs as ONE
+    Arrow task (measured 2.1 s on 1 of 32 cores, r14-opt)."""
     import numpy as np
+
+    media = fan_out(media)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for p, m in zip(pdf["payload"], pdf["media_type"]):
-                w, h, nf, fmt = _fake_decode(p, m)
-                if p is None:  # degraded marker row, same policy as decode
-                    rows.append((w, h, nf, fmt, [], []))
-                    continue
-                buf = np.frombuffer(p, dtype=np.uint8)
-                blocks = np.array_split(buf, N_FEATURES)
-                feats = [float(b.mean()) if len(b) else 0.0 for b in blocks]
-                frames = (
-                    [int(i) for i in range(0, nf, FRAME_STRIDE)]
-                    if m.startswith("video")
-                    else []
-                )
-                rows.append((w, h, nf, fmt, feats, frames))
+            # Whole-batch vectorization (guide §4.2: hand batches to
+            # native code, don't loop rows in Python).  The per-block
+            # means are EXACT re-implementations of the row form
+            # (np.array_split boundaries; integer uint8 block sums are
+            # < 2^53, so sum/len in float64 is bit-identical to
+            # np.mean regardless of summation order — same invariant
+            # the DuckDB twin relies on).
+            payloads = list(pdf["payload"])
+            mtypes = pdf["media_type"]
+            dims = [_fake_decode(p, m) for p, m in zip(payloads, mtypes)]
+            n = np.fromiter(
+                (0 if p is None else len(p) for p in payloads), dtype=np.int64,
+                count=len(payloads),
+            )
+            # concatenated buffer + per-row block boundaries (k-th block
+            # of row i starts at off[i] + k*(n//N) + min(k, n%N))
+            # trailing 0 sentinel: block starts can equal the true buffer
+            # length (zero-length blocks of short rows) — the sentinel
+            # keeps every reduceat index in range without clamping, and
+            # adds 0 to the final real segment's sum
+            buf = np.concatenate([
+                np.frombuffer(
+                    b"".join(p for p in payloads if p is not None), dtype=np.uint8
+                ).astype(np.int64),
+                np.zeros(1, dtype=np.int64),
+            ])
+            off = np.zeros(len(n), dtype=np.int64)
+            if len(n) > 1:
+                np.cumsum(n[:-1], out=off[1:])
+            q, r = n // N_FEATURES, n % N_FEATURES
+            k = np.arange(N_FEATURES, dtype=np.int64)
+            starts = off[:, None] + k[None, :] * q[:, None] + np.minimum(k[None, :], r[:, None])
+            lens = q[:, None] + (k[None, :] < r[:, None])
+            flat = starts.ravel()
+            sums = np.add.reduceat(buf, flat).astype(np.float64)
+            # reduceat quirk: equal consecutive indices yield buf[idx] —
+            # zero-length blocks and None rows are masked to 0.0 below,
+            # matching the row form exactly
+            lens_f = lens.ravel()
+            feats_flat = np.where(lens_f > 0, sums / np.maximum(lens_f, 1), 0.0)
+            feats_mat = feats_flat.reshape(len(n), N_FEATURES)
+            is_null = np.fromiter(
+                (p is None for p in payloads), dtype=bool, count=len(payloads)
+            )
+            feats = [
+                [] if is_null[i] else feats_mat[i].tolist() for i in range(len(n))
+            ]
+            frames = [
+                list(range(0, d[2], FRAME_STRIDE))
+                if (not is_null[i] and m.startswith("video"))
+                else []
+                for i, (d, m) in enumerate(zip(dims, mtypes))
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "width": [r[0] for r in rows],
-                    "height": [r[1] for r in rows],
-                    "n_frames": [r[2] for r in rows],
-                    "format": [r[3] for r in rows],
-                    "features": [r[4] for r in rows],
-                    "sampled_frames": [r[5] for r in rows],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_frames": [d[2] for d in dims],
+                    "format": [d[3] for d in dims],
+                    "features": feats,
+                    "sampled_frames": frames,
                 }
             )
 

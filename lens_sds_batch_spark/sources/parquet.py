@@ -56,6 +56,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition of an UNDER-PARALLEL scan whose
+    downstream work is CPU-bound (per-row hashing, word explodes,
+    array set ops, Arrow batches) — the guide §2.5 "input skew" fix
+    for unsplittable inputs.
+
+    The driver's testdata ships every table as ONE parquet row group,
+    so a scan yields one non-empty partition regardless of split
+    configuration (`minPartitionNum`/`openCostInBytes` only mint EMPTY
+    extra splits — measured r14-opt: the whole `media_decode_stub`
+    mapInPandas ran as 1 task, `dup_pairs_pack`'s 6.5 s pair-join
+    stage as 2 tasks, on a 32-core host).  A keyless repartition to
+    the session's default parallelism distributes the rows before the
+    expensive expressions run.
+
+    Scale contract: GATED on the frame's actual partition count, so at
+    production scale (scans of thousands of splits) this is inert —
+    the repartition only fires when the scan is narrower than the
+    session's core count, which is exactly the under-parallel case.
+    Deterministic under retries: keyless repartition sorts within
+    input partitions first (`spark.sql.execution.sortBeforeRepartition`,
+    on by default — SPARK-23207)."""
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
