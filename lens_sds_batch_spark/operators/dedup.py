@@ -103,7 +103,7 @@ if abs(JACCARD_THRESHOLD - 0.7) >= 1e-12:
     )
 
 
-def _jaccard_blocked_docs(docs: DataFrame) -> DataFrame:
+def _jaccard_blocked_docs(docs: DataFrame, fan: bool = False) -> DataFrame:
     """(doc_id, lang, wset, nw, len_bucket) — the jaccard tier's
     blocking view of the corpus, shared by the pairs operator and
     ``dedup_coverage``.  Word sets are hashed to BIGINTs once per doc
@@ -120,12 +120,17 @@ def _jaccard_blocked_docs(docs: DataFrame) -> DataFrame:
         )
     )
     w = JACCARD_BUCKET_W
-    # fan_out BEFORE the per-word md5 hashing and the downstream
-    # within-block self-join: the single-row-group scan would otherwise
-    # run both on 1-2 cores (r14-opt stage profile: the pack's pair
-    # stage read 6.5 s on 2 tasks with 30 cores idle)
+    # fan=True fans out BEFORE the per-word md5 hashing and the
+    # downstream within-block self-join: the single-row-group scan
+    # would otherwise run both on 1-2 cores (r14-opt stage profile: the
+    # pack's pair stage read 6.5 s on 2 tasks with 30 cores idle;
+    # A/B 0.46x).  Opt-in per consumer: dedup_coverage's cheap count
+    # aggregations LOST 1.60x paying the same exchange (r14-opt A/B),
+    # so only the pair-join path requests it.
+    if fan:
+        docs = fan_out(docs)
     return (
-        fan_out(docs).select("doc_id", "lang", word_hashes.alias("wset"))
+        docs.select("doc_id", "lang", word_hashes.alias("wset"))
         .withColumn("nw", F.size("wset"))
         .withColumn("len_bucket", F.expr(f"CAST(nw DIV {w} AS BIGINT)"))
     )
@@ -152,7 +157,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle boundary to reuse.  The driver's correctness compare is
     order-insensitive, so the sort bought nothing."""
     w = JACCARD_BUCKET_W
-    docs = _jaccard_blocked_docs(load_table(spark, sf_dir, "documents"))
+    docs = _jaccard_blocked_docs(load_table(spark, sf_dir, "documents"), fan=True)
     block_sizes = docs.groupBy("lang", "len_bucket").agg(F.count(F.lit(1)).alias("bn"))
     docs = docs.join(
         block_sizes.where(F.col("bn") <= JACCARD_BLOCK_CAP), ["lang", "len_bucket"]

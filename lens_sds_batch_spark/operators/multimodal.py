@@ -28,7 +28,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..sources.parquet import fan_out, load_table
+from ..sources.parquet import load_table
 
 CHUNK_BYTES = 64
 
@@ -163,14 +163,14 @@ def extract_media_features(media: DataFrame) -> DataFrame:
       (variable-length ``array<int>`` per row — the ragged shape frame
       sampling produces); empty for image/audio.
 
-    ``mapInPandas`` end-to-end: per-partition, memory bounded by
-    ``spark.sql.execution.arrow.maxRecordsPerBatch``.  The input is
-    fanned out first (gated, scale-inert — see ``fan_out``): on the
-    single-row-group testdata the whole decode otherwise runs as ONE
-    Arrow task (measured 2.1 s on 1 of 32 cores, r14-opt)."""
+    ``mapInPandas`` end-to-end: per-partition, zero shuffle, memory
+    bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    (r14-opt: a gated fan_out was tried here and REVERTED — the
+    whole-batch numpy path below is so much faster than the old row
+    loop that the round-robin exchange of payload bytes plus the
+    32-worker Arrow fan cost MORE than the 1-core decode it saved:
+    warm A/B base 0.57 s / numpy-only 0.40 s / numpy+fan_out 0.55 s.)"""
     import numpy as np
-
-    media = fan_out(media)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

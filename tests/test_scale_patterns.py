@@ -204,14 +204,10 @@ def test_flagship_plan_shapes_pinned(spark):
     assert q1.count("Exchange") <= 2, f"q1: {q1.count('Exchange')} exchanges (pinned <= 2)"
     assert "Join" not in q1
 
-    # the deliberate Arrow UDF op keeps its no-keyed-shuffle shape; the
-    # r14 gated fan_out may contribute at most ONE round-robin exchange
-    # on under-parallel input (inert at scale — pinned precisely in
-    # tests/test_multimodal.py)
+    # the deliberate Arrow UDF op keeps its zero-exchange shape
     media = plan_of("media_decode_stub")
     assert media.count("MapInPandas") + media.count("ArrowEvalPython") >= 1
-    assert media.count("Exchange") <= 1, "media_decode_stub grew extra shuffles"
-    assert "hashpartitioning" not in media, "media_decode_stub grew a keyed shuffle"
+    assert media.count("Exchange") == 0, "media_decode_stub grew a shuffle"
 
 
 def test_zorder_layout_write_and_pruning(spark, tmp_path):
