@@ -538,7 +538,14 @@ def band_mask(k: int) -> int:
 def _simhash_sums(
     spark: SparkSession, sf_dir: str, base: DataFrame | None = None
 ) -> DataFrame:
-    docs = base if base is not None else load_table(spark, sf_dir, "documents")
+    # fan_out (r14-opt, guide §2.5): the single-row-group documents
+    # scan ran the whole explode+md5+partial-agg as ONE task (stage
+    # profile: 1.35 s single-threaded of simhash's ~3 s exec); the
+    # round-robin fan-out spreads the per-word hashing before the
+    # group-by's own exchange.  Scoped to the table-scan path — a
+    # caller-supplied base (dedup_coverage's per-stage form) keeps its
+    # own partitioning.
+    docs = fan_out(load_table(spark, sf_dir, "documents")) if base is None else base
     exploded = docs.select(
         "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w")
     ).select("doc_id", F.md5(F.col("w").cast("binary")).alias("h"))

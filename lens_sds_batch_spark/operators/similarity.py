@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.cols import temp_col_name
+from ..session import local_df
 from ..sources.parquet import load_table
 
 TOP_K = 10
@@ -440,7 +441,11 @@ def ivf_knn(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> 
     # same code the streaming twin runs.
     assigned = assign_cells(vecs, centers).select("vec_id", "v", "norm", "cell")
 
-    centroids = spark.createDataFrame(
+    # local_df (r14-opt): the list-path createDataFrame materialized
+    # this 16-row broadcast as a 32-task Python-worker stage on every
+    # execution; the Arrow local form is a LocalTableScan.
+    centroids = local_df(
+        spark,
         [(i, c) for i, c in enumerate(centers)],
         "cell int, cv array<double>",
     )

@@ -53,7 +53,7 @@ from ..plans.odm import (
     study_oid_col,
     subject_key_col,
 )
-from ..session import local_ckpt
+from ..session import local_ckpt, local_df
 from ..sources.odm_xml import read_odm_xml, route_parsed
 from ..sources.parquet import load_table
 
@@ -408,7 +408,7 @@ def render_odm_xml(
     docs = rows.groupBy("xml_file").applyInPandas(
         _render_file, "xml_file string, value string"
     )
-    bad = spark.createDataFrame([("FXBAD", BAD_XML)], "xml_file string, value string")
+    bad = local_df(spark, [("FXBAD", BAD_XML)], "xml_file string, value string")
     docs.unionByName(bad).write.mode("overwrite").partitionBy("xml_file").text(out_dir)
     return out_dir + "/xml_file=*/part-*"
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.keys import NIL_UUID, uuid3_str_py
+from ..session import local_df
 from ..sources.parquet import load_table
 
 # Fixed identifiers of the single derived "ODM file".
@@ -134,7 +135,8 @@ def derive_odm_from_tpch(spark: SparkSession, sf_dir: str) -> OdmTables:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
 
-    files = spark.createDataFrame(
+    files = local_df(
+        spark,
         [(FILE_OID, "transactional", BATCH_CMD_ID, SUB)],
         "file_oid string, file_type string, batch_cmd_id string, sub string",
     )
@@ -256,7 +258,8 @@ def derive_odm_resolved(
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
 
-    files = spark.createDataFrame(
+    files = local_df(
+        spark,
         [(FILE_OID, "transactional", BATCH_CMD_ID, SUB)],
         "file_oid string, file_type string, batch_cmd_id string, sub string",
     )

@@ -52,6 +52,36 @@ def get_spark(app_name: str = "lens-sds-batch-spark", cpus: int | None = None) -
     )
 
 
+def local_df(spark: SparkSession, rows, schema: str):
+    """Tiny literal DataFrame as a JVM ``LocalTableScan`` (one Arrow
+    batch from pandas) instead of ``createDataFrame(list)`` — the list
+    path parallelizes pickled rows over ``defaultParallelism``
+    partitions and talks to a Python worker PER TASK on every
+    materialization.  Measured (r14-opt): the 16-row centroid broadcast
+    inside ``ivf_knn`` ran a 32-task stage whose threads sat in Python
+    worker socket waits (~74 task-seconds, 0.5 s CPU); the Arrow form
+    plans as ``LocalTableScan`` — zero tasks, zero Python workers, and
+    a broadcast of it never schedules a job at all.
+
+    Rows containing None fall back to the list path: pandas coerces
+    None to NaN inside numeric columns, and the NaN→NULL story differs
+    between the Arrow and pickle paths — the hot call sites (centroids,
+    the 1-row ODM files frame) are None-free, and the fallback keeps
+    the oddball cases byte-identical to the old behavior."""
+    rows = list(rows)
+    if any(v is None for r in rows for v in r):
+        return spark.createDataFrame(rows, schema)
+    try:
+        import pandas as pd
+        from pyspark.sql.types import StructType
+
+        names = [f.name for f in StructType.fromDDL(schema).fields]
+        pdf = pd.DataFrame.from_records(rows, columns=names)
+        return spark.createDataFrame(pdf, schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 # ---------------------------------------------------------------------------
 # localCheckpoint seam — audit-visible lineage
 #

@@ -240,3 +240,44 @@ def test_probe_coverage_is_total_and_enforced(monkeypatch):
     monkeypatch.setattr(dedup, "PROBES", {})
     with pytest.raises(ValueError, match="NO power probe"):
         registry.all_probes()
+
+
+def test_rank_math_percentile_equals_builtin(spark):
+    """rank_math_percentiles (the r14-opt replacement for the buffering
+    exact `percentile()` aggregate inside approx_sketches) must return
+    BIT-IDENTICAL doubles to the builtin on randomized data with heavy
+    ties and NULLs — the interpolation mirrors Percentile.getPercentile
+    term-for-term, so equality is exact, not approximate."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lens_sds_batch_spark.operators.relational import (
+        rank_math_percentiles,
+    )
+
+    rng = random.Random(1405)
+    rows = []
+    for g in ["A", "B", "C", "D"]:
+        n = rng.choice([1, 2, 7, 100, 1001])
+        for _ in range(n):
+            # coarse grid => many exact ties; ~10% NULLs
+            v = None if rng.random() < 0.1 else round(rng.uniform(0, 50), 1)
+            rows.append((g, v))
+    rows.append(("E", None))  # all-NULL group: builtin yields NULL
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    ps = [(0.0, "p00"), (0.25, "p25"), (0.45, "p45"), (0.5, "p50"),
+          (0.55, "p55"), (0.9, "p90"), (1.0, "p100")]
+    builtin = df.groupBy("g").agg(
+        *[F.expr(f"percentile(v, {p})").alias(a) for p, a in ps]
+    )
+    ours = rank_math_percentiles(df, "g", "v", ps)
+
+    b = {r["g"]: r for r in builtin.collect()}
+    o = {r["g"]: r for r in ours.collect()}
+    assert set(b) == set(o) | {"E"}  # all-NULL group absent from ours
+    assert b["E"]["p50"] is None
+    for g, row in o.items():
+        for _p, a in ps:
+            assert row[a] == b[g][a], (g, a, row[a], b[g][a])
