@@ -658,6 +658,34 @@ def _conform_to_pin(df, pinned):
     return df.select(*cols, *extras)
 
 
+def _pinned_read(spark, paths: list, pinned, base_path: str | None = None):
+    """Read live generation/bucket dirs under the layout's schema pin
+    WITHOUT schema inference (r14-opt, guide §6 metadata-driven reads):
+    ``mergeSchema=true`` runs a distributed footer-union job on every
+    call — at 100 TB that is a pass over every touched file's footer
+    per merge/read, and at the gate scale it is a fixed extra job per
+    protocol phase (measured: the three footer jobs of a 2-generation
+    read vanish under an explicit schema).  When the layout carries a
+    pin, the pin IS the schema: live generations always match it
+    exactly except for columns a METADATA-ONLY add left behind, which
+    the parquet reader null-fills — byte-identical to the previous
+    ``mergeSchema`` + ``_conform_to_pin`` pair (probe: same schema
+    incl. the appended partition columns, same rows).  Sites that can
+    legitimately see mixed-width files (the widen rewrite's own
+    pre-widen read, read_changes' FROM side) keep ``mergeSchema``.
+    ``pinned=None`` (pre-r12 tables) falls back to the deterministic
+    ``mergeSchema`` union + identity conform, unchanged."""
+    r = spark.read
+    if base_path is not None:
+        r = r.option("basePath", base_path)
+    if pinned is None:
+        return r.option("mergeSchema", "true").parquet(*paths)
+    ddl = ", ".join(
+        "`" + c.replace("`", "``") + "` " + t for c, t in pinned.items()
+    )
+    return r.schema(ddl).parquet(*paths)
+
+
 def _is_empty_read(e) -> bool:
     """True iff an AnalysisException from a parquet read means "zero
     data files" (UNABLE_TO_INFER_SCHEMA on an existing-but-empty dir)
@@ -1002,15 +1030,11 @@ def _bucketed_merge(
             if fs.exists(jvm_path(tgt + "/" + f"{prefix}{b}"))
         ]
         if existing:
-            # mergeSchema + pin-conform (r13): post-evolve, files written
-            # before a metadata-only add lack the added column — the
-            # union schema must be deterministic and the pin fills NULLs
-            current = _conform_to_pin(
-                spark.read.option("basePath", tgt)
-                .option("mergeSchema", "true")
-                .parquet(*existing),
-                spec_cols,
-            )
+            # pinned read (r14-opt; was mergeSchema + conform, r13):
+            # post-evolve, files written before a metadata-only add
+            # lack the added column — the pin is the deterministic
+            # union schema and the reader fills NULLs
+            current = _pinned_read(spark, existing, spec_cols, base_path=tgt)
         else:
             current = None
         merged = _lww_union(current, upd_tagged, keys, order_exprs, row_hash)
@@ -1371,16 +1395,13 @@ def _manifest_merge(
             if str(b) in live
         ]
         if existing:
-            # mergeSchema + pin-conform (r13): see _bucketed_merge — a
+            # pinned read (r14-opt; was mergeSchema + conform, r13): a
             # metadata-only evolve_schema(add=...) leaves older live
-            # generations without the added column
-            current = _conform_to_pin(
-                spark.read.option("basePath", tgt)
-                .option("mergeSchema", "true")
-                .parquet(*existing)
-                .drop(GEN_COL),
-                man.get("columns"),
-            )
+            # generations without the added column — the reader
+            # null-fills from the pin, no footer-union job
+            current = _pinned_read(
+                spark, existing, man.get("columns"), base_path=tgt
+            ).drop(GEN_COL)
         else:
             current = None
         merged = _lww_union(current, upd_tagged, keys, order_exprs, row_hash)
@@ -1531,17 +1552,12 @@ def read_merged_table(
         ]
         # a listed-but-missing generation is corruption (vacuum bug /
         # tampering): spark.read raises PATH_NOT_FOUND loudly — correct.
-        # mergeSchema (r12 schema pin): batches are pinned to one schema
-        # now, but a PRE-pin table whose generations already diverged
-        # must read its full column union deterministically rather than
-        # whichever file's schema lists first.
-        return _conform_to_pin(
-            spark.read.option("basePath", tgt)
-            .option("mergeSchema", "true")
-            .parquet(*paths)
-            .drop(GEN_COL),
-            m.get("columns"),
-        )
+        # pinned read (r14-opt): the manifest's own columns pin is the
+        # schema of its live generations (a PRE-pin table falls back to
+        # the deterministic mergeSchema union inside _pinned_read).
+        return _pinned_read(
+            spark, paths, m.get("columns"), base_path=tgt
+        ).drop(GEN_COL)
     # rename-bucketed flavor: when the layout pins a schema, read the
     # deterministic column union and conform (files written before a
     # metadata-only evolve_schema add lack the added columns) — same
@@ -1932,13 +1948,7 @@ def lookup_merged_keys(spark, target_path: str, lookup: DataFrame) -> DataFrame:
                     *[F.lit(None).cast(t).alias(c) for c, t in pin.items()]
                 )
             return None
-        base = _conform_to_pin(
-            spark.read.option("basePath", tgt)
-            .option("mergeSchema", "true")
-            .parquet(*paths)
-            .drop(GEN_COL),
-            pin,
-        )
+        base = _pinned_read(spark, paths, pin, base_path=tgt).drop(GEN_COL)
     else:
         base = read_merged_table(spark, tgt)
         if base is not None and keys is not None:
@@ -2447,11 +2457,9 @@ def rebucket(
                 f"{tgt}/{prefix}{b}/{GEN_COL}={g}"
                 for b, g in sorted(m["buckets"].items(), key=lambda kv: int(kv[0]))
             ]
-            cur = _conform_to_pin(
-                spark.read.option("basePath", tgt)
-                .option("mergeSchema", "true").parquet(*paths)
-                .drop(GEN_COL).drop(BUCKET_COL),
-                m.get("columns"),
+            cur = (
+                _pinned_read(spark, paths, m.get("columns"), base_path=tgt)
+                .drop(GEN_COL).drop(BUCKET_COL)
             )
             rehashed = cur.withColumn(BUCKET_COL, bucket_expr(keys, new_num_buckets))
             obs = Observation()
@@ -2829,10 +2837,8 @@ def evolve_schema(
                 f"{tgt}/{prefix}{b}/{GEN_COL}={g}"
                 for b, g in sorted(live.items(), key=lambda kv: int(kv[0]))
             ]
-            cur = _conform_to_pin(
-                spark.read.option("basePath", tgt)
-                .option("mergeSchema", "true").parquet(*paths).drop(GEN_COL),
-                pinned,
+            cur = _pinned_read(spark, paths, pinned, base_path=tgt).drop(
+                GEN_COL
             )
             out = _evolve_transform(cur, pinned, add, widen)
             obs = Observation()

@@ -258,12 +258,17 @@ def test_rank_math_percentile_equals_builtin(spark):
 
     rng = random.Random(1405)
     rows = []
-    for g in ["A", "B", "C", "D"]:
+    # None group key: a REAL group for the builtin (and for window
+    # partitioning) — must survive the helper's internal joins
+    for g in ["A", "B", "C", "D", None]:
         n = rng.choice([1, 2, 7, 100, 1001])
         for _ in range(n):
             # coarse grid => many exact ties; ~10% NULLs
             v = None if rng.random() < 0.1 else round(rng.uniform(0, 50), 1)
             rows.append((g, v))
+    # one fully-tied group (every value identical: the mass-tie bucket
+    # short-circuit) and a two-point group
+    rows += [("T", 7.0)] * 500 + [("U", 1.0), ("U", 2.0)]
     rows.append(("E", None))  # all-NULL group: builtin yields NULL
     df = spark.createDataFrame(rows, "g string, v double")
 
