@@ -51,9 +51,36 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
 
 
+# Session-scoped source-relation memo (r14-opt, guide §6 "file
+# listing"): every `spark.read.parquet(path)` call re-lists the path
+# and re-reads a footer for schema inference, driver-side — measured
+# 0.09 s per call here, and a pack builder like tpch_pack makes 57
+# such calls (5.3 s of its 10 s build; the whole-suite builder phase
+# repeats the same ten static tables hundreds of times).  At
+# production scale the re-listing is far WORSE (thousands of files per
+# table), which is why reusing the source DataFrame is the standard
+# deployment pattern.  This is metadata/plan reuse only: the returned
+# DataFrame is an immutable lazy plan over the (read-only) testdata —
+# no rows are cached, every action still scans parquet.  Keyed by
+# applicationId so a restarted session never sees a stale relation;
+# entries of dead sessions are pruned on miss.
+_RELATION_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # ALWAYS re-assert confs, even on a memo hit — the contract is that
+    # loading a table makes any externally-provided session safe
+    # (tests/test_contract.py::test_engine_confs_reassert_on_load).
     ensure_engine_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, f"{sf_dir}/{name}.parquet")
+    df = _RELATION_MEMO.get(key)
+    if df is None:
+        for k in [k for k in _RELATION_MEMO if k[0] != app_id]:
+            del _RELATION_MEMO[k]
+        df = spark.read.parquet(key[1])
+        _RELATION_MEMO[key] = df
+    return df
 
 
 def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:

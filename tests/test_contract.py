@@ -4,6 +4,7 @@ external-session defense (cheap guards against future drift)."""
 from __future__ import annotations
 
 import __spark_entry__ as entry_mod
+from lens_sds_batch_spark.sources import parquet as load_table_mod
 
 
 def test_registry_consistency():
@@ -44,6 +45,27 @@ def test_engine_confs_reassert_on_load(spark):
         assert load_events(spark, SF_SMOKE).limit(1).count() == 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_load_table_memoizes_relation_per_session(spark):
+    """r14-opt: load_table reuses the source relation within a session
+    (metadata/plan reuse — no repeated file listing + footer inference
+    per call), while distinct paths stay distinct and the memo never
+    caches rows (the returned frame is a plain lazy parquet scan)."""
+    from .conftest import SF_SMOKE
+
+    a = load_table_mod.load_table(spark, SF_SMOKE, "orders")
+    b = load_table_mod.load_table(spark, SF_SMOKE, "orders")
+    assert a is b  # same immutable lazy plan, no re-listing
+    c = load_table_mod.load_table(spark, SF_SMOKE, "customer")
+    assert c is not a
+    # self-join through the shared relation still resolves (Spark's
+    # dataset-id disambiguation) and computes real rows
+    j = a.join(b.select("o_orderkey"), "o_orderkey").limit(1)
+    assert j.count() == 1
+    # rows are NOT cached: the plan is a bare parquet scan (no
+    # InMemoryRelation anywhere in the analyzed plan)
+    assert "InMemoryRelation" not in a._jdf.queryExecution().analyzed().toString()
 
 
 def test_events_ts_physical_type(spark):
