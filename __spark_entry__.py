@@ -12,19 +12,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from lens_sds_batch_spark import oracle
-from lens_sds_batch_spark.plans.commands import generate_commands
-from lens_sds_batch_spark.plans.odm import BATCH_CMD_ID, SUB, derive_odm_resolved
+from lens_sds_batch_spark.plans.odm import BATCH_CMD_ID, SUB, fused_commands
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def _odm_commands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused flagship: join-free derivation (tx resolution + id chains
-    per-row, chain hashes at lineitem grain before the EAV explode);
-    row-identical to the generic normalized path — pinned by
+    per-row, chain hashes at lineitem grain before the EAV explode) +
+    single-pass command generation (r15: forms/item-groups/items emitted
+    in ONE scan of the form-grain frontier — no persisted 3-consumer
+    fan); row-identical to the generic normalized path — pinned by
     tests/test_odm_commands.py::test_fused_equals_generic."""
-    odm = derive_odm_resolved(spark, sf_dir)
-    return generate_commands(odm, BATCH_CMD_ID, SUB)
+    return fused_commands(spark, sf_dir, BATCH_CMD_ID, SUB)
 
 
 def _odm_commands_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,8 +40,7 @@ def _odm_commands_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
     75e752d9-… vector)."""
     from pyspark.sql import functions as F
 
-    odm = derive_odm_resolved(spark, sf_dir, flavor="sha1")
-    cmds = generate_commands(odm, BATCH_CMD_ID, SUB, flavor="sha1")
+    cmds = fused_commands(spark, sf_dir, BATCH_CMD_ID, SUB, flavor="sha1")
 
     def wf(c):
         return (

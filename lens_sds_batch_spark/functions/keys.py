@@ -326,8 +326,17 @@ def uuid5_col(ns: Column | str, parts: list, on_null: str = "error") -> Column:
                 f"CAST(raise_error('{_esc(_guard_msg('uuid5_col'))}') AS BINARY))"
             )
         return F.expr(_fmt_uuid_sql(f"sha1({payload})", "5"))
-    ns_col = F.lit(ns) if isinstance(ns, str) else ns
-    ns_bytes = F.unhex(F.regexp_replace(ns_col, "-", ""))
+    # string namespaces are canonicalized in PYTHON (r15): emitting
+    # unhex(regexp_replace('<literal>')) makes ConstantFolding evaluate
+    # it at planning — harmless per se, but the sibling md5 flavor's
+    # literal lower() was measured triggering the one-time ICU collation
+    # class-init (~1.5 s in CollationAwareUTF8String.<clinit>) inside
+    # the optimizer; pre-encoding keeps literal namespaces out of the
+    # expression tree entirely.  Byte-identical: same hex decode.
+    if isinstance(ns, str):
+        ns_bytes = F.lit(bytes.fromhex(ns.replace("-", "")))
+    else:
+        ns_bytes = F.unhex(F.regexp_replace(ns, "-", ""))
     payload = F.concat(ns_bytes, *[_to_bytes(p) for p in parts])
     if on_null == "error":
         payload = guard_payload(payload, F.lit(_guard_msg("uuid5_col")), cast_type="binary")
@@ -353,8 +362,16 @@ def uuid3_str_col(ns: Column | str, parts: list, on_null: str = "error") -> Colu
                 f"CAST(raise_error('{_esc(_guard_msg('uuid3_str_col'))}') AS STRING))"
             )
         return F.expr(_fmt_uuid_sql(f"md5(CAST({payload} AS BINARY))", "3"))
-    ns_col = F.lit(ns) if isinstance(ns, str) else ns
-    ns_hex = F.lower(F.regexp_replace(ns_col, "-", ""))
+    # literal namespaces lower()ed in Python, not in the plan (r15):
+    # the folded lower('<literal>') was the first collation-aware
+    # expression the optimizer evaluated in a bench run, paying the
+    # one-time ICU CollationAwareUTF8String.<clinit> (~1.5 s) inside
+    # ConstantFolding on the flagship's critical path.  Python str.lower
+    # equals SQL lower on hex/dash uuid text — byte-identical payload.
+    if isinstance(ns, str):
+        ns_hex = F.lit(ns.replace("-", "").lower())
+    else:
+        ns_hex = F.lower(F.regexp_replace(ns, "-", ""))
     payload = F.concat(ns_hex, *[_to_str(p) for p in parts])
     if on_null == "error":
         payload = guard_payload(payload, F.lit(_guard_msg("uuid3_str_col")), cast_type="string")

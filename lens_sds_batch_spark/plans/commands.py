@@ -435,6 +435,174 @@ def generate_commands(
     return reduce(lambda a, b: a.unionByName(b), out)
 
 
+def generate_commands_single_pass(
+    subjects: DataFrame,
+    study_events: DataFrame,
+    denorm: DataFrame,
+    batch_cmd_id: str | Column,
+    sub: str | Column,
+    item_attrs: list[tuple[str, str]],
+    ig_oid: str = "IG1",
+    flavor: str = "md5",
+) -> DataFrame:
+    """``generate_commands`` for a DENORMALIZED form-grain source, with
+    the forms / item-groups / items arms fused into ONE pass (r15 —
+    guide §2.4/§5): the generic fused path reads a persisted form-grain
+    frontier three times (cache build + 3 InMemoryTableScan consumers,
+    ~9 AQE jobs at sf0.1); here each form-grain row emits its form,
+    item-group and item command structs in a single projection
+    (array → filter(keep) → inline), so the window+join frontier is
+    computed exactly once with no cache materialization and no
+    multi-job union fan.  Row-identical to
+    ``generate_commands(derive_odm_resolved(...))`` — pinned by
+    tests/test_odm_commands.py::test_fused_equals_generic.
+
+    ``denorm`` columns: the five path cols, ``form_tx``/``form_rtx``
+    (resolved), ``study_event_id``/``form_id``, and one ``val_<OID>``
+    canonical-value column per ``(OID, data_type)`` in ``item_attrs``.
+    The derivation contract baked in (same as ``derive_odm_resolved``):
+    one item group ``ig_oid`` per form and neither item groups nor
+    items carry their own tx (both inherit ``form_rtx``).
+
+    Hash volume is unchanged vs the generic path: one cmd-id hash per
+    SURVIVING command row (hashed after the keep-filter), the
+    item-group id once per form-grain row, and item ids lazily inside
+    the update branches only.  The shared ``item_group_id`` hash lives
+    in its own projection (CollapseProject keeps a non-cheap alias
+    referenced 12x) so the CASE branches reference a column, not a
+    re-evaluated md5 (the r8 ivf_knn CSE lesson)."""
+    if isinstance(batch_cmd_id, str) and batch_cmd_id == PER_FILE:
+        batch_cmd_id = per_file_batch_cmd_id(flavor)
+    key = _keyfn(flavor)
+
+    subj_arm = _level_commands(
+        subjects, batch_cmd_id, sub, "subject",
+        {"study-id": F.col("study_id"), "subject-key": F.col("subject_key")},
+        {"file_oid": "file_oid", "study_oid": "study_oid", "subject_key": "subject_key", "parent_id": "study_id"},
+        flavor=flavor,
+    )
+    se_arm = _level_commands(
+        study_events, batch_cmd_id, sub, "study-event",
+        {"subject-id": F.col("subject_id"), "study-event-oid": F.col("study_event_oid")},
+        {
+            "file_oid": "file_oid", "study_oid": "study_oid", "subject_key": "subject_key",
+            "study_event_oid": "study_event_oid", "parent_id": "subject_id",
+        },
+        flavor=flavor,
+    )
+
+    rtx = F.col("form_rtx")
+    path = {c: F.col(c) for c in ("file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid")}
+    nulls = {c: _null(c) for c in COMMAND_COLUMNS[3:]}
+
+    def name_of(entity: str) -> Column:
+        return F.concat(F.lit("odm-import/"), rtx, F.lit(f"-{entity}"))
+
+    def cmd_struct(keep: Column, name: Column, payload: Column, **out: Column) -> Column:
+        fields = [keep.alias("keep"), name.alias("name"), payload.alias("payload")]
+        for c in COMMAND_COLUMNS[3:]:
+            fields.append((out.get(c) if c in out else nulls[c]).alias(c))
+        return F.struct(*fields)
+
+    form_name = name_of("form")
+    form_struct = cmd_struct(
+        rtx != "update",
+        form_name,
+        _payload(
+            form_name,
+            {"study-event-id": F.col("study_event_id"), "form-oid": F.col("form_oid"),
+             "file-oid": F.col("file_oid")},
+            flavor,
+        ),
+        **path,
+        parent_id=F.col("study_event_id"),
+    )
+
+    ig_name = name_of("item-group")
+    ig_struct = cmd_struct(
+        (rtx != "remove") & (rtx != "update"),
+        ig_name,
+        _payload(
+            ig_name,
+            {"form-id": F.col("form_id"), "item-group-oid": F.lit(ig_oid),
+             "file-oid": F.col("file_oid")},
+            flavor,
+        ),
+        **path,
+        item_group_oid=F.lit(ig_oid),
+        parent_id=F.col("form_id"),
+    )
+
+    item_name = name_of("item")
+    item_structs = []
+    for oid, dtype in item_attrs:
+        iid = key(F.col("item_group_id"), [F.lit(oid)])
+        value = F.col(f"val_{oid}")
+        ins = _payload(
+            item_name,
+            {"data-type": F.lit(dtype), "item-group-id": F.col("item_group_id"),
+             "item-oid": F.lit(oid), "value": value, "file-oid": F.col("file_oid")},
+            flavor,
+        )
+        upd = _payload(
+            item_name,
+            {"data-type": F.lit(dtype), "file-oid": F.col("file_oid"),
+             "item-id": iid, "value": value},
+            flavor,
+        )
+        rem = _payload(
+            item_name,
+            {"file-oid": F.col("file_oid"), "item-group-id": F.col("item_group_id"),
+             "item-oid": F.lit(oid)},
+            flavor,
+        )
+        item_structs.append(
+            cmd_struct(
+                rtx != "remove",
+                item_name,
+                F.when(rtx == "update", upd).when(rtx == "remove", rem).otherwise(ins),
+                **path,
+                item_group_oid=F.lit(ig_oid),
+                item_oid=F.lit(oid),
+                data_type=F.when(rtx != "remove", F.lit(dtype)),
+                value_canon=F.when(rtx != "remove", value),
+                parent_id=F.col("item_group_id"),
+                item_id=F.when(rtx == "update", iid),
+            )
+        )
+
+    exploded = (
+        denorm.withColumn("item_group_id", key(F.col("form_id"), [F.lit(ig_oid)]))
+        .select(
+            F.inline(
+                F.filter(
+                    F.array(form_struct, ig_struct, *item_structs),
+                    lambda s: s["keep"],
+                )
+            )
+        )
+    )
+
+    batch_ns = batch_cmd_id if isinstance(batch_cmd_id, Column) else F.lit(batch_cmd_id)
+    sub_col = sub if isinstance(sub, Column) else F.lit(sub)
+    guarded_payload = guard_payload(
+        F.col("payload"),
+        F.concat(
+            F.lit("generate_commands: NULL cmd-id payload "
+                  "(malformed uuid param?) file_oid="),
+            F.coalesce(F.col("file_oid"), F.lit("<NULL>")),
+        ),
+        cast_type="binary" if flavor == "sha1" else "string",
+    )
+    denorm_arm = exploded.select(
+        _keyfn(flavor)(batch_ns, [guarded_payload], on_null="empty").alias("cmd_id"),
+        F.col("name"),
+        sub_col.alias("sub"),
+        *[F.col(c) for c in COMMAND_COLUMNS[3:]],
+    )
+    return subj_arm.unionByName(se_arm).unionByName(denorm_arm)
+
+
 def dispatch_commands(
     cmds: DataFrame,
     handlers: dict,

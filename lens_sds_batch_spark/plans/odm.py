@@ -223,11 +223,15 @@ def derive_odm_from_tpch(spark: SparkSession, sf_dir: str) -> OdmTables:
 # Fused derivation (denormalized fast path)
 # ---------------------------------------------------------------------------
 
-def derive_odm_resolved(
-    spark: SparkSession, sf_dir: str, flavor: str = "md5", persist: bool = True
-) -> OdmTables:
-    """``derive_odm_from_tpch`` + tx resolution + entity-id chains in
-    one pass per level, with ZERO parent-child resolve joins.
+def _derive_fused_parts(
+    spark: SparkSession, sf_dir: str, flavor: str = "md5"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared core of the join-free fused derivation: ``(files,
+    subjects, study_events, li)`` where ``li`` is the NARROW form-grain
+    frontier (path + ids + tx state + the five EAV source columns).
+    ``derive_odm_resolved`` fans it into the three leaf levels;
+    ``fused_commands`` instead feeds it to the single-pass command
+    generator (r15) so the frontier is computed exactly once.
 
     The generic pipeline (``commands.resolve_and_identify``) joins each
     level to its parent to inherit tx-type and carry the parent's id
@@ -286,15 +290,25 @@ def derive_odm_resolved(
     # o_orderkey so the lineitem join below can CARRY the id chain down
     # instead of recomputing it ---
     ok, customerk = F.col("o_orderkey"), F.col("o_custkey")
+    # fan_out BEFORE the 3-hash id chain (guide §2.5 unsplittable-input
+    # skew, r15): the single-row-group orders scan otherwise computes
+    # 3x|orders| chain hashes in ONE task — 1.5 s serial on the
+    # flagship's critical path (it feeds the broadcast build AND the
+    # study-event union arm).  Gated: inert once the scan has >= session
+    # parallelism partitions (any real-scale table).
+    from ..sources.parquet import fan_out
+
     se_base = (
-        orders.select(
-            "o_orderkey",
-            F.lit(FILE_OID).alias("file_oid"),
-            study_oid_col(customerk).alias("study_oid"),
-            subject_key_col(customerk).alias("subject_key"),
-            se_oid_col(ok).alias("study_event_oid"),
-            _se_tx(ok).alias("tx_type"),
-            _subj_rtx(customerk).alias("subj_rtx"),
+        fan_out(
+            orders.select(
+                "o_orderkey",
+                F.lit(FILE_OID).alias("file_oid"),
+                study_oid_col(customerk).alias("study_oid"),
+                subject_key_col(customerk).alias("subject_key"),
+                se_oid_col(ok).alias("study_event_oid"),
+                _se_tx(ok).alias("tx_type"),
+                _subj_rtx(customerk).alias("subj_rtx"),
+            )
         )
         .where(F.col("subj_rtx") != "remove")
         .withColumn("rtx", F.coalesce(F.col("tx_type"), F.col("subj_rtx")))
@@ -355,8 +369,24 @@ def derive_odm_resolved(
         "form_id",
         *sorted({src for _, _, src in ITEM_ATTRS}),
     )
+    return files, subjects, se, li
+
+
+def derive_odm_resolved(
+    spark: SparkSession, sf_dir: str, flavor: str = "md5", persist: bool = True
+) -> OdmTables:
+    """``derive_odm_from_tpch`` + tx resolution + entity-id chains in
+    one pass per level, with ZERO parent-child resolve joins (see
+    :func:`_derive_fused_parts` for the algebra and the 100 TB story).
+    ``persist`` caches the narrow form-grain frontier, which feeds the
+    forms / item_groups / items levels."""
+    files, subjects, se, li = _derive_fused_parts(spark, sf_dir, flavor)
     if persist:
         li = li.persist()
+    path_cols = ["file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid"]
+    from ..functions.keys import uuid3_str_col, uuid5_col
+
+    key = {"md5": uuid3_str_col, "sha1": uuid5_col}[flavor]
 
     forms = li.select(
         *path_cols,
@@ -403,6 +433,35 @@ def derive_odm_resolved(
     )
 
     return OdmTables(files, subjects, se, forms, item_groups, items)
+
+
+def fused_commands(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_cmd_id: str,
+    sub: str,
+    flavor: str = "md5",
+) -> DataFrame:
+    """The flagship command set via the SINGLE-PASS generator (r15):
+    same rows as ``generate_commands(derive_odm_resolved(...))`` but the
+    form-grain frontier is consumed once (forms + item-groups + items
+    emitted per row via array→filter→inline) instead of persisted and
+    read by a 3-consumer union fan — no cache materialization, one job
+    where the fan needed several.  Row-identity pinned by
+    tests/test_odm_commands.py::test_fused_equals_generic."""
+    from .commands import generate_commands_single_pass
+
+    _files, subjects, se, li = _derive_fused_parts(spark, sf_dir, flavor)
+    denorm = li.select(
+        "file_oid", "study_oid", "subject_key", "study_event_oid", "form_oid",
+        "form_tx", "form_rtx", "study_event_id", "form_id",
+        *[canon_col(src, dtype).alias(f"val_{oid}") for oid, dtype, src in ITEM_ATTRS],
+    )
+    return generate_commands_single_pass(
+        subjects, se, denorm, batch_cmd_id, sub,
+        item_attrs=[(oid, dtype) for oid, dtype, _ in ITEM_ATTRS],
+        flavor=flavor,
+    )
 
 
 # ---------------------------------------------------------------------------

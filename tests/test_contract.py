@@ -68,6 +68,33 @@ def test_load_table_memoizes_relation_per_session(spark):
     assert "InMemoryRelation" not in a._jdf.queryExecution().analyzed().toString()
 
 
+def test_load_table_memoizes_source_tables_only(spark, tmp_path):
+    """r15 (VERDICT r14 #3): the relation memo's read-only contract.
+    The memo freezes the file listing at first read, so it must only
+    ever serve the static source tables — a name outside TABLES gets a
+    fresh read every call (no stale listing if the path is rewritten
+    in-session), and nothing the engine writes is ever memoized."""
+    from .conftest import SF_SMOKE
+
+    # 1) non-TABLES names bypass the memo entirely
+    p = tmp_path / "scratch.parquet"
+    spark.range(3).write.parquet(str(p))
+    a = load_table_mod.load_table(spark, str(tmp_path), "scratch")
+    b = load_table_mod.load_table(spark, str(tmp_path), "scratch")
+    assert a is not b
+    assert all(k[1] != str(p) for k in load_table_mod._RELATION_MEMO)
+    # and a rewrite of the path is visible to the next load (the exact
+    # stale-listing hazard the contract closes)
+    spark.range(5).write.mode("overwrite").parquet(str(p))
+    assert load_table_mod.load_table(spark, str(tmp_path), "scratch").count() == 5
+    # 2) every memoized key is a TABLES source under its sf_dir
+    load_table_mod.load_table(spark, SF_SMOKE, "orders")
+    table_paths = {f"{t}.parquet" for t in load_table_mod.TABLES}
+    assert load_table_mod._RELATION_MEMO  # orders is in it
+    for _, path in load_table_mod._RELATION_MEMO:
+        assert path.rsplit("/", 1)[-1] in table_paths, path
+
+
 def test_events_ts_physical_type(spark):
     """Loud canary for testdata drift: the driver's events.parquet `ts`
     physical type changed between rounds (TIMESTAMP(NANOS) r1-2 →

@@ -14,6 +14,7 @@ from lens_sds_batch_spark.plans.odm import (
     SUB,
     derive_odm_from_tpch,
     derive_odm_resolved,
+    fused_commands,
     nest,
     normalize,
 )
@@ -72,8 +73,11 @@ def test_fused_equals_generic(spark, odm, flavor):
     """The join-free fused derivation (``derive_odm_resolved``: per-row
     tx resolution + chain hashes at lineitem grain before the EAV
     explode) must be row-identical to the generic normalized path
-    (``resolve_and_identify``'s parent joins) — this is what licenses
-    the flagship to use the fused plan."""
+    (``resolve_and_identify``'s parent joins), and the r15 SINGLE-PASS
+    generator (``fused_commands``: forms/item-groups/items emitted in
+    one array→filter→inline scan of the form-grain frontier) must be
+    row- AND schema-identical to both — this is what licenses the
+    flagship to use the single-pass plan."""
     generic = generate_commands(odm, BATCH_CMD_ID, SUB, persist=False, flavor=flavor)
     fused = generate_commands(
         derive_odm_resolved(spark, SF_SMOKE, flavor=flavor, persist=False),
@@ -81,10 +85,15 @@ def test_fused_equals_generic(spark, odm, flavor):
         SUB,
         flavor=flavor,
     )
+    single_pass = fused_commands(spark, SF_SMOKE, BATCH_CMD_ID, SUB, flavor=flavor)
     assert generic.schema == fused.schema
+    assert generic.schema == single_pass.schema
     # equal multiset sizes + empty one-way multiset difference ⇒ equal
-    assert generic.count() == fused.count()
+    n = generic.count()
+    assert n == fused.count()
     assert generic.exceptAll(fused).count() == 0
+    assert n == single_pass.count()
+    assert generic.exceptAll(single_pass).count() == 0
 
 
 def test_uuid5_flavor_pins(spark, odm):
