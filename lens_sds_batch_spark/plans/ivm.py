@@ -384,12 +384,21 @@ def refresh_aggregate(
     }
     if feed is None:
         deltas = None
+        n_deltas = 0
     else:
-        deltas = _delta_aggregate(feed, group_keys, aggs).localCheckpoint(
-            eager=True
+        # the emptiness guard rides the checkpoint materialization as an
+        # Observation (r15) — one job instead of checkpoint + take(1)
+        from pyspark.sql import Observation
+
+        obs_d = Observation()
+        deltas = (
+            _delta_aggregate(feed, group_keys, aggs)
+            .observe(obs_d, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
         )
+        n_deltas = int(obs_d.get["n"])
     try:
-        if deltas is None or not deltas.take(1):
+        if deltas is None or n_deltas == 0:
             # metadata commits only (or all deltas netted to zero):
             # advance the cursor with a metadata-only commit — an empty
             # typed batch keeps one code path through merge_into
@@ -428,20 +437,24 @@ def refresh_aggregate(
             ).cast(pin[n]).alias(n)
             for n in aggs
         ]
+        from pyspark.sql import Observation
+
+        obs_u = Observation()
         updates = d.join(c, cond, "left").select(
             *[F.col(f"d.`{k}`") for k in group_keys],
             *new_vals,
             F.lit(latest).cast("bigint").alias(SRC_SEQ_COL),
+        ).observe(
+            # the guard + both counts ride the checkpoint job (r15; was
+            # one combined agg job, before that three — the refresh's
+            # cost floor is its job count)
+            obs_u,
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col(cnt_col)).alias("min_cnt"),
+            F.sum((F.col(cnt_col) == 0).cast("bigint")).alias("n_dead"),
         ).localCheckpoint(eager=True)
         try:
-            # ONE action for the guard + both counts (three separate
-            # jobs measured ~0.5 s of pure launch overhead at toy
-            # scale; the refresh's cost floor is its job count)
-            stats = updates.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min(F.col(cnt_col)).alias("min_cnt"),
-                F.sum((F.col(cnt_col) == 0).cast("bigint")).alias("n_dead"),
-            ).collect()[0]
+            stats = obs_u.get
             if stats["min_cnt"] is not None and stats["min_cnt"] < 0:
                 # a negative count means the feed was double-applied or
                 # the target tampered with out-of-band — refuse before

@@ -961,6 +961,35 @@ def _has_bucket_dirs(fs, jvm_path, target_path: str) -> bool:
     return False
 
 
+def _ckpt_with_touched(
+    updates: DataFrame, keys: list[str], n_buckets: int, is_delete: Column
+) -> tuple[DataFrame, list]:
+    """Tag the batch with its bucket id, eagerly checkpoint it, and
+    return ``(pinned_batch, sorted touched bucket ids)`` in ONE job:
+    the touched set rides the checkpoint materialization as an
+    ``Observation`` (collect_set) instead of a second
+    distinct-collect job over the checkpoint (r15 — the merge
+    protocols are per-action-latency-bound on micro-batches; this
+    drops one driver round trip per merge).  The eager checkpoint
+    stays load-bearing: the batch is consumed again by the LWW union,
+    and a non-deterministic source re-evaluating between passes could
+    otherwise emit rows into buckets missing from ``touched`` (rows
+    silently dropped at swap time).  The observed set is computed ON
+    the very materialization the union reads — the same rows by
+    construction."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    upd_tagged = (
+        updates.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
+        .withColumn("__tgt_pri", F.lit(0))
+        .withColumn("__del", F.coalesce(is_delete.cast("boolean"), F.lit(False)))
+        .observe(obs, F.collect_set(BUCKET_COL).alias("touched"))
+        .localCheckpoint(eager=True)
+    )
+    return upd_tagged, sorted(obs.get["touched"])
+
+
 def _bucketed_merge(
     spark,
     fs,
@@ -990,23 +1019,11 @@ def _bucketed_merge(
 
     _recover_buckets(fs, jvm_path, tgt)
 
-    # Eager checkpoint BEFORE deriving the touched-bucket set: the
-    # batch is consumed twice (bucket-id collect, then the union), and
-    # a non-deterministic source that re-evaluated differently between
-    # the passes could emit rows into buckets missing from `touched` —
-    # rows that would then be silently dropped at swap time.  Pinning
-    # the batch makes the two passes read the same rows by
-    # construction; the batch is micro-batch-sized, not table-sized.
-    upd_tagged = (
-        updates.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
-        .withColumn("__tgt_pri", F.lit(0))
-        .withColumn("__del", F.coalesce(is_delete.cast("boolean"), F.lit(False)))
-        .localCheckpoint(eager=True)
-    )
+    # Eager checkpoint + touched-bucket set in one job (r15; see
+    # _ckpt_with_touched for the determinism contract the checkpoint
+    # carries).  The batch is micro-batch-sized, not table-sized.
+    upd_tagged, touched = _ckpt_with_touched(updates, keys, n_buckets, is_delete)
     try:
-        touched = sorted(
-            r[0] for r in upd_tagged.select(BUCKET_COL).distinct().collect()
-        )
         if not touched:  # empty batch: nothing to read, write, or swap
             return {
                 "engine": "parquet-bucketed",
@@ -1340,18 +1357,10 @@ def _manifest_merge(
     n_buckets = int(man["num_buckets"])
     live = dict(man["buckets"])
 
-    # Eager checkpoint before the two consumptions of the batch — same
+    # Eager checkpoint + touched-bucket set in one job (r15) — same
     # non-deterministic-source rationale as the rename flavor.
-    upd_tagged = (
-        updates.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
-        .withColumn("__tgt_pri", F.lit(0))
-        .withColumn("__del", F.coalesce(is_delete.cast("boolean"), F.lit(False)))
-        .localCheckpoint(eager=True)
-    )
+    upd_tagged, touched = _ckpt_with_touched(updates, keys, n_buckets, is_delete)
     try:
-        touched = sorted(
-            r[0] for r in upd_tagged.select(BUCKET_COL).distinct().collect()
-        )
         if not touched:
             if commit_meta is not None:
                 # an explicit commit_meta must land even with zero data
