@@ -1244,3 +1244,53 @@ def test_maintain_during_live_traffic(spark, tmp_path):
     expected = {"seed": (0, "s")}
     expected.update({f"k{j}": (6, "W5") for j in range(12)})
     assert _state(spark, target) == expected
+
+
+def test_ckpt_with_touched_observation(spark):
+    """r15: the touched-bucket set rides the batch checkpoint as an
+    Observation (one job instead of checkpoint + distinct-collect).
+    This pins the Spark behavior the fold depends on — Observation
+    metrics firing through localCheckpoint(eager=True) — with a
+    watchdog, because a Spark version that stopped delivering the
+    metric would HANG obs.get (and every merge with it), which must
+    surface as a loud test failure at upgrade time, not a wedged
+    pipeline."""
+    import threading
+
+    from lens_sds_batch_spark.plans.merge import _ckpt_with_touched, BUCKET_COL
+
+    batch = spark.range(200).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+        (F.col("id") % 3 == 0).alias("del"),
+    )
+    result: dict = {}
+
+    def run():
+        df, touched = _ckpt_with_touched(batch, ["k"], 8, F.col("del"))
+        result["touched"] = touched
+        result["df"] = df
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=120)
+    assert not t.is_alive(), (
+        "_ckpt_with_touched hung — Observation metrics no longer fire "
+        "through localCheckpoint(eager=True) on this Spark version; "
+        "restore the separate distinct-collect"
+    )
+    df = result["df"]
+    # the observed set equals a direct distinct over the SAME
+    # materialization, and the checkpointed frame carries the tag cols
+    expect = sorted(r[0] for r in df.select(BUCKET_COL).distinct().collect())
+    assert result["touched"] == expect
+    assert df.where(F.col("__del")).count() == df.where(F.col("del")).count()
+    # empty batch: observe over zero rows must yield the empty set
+    def run_empty():
+        _, touched = _ckpt_with_touched(batch.where(F.lit(False)), ["k"], 8, F.col("del"))
+        result["empty"] = touched
+
+    t2 = threading.Thread(target=run_empty, daemon=True)
+    t2.start()
+    t2.join(timeout=120)
+    assert not t2.is_alive()
+    assert result["empty"] == []
